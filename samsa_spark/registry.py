@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from samsa_spark import tables
-from samsa_spark.operators import state
+from samsa_spark.operators import relational, state
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -84,6 +84,11 @@ _register(
     lambda spark, sf: state.windowed_changes(_ev(spark, sf)),
     state.ORACLE_SQL["d10_windowed_changes"],
 )
+
+
+# --- relational surface (joins/aggs/windows/set ops/scalar+JSON fns) -------
+for _name, (_fn, _sql) in relational.build_queries().items():
+    _register(_name, _fn, _sql)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -27,12 +27,18 @@ def run_oracle(sql: str, sf_dir: str):
 def _norm_cell(v):
     if v is None:
         return None
+    # Tag the numeric class so an int column on one side and a float column
+    # on the other (e.g. DuckDB HUGEINT -> pandas float64) is a mismatch.
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("f", float(v))
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("f", "NaN")
+        return ("f", round(v, 9))
     if isinstance(v, (_dt.datetime, _dt.date)):
         return str(v)
     if hasattr(v, "item"):  # numpy scalar
