@@ -1,0 +1,287 @@
+"""Deduplication operators over ``documents`` (training-data pipeline
+surface; X1/X2 in SURVEY.md §2.4).
+
+Five strategies, scale-ordered:
+
+- exact (dd1): content-hash groupBy — one shuffle on a 64-hex key, the only
+  exact-dedup plan that works at 100 TB (never groupBy the full text).
+- n-gram Jaccard (dd2): inverted-index self-join on shingles — the classic
+  candidate-generation join; quadratic only within a shingle's posting list,
+  AQE skew-join splits hot shingles.
+- MinHash-LSH (dd3): 64-permutation signatures, 16 bands x 4 rows; candidate
+  pairs only where a band collides. Signature pass is a single hash aggregate
+  (64 `min` partials); band join touches |bands| rows per doc, not O(n^2).
+- SimHash (dd4): 64-bit fingerprint from token-hash bit votes; near pairs by
+  16-bit chunk collision + hamming verify (bit_count(xor)).
+- embedding near-dup (dd5): see similarity.py — cosine over a probe set.
+
+dd1/dd2 have exact DuckDB oracles. dd3/dd4 use xxhash64 (JVM-native; DuckDB
+has no xxhash64) so the driver records rows-only checks; their correctness
+oracle is tests/test_dedup.py, which brute-forces Jaccard/hamming ground
+truth in-process and asserts candidate recall.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from samsa_spark import tables
+
+N_MINHASH = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_K = 3
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """dd1 — exact dedup by content hash: canonical id (min doc_id) per
+    identical text, duplicate flag, group size. Equivalent of samsa's
+    last-write-wins keyed overwrite (storage.py:190-206) with content as key.
+    """
+    h = F.sha2(F.col("text"), 256)
+    hashed = documents.select("doc_id", h.alias("content_sha"))
+    groups = hashed.groupBy("content_sha").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        hashed.join(groups, "content_sha")
+        .select(
+            "doc_id",
+            "content_sha",
+            "canonical_id",
+            "n_copies",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def _shingles(col: str = "text") -> F.Column:
+    """Distinct k-token shingles (k=3) as strings; empty array for short docs."""
+    toks = F.split(F.col(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(SHINGLE_K - 1))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.when(n >= SHINGLE_K, F.array_distinct(make)).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_postings(documents: DataFrame) -> DataFrame:
+    """Exploded (doc_id, shingle) posting list."""
+    return documents.select("doc_id", F.explode(_shingles()).alias("sh"))
+
+
+def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """dd2 — exact n-gram Jaccard near-dup pairs via inverted-index join:
+    explode distinct shingles, self-join on shingle (only co-occurring pairs
+    materialize), count intersections, Jaccard = inter / (|A|+|B|-inter).
+    """
+    g = shingle_postings(documents)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """64-permutation MinHash signatures: one hash aggregate with 64 `min`
+    partials over xxhash64(shingle, perm_index) — map-side combinable, no
+    per-permutation shuffle."""
+    g = shingle_postings(documents)
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(N_MINHASH)
+    ]
+    sig = g.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame, min_est_jaccard: float = 0.25) -> DataFrame:
+    """dd3 — MinHash-LSH candidate pairs: band signatures into 16 buckets of
+    4 rows; pairs colliding in any band are candidates; estimated Jaccard =
+    fraction of equal signature positions. Self-join is on (band, band_hash)
+    — the only shuffle key — so work scales with collisions, not n^2.
+    """
+    sig = minhash_signatures(documents)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * ROWS_PER_BAND + j + 1) for j in range(ROWS_PER_BAND)]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(N_MINHASH)
+    ).alias("est_jaccard")
+    return cand.select("doc_a", "doc_b", est).where(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """dd4a — 64-bit SimHash per document: per-token xxhash64, each bit votes
+    +1/-1, fingerprint bit j set iff vote sum positive. Single aggregate with
+    64 sum partials; fingerprint assembly is pure bit arithmetic.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    fp = functools.reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")),
+        range(1, 64),
+        F.when(F.col("v0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 16) -> DataFrame:
+    """dd4b — SimHash near-dup pairs: block on 16-bit fingerprint chunks
+    (pigeonhole: hamming<=3 guarantees a chunk collision; larger radii are
+    best-effort), verify with bit_count(xor) <= max_hamming.
+    """
+    fps = simhash_fingerprints(documents)
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- registry wiring -------------------------------------------------------
+
+
+def build_queries():
+    def q(fn, **kw):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            return fn(tables.load(spark, sf, "documents"), **kw)
+
+        return run
+
+    return {
+        "dd1_exact_dedup": (q(exact_dedup), _DD1_SQL),
+        "dd2_ngram_jaccard": (q(ngram_jaccard_pairs), _DD2_SQL),
+        # xxhash64-based: no DuckDB twin -> rows-only driver check;
+        # recall-verified against brute force in tests/test_dedup.py.
+        "dd3_minhash_lsh": (q(minhash_lsh_pairs), None),
+        "dd4_simhash_pairs": (q(simhash_near_pairs), None),
+    }
+
+
+_DD1_SQL = """
+WITH h AS (SELECT doc_id, sha256(text) AS content_sha FROM documents),
+g AS (SELECT content_sha, min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM h GROUP BY content_sha)
+SELECT h.doc_id, h.content_sha, g.canonical_id, g.n_copies,
+       h.doc_id <> g.canonical_id AS is_dup
+FROM h JOIN g USING (content_sha)
+"""
+
+_DD2_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)])
+              ELSE [] END AS shs
+  FROM t
+), g AS (
+  SELECT doc_id, unnest(shs) AS sh FROM s
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.0
+"""

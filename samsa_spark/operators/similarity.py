@@ -1,0 +1,207 @@
+"""Similarity search over the ``embeddings`` table (X3 in SURVEY.md §2.4):
+cosine top-k and near-duplicate detection over an array<float> column.
+
+Scale design: the baseline is brute-force cosine from a small *probe set*
+(broadcast) against the full corpus — a broadcast nested-loop whose cost is
+|probes| x N, never N^2. The scale path is random-hyperplane LSH: a 16-bit
+bucket per vector (one narrow pass), then candidate ranking only within
+colliding buckets. Dot products run in a vectorized Arrow pandas UDF
+(numpy matmul per batch) — the documented fast path when per-element JVM
+lambdas (zip_with/aggregate) would be interpreted per row.
+
+Cross-engine parity: embeddings are float32 on disk; both sides cast to
+float64 before the dot product, and cosines are rounded to 6 decimals
+*before* thresholding/ranking so low-bit summation-order differences can't
+flip a comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from samsa_spark import tables
+
+# Multi-table random-hyperplane LSH: L tables of B sign bits each. A pair is
+# a candidate if it collides in ANY table — L small tables trade precision
+# for recall, which is the right trade for near-orthogonal embeddings where
+# a single wide code would never collide.
+LSH_TABLES = 8
+LSH_BITS = 6
+_PLANE_SEED = 42
+_DIM = 64
+
+
+# NOTE: the pandas UDFs below are built inside factory functions (closures),
+# not at module scope. Cloudpickle serializes a module-level function by
+# reference to its module, which executor Python workers can't import when
+# the driver process runs outside this repo; closures serialize by value.
+
+
+def _cos_sim_udf():
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        dot = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(dot / (na * nb))
+
+    return pandas_udf(DoubleType())(_cos)
+
+
+def _hyperplanes() -> np.ndarray:
+    return np.random.RandomState(_PLANE_SEED).randn(LSH_TABLES * LSH_BITS, _DIM)
+
+
+def _lsh_buckets_udf():
+    n_tables, n_bits = LSH_TABLES, LSH_BITS
+    planes = _hyperplanes()
+
+    def _buckets(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        bits = ((X @ planes.T) >= 0.0).reshape(len(X), n_tables, n_bits)
+        weights = 1 << np.arange(n_bits)
+        codes = (bits * weights).sum(axis=2).astype(np.int32)  # (n, n_tables)
+        return pd.Series(list(codes))
+
+    return pandas_udf(ArrayType(IntegerType()))(_buckets)
+
+
+def cosine_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 5) -> DataFrame:
+    """sim1 — brute-force cosine top-k: probe set (vec_id < n_probes,
+    broadcast) x full corpus, rank by rounded cosine with vec_id tie-break.
+    The exactness baseline every ANN variant is measured against.
+    """
+    base = embeddings.select("vec_id", "embedding")
+    probes = F.broadcast(
+        base.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    scored = (
+        base.join(probes, F.col("q_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+        .select("q_id", "vec_id", "cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, n_probes: int = 100, min_cos: float = 0.35
+) -> DataFrame:
+    """dd5/sim2 — embedding-cosine near-duplicate pairs from a probe set:
+    pairs (a < b) whose rounded cosine clears the threshold.
+    """
+    base = embeddings.select("vec_id", "embedding")
+    probes = F.broadcast(
+        base.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+        )
+    )
+    return (
+        base.join(probes, F.col("a_id") < F.col("vec_id"))
+        .withColumn("cos", F.round(_cos_sim_udf()("a_emb", "embedding"), 6))
+        .where(F.col("cos") >= min_cos)
+        .select("a_id", F.col("vec_id").alias("b_id"), "cos")
+    )
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """Exploded (vec_id, table, bucket) index: one row per hash table."""
+    codes = embeddings.select(
+        "vec_id", "embedding", F.posexplode(_lsh_buckets_udf()("embedding")).alias("table", "bucket")
+    )
+    return codes
+
+
+def ann_topk_lsh(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataFrame:
+    """sim3 — multi-table LSH approximate top-k: candidates are vectors that
+    collide with the probe in ANY of the 8 tables; rank candidates by exact
+    cosine. The (table, bucket) pair is the only join key — at 100 TB this is
+    a co-locatable equi-join, never an all-pairs shuffle. Recall vs sim1 is
+    asserted in tests/test_similarity.py.
+    """
+    b = lsh_buckets(embeddings)
+    probes = F.broadcast(
+        b.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("table").alias("q_table"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    cand = (
+        b.join(
+            probes,
+            (F.col("q_table") == F.col("table"))
+            & (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("q_id") != F.col("vec_id")),
+        )
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cand.withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6)).select(
+        "q_id", "vec_id", "cos"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+# --- registry wiring -------------------------------------------------------
+
+
+def build_queries():
+    def q(fn, **kw):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            return fn(tables.load(spark, sf, "embeddings"), **kw)
+
+        return run
+
+    return {
+        "sim1_cosine_topk": (q(cosine_topk), _SIM1_SQL),
+        "sim2_embedding_near_dups": (q(embedding_near_dups), _SIM2_SQL),
+        # LSH buckets depend on a seeded-numpy projection only Spark-side:
+        # rows-only driver check; recall asserted in tests/test_similarity.py.
+        "sim3_ann_topk_lsh": (q(ann_topk_lsh), None),
+    }
+
+
+_SIM1_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 20),
+s AS (
+  SELECT p.q_id, v.vec_id, round(list_cosine_similarity(p.q_emb, v.emb), 6) AS cos
+  FROM p JOIN v ON p.q_id <> v.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+_SIM2_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (SELECT vec_id AS a_id, emb AS a_emb FROM v WHERE vec_id < 100)
+SELECT p.a_id, v.vec_id AS b_id,
+       round(list_cosine_similarity(p.a_emb, v.emb), 6) AS cos
+FROM p JOIN v ON p.a_id < v.vec_id
+WHERE round(list_cosine_similarity(p.a_emb, v.emb), 6) >= 0.35
+"""

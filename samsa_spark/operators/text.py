@@ -1,0 +1,258 @@
+"""Text-analysis operators over the ``documents`` table (training-data
+pipeline surface; extension X4 in SURVEY.md §2.4 — the reference has no
+engine-level functions at all, SURVEY.md §2.3).
+
+Everything here is pure ``pyspark.sql.functions`` column algebra — no Python
+UDFs — so at 100 TB the whole pipeline stays inside whole-stage codegen: one
+parquet scan, narrow per-row transforms, and (for the stats query) one hash
+aggregate. Each query has an exact DuckDB oracle; the cross-engine contract
+is spelled per function (regex dialect, split semantics, codepoint fns).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from samsa_spark import tables
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Order matters: tie-break precedence is list order.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los", "un"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est"),
+    "zh": ("的", "是", "了", "在", "有", "我", "不"),
+}
+
+# BPE-ish pre-tokenizer: runs of alphanumerics, or single non-space symbols.
+# ASCII classes only — Java and RE2 agree on these; \w would drag in
+# engine-specific unicode tables.
+BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+_STOP_EN = LANG_PROFILES["en"]
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def _stop_hits(toks: F.Column, words: tuple[str, ...]) -> F.Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """tx1 — token counting: whitespace tokens + BPE-ish regex pre-tokens.
+
+    Both engines split on a literal space (consecutive spaces yield empty
+    tokens on both) and count regex matches with the same ASCII pattern.
+    """
+    return documents.select(
+        "doc_id",
+        F.size(_toks()).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("n_re_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """tx2 — quality scoring: alpha ratio, whitespace ratio, stopword ratio,
+    mean token length, composite score. All row-wise double arithmetic —
+    identical IEEE ops on both engines, no rounding roulette.
+    """
+    toks = _toks()
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    spaces = n_chars - F.length(F.regexp_replace("text", " ", ""))
+    n_toks = F.size(toks)
+    stop = _stop_hits(toks, _STOP_EN)
+    alpha_ratio = alpha / n_chars
+    space_ratio = spaces / n_chars
+    stop_ratio = stop / n_toks
+    mean_tok_len = (n_chars - spaces) / n_toks
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(mean_tok_len - F.lit(5.0)) / F.lit(10.0))
+    )
+    return documents.select(
+        "doc_id",
+        alpha_ratio.alias("alpha_ratio"),
+        space_ratio.alias("space_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """tx3 — language identification by stopword-profile voting: score each
+    language by exact stopword hits among the document's tokens; argmax with
+    fixed precedence (en > es > de > fr > zh) for determinism.
+    """
+    toks = _toks()
+    scores = {lang: _stop_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_PROFILES}
+    langs = list(LANG_PROFILES)
+    # CASE chain in profile order: first language whose score >= all later ones.
+    expr = None
+    for i, lang in enumerate(langs):
+        later = langs[i + 1 :]
+        cond = None
+        for other in later:
+            c = s[lang] >= s[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if cond is None:
+            tail = branch
+        elif expr is None:
+            expr = F.when(cond, branch)
+        else:
+            expr = expr.when(cond, branch)
+    pred_col = expr.otherwise(tail)
+    return documents.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"s_{lang}") for lang in langs],
+    ).select(
+        "doc_id",
+        "lang",
+        *[f"s_{lang}" for lang in langs],
+        pred_col.alias("pred_lang"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """tx4 — document fingerprinting: md5 of whitespace-normalized text plus a
+    rolling polynomial hash folded over per-token codes (exact integer
+    arithmetic — engine-portable, unlike murmur/xxhash which only Spark has).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = _toks()
+    tok_code = F.transform(toks, lambda t: (F.length(t) * F.lit(31) + F.ascii(t)).cast("long"))
+    rolling = F.aggregate(
+        tok_code,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(131) + x) % F.lit(1000000007),
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("md5_fp"),
+        rolling.alias("rolling_fp"),
+    )
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """tx5 — corpus statistics per (lang, source): doc counts, char totals,
+    token totals, length extents. One hash aggregate over narrow projections.
+    """
+    toks_n = F.size(_toks())
+    out = documents.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(toks_n.cast("bigint")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return out.withColumn("avg_chars", F.col("total_chars") / F.col("n_docs"))
+
+
+# --- registry wiring -------------------------------------------------------
+
+
+def build_queries():
+    def q(fn):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            return fn(tables.load(spark, sf, "documents"))
+
+        return run
+
+    return {
+        "tx1_token_counts": (q(token_counts), _TX1_SQL),
+        "tx2_quality_scores": (q(quality_scores), _TX2_SQL),
+        "tx3_lang_id": (q(lang_id), _TX3_SQL),
+        "tx4_fingerprints": (q(fingerprints), _TX4_SQL),
+        "tx5_corpus_stats": (q(corpus_stats), _TX5_SQL),
+    }
+
+
+_TX1_SQL = rf"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_re_tokens,
+       length(text) AS n_chars_computed,
+       strlen(text) AS n_bytes
+FROM documents
+"""
+
+_STOP_EN_SQL = "(" + ", ".join(f"'{w}'" for w in _STOP_EN) + ")"
+
+_TX2_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) AS spaces,
+         len(string_split(text, ' ')) AS n_toks,
+         len(list_filter(string_split(text, ' '), t -> t IN {_STOP_EN_SQL})) AS stop
+  FROM documents
+)
+SELECT doc_id,
+       alpha / n_chars AS alpha_ratio,
+       spaces / n_chars AS space_ratio,
+       stop / n_toks AS stop_ratio,
+       (n_chars - spaces) / n_toks AS mean_tok_len,
+       0.4 * (alpha / n_chars) + 0.3 * (stop / n_toks)
+         + 0.3 * (1.0 - abs((n_chars - spaces) / n_toks - 5.0) / 10.0) AS quality_score
+FROM b
+"""
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        inlist = "(" + ", ".join(f"'{w}'" for w in words) + ")"
+        scores.append(f"len(list_filter(string_split(text, ' '), t -> t IN {inlist})) AS s_{lang}")
+    langs = list(LANG_PROFILES)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :])
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH s AS (SELECT doc_id, lang, {", ".join(scores)} FROM documents)
+SELECT doc_id, lang, {", ".join(f"s_{lang}" for lang in langs)}, {case} AS pred_lang
+FROM s
+"""
+
+
+_TX3_SQL = _lang_sql()
+
+_TX4_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         string_split(text, ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS md5_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_fp
+FROM n
+"""
+
+_TX5_SQL = """
+WITH a AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+  FROM documents GROUP BY lang, source
+)
+SELECT *, total_chars / n_docs AS avg_chars FROM a
+"""

@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from samsa_spark import tables
-from samsa_spark.operators import relational, state
+from samsa_spark.operators import dedup, multimodal, relational, similarity, state, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -88,6 +88,22 @@ _register(
 
 # --- relational surface (joins/aggs/windows/set ops/scalar+JSON fns) -------
 for _name, (_fn, _sql) in relational.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- text analysis (X4: lang-ID, quality, tokens, fingerprints, stats) -----
+for _name, (_fn, _sql) in text.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- dedup (X1/X2: exact, n-gram Jaccard, MinHash-LSH, SimHash) ------------
+for _name, (_fn, _sql) in dedup.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- similarity search (X3: cosine top-k, near-dups, LSH ANN) --------------
+for _name, (_fn, _sql) in similarity.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- multimodal binary-column plumbing -------------------------------------
+for _name, (_fn, _sql) in multimodal.build_queries().items():
     _register(_name, _fn, _sql)
 
 

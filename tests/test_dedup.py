@@ -1,0 +1,66 @@
+"""Dedup suite: oracle checks for dd1/dd2; brute-force ground-truth recall
+checks for the hash-based candidates (dd3 MinHash-LSH, dd4 SimHash)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from tests.oracle import check_query
+
+
+@pytest.mark.parametrize("name", ["dd1_exact_dedup", "dd2_ngram_jaccard"])
+def test_oracle_match(spark, name):
+    ok, msg = check_query(spark, name, SF_SMALL)
+    assert ok, msg
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_minhash_lsh_recall(spark):
+    """Every truly-similar pair (Jaccard >= 0.5) must appear among LSH
+    candidates; candidate estimates must roughly track true Jaccard."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    sh = {r.doc_id: _shingles(r.text) for r in rows}
+    truth = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter:
+            truth[(a, b)] = inter / len(sh[a] | sh[b])
+    high = {p for p, j in truth.items() if j >= 0.5}
+
+    cand = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, min_est_jaccard=0.25).collect()
+    }
+    missed = high - set(cand)
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    for p, est in cand.items():
+        true_j = truth.get(p, 0.0)
+        assert abs(est - true_j) < 0.35, f"estimate far off for {p}: est={est} true={true_j}"
+
+
+def test_simhash_determinism_and_selfdup(spark):
+    """SimHash: identical texts get identical fingerprints; fingerprints are
+    stable across runs (pure column arithmetic, no RNG)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import simhash_fingerprints
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    fp1 = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    fp2 = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fp1 == fp2
+    # duplicate text -> identical simhash: synthesize a dup
+    two = docs.limit(1).select("text").collect()[0].text
+    dup = spark.createDataFrame([(900001, two), (900002, two)], "doc_id long, text string")
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(dup).collect()}
+    assert fps[900001] == fps[900002]

@@ -1,0 +1,61 @@
+"""Similarity search: oracle checks for sim1/sim2; recall-vs-exact for the
+LSH ANN variant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+from tests.oracle import check_query
+
+
+@pytest.mark.parametrize("name", ["sim1_cosine_topk", "sim2_embedding_near_dups"])
+def test_oracle_match(spark, name):
+    ok, msg = check_query(spark, name, SF_SMALL)
+    assert ok, msg
+
+
+def test_ann_lsh_subset_of_bucket_and_sane(spark):
+    """ANN results must (a) come from the probe's bucket, (b) be correctly
+    ranked within the returned set, and (c) achieve nonzero overlap with the
+    exact top-k for at least some probes (random hyperplanes on random
+    vectors: recall is approximate by design)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import ann_topk_lsh, cosine_topk, lsh_buckets
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    ann = ann_topk_lsh(emb, n_probes=20, k=3).collect()
+    assert ann, "ANN returned nothing"
+    buckets: dict[int, set] = {}
+    for r in lsh_buckets(emb).select("vec_id", "table", "bucket").collect():
+        buckets.setdefault(r.vec_id, set()).add((r.table, r.bucket))
+    by_q: dict[int, list] = {}
+    for r in ann:
+        assert buckets[r.q_id] & buckets[r.vec_id], "candidate shares no table bucket"
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        coss = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
+        assert coss == sorted(coss, reverse=True), f"ranking broken for q={q}"
+
+    exact = cosine_topk(emb, n_probes=20, k=5).collect()
+    exact_by_q: dict[int, set] = {}
+    for r in exact:
+        exact_by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(
+        1 for q, rs in by_q.items() if {r.vec_id for r in rs} & exact_by_q.get(q, set())
+    )
+    assert hits >= 1, "ANN never intersects exact top-5"
+
+
+def test_cosine_udf_matches_numpy(spark):
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import cosine_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    top = cosine_topk(emb, n_probes=3, k=5).collect()
+    for r in top:
+        a, b = vecs[r.q_id], vecs[r.vec_id]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos - round(expect, 6)) < 1e-9
