@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf"}.
+
+Each query is fully materialized through the `noop` sink (all columns
+evaluated, no write cost). Queries span the operator families: state-store
+semantics (d*), relational (h*/w*/j*), text (tx*), dedup (dd*), similarity
+(sim*), multimodal (mm*).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "d2_state_table",
+    "d5_changes",
+    "d6_upsert_merge",
+    "d9_enrich",
+    "d10_windowed_changes",
+    "h1_pricing_summary",
+    "h3_top_orders",
+    "h5_nation_revenue",
+    "w1_segment_top_orders",
+    "tx2_quality_scores",
+    "tx4_fingerprints",
+    "tx5_corpus_stats",
+    "dd1_exact_dedup",
+    "dd2_ngram_jaccard",
+    "dd3_minhash_lsh",
+    "dd4_simhash_pairs",
+    "sim1_cosine_topk",
+    "sim3_ann_topk_lsh",
+    "mm2_decoded_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from samsa_spark import registry
+    from samsa_spark.session import get_spark
+
+    spark = get_spark("samsa-spark-bench")
+    qs = registry.queries()
+    # Warm the JVM/codegen with the flagship before timing.
+    qs["d2_state_table"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf_dir
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -81,12 +81,20 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
     """dd2 — exact n-gram Jaccard near-dup pairs via inverted-index join:
     explode distinct shingles, self-join on shingle (only co-occurring pairs
     materialize), count intersections, Jaccard = inter / (|A|+|B|-inter).
+
+    Scale mechanics: postings join on a 64-bit shingle hash, not the string
+    (shrinks the shuffle ~3x; a cross-doc hash collision perturbs a count
+    with probability ~n^2/2^64 — negligible at any realistic corpus), and
+    singleton shingles (doc frequency 1) are pruned before the self-join —
+    they can't produce a pair, and they're the vast majority of postings.
     """
-    g = shingle_postings(documents)
+    g = shingle_postings(documents).select("doc_id", F.xxhash64("sh").alias("sh_h"))
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = g.alias("a"), g.alias("b")
+    shared = g.groupBy("sh_h").agg(F.count("*").alias("df")).where(F.col("df") > 1).select("sh_h")
+    g2 = g.join(shared, "sh_h")
+    a, b = g2.alias("a"), g2.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
@@ -104,14 +112,22 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """64-permutation MinHash signatures: one hash aggregate with 64 `min`
-    partials over xxhash64(shingle, perm_index) — map-side combinable, no
-    per-permutation shuffle."""
+    """64-permutation MinHash signatures via double hashing: two xxhash64
+    evaluations per shingle, then the i-th permutation is the affine combo
+    ``(h1 + i*h2) mod p`` (Kirsch-Mitzenmacher) — same LSH guarantees as 64
+    independent hashes at 1/32 the hash cost. Hashes are masked to 31 bits
+    so the arithmetic can't overflow a long under ANSI mode. One hash
+    aggregate with 64 map-side-combinable ``min`` partials; no per-
+    permutation shuffle."""
     g = shingle_postings(documents)
+    h1 = F.xxhash64("sh").bitwiseAND(F.lit(0x7FFFFFFF))
+    h2 = F.xxhash64("sh", F.lit(7)).bitwiseAND(F.lit(0x7FFFFFFF)).bitwiseOR(F.lit(1))
+    hashed = g.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(N_MINHASH)
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(2147483647)).alias(f"m{i}")
+        for i in range(N_MINHASH)
     ]
-    sig = g.groupBy("doc_id").agg(*mins)
+    sig = hashed.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)]).alias("sig")
     )
@@ -236,7 +252,9 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 16) -> DataFrame
 def build_queries():
     def q(fn, **kw):
         def run(spark: SparkSession, sf: str) -> DataFrame:
-            return fn(tables.load(spark, sf, "documents"), **kw)
+            # spread: shingling/hashing is CPU-bound per row; parallelize the
+            # single-row-group testdata scan across cores.
+            return fn(tables.load(spark, sf, "documents", spread=True), **kw)
 
         return run
 

@@ -187,7 +187,9 @@ def build_queries():
 
     def q(fn, *names):
         def run(spark: SparkSession, sf: str) -> DataFrame:
-            return fn(*[tables.load(spark, sf, n) for n in names])
+            # lineitem is the only table whose decimal-heavy aggregation is
+            # worth spreading beyond the testdata's single row group.
+            return fn(*[tables.load(spark, sf, n, spread=(n == "lineitem")) for n in names])
 
         return run
 

@@ -44,12 +44,41 @@ _NS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing nanosecond timestamps."""
+def _single_row_group_rows(path: str) -> int | None:
+    """Row count if the file is a single parquet row group, else None.
+
+    The driver-generated testdata ships each table as ONE row group, which
+    caps Spark's scan parallelism at one task regardless of
+    maxPartitionBytes (row groups are the minimum split unit). Production
+    data at 100 TB has thousands of splits, so this is purely a testdata
+    artifact — detected here and compensated with an explicit repartition.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        return md.num_rows if md.num_row_groups == 1 else None
+    except Exception:
+        return None
+
+
+def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Load one testdata table, normalizing nanosecond timestamps.
+
+    ``spread=True`` repartitions a single-row-group input across all cores —
+    callers with CPU-heavy per-row work (shingling, hashing, wide decimal
+    aggregation) opt in; cheap pipelines skip the extra shuffle. The
+    explicit partition count matters: AQE preserves user-specified
+    repartition numbers but would coalesce a count-less repartition of a
+    small file right back to one partition.
+    """
     # The driver hands us its own SparkSession; this conf is runtime-settable
     # and required before the first read of a NANOS parquet file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread and _single_row_group_rows(path) is not None:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     for c in _NS_TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
             df = (
