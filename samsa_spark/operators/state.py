@@ -28,31 +28,28 @@ ORDER_COLS = ("ts_us", "event_id")
 PAYLOAD_COLS = ("event_type", "value", "props")
 
 
-def _latest_struct() -> F.Column:
-    return F.max_by(
-        F.struct(*ORDER_COLS, *PAYLOAD_COLS),
-        F.struct(*ORDER_COLS),
-    )
-
-
-def compact_latest(events: DataFrame, keys: Sequence[str] = ("user_id",)) -> DataFrame:
+def compact_latest(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    order_cols: Sequence[str] = ORDER_COLS,
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
     """D2 — last-write-wins compaction: the "current state table".
 
     Replays every ``save(key, value)`` (reference storage.py:190-206): the
     result holds, per key, the payload of the maximal ``(ts_us, event_id)``
     row — exactly what samsa's SQLite/RocksDB table contains after consuming
-    the whole log.
+    the whole log. Output columns are ``last_<col>`` for order + payload.
     """
+    if payload_cols is None:
+        payload_cols = [c for c in PAYLOAD_COLS if c in events.columns]
+    picked = (*order_cols, *payload_cols)
     return (
         events.groupBy(*keys)
-        .agg(_latest_struct().alias("_l"))
+        .agg(F.max_by(F.struct(*picked), F.struct(*order_cols)).alias("_l"))
         .select(
             *keys,
-            F.col("_l.ts_us").alias("last_ts_us"),
-            F.col("_l.event_id").alias("last_event_id"),
-            F.col("_l.event_type").alias("last_event_type"),
-            F.col("_l.value").alias("last_value"),
-            F.col("_l.props").alias("last_props"),
+            *[F.col(f"_l.{c}").alias(f"last_{c}") for c in picked],
         )
     )
 

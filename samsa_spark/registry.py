@@ -107,6 +107,54 @@ for _name, (_fn, _sql) in multimodal.build_queries().items():
     _register(_name, _fn, _sql)
 
 
+# --- streaming state (the samsa API proper), checked against the D2 oracle --
+def _streaming_state(spark: SparkSession, sf: str) -> DataFrame:
+    """st1 — run the actual Structured Streaming stateful pipeline
+    (file-source stand-in, Trigger.AvailableNow, RocksDB state store) over
+    the events log, then read the final state store. Equal by construction
+    to batch D2 compaction — and checked against the same DuckDB oracle, so
+    the *streaming engine itself* sits inside the correctness gate."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import StatefulStream, read_state
+
+    ev = tables.load(spark, sf, "events").select(
+        "user_id", "ts_us", "event_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="samsa-st1-")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    chk = os.path.join(base, "chk")
+    ss = StatefulStream(
+        spark, "user_id", ("ts_us", "event_id"), ("event_type", "value", "props")
+    )
+    # The state store instantiates one RocksDB per shuffle partition; a
+    # vanilla session's 200 partitions means 200 stores for a toy log. Pin a
+    # sane count for this fresh checkpoint, restore the caller's conf after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ss.run_available_now(file_stream(spark, src, ev.schema, max_files_per_trigger=2), chk)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = read_state(spark, chk)
+    return st.select(
+        "user_id",
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
+_register("st1_streaming_state", _streaming_state, state.ORACLE_SQL["d2_state_table"])
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

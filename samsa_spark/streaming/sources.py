@@ -1,0 +1,73 @@
+"""Source/sink builders: Kafka for production, file streams for brokerless
+tests (the CI story — reference samsa requires a live broker for everything;
+SURVEY.md §7 phase 2 calls for file-source stand-ins).
+
+The Kafka builders produce the reference's string contract — ``key`` and
+``value`` as UTF-8 strings (reference decodes message bytes the same way,
+storage.py:179-180) — from Kafka's binary columns. They are configuration
+builders: constructing them needs no broker, starting them does (and needs
+the spark-sql-kafka package on the classpath).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topics: list[str],
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Streaming read of one or more topics, decoded to the samsa contract:
+    (key string, value string, topic, partition, offset, ts). Equivalent of
+    ``StatefulConsumer.__init__(topics=...)`` + the poll loop (reference
+    storage.py:17-26, 228-253) — EOF/timeout handling is the engine's job.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("ts"),
+    )
+
+
+def kafka_sink_writer(df: DataFrame, brokers: str, topic: str, checkpoint_dir: str):
+    """Streaming write of (key, value) rows to a topic — the O2/O7 produce
+    path (reference producers.py:48-55, storage.py:129-149), minus the
+    new-Producer-flush-per-record pathology: the sink batches per task per
+    micro-batch. Returns an unstarted DataStreamWriter.
+    """
+    out = df.select(
+        F.col("key").cast("string").alias("key"), F.col("value").cast("string").alias("value")
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def file_stream(spark: SparkSession, path: str, schema: StructType, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Brokerless stand-in source: parquet directory as a stream. With
+    ``max_files_per_trigger`` + Trigger.AvailableNow a multi-file directory
+    replays as multiple micro-batches — the shape of a topic backlog.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

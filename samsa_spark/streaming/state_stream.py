@@ -1,0 +1,196 @@
+"""StatefulStream: the reference's ``StatefulConsumer`` rebuilt on
+Structured Streaming stateful processing (applyInPandasWithState).
+
+Reference semantics being replaced (samsa/kafka/storage.py):
+- ``consume(callback)`` storage.py:228-253 -> the per-key fold function
+- ``save(key, value)``  storage.py:190-206 -> ``GroupState.update``
+- ``query(key)``        storage.py:208-219 -> ``GroupState.get`` inside the
+  operator; :func:`read_state` outside it (state data source reader)
+- changelog topics      storage.py:129-149 -> state checkpoint (engine) and
+  the update-mode output rows this operator emits (external changelog)
+- recovery replay       storage.py:151-184 -> checkpoint restore on restart
+
+API choice: Spark 4 offers transformWithStateInPandas (richer: timers,
+multiple state variables) but its Python worker requires protobuf, absent
+in this container; applyInPandasWithState expresses the samsa semantics
+(single ValueState per key, update-mode changelog) with no extra deps and
+is the stable API since 3.4.
+
+One semantic caveat carried over deliberately (SURVEY.md §7 "hard parts"):
+samsa interleaves query/save per *message*; Spark hands the operator a
+*batch* of rows per key per trigger. The fold is applied in ``(ts_us,
+event_id)`` order within the batch, so read-your-own-write semantics are
+preserved at batch granularity — property-tested against batch compaction
+in tests/test_streaming.py.
+
+Scale: state lives in per-partition RocksDB instances keyed by the groupBy
+key — the same partitioned-state layout samsa approximates with one SQLite
+file per consumer (sqldb.py:13), except rebalance/recovery is engine-owned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import StructType
+
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def _build_fold(key_col: str, order_cols: Sequence[str], value_cols: Sequence[str]):
+    """Build the per-key fold *inside* a function so cloudpickle serializes
+    it by value (executor workers can't import this package when the driver
+    runs from another cwd)."""
+    import pandas as pd
+
+    ocols = list(order_cols)
+    vcols = list(value_cols)
+    n_order = len(ocols)
+
+    def fold(key, pdfs, state):
+        best = None  # tuple(order..., value...)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ocols, kind="mergesort")
+            last = pdf.iloc[-1]
+            cand = tuple(last[c] for c in ocols) + tuple(last[c] for c in vcols)
+            if best is None or cand[:n_order] > best[:n_order]:
+                best = cand
+        if best is None:
+            return iter(())
+        if state.exists:
+            prior = tuple(state.get)
+            if prior[:n_order] >= best[:n_order]:
+                return iter(())
+        state.update(best)
+        out = {key_col: [key[0]]}
+        for i, c in enumerate(ocols):
+            out[c] = [best[i]]
+        for i, c in enumerate(vcols):
+            out[c] = [best[n_order + i]]
+        return iter([pd.DataFrame(out)])
+
+    return fold
+
+
+class StatefulStream:
+    """Latest-value-per-key state over a keyed stream (the samsa pattern).
+
+    Parameters mirror the reference ctor (storage.py:17-26): the key column
+    is the message key, value columns the payload, order columns the log
+    order. ``store`` selects the state backend the way samsa's ``store=``
+    enum does (db/__init__.py:10-15) — here it's a Spark provider conf, not
+    an implementation: "rocksdb" for the RocksDB provider (changelog-
+    checkpointed, the Kafka-Streams-alike), "default" for the HDFS-backed
+    in-memory provider (the SQLite-ish fallback).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        key_col: str = "user_id",
+        order_cols: Sequence[str] = ("ts_us", "event_id"),
+        value_cols: Sequence[str] = ("event_type", "value"),
+        store: str = "rocksdb",
+    ) -> None:
+        self.spark = spark
+        self.key_col = key_col
+        self.order_cols = tuple(order_cols)
+        self.value_cols = tuple(value_cols)
+        if store == "rocksdb":
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+    def _schemas(self, src: DataFrame) -> tuple[StructType, StructType]:
+        fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+        state_schema = StructType.fromDDL(
+            ", ".join(f"{c} {fields[c]}" for c in (*self.order_cols, *self.value_cols))
+        )
+        out_schema = StructType.fromDDL(
+            ", ".join(
+                f"{c} {fields[c]}"
+                for c in (self.key_col, *self.order_cols, *self.value_cols)
+            )
+        )
+        return state_schema, out_schema
+
+    def updates(self, stream_df: DataFrame) -> DataFrame:
+        """Update-mode stream of state changes — the external changelog
+        (reference O7, storage.py:129-149): one row per key per trigger in
+        which the key's latest value advanced."""
+        state_schema, out_schema = self._schemas(stream_df)
+        fold = _build_fold(self.key_col, self.order_cols, self.value_cols)
+        return stream_df.groupBy(self.key_col).applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def run_available_now(
+        self, stream_df: DataFrame, checkpoint_dir: str, changelog_dir: str | None = None
+    ):
+        """Drain everything currently available (Trigger.AvailableNow) into
+        state, optionally appending update rows to a parquet changelog
+        (batch-id-stamped, so replaying it last-writer-wins rebuilds the
+        table exactly like reference recovery, storage.py:151-184).
+        Returns after the query terminates.
+        """
+        upd = self.updates(stream_df)
+        if changelog_dir is None:
+            writer = upd.writeStream.format("noop").outputMode("update")
+        else:
+
+            def _append(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                    changelog_dir
+                )
+
+            writer = upd.writeStream.foreachBatch(_append).outputMode("update")
+        q = (
+            writer.option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+
+def read_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Queryable state (reference ``query(key)`` from outside the operator,
+    storage.py:208-219): read the operator's state store directly from the
+    checkpoint via the state data source, flattened to key + state columns.
+    """
+    raw = spark.read.format("statestore").load(checkpoint_dir)
+    key_fields = [f"key.{f.name}" for f in raw.schema["key"].dataType.fields]
+    value_type = raw.schema["value"].dataType
+    # applyInPandasWithState wraps the user state struct in a `groupState`
+    # field; unwrap when present so callers see their own state columns.
+    if [f.name for f in value_type.fields] == ["groupState"]:
+        prefix = "value.groupState"
+        val_fields = [f"{prefix}.{f.name}" for f in value_type.fields[0].dataType.fields]
+    else:
+        val_fields = [f"value.{f.name}" for f in value_type.fields]
+    return raw.select(*key_fields, *val_fields)
+
+
+def replay_changelog(spark: SparkSession, changelog_dir: str, key_col: str) -> DataFrame:
+    """Rebuild the state table from an external changelog directory — the
+    batch analogue of reference recovery (storage.py:151-184): last writer
+    (by batch id, then log order) wins per key."""
+    log = spark.read.parquet(changelog_dir)
+    order = [c for c in log.columns if c not in (key_col, "_batch_id")]
+    return (
+        log.groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in log.columns if c != key_col]),
+                F.struct(F.col("_batch_id"), *[F.col(c) for c in order]),
+            ).alias("_s")
+        )
+        .select(key_col, *[F.col(f"_s.{c}").alias(c) for c in order])
+    )

@@ -1,0 +1,124 @@
+"""Streaming core tests (SURVEY.md §5.2):
+
+1. replay-equivalence — streaming LWW state over the events log equals batch
+   compaction (the streaming/batch duality samsa's changelog design relies on)
+2. recovery — stop after half the log, restart from checkpoint, feed the
+   rest; final state equals compaction over the full log (reference O8)
+3. changelog replay — the external changelog rebuilds the state table
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+KEY = "user_id"
+ORDER = ("ts_us", "event_id")
+VALUES = ("event_type", "value")
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    """Events staged as a 10-file parquet directory (a topic backlog), split
+    into two halves for the recovery test."""
+    from samsa_spark import tables
+
+    base = tempfile.mkdtemp(prefix="samsa-stream-")
+    ev = tables.load(spark, SF_SMALL, "events").select(KEY, *ORDER, *VALUES)
+    half1 = os.path.join(base, "half1")
+    half2 = os.path.join(base, "half2")
+    thr = ev.agg({"event_id": "max"}).collect()[0][0] // 2
+    ev.where(f"event_id <= {thr}").repartition(5).write.parquet(half1)
+    ev.where(f"event_id > {thr}").repartition(5).write.parquet(half2)
+    yield base, half1, half2, ev
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _expected_state(ev):
+    from samsa_spark.operators.state import compact_latest
+
+    return {
+        r.user_id: (r.last_ts_us, r.last_event_id, r.last_event_type, r.last_value)
+        for r in compact_latest(ev).collect()
+    }
+
+
+def _state_rows(spark, chk):
+    from samsa_spark.streaming.state_stream import read_state
+
+    return {
+        r.user_id: (r.ts_us, r.event_id, r.event_type, r.value)
+        for r in read_state(spark, chk).collect()
+    }
+
+
+def test_replay_equivalence(spark, staged):
+    base, half1, half2, ev = staged
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import StatefulStream
+
+    # stream over the FULL log: both halves via a glob-less parent read
+    full_dir = os.path.join(base, "full")
+    ev.repartition(8).write.parquet(full_dir)
+    chk = os.path.join(base, "chk-full")
+    ss = StatefulStream(spark, KEY, ORDER, VALUES)
+    src = file_stream(spark, full_dir, ev.schema, max_files_per_trigger=3)
+    ss.run_available_now(src, chk)
+
+    assert _state_rows(spark, chk) == _expected_state(ev)
+
+
+def test_recovery_from_checkpoint(spark, staged):
+    base, half1, half2, ev = staged
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import StatefulStream
+
+    stream_dir = os.path.join(base, "incoming")
+    os.makedirs(stream_dir, exist_ok=True)
+    for f in os.listdir(half1):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(half1, f), os.path.join(stream_dir, f"h1-{f}"))
+
+    chk = os.path.join(base, "chk-recovery")
+    ss = StatefulStream(spark, KEY, ORDER, VALUES)
+    ss.run_available_now(file_stream(spark, stream_dir, ev.schema, 3), chk)
+
+    # "crash", new data arrives, restart from the same checkpoint
+    for f in os.listdir(half2):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(half2, f), os.path.join(stream_dir, f"h2-{f}"))
+    ss2 = StatefulStream(spark, KEY, ORDER, VALUES)
+    ss2.run_available_now(file_stream(spark, stream_dir, ev.schema, 3), chk)
+
+    assert _state_rows(spark, chk) == _expected_state(ev)
+
+
+def test_changelog_replay(spark, staged):
+    base, half1, half2, ev = staged
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import StatefulStream, replay_changelog
+
+    full_dir = os.path.join(base, "full2")
+    ev.repartition(6).write.parquet(full_dir)
+    chk = os.path.join(base, "chk-changelog")
+    clog = os.path.join(base, "changelog")
+    ss = StatefulStream(spark, KEY, ORDER, VALUES)
+    ss.run_available_now(file_stream(spark, full_dir, ev.schema, 2), chk, changelog_dir=clog)
+
+    rebuilt = {
+        r.user_id: (r.ts_us, r.event_id, r.event_type, r.value)
+        for r in replay_changelog(spark, clog, KEY).collect()
+    }
+    assert rebuilt == _expected_state(ev)
+
+
+def test_st1_streaming_state_oracle(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st1_streaming_state", SF_SMALL)
+    assert ok, msg
