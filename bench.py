@@ -39,6 +39,11 @@ HEADLINE = [
     "sim1_cosine_topk",
     "sim3_ann_topk_lsh",
     "mm2_decoded_features",
+    "as1_asof_join",
+    "ses1_sessionize",
+    "ro1_rollup_revenue",
+    "pv1_pivot_event_counts",
+    "da1_distinct_aggregates",
 ]
 
 
