@@ -1,0 +1,137 @@
+"""Skew-handling and distribution-shape operators.
+
+samsa shards state by Kafka partition (reference storage.py:58, 100-122) and
+would hot-spot exactly like a naive shuffle when one key dominates. AQE's
+skew-join handles the join case; for aggregation the classic fix is salting
+— these operators make it a first-class, oracle-checked primitive rather
+than folklore.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from samsa_spark import tables
+from samsa_spark.operators import state as state_ops
+
+
+def compact_latest_salted(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """d2s — last-write-wins compaction with a two-phase salted aggregate.
+
+    Phase 1 groups by (key, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 reduces the per-salt winners by key.
+    ``max_by`` is associative+commutative, so the result is EXACTLY
+    ``compact_latest`` (same DuckDB oracle), only the shuffle shape changes:
+    no single reducer ever sees more than 1/salt of a hot key.
+
+    The salt is derived from event_id (deterministic, uniform), not rand():
+    plans stay replayable and speculative task retries can't double-count.
+    """
+    picked = (*state_ops.ORDER_COLS, *[c for c in state_ops.PAYLOAD_COLS if c in events.columns])
+    salted = events.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(salt_buckets)))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        F.max_by(F.struct(*picked), F.struct(*state_ops.ORDER_COLS)).alias("_l")
+    )
+    phase2 = phase1.groupBy(*keys).agg(
+        F.max_by(F.col("_l"), F.struct(F.col("_l.ts_us"), F.col("_l.event_id"))).alias("_l")
+    )
+    return phase2.select(
+        *keys, *[F.col(f"_l.{c}").alias(f"last_{c}") for c in picked]
+    )
+
+
+def value_percentiles(lineitem: DataFrame) -> DataFrame:
+    """pc1 — exact percentiles (median/p90) per group. Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation definition.
+    Exact percentile is a sort-based aggregate; the 100 TB path is
+    ``approx_percentile`` (mergeable sketch) — kept out of the oracle set
+    because sketches are engine-specific by design.
+    """
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_discount"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def doc_length_histogram(documents: DataFrame, bucket_chars: int = 100) -> DataFrame:
+    """hist1 — corpus length-distribution histogram: fixed-width buckets of
+    n_chars. One hash aggregate over an integer division — the histogram
+    every data-quality dashboard starts with.
+    """
+    return (
+        documents.groupBy(F.expr(f"n_chars div {bucket_chars}").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * bucket_chars)
+    )
+
+
+def vector_stats(embeddings: DataFrame) -> DataFrame:
+    """arr1 — array-column statistics per label: element extracts and array
+    extents (exact float ops on both engines; no cross-engine float
+    summation). Array surface: element_at / array_min / array_max / size.
+    """
+    return embeddings.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_e0"),
+        F.round(F.min(F.array_min("embedding")).cast("double"), 6).alias("min_elem"),
+        F.round(F.max(F.array_max("embedding")).cast("double"), 6).alias("max_elem"),
+        F.min(F.size("embedding")).alias("dim"),
+    )
+
+
+# --- registry wiring -------------------------------------------------------
+
+
+def build_queries():
+    def q(fn, name, spread=False):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            return fn(tables.load(spark, sf, name, spread=spread))
+
+        return run
+
+    return {
+        "d2s_salted_compaction": (q(compact_latest_salted, "events"), state_ops.ORACLE_SQL["d2_state_table"]),
+        "pc1_percentiles": (q(value_percentiles, "lineitem", spread=True), _PC1_SQL),
+        "hist1_doc_lengths": (q(doc_length_histogram, "documents"), _HIST1_SQL),
+        "arr1_vector_stats": (q(vector_stats, "embeddings"), _ARR1_SQL),
+    }
+
+
+_PC1_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       round(quantile_cont(l_discount, 0.25), 6) AS p25_discount,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_HIST1_SQL = """
+SELECT n_chars // 100 AS bucket, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       (n_chars // 100) * 100 AS bucket_lo
+FROM documents
+GROUP BY 1
+"""
+
+_ARR1_SQL = """
+SELECT label, count(*) AS n_vecs,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_e0,
+       round(CAST(min(list_min(embedding)) AS DOUBLE), 6) AS min_elem,
+       round(CAST(max(list_max(embedding)) AS DOUBLE), 6) AS max_elem,
+       min(len(embedding)) AS dim
+FROM embeddings GROUP BY label
+"""

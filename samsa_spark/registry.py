@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from samsa_spark import tables
 from samsa_spark.operators import (
     advanced,
+    scale,
     dedup,
     multimodal,
     relational,
@@ -100,6 +101,10 @@ for _name, (_fn, _sql) in relational.build_queries().items():
 
 # --- advanced relational (as-of join, sessionize, rollup, pivot, distinct) --
 for _name, (_fn, _sql) in advanced.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- scale/skew + distribution-shape operators ------------------------------
+for _name, (_fn, _sql) in scale.build_queries().items():
     _register(_name, _fn, _sql)
 
 # --- text analysis (X4: lang-ID, quality, tokens, fingerprints, stats) -----

@@ -1,0 +1,76 @@
+"""Streaming dedup + materialized state sink."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+
+KEY = "user_id"
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    from samsa_spark import tables
+
+    base = tempfile.mkdtemp(prefix="samsa-pipe-")
+    ev = tables.load(spark, SF_SMALL, "events").select(
+        KEY, "ts_us", "event_id", "event_type", "value"
+    )
+    yield base, ev
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_stream_drops_duplicates(spark, staged):
+    base, ev = staged
+    from samsa_spark.streaming.pipeline import dedup_stream
+    from samsa_spark.streaming.sources import file_stream
+
+    # duplicate the whole log (same event ids twice)
+    dup_dir = os.path.join(base, "dup")
+    ev.unionAll(ev).repartition(4).write.parquet(dup_dir)
+    out_dir = os.path.join(base, "dedup-out")
+    chk = os.path.join(base, "dedup-chk")
+
+    src = file_stream(spark, dup_dir, ev.schema)
+    dd = dedup_stream(src, ["event_id"])
+
+    def _append(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        dd.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_materialized_state_equals_batch_compaction(spark, staged):
+    base, ev = staged
+    from samsa_spark.operators.state import compact_latest
+    from samsa_spark.streaming.pipeline import MaterializedStateSink, run_materialized_state
+    from samsa_spark.streaming.sources import file_stream
+
+    src_dir = os.path.join(base, "mat-src")
+    ev.repartition(6).write.parquet(src_dir)
+    sink = MaterializedStateSink(os.path.join(base, "mat-state"), (KEY,))
+    run_materialized_state(
+        file_stream(spark, src_dir, ev.schema, max_files_per_trigger=2),
+        os.path.join(base, "mat-chk"),
+        sink,
+    )
+    final = sink.current(spark)
+    want = {tuple(r) for r in compact_latest(ev, payload_cols=("event_type", "value")).collect()}
+    got = {tuple(r) for r in final.select(*[f.name for f in compact_latest(ev, payload_cols=("event_type", "value")).schema.fields]).collect()}
+    assert got == want
