@@ -252,6 +252,52 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int = 15) -> DataFrame:
+    """dd6 — near-dup clustering: connected components over the Jaccard
+    pair graph by iterative min-label propagation; every document gets a
+    canonical id (the smallest doc_id reachable through near-dup edges) and
+    its cluster size. The operator that turns pairwise candidates into the
+    keep-one-per-group decision a dedup pipeline actually needs.
+
+    Iterative DataFrame loop done right for scale: per-iteration
+    ``localCheckpoint`` truncates lineage (no exponential plan growth), the
+    join key is the label (shuffle size = |edges|), and iteration count is
+    bounded by cluster diameter (tiny for dup clusters) with a convergence
+    check, not a guess.
+    """
+    pairs = ngram_jaccard_pairs(documents, min_jaccard).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = documents.select("doc_id").withColumn("label", F.col("doc_id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                F.col("doc_id"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.where(F.col("new_label") != F.col("old_label")).count()
+        labels = new.select("doc_id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    lab = labels.select("doc_id", F.col("label").alias("canonical_id"))
+    sizes = lab.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return lab.join(sizes, "canonical_id").select("doc_id", "canonical_id", "cluster_size")
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -271,6 +317,7 @@ def build_queries():
         # recall-verified against brute force in tests/test_dedup.py.
         "dd3_minhash_lsh": (q(minhash_lsh_pairs), None),
         "dd4_simhash_pairs": (q(simhash_near_pairs), None),
+        "dd6_dedup_clusters": (q(dedup_clusters), _DD6_SQL),
     }
 
 
@@ -308,4 +355,46 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.0
+"""
+
+# Connected components as a recursive transitive closure: tractable for the
+# oracle because near-dup components are tiny; Spark does it iteratively.
+_DD6_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)])
+              ELSE [] END AS shs
+  FROM t
+), g AS (
+  SELECT doc_id, unnest(shs) AS sh FROM s
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+), lab AS (
+  SELECT src AS doc_id, min(dst) AS canonical_id FROM reach GROUP BY src
+)
+SELECT l.doc_id, l.canonical_id, c.cluster_size
+FROM lab l
+JOIN (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY 1) c
+  USING (canonical_id)
 """

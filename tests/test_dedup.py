@@ -64,3 +64,40 @@ def test_simhash_determinism_and_selfdup(spark):
     dup = spark.createDataFrame([(900001, two), (900002, two)], "doc_id long, text string")
     fps = {r.doc_id: r.simhash for r in simhash_fingerprints(dup).collect()}
     assert fps[900001] == fps[900002]
+
+
+def test_dedup_clusters_oracle(spark):
+    ok, msg = check_query(spark, "dd6_dedup_clusters", SF_SMALL)
+    assert ok, msg
+
+
+def test_dedup_clusters_union_find_ground_truth(spark):
+    """Label propagation must produce exactly the union-find components of
+    the Jaccard pair graph."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    pairs = [(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.1).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for i in all_ids:
+        find(i)
+    for a, b in pairs:
+        union(a, b)
+    want = {i: find(i) for i in all_ids}
+    got = {r.doc_id: r.canonical_id for r in dedup_clusters(docs, 0.1).collect()}
+    assert got == want

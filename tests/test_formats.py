@@ -1,0 +1,70 @@
+"""File-format coverage (SURVEY.md §2.3 row 1): CSV and JSON round-trips
+through the same operators — format is a scan/sink detail, not an operator
+property. Also covers the approximate-sketch variants of exact aggregates
+(the 100 TB path) within tolerance of the exact answers."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def base():
+    d = tempfile.mkdtemp(prefix="samsa-fmt-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark):
+    from samsa_spark import tables
+
+    return tables.load(spark, SF_SMALL, "events").select(
+        "user_id", "ts_us", "event_id", "event_type", "value"
+    )
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_roundtrip_compaction(spark, base, fmt):
+    from samsa_spark.operators.state import compact_latest
+
+    ev = _events(spark)
+    path = os.path.join(base, fmt)
+    writer = ev.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+
+    reader = spark.read
+    if fmt == "csv":
+        back = reader.option("header", "true").schema(ev.schema).csv(path)
+    else:
+        back = reader.schema(ev.schema).json(path)
+
+    want = {tuple(r) for r in compact_latest(ev, payload_cols=("event_type", "value")).collect()}
+    got = {tuple(r) for r in compact_latest(back, payload_cols=("event_type", "value")).collect()}
+    assert got == want
+
+
+def test_approx_sketches_close_to_exact(spark):
+    """approx_count_distinct (HLL) and approx_percentile (KLL-ish): the
+    mergeable one-pass sketches that replace exact multi-distinct and
+    sort-based percentiles at 100 TB. Checked within published error
+    bounds against the exact answers."""
+    from samsa_spark import tables
+
+    li = tables.load(spark, SF_SMALL, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_nd"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_nd"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_med"),
+    ).collect()[0]
+    assert abs(row.approx_nd - row.exact_nd) / row.exact_nd < 0.06
+    assert abs(row.approx_med - row.exact_med) / row.exact_med < 0.02

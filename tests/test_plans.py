@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: lock in the scale properties PLANS.md
+documents. If a future change makes a dim join stop broadcasting or a
+filter stop reaching the scan, these fail before any benchmark does."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name):
+    from samsa_spark import registry
+
+    df = registry.queries()[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_filter_pushdown(spark):
+    p = _plan(spark, "d1_scan")
+    assert "EqualTo(event_type,purchase)" in p
+    assert "GreaterThan(value,100.0)" in p
+    # column pruning: props/ts never read
+    assert "props" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_point_lookup_pushes_key_to_scan(spark):
+    p = _plan(spark, "d4_point_lookup")
+    assert "EqualTo(user_id,7)" in p
+
+
+def test_compaction_uses_partial_aggregate_not_window(spark):
+    p = _plan(spark, "d2_state_table")
+    assert "partial_max_by" in p
+    assert "Window" not in p
+
+
+def test_enrich_broadcasts_dimension(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "d9_enrich")
+
+
+def test_topk_avoids_global_sort(spark):
+    p = _plan(spark, "h3_top_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_date_filters_reach_scans(spark):
+    p = _plan(spark, "h3_top_orders")
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_corpus_stats_prunes_text_payload_columns(spark):
+    p = _plan(spark, "tx5_corpus_stats")
+    read_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" not in read_schema  # only text/lang/source/n_chars needed
+
+
+def test_semi_join_for_exists(spark):
+    p = _plan(spark, "j2_order_priority_stats")
+    assert "LeftSemi" in p
