@@ -102,3 +102,24 @@ def windowed_change_counts(stream_df: DataFrame, ts_us_col: str = "ts_us", late:
             "n_events",
         )
     )
+
+
+def session_windows(stream_df: DataFrame, ts_us_col: str = "ts_us", gap: str = "30 minutes") -> DataFrame:
+    """Session-window streaming aggregation: events within a 30-minute gap
+    merge into one session per key (the streaming twin of the batch
+    gaps-and-islands sessionizer, operators/advanced.py::sessionize).
+    Spark maintains and merges session state per key; the watermark closes
+    sessions and bounds state.
+    """
+    withtime = stream_df.withColumn("_event_time", F.timestamp_micros(F.col(ts_us_col)))
+    return (
+        withtime.withWatermark("_event_time", gap)
+        .groupBy(F.session_window(F.col("_event_time"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.min(ts_us_col).alias("session_start_us"))
+        .select(
+            "user_id",
+            "session_start_us",
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "n_events",
+        )
+    )

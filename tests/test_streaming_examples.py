@@ -142,3 +142,42 @@ def test_windowed_change_counts_emit_closed_windows(spark, staged):
     # and the bulk of windows must have been emitted (watermark holds back
     # only the trailing hour)
     assert len(emitted) >= len(batch) - len({u for _, u in batch}) - 5
+
+
+def test_session_windows_match_batch_sessionize(spark, staged):
+    base, src, ev = staged
+    from samsa_spark.operators.advanced import sessionize
+    from samsa_spark.streaming.examples import session_windows
+    from samsa_spark.streaming.sources import file_stream
+
+    out_dir = os.path.join(base, "sess-out")
+    chk = os.path.join(base, "sess-chk")
+    sw = session_windows(file_stream(spark, src, ev.schema))
+
+    def _append(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sw.writeStream.foreachBatch(_append)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert emitted, "no sessions emitted"
+    batch = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    # every emitted (closed) session must match the batch sessionizer exactly
+    for k, v in emitted.items():
+        assert batch.get(k) == v, f"session {k}: stream={v} batch={batch.get(k)}"
+    # and the stream must emit the bulk of sessions (watermark holds back
+    # only each key's trailing session)
+    assert len(emitted) >= len(batch) * 0.8
