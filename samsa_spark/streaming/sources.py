@@ -27,13 +27,20 @@ def kafka_stream(
     ``StatefulConsumer.__init__(topics=...)`` + the poll loop (reference
     storage.py:17-26, 228-253) — EOF/timeout handling is the engine's job.
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", ",".join(topics))
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # connector jar absent in broker-less environments
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka package on the classpath "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>). "
+            "For broker-less tests use file_stream()."
+        ) from e
     return raw.select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),

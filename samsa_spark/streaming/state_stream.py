@@ -160,6 +160,54 @@ class StatefulStream:
         return q
 
 
+def stateful_transform(
+    stream_df: DataFrame,
+    key_col: str,
+    fold_fn,
+    state_ddl: str,
+    output_ddl: str,
+    store: str = "rocksdb",
+) -> DataFrame:
+    """The generic user-logic hook — samsa's whole point (reference O5:
+    ``consume(callback)`` + ``query`` + ``save`` composed, storage.py:228-253
+    and README.md:35-52): run arbitrary per-key Python against keyed state.
+
+    ``fold_fn(key_tuple, prior_state_tuple_or_None, pdf) -> (new_state_tuple
+    _or_None, output_pdf_or_None)`` receives ALL of the key's rows in the
+    trigger as one pandas DataFrame (concatenated, caller orders as needed),
+    the prior state, and returns the new state plus any output rows. Unlike
+    the reference's one-message-per-poll loop — a broker round trip and an
+    fsync per message (storage.py:234, sqldb.py:64) — the hook is invoked
+    once per key per trigger with an Arrow batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    if store == "rocksdb":
+        stream_df.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+
+    def wrapped(key, pdfs, state):
+        parts = [p for p in pdfs if len(p)]
+        pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        prior = tuple(state.get) if state.exists else None
+        new_state, out = fold_fn(key, prior, pdf)
+        if new_state is not None:
+            state.update(tuple(new_state))
+        if out is None or len(out) == 0:
+            return iter(())
+        return iter([out])
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        wrapped,
+        outputStructType=StructType.fromDDL(output_ddl),
+        stateStructType=StructType.fromDDL(state_ddl),
+        outputMode="update",
+        timeoutConf=_GST.NoTimeout,
+    )
+
+
 def read_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     """Queryable state (reference ``query(key)`` from outside the operator,
     storage.py:208-219): read the operator's state store directly from the

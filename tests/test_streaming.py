@@ -122,3 +122,59 @@ def test_st1_streaming_state_oracle(spark):
 
     ok, msg = check_query(spark, "st1_streaming_state", SF_SMALL)
     assert ok, msg
+
+
+def test_stateful_transform_custom_fold(spark, staged):
+    """User-defined per-key logic: running count + running sum kept in
+    state across triggers (the arbitrary-callback parity feature)."""
+    import os
+
+    import pandas as pd
+
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import stateful_transform
+
+    base, half1, half2, ev = staged
+    src = os.path.join(base, "ct-src")
+    ev.repartition(4).write.parquet(src)
+
+    def fold(key, prior, pdf):
+        n0, s0 = prior if prior is not None else (0, 0.0)
+        n = n0 + len(pdf)
+        s = s0 + float(pdf["value"].sum())
+        out = pd.DataFrame({"user_id": [key[0]], "n_seen": [n], "sum_value": [s]})
+        return (n, s), out
+
+    stream = file_stream(spark, src, ev.schema, max_files_per_trigger=2)
+    out = stateful_transform(
+        stream, "user_id", fold,
+        state_ddl="n_seen long, sum_value double",
+        output_ddl="user_id long, n_seen long, sum_value double",
+    )
+    out_dir = os.path.join(base, "ct-out")
+    q = (
+        out.writeStream.foreachBatch(lambda b, i: b.write.mode("append").parquet(out_dir))
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ct-chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # final emitted row per key (max n_seen) must equal the batch aggregate
+    import pyspark.sql.functions as F
+
+    final = (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max("n_seen").alias("n_seen"), F.max("sum_value").alias("sum_value"))
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+    got = {r.user_id: r.n_seen for r in final.collect()}
+    want = {r.user_id: r.n for r in batch.collect()}
+    assert got == want
+    gots = {r.user_id: round(r.sum_value, 4) for r in final.collect()}
+    wants = {r.user_id: round(r.s, 4) for r in batch.collect()}
+    assert gots == wants
