@@ -44,6 +44,10 @@ HEADLINE = [
     "ro1_rollup_revenue",
     "pv1_pivot_event_counts",
     "da1_distinct_aggregates",
+    "vec1_label_centroids",
+    "tf1_tfidf_top_terms",
+    "sp1_deterministic_split",
+    "pk1_pack_sequences",
 ]
 
 

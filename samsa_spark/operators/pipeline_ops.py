@@ -1,0 +1,197 @@
+"""Training-data pipeline operators beyond dedup/similarity: the steps
+between "raw corpus" and "training shards".
+
+- label centroids: element-wise mean vectors per group — the index-build
+  primitive for IVF-style ANN (centroid assignment = coarse quantization).
+- TF-IDF top terms: the classic two-aggregate text pipeline (term freq x
+  inverse doc freq), exercising explode -> double aggregate -> top-k.
+- deterministic split: hash-based train/test sharding that is stable across
+  runs, engines, and partitioning — never rand()-based, which breaks
+  retries and resumability.
+- token packing: greedy sequence binning by cumulative token count — how
+  documents become fixed-budget training sequences.
+
+Every operator here is exact-SQL-expressible, so all four sit in the DuckDB
+correctness gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from samsa_spark import tables
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """vec1 — element-wise mean embedding per label via posexplode ->
+    (label, pos) hash aggregate -> re-assemble ordered array. One shuffle of
+    (n_vecs x dim) skinny rows; at 100 TB this is the centroid/index-build
+    pass, and the skinny-row shape is what makes it shuffle-friendly.
+    Emits the first 8 centroid components (stable columns beat arrays for
+    cross-engine hashing).
+    """
+    pe = embeddings.select(
+        "label", F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("pos", "val")
+    )
+    agg = pe.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+    )
+    out = agg.where(F.col("pos") < 8).groupBy("label").pivot(
+        "pos", list(range(8))
+    ).agg(F.first("c"))
+    return out.select(
+        "label", *[F.col(str(i)).alias(f"c{i}") for i in range(8)]
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """tf1 — top-k terms per source by TF-IDF. Term/doc frequencies are two
+    hash aggregates over the exploded token stream; IDF joins back on the
+    term (broadcast-sized: vocabulary, not corpus). Deterministic top-k by
+    (score desc, term asc).
+    """
+    toks = documents.select("source", "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    n_docs = documents.select(F.countDistinct("doc_id").alias("nd"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.log((F.col("nd") + 1.0) / (F.col("df") + 1.0)).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        "source", "term", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", "rank", "term", "tfidf")
+    )
+
+
+# Knuth's multiplicative hash: engine-portable (plain integer arithmetic),
+# uniform, and stable — the properties a training split must have.
+_SPLIT_MOD = 1_000_003
+
+
+def deterministic_split(documents: DataFrame, train_pct: int = 80) -> DataFrame:
+    """sp1 — stable train/test assignment: split = f(doc_id) only. Counts
+    per (split, lang) prove the assignment; the same doc lands in the same
+    split on any engine, partitioning, or retry — rand()-based splits break
+    all three.
+    """
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
+    split = F.when((bucket * 100) < F.lit(train_pct * _SPLIT_MOD), "train").otherwise("test")
+    return (
+        documents.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
+    """pk1 — token packing: assign documents (in deterministic doc_id order
+    per source) to training-sequence bins by cumulative token budget. The
+    running-sum window shares one partitioning; bin stats are one follow-up
+    aggregate. Greedy-by-order packing is the streaming-friendly form — a
+    bin-optimal packing would be a global optimization with no stable
+    incremental answer.
+    """
+    toks = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = documents.select(
+        "source", "doc_id", toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    binned = cum.withColumn(
+        "bin", F.expr(f"(cum_tokens - n_tokens) div {budget_tokens}")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --- registry wiring -------------------------------------------------------
+
+
+def build_queries():
+    def q(fn, name, spread=False):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            return fn(tables.load(spark, sf, name, spread=spread))
+
+        return run
+
+    return {
+        "vec1_label_centroids": (q(label_centroids, "embeddings"), _VEC1_SQL),
+        "tf1_tfidf_top_terms": (q(tfidf_top_terms, "documents", spread=True), _TF1_SQL),
+        "sp1_deterministic_split": (q(deterministic_split, "documents"), _SP1_SQL),
+        "pk1_pack_sequences": (q(pack_sequences, "documents"), _PK1_SQL),
+    }
+
+
+_VEC1_SQL = """
+WITH pe AS (
+  SELECT label, i - 1 AS pos, embedding[i] AS val
+  FROM embeddings CROSS JOIN generate_series(1, 8) AS t(i)
+), agg AS (
+  SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c
+  FROM pe GROUP BY label, pos
+)
+SELECT label,
+       max(CASE WHEN pos = 0 THEN c END) AS c0,
+       max(CASE WHEN pos = 1 THEN c END) AS c1,
+       max(CASE WHEN pos = 2 THEN c END) AS c2,
+       max(CASE WHEN pos = 3 THEN c END) AS c3,
+       max(CASE WHEN pos = 4 THEN c END) AS c4,
+       max(CASE WHEN pos = 5 THEN c END) AS c5,
+       max(CASE WHEN pos = 6 THEN c END) AS c6,
+       max(CASE WHEN pos = 7 THEN c END) AS c7
+FROM agg GROUP BY label
+"""
+
+_TF1_SQL = """
+WITH toks AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term),
+scored AS (
+  SELECT tf.source, tf.term,
+         round(tf.tf * ln((nd.nd + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS INT) AS rank, term, tfidf FROM r WHERE rank <= 5
+"""
+
+_SP1_SQL = """
+WITH s AS (
+  SELECT CASE WHEN ((doc_id * 2654435761) % 1000003) * 100 < 80 * 1000003
+              THEN 'train' ELSE 'test' END AS split,
+         lang
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs FROM s GROUP BY split, lang
+"""
+
+_PK1_SQL = """
+WITH c AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM documents
+), b AS (
+  SELECT *, CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin FROM c
+)
+SELECT source, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY source, bin
+"""

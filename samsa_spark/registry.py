@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from samsa_spark import tables
 from samsa_spark.operators import (
     advanced,
+    pipeline_ops,
     scale,
     dedup,
     multimodal,
@@ -101,6 +102,10 @@ for _name, (_fn, _sql) in relational.build_queries().items():
 
 # --- advanced relational (as-of join, sessionize, rollup, pivot, distinct) --
 for _name, (_fn, _sql) in advanced.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- training-pipeline ops (centroids, tf-idf, split, packing) --------------
+for _name, (_fn, _sql) in pipeline_ops.build_queries().items():
     _register(_name, _fn, _sql)
 
 # --- scale/skew + distribution-shape operators ------------------------------
