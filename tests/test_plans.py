@@ -4,7 +4,6 @@ filter stop reaching the scan, these fail before any benchmark does."""
 
 from __future__ import annotations
 
-import pytest
 
 from tests.conftest import SF_SMALL
 

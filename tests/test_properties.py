@@ -15,7 +15,6 @@ operators on small data (hypothesis shrinks counterexamples).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
