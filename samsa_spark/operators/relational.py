@@ -207,6 +207,10 @@ def build_queries():
         "j2_order_priority_stats": (q(order_priority_stats, "orders", "lineitem"), _J2_SQL),
         "x5_json_props_stats": (q(json_props_stats, "events"), _X5_SQL),
         "fn1_scalar_functions": (q(scalar_functions_demo, "part"), _FN1_SQL),
+        "j3_anti_join": (q(customers_without_orders_anti, "customer", "orders"), _J3_SQL),
+        "cu1_cube_order_stats": (q(cube_order_stats, "orders", "customer"), _CU1_SQL),
+        "fn2_null_semantics": (q(null_semantics, "events"), _FN2_SQL),
+        "tm1_time_extraction": (q(time_extraction, "orders"), _TM1_SQL),
     }
 
 
@@ -312,4 +316,101 @@ SELECT p_partkey,
        p_size % 7 AS size_mod7,
        round(p_retailprice * 1.1, 2) AS uplift_price
 FROM part
+"""
+
+
+def customers_without_orders_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """j3 — left-anti join: same question as set1 (customers that never
+    ordered) answered with the join operator instead of the set operator —
+    at scale the anti join is preferable (one broadcast/shuffled hash join;
+    EXCEPT ALL forces a full aggregate of both sides).
+    """
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def cube_order_stats(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """cu1 — CUBE aggregation: order counts across every combination of
+    (orderstatus, mktsegment), including both one-dimensional margins and
+    the grand total; one expand + hash aggregate like rollup.
+    """
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        j.cube("o_orderstatus", "c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n_orders",
+        )
+    )
+
+
+def null_semantics(events: DataFrame) -> DataFrame:
+    """fn2 — null-handling semantics: NULLIF-produced nulls flowing through
+    count/avg (null-skipping), COALESCE defaults, and null-safe equality —
+    the semantics every engine must get identically right.
+    """
+    v = F.nullif(F.col("value"), F.lit(0.0))
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(v).alias("n_nonnull"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_null"),
+        F.round(
+            F.sum(F.coalesce(v, F.lit(0.0)).cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_coalesced"),
+        F.sum(F.when(F.col("value").eqNullSafe(F.lit(0.0)), 1).otherwise(0)).alias("n_zero_nullsafe"),
+    )
+
+
+def time_extraction(orders: DataFrame) -> DataFrame:
+    """tm1 — date/time scalar functions: year/quarter/month extraction and
+    truncation over the order-date column, aggregated per bucket.
+    """
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.month("o_orderdate")).alias("first_month"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_dom"),
+        )
+    )
+
+
+_J3_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+_CU1_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (o_orderstatus, c_mktsegment)
+"""
+
+_FN2_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(nullif(value, 0.0)) AS n_nonnull,
+       CAST(sum(CASE WHEN nullif(value, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       round(CAST(sum(CAST(coalesce(nullif(value, 0.0), 0.0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_coalesced,
+       CAST(sum(CASE WHEN value IS NOT DISTINCT FROM 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_nullsafe
+FROM events GROUP BY event_type
+"""
+
+_TM1_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr,
+       count(*) AS n_orders,
+       CAST(min(month(o_orderdate)) AS INT) AS first_month,
+       CAST(max(day(o_orderdate)) AS INT) AS max_dom
+FROM orders GROUP BY 1, 2
 """

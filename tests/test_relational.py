@@ -25,3 +25,12 @@ REL_QUERIES = [
 def test_oracle_match(spark, name):
     ok, msg = check_query(spark, name, SF_SMALL)
     assert ok, msg
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["j3_anti_join", "cu1_cube_order_stats", "fn2_null_semantics", "tm1_time_extraction"],
+)
+def test_oracle_match_extra(spark, name):
+    ok, msg = check_query(spark, name, SF_SMALL)
+    assert ok, msg
