@@ -160,6 +160,7 @@ def build_queries():
             q(distinct_aggregates, "lineitem", spread=("lineitem",)),
             _DA1_SQL,
         ),
+        "rg1_user_value_trends": (q(user_value_trends, "events"), _RG1_SQL),
     }
 
 
@@ -224,4 +225,29 @@ SELECT l_returnflag,
        count(DISTINCT l_orderkey) AS nd_orders,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def user_value_trends(events: DataFrame) -> DataFrame:
+    """rg1 — linear-regression aggregates: per-user slope/intercept of value
+    over time (hours since epoch) plus correlation. One hash aggregate —
+    regression aggregates are algebraic (sums of products), so they get
+    map-side partials like any sum.
+    """
+    x = F.col("ts_us") / F.lit(3.6e9)  # hours: keeps the sums well-conditioned
+    y = F.col("value")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.corr(x, y), 6).alias("xy_corr"),
+    )
+
+
+_RG1_SQL = """
+SELECT user_id, count(*) AS n,
+       round(regr_slope(value, epoch_us(ts) / 3.6e9), 6) AS slope,
+       round(regr_intercept(value, epoch_us(ts) / 3.6e9), 6) AS intercept,
+       round(corr(epoch_us(ts) / 3.6e9, value), 6) AS xy_corr
+FROM events GROUP BY user_id
 """

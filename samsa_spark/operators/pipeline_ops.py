@@ -195,3 +195,32 @@ SELECT source, bin, count(*) AS n_docs,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM b GROUP BY source, bin
 """
+
+
+def user_trend_custom(events: DataFrame) -> DataFrame:
+    """ga1 — custom group aggregate via applyInPandas: per-user least-squares
+    trend fitted with numpy. The pattern for aggregates no built-in
+    expresses (here deliberately one that IS expressible — regr_slope — so
+    tests can verify the custom path against the built-in bit-for-bit
+    semantics). Arrow-batched per group; the fold is a closure (executors
+    can't import this package).
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["ts_us"].to_numpy(np.float64) / 3.6e9
+        y = pdf["value"].to_numpy(np.float64)
+        xm, ym = x.mean(), y.mean()
+        dx = x - xm
+        slope = float((dx * (y - ym)).sum() / (dx * dx).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [len(pdf)],
+                "slope": [slope],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(fit, "user_id long, n long, slope double")

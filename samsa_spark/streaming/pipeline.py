@@ -75,3 +75,39 @@ def run_materialized_state(
     )
     q.awaitTermination()
     return q
+
+
+def purchase_attribution(stream_df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Stream-stream join: each purchase joined to the same user's clicks in
+    the preceding hour. Both sides carry watermarks + a time-range join
+    condition, so join state is evicted once the watermark passes — the
+    only way a stream-stream join survives unbounded input. Inner-join
+    matches emit as soon as both sides are present (no watermark wait).
+    """
+    withtime = stream_df.withColumn("_t", F.timestamp_micros(F.col("ts_us")))
+    clicks = (
+        withtime.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("_t").alias("c_time"),
+        )
+        .withWatermark("c_time", window)
+    )
+    purchases = (
+        withtime.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+            F.col("_t").alias("p_time"),
+        )
+        .withWatermark("p_time", window)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") <= F.col("p_time"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("p_user", "purchase_id", "click_id", "amount")

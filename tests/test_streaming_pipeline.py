@@ -74,3 +74,47 @@ def test_materialized_state_equals_batch_compaction(spark, staged):
     want = {tuple(r) for r in compact_latest(ev, payload_cols=("event_type", "value")).collect()}
     got = {tuple(r) for r in final.select(*[f.name for f in compact_latest(ev, payload_cols=("event_type", "value")).schema.fields]).collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, staged):
+    base, ev = staged
+    from samsa_spark.streaming.pipeline import purchase_attribution
+    from samsa_spark.streaming.sources import file_stream
+
+    src = os.path.join(base, "ssj-src")
+    ev.repartition(4).write.parquet(src)
+    out_dir = os.path.join(base, "ssj-out")
+    chk = os.path.join(base, "ssj-chk")
+
+    joined = purchase_attribution(file_stream(spark, src, ev.schema, max_files_per_trigger=2))
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda b, i: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.p_user, r.purchase_id, r.click_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch twin: plain self-join with the same range condition
+    c = ev.where("event_type = 'click'").selectExpr(
+        "user_id AS c_user", "event_id AS click_id", "ts_us AS c_ts"
+    )
+    p = ev.where("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts_us AS p_ts"
+    )
+    want = {
+        (r.p_user, r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - 3_600_000_000),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
