@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from samsa_spark import sql as sql_surface
 from samsa_spark import tables
 from samsa_spark.operators import (
     advanced,
@@ -128,6 +129,10 @@ for _name, (_fn, _sql) in similarity.build_queries().items():
 for _name, (_fn, _sql) in multimodal.build_queries().items():
     _register(_name, _fn, _sql)
 
+
+# --- SQL surface (temp-view catalog + spark.sql) and Python UDTF ------------
+for _name, (_fn, _sql) in sql_surface.build_queries().items():
+    _register(_name, _fn, _sql)
 
 # --- streaming state (the samsa API proper), checked against the D2 oracle --
 def _streaming_state(spark: SparkSession, sf: str) -> DataFrame:
