@@ -185,8 +185,23 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     +1/-1, fingerprint bit j set iff vote sum positive. Single aggregate with
     64 sum partials; fingerprint assembly is pure bit arithmetic.
     """
+    # Features are sliding word BIGRAMS, not unigrams: on same-domain
+    # corpora (shared vocabulary) unigram simhashes correlate so strongly
+    # that 16-bit chunk blocking degenerates toward all-pairs (measured at
+    # sf0.1: 1.26M candidates vs 1.6k with bigrams, ~770x fewer, and the
+    # surviving near-pairs are actual duplicates).
+    t = F.split("text", " ")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+            )
+        ),
+    ).otherwise(F.array_distinct(t))
     toks = documents.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        "doc_id", F.explode(bigrams).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     # vote_j > 0  <=>  2 * count(bit_j set) > n_tokens: plain bit-sums are
     # cheaper than per-row CASE expressions inside the 64 agg buffers.
@@ -265,6 +280,23 @@ def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int
     bounded by cluster diameter (tiny for dup clusters) with a convergence
     check, not a guess.
     """
+    spark = documents.sparkSession
+    # The propagation loop EXECUTES inside this function (count per
+    # iteration), so a shuffle-partition pin + restore genuinely scopes it:
+    # on a vanilla 200-partition session each tiny iteration would
+    # otherwise run 200 tasks.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        labels = _propagate_labels(documents, min_jaccard, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    lab = labels.select("doc_id", F.col("label").alias("canonical_id"))
+    sizes = lab.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return lab.join(sizes, "canonical_id").select("doc_id", "canonical_id", "cluster_size")
+
+
+def _propagate_labels(documents: DataFrame, min_jaccard: float, max_iter: int) -> DataFrame:
     pairs = ngram_jaccard_pairs(documents, min_jaccard).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -293,9 +325,7 @@ def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int
         labels = new.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    lab = labels.select("doc_id", F.col("label").alias("canonical_id"))
-    sizes = lab.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
-    return lab.join(sizes, "canonical_id").select("doc_id", "canonical_id", "cluster_size")
+    return labels
 
 
 # --- registry wiring -------------------------------------------------------
