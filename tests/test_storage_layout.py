@@ -1,0 +1,68 @@
+"""Storage-layout scale levers, with the plan as the assertion:
+
+1. bucketed tables — both join sides bucketed by the key means a
+   co-located join with NO Exchange (the 100 TB repeated-join layout;
+   samsa's per-partition state files are the degenerate single-node form
+   of the same idea).
+2. partitioned writes — directory partitioning turns a filter into
+   PartitionFilters: pruned directories are never listed, let alone read.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _formatted_plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from samsa_spark import tables
+
+    wh = tempfile.mkdtemp(prefix="samsa-wh-")
+    ev = tables.load(spark, SF_SMALL, "events").select("user_id", "event_id", "value")
+    cust = tables.load(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+
+    # external tables (explicit path): warehouse dir is a static conf
+    ev.write.mode("overwrite").option("path", os.path.join(wh, "ev_b")).bucketBy(
+        8, "user_id"
+    ).sortBy("user_id").saveAsTable("ev_b")
+    cust.withColumnRenamed("c_custkey", "user_id").write.mode("overwrite").option(
+        "path", os.path.join(wh, "cust_b")
+    ).bucketBy(8, "user_id").saveAsTable("cust_b")
+
+    j = spark.table("ev_b").join(spark.table("cust_b"), "user_id")
+    plan = _formatted_plan(j)
+    # co-located: SortMergeJoin/ShuffledHashJoin over bucketed scans with no
+    # shuffle exchange anywhere (disable broadcast to force the join shape)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(spark.table("ev_b").join(spark.table("cust_b"), "user_id"))
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+        n = spark.table("ev_b").join(spark.table("cust_b"), "user_id").count()
+        assert n == 1000  # every event's user is a customer key
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_partitioned_write_prunes(spark):
+    from samsa_spark import tables
+
+    base = tempfile.mkdtemp(prefix="samsa-part-")
+    path = os.path.join(base, "events_by_type")
+    ev = tables.load(spark, SF_SMALL, "events").select("user_id", "event_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    df = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    plan = _formatted_plan(df)
+    assert "PartitionFilters" in plan and "purchase" in plan
+    # pruned read returns exactly the partition's rows
+    assert df.count() == ev.where("event_type = 'purchase'").count()
