@@ -133,14 +133,10 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(documents: DataFrame, min_est_jaccard: float = 0.25) -> DataFrame:
-    """dd3 — MinHash-LSH candidate pairs: band signatures into 16 buckets of
-    4 rows; pairs colliding in any band are candidates; estimated Jaccard =
-    fraction of equal signature positions. Self-join is on (band, band_hash)
-    — the only shuffle key — so work scales with collisions, not n^2.
-    """
-    sig = minhash_signatures(documents)
-    bands = sig.select(
+def band_signatures(sig: DataFrame) -> DataFrame:
+    """Band a signature table into (doc_id, sig, band, bh) rows: 16 bands of
+    4 signature positions, each hashed to one bucket value."""
+    return sig.select(
         "doc_id",
         "sig",
         F.explode(
@@ -157,6 +153,24 @@ def minhash_lsh_pairs(documents: DataFrame, min_est_jaccard: float = 0.25) -> Da
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def est_jaccard_col() -> F.Column:
+    """Estimated Jaccard between sig_a/sig_b columns: fraction of equal
+    signature positions."""
+    return (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(N_MINHASH)
+    ).alias("est_jaccard")
+
+
+def minhash_lsh_pairs(documents: DataFrame, min_est_jaccard: float = 0.25) -> DataFrame:
+    """dd3 — MinHash-LSH candidate pairs: band signatures into 16 buckets of
+    4 rows; pairs colliding in any band are candidates; estimated Jaccard =
+    fraction of equal signature positions. Self-join is on (band, band_hash)
+    — the only shuffle key — so work scales with collisions, not n^2.
+    """
+    bands = band_signatures(minhash_signatures(documents))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -173,11 +187,9 @@ def minhash_lsh_pairs(documents: DataFrame, min_est_jaccard: float = 0.25) -> Da
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
-        / F.lit(N_MINHASH)
-    ).alias("est_jaccard")
-    return cand.select("doc_a", "doc_b", est).where(F.col("est_jaccard") >= min_est_jaccard)
+    return cand.select("doc_a", "doc_b", est_jaccard_col()).where(
+        F.col("est_jaccard") >= min_est_jaccard
+    )
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:

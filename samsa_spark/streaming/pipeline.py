@@ -111,3 +111,86 @@ def purchase_attribution(stream_df: DataFrame, window: str = "1 hour") -> DataFr
         & (F.col("c_time") >= F.col("p_time") - F.expr(f"INTERVAL {window}")),
         "inner",
     ).select("p_user", "purchase_id", "click_id", "amount")
+
+
+class IncrementalDedupIndex:
+    """foreachBatch near-dup index: each micro-batch of documents is banded
+    (MinHash-LSH) and joined against the ACCUMULATED index of every
+    previously seen document, emitting (new_doc, prior_doc, est_jaccard)
+    pairs plus within-batch pairs — then the batch's bands are appended to
+    the index. This is how near-dup detection runs on a live ingest: one
+    band-join per batch against an ever-growing but bucket-partitioned
+    index, never a corpus-wide recompute.
+
+    The index is parquet keyed by (band, bh); at scale it would be written
+    bucketed on bh so the per-batch join is co-located.
+    """
+
+    def __init__(self, index_path: str, pairs_path: str, min_est_jaccard: float = 0.5) -> None:
+        self.index_path = index_path
+        self.pairs_path = pairs_path
+        self.min_est_jaccard = min_est_jaccard
+        self._has_index = False
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from samsa_spark.operators.dedup import (
+            band_signatures,
+            est_jaccard_col,
+            minhash_signatures,
+        )
+
+        spark = batch_df.sparkSession
+        bands = band_signatures(minhash_signatures(batch_df)).localCheckpoint(eager=True)
+
+        a, b = bands.alias("a"), bands.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+        )
+        candidates = within
+        if self._has_index:
+            idx = spark.read.parquet(self.index_path).alias("i")
+            cross = (
+                bands.alias("n")
+                .join(
+                    idx,
+                    (F.col("n.band") == F.col("i.band")) & (F.col("n.bh") == F.col("i.bh")),
+                )
+                .where(F.col("n.doc_id") != F.col("i.doc_id"))
+                .select(
+                    F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+                    F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+                    F.col("n.sig").alias("sig_a"),
+                    F.col("i.sig").alias("sig_b"),
+                )
+            )
+            candidates = within.unionByName(cross)
+        pairs = (
+            candidates.dropDuplicates(["doc_a", "doc_b"])
+            .select("doc_a", "doc_b", est_jaccard_col())
+            .where(F.col("est_jaccard") >= self.min_est_jaccard)
+        )
+        pairs.write.mode("append").parquet(self.pairs_path)
+        bands.write.mode("append").parquet(self.index_path)
+        self._has_index = True
+
+
+def run_incremental_dedup(stream_df: DataFrame, checkpoint_dir: str, index: IncrementalDedupIndex):
+    q = (
+        stream_df.writeStream.foreachBatch(index)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -118,3 +118,40 @@ def test_stream_stream_join_matches_batch(spark, staged):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_index_matches_batch_lsh(spark):
+    """Streaming the corpus through the incremental index in multiple
+    batches must find exactly the pairs batch MinHash-LSH finds on the full
+    corpus (within-batch pairs + cross-batch pairs cover every pair once)."""
+    import tempfile
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import minhash_lsh_pairs
+    from samsa_spark.streaming.pipeline import IncrementalDedupIndex, run_incremental_dedup
+    from samsa_spark.streaming.sources import file_stream
+
+    base = tempfile.mkdtemp(prefix="samsa-incdedup-")
+    docs = tables.load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = os.path.join(base, "src")
+    docs.repartition(6).write.parquet(src)
+
+    # low threshold so the word-salad corpus yields pairs at sf0.001
+    thr = 0.05
+    index = IncrementalDedupIndex(
+        os.path.join(base, "index"), os.path.join(base, "pairs"), min_est_jaccard=thr
+    )
+    run_incremental_dedup(
+        file_stream(spark, src, docs.schema, max_files_per_trigger=2),
+        os.path.join(base, "chk"),
+        index,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(os.path.join(base, "pairs")).collect()
+    }
+    want = {
+        (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b))
+        for r in minhash_lsh_pairs(docs, min_est_jaccard=thr).collect()
+    }
+    assert got == want and len(got) > 0
