@@ -130,6 +130,8 @@ def build_queries():
         "tf1_tfidf_top_terms": (q(tfidf_top_terms, "documents", spread=True), _TF1_SQL),
         "sp1_deterministic_split": (q(deterministic_split, "documents"), _SP1_SQL),
         "pk1_pack_sequences": (q(pack_sequences, "documents"), _PK1_SQL),
+        "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
+        "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
     }
 
 
@@ -224,3 +226,61 @@ def user_trend_custom(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("user_id").applyInPandas(fit, "user_id long, n long, slope double")
+
+
+def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
+    """sm1 — deterministic stratified sampling: top-N per language by a
+    portable hash ranking. Like sp1, sampling is a pure function of the
+    row key — reproducible across engines, partitionings, and retries.
+    Emits per-stratum sample membership counts plus extremes for audit.
+    """
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    picked = documents.select("doc_id", "lang").withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= per_lang
+    )
+    return picked.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def equidepth_histogram(documents: DataFrame, buckets: int = 4) -> DataFrame:
+    """nt1 — equi-depth histogram via ntile: quartiles of document length
+    with per-bucket extents. The ntile window is one sort per partition key
+    (here global within a single stratum — at 100 TB use approx_percentile
+    cutpoints instead; this is the exact small-stratum form).
+    """
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    t = documents.select("doc_id", "n_chars").withColumn("bucket", F.ntile(buckets).over(w))
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("lo_chars"),
+        F.max("n_chars").alias("hi_chars"),
+    )
+
+
+_SM1_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM r WHERE rk <= 20 GROUP BY lang
+"""
+
+_NT1_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
+  FROM documents
+)
+SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+       min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+FROM t GROUP BY bucket
+"""

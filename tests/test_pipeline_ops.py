@@ -33,3 +33,9 @@ def test_custom_group_agg_matches_builtin(spark):
     assert set(custom) == set(builtin)
     for u, s in builtin.items():
         assert abs(custom[u] - s) < 1e-4, f"user {u}: custom={custom[u]} builtin={s}"
+
+
+@pytest.mark.parametrize("name", ["sm1_stratified_sample", "nt1_equidepth_histogram"])
+def test_oracle_match_sampling(spark, name):
+    ok, msg = check_query(spark, name, SF_SMALL)
+    assert ok, msg
