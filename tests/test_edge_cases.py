@@ -1,0 +1,92 @@
+"""Edge cases no fixture row exercises: empty inputs, sub-shingle-length
+documents, single-key logs, null text."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+EV_SCHEMA = "user_id long, ts_us long, event_id long, event_type string, value double, props string"
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_compact_empty_log(spark):
+    from samsa_spark.operators.state import compact_latest
+
+    empty = spark.createDataFrame([], EV_SCHEMA)
+    assert compact_latest(empty).count() == 0
+
+
+def test_compact_single_row(spark):
+    from samsa_spark.operators.state import compact_latest
+
+    one = spark.createDataFrame([(1, 10, 0, "click", 1.0, "{}")], EV_SCHEMA)
+    rows = compact_latest(one).collect()
+    assert len(rows) == 1 and rows[0].last_event_type == "click"
+
+
+def test_shingles_short_docs(spark):
+    """Documents shorter than the shingle width produce no postings (guard
+    branch), and the Jaccard join simply yields no pairs for them."""
+    from samsa_spark.operators.dedup import ngram_jaccard_pairs, shingle_postings
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three"), (4, "one two three")],
+        DOC_SCHEMA,
+    )
+    postings = shingle_postings(docs)
+    by_doc = {r.doc_id: r["count"] for r in postings.groupBy("doc_id").count().collect()}
+    assert 1 not in by_doc and 2 not in by_doc  # too short
+    assert by_doc[3] == 1 and by_doc[4] == 1
+    pairs = ngram_jaccard_pairs(docs).collect()
+    assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(3, 4, 1.0)]
+
+
+def test_simhash_short_and_single_token_docs(spark):
+    """Bigram fallback: single-token docs hash their unigram; identical
+    short docs still collide."""
+    from samsa_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "solo"), (3, "a b")], DOC_SCHEMA)
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]
+    assert set(fps) == {1, 2, 3}
+
+
+def test_upsert_merge_empty_updates(spark):
+    from samsa_spark.operators.state import compact_latest, upsert_merge
+
+    ev = spark.createDataFrame([(1, 10, 0, "click", 1.0, "{}")], EV_SCHEMA)
+    state = compact_latest(ev)
+    empty = spark.createDataFrame([], EV_SCHEMA)
+    merged = upsert_merge(state, empty)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in state.collect()}
+
+
+def test_exact_dedup_null_safe(spark):
+    """exact dedup on a frame containing duplicate and unique texts."""
+    from samsa_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame([(1, "same"), (2, "same"), (3, "diff")], DOC_SCHEMA)
+    out = {r.doc_id: (r.canonical_id, r.is_dup, r.n_copies) for r in exact_dedup(docs).collect()}
+    assert out[1] == (1, False, 2)
+    assert out[2] == (1, True, 2)
+    assert out[3] == (3, False, 1)
+
+
+def test_point_lookup_missing_key(spark):
+    from samsa_spark.operators.state import point_lookup
+
+    ev = spark.createDataFrame([(1, 10, 0, "click", 1.0, "{}")], EV_SCHEMA)
+    assert point_lookup(ev, key=999).count() == 0
+
+
+def test_statetable_apply_on_empty_state(spark):
+    from samsa_spark.api import StateTable
+    from samsa_spark.operators.state import compact_latest
+
+    empty = spark.createDataFrame([], EV_SCHEMA)
+    ev = spark.createDataFrame([(1, 10, 0, "click", 1.0, "{}")], EV_SCHEMA)
+    merged = StateTable.from_log(empty).apply(ev)
+    assert {tuple(r) for r in merged.to_df().collect()} == {
+        tuple(r) for r in compact_latest(ev).collect()
+    }
