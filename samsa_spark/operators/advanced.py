@@ -161,6 +161,7 @@ def build_queries():
             _DA1_SQL,
         ),
         "rg1_user_value_trends": (q(user_value_trends, "events"), _RG1_SQL),
+        "as2_asof_cogrouped": (q(asof_join_cogrouped, "events", "orders"), _AS1_SQL),
     }
 
 
@@ -251,3 +252,59 @@ SELECT user_id, count(*) AS n,
        round(corr(epoch_us(ts) / 3.6e9, value), 6) AS xy_corr
 FROM events GROUP BY user_id
 """
+
+
+def asof_join_cogrouped(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """as2 — as-of join via cogrouped applyInPandas: both sides are
+    co-partitioned by the key, and each key's pair of Arrow batches is
+    merged with pandas ``merge_asof`` (a linear two-pointer merge over
+    time-sorted rows). This is the merge-as-of shape PLANS.md names as the
+    100 TB refinement of as1: per-key work is O(n log n) sort + O(n) merge
+    instead of joining every event to ALL prior orders before reducing.
+    Same semantics and oracle as as1 (backward match, ties to the largest
+    order key).
+    """
+    import pandas as pd
+
+    ev = events.where(F.col("user_id") < 50).select(
+        "event_id", "user_id", "ts_us", F.col("ts").alias("ev_ts")
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def merge(ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ev_pdf) == 0 or len(od_pdf) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts_us", "last_orderkey", "last_totalprice"]
+            )
+        left = ev_pdf.sort_values("ev_ts", kind="mergesort")
+        # sort right by (date, orderkey): merge_asof takes the LAST row at or
+        # before the key, which then matches as1's max_by(date, orderkey).
+        right = od_pdf.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        m = pd.merge_asof(
+            left, right, left_on="ev_ts", right_on="o_orderdate", direction="backward"
+        )
+        m = m.dropna(subset=["o_orderkey"])
+        if len(m) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts_us", "last_orderkey", "last_totalprice"]
+            )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id_x"].astype("int64"),
+                "ts_us": m["ts_us"].astype("int64"),
+                "last_orderkey": m["o_orderkey"].astype("int64"),
+                "last_totalprice": m["o_totalprice"].astype("float64"),
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts_us long, last_orderkey long, last_totalprice double",
+        )
+    )

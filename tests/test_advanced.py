@@ -20,3 +20,19 @@ ADV_QUERIES = [
 def test_oracle_match(spark, name):
     ok, msg = check_query(spark, name, SF_SMALL)
     assert ok, msg
+
+
+def test_as2_cogrouped_oracle(spark):
+    ok, msg = check_query(spark, "as2_asof_cogrouped", SF_SMALL)
+    assert ok, msg
+
+
+def test_as2_equals_as1(spark):
+    """Two as-of implementations (join+reduce vs cogrouped merge_asof) must
+    agree row for row."""
+    from samsa_spark import registry
+
+    qs = registry.queries()
+    a1 = {tuple(r) for r in qs["as1_asof_join"](spark, SF_SMALL).collect()}
+    a2 = {tuple(r) for r in qs["as2_asof_cogrouped"](spark, SF_SMALL).collect()}
+    assert a1 == a2
