@@ -58,8 +58,11 @@ def main() -> None:
 
     spark = get_spark("samsa-spark-bench")
     qs = registry.queries()
-    # Warm the JVM/codegen with the flagship before timing.
+    # Warm both execution paths before timing: JVM/codegen (flagship) and
+    # the Python worker pool (an Arrow pandas-UDF query) — steady-state
+    # throughput is what the headline measures, not process spin-up.
     qs["d2_state_table"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    qs["sim3_ann_topk_lsh"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
