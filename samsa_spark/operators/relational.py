@@ -211,6 +211,7 @@ def build_queries():
         "cu1_cube_order_stats": (q(cube_order_stats, "orders", "customer"), _CU1_SQL),
         "fn2_null_semantics": (q(null_semantics, "events"), _FN2_SQL),
         "tm1_time_extraction": (q(time_extraction, "orders"), _TM1_SQL),
+        "ag1_event_sequences": (q(event_sequences, "events"), _AG1_SQL),
     }
 
 
@@ -413,4 +414,29 @@ SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) A
        CAST(min(month(o_orderdate)) AS INT) AS first_month,
        CAST(max(day(o_orderdate)) AS INT) AS max_dom
 FROM orders GROUP BY 1, 2
+"""
+
+
+def event_sequences(events: DataFrame) -> DataFrame:
+    """ag1 — ordered collection aggregates: per user, the sorted multiset of
+    event types as a CSV string (deterministic, engine-portable — raw
+    array_agg order is partition-dependent, so always sort or join before
+    comparing) plus first/last event types by log order via min_by/max_by.
+    """
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.concat_ws(",", F.sort_array(F.collect_list("event_type"))).alias("types_csv"),
+        # event_id is monotone in ts (log offset), so it IS the arrival
+        # order — and a single-column key both engines' arg_min/max accept.
+        F.min_by("event_type", F.col("event_id")).alias("first_type"),
+        F.max_by("event_type", F.col("event_id")).alias("last_type"),
+    )
+
+
+_AG1_SQL = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+       arg_min(event_type, event_id) AS first_type,
+       arg_max(event_type, event_id) AS last_type
+FROM events GROUP BY user_id
 """

@@ -113,3 +113,33 @@ def test_tombstones_remove_keys(spark, rows):
             expect[u] = (t, i, e)
     expect_alive = {u for u, (_, _, e) in expect.items() if e != "error"}
     assert alive == expect_alive
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ngram_jaccard_matches_python_reference(spark, texts):
+    """dd2 inverted-index Jaccard == brute-force python over random tiny
+    corpora (covers short docs, empty docs, identical docs)."""
+    from samsa_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.n_inter, r.jaccard) for r in ngram_jaccard_pairs(docs).collect()}
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] & sh[b]:
+                inter = len(sh[a] & sh[b])
+                want[(a, b)] = (inter, round(inter / len(sh[a] | sh[b]), 6))
+    assert got == want

@@ -34,3 +34,8 @@ def test_oracle_match(spark, name):
 def test_oracle_match_extra(spark, name):
     ok, msg = check_query(spark, name, SF_SMALL)
     assert ok, msg
+
+
+def test_ag1_oracle(spark):
+    ok, msg = check_query(spark, "ag1_event_sequences", SF_SMALL)
+    assert ok, msg
