@@ -40,15 +40,40 @@ from pyspark.sql.types import StructType
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
-def _build_fold(key_col: str, order_cols: Sequence[str], value_cols: Sequence[str]):
+def _build_fold(
+    key_col: str,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    tombstone: tuple[str, object] | None = None,
+    eager_delete: bool = False,
+):
     """Build the per-key fold *inside* a function so cloudpickle serializes
     it by value (executor workers can't import this package when the driver
-    runs from another cwd)."""
+    runs from another cwd).
+
+    ``tombstone=(col, val)`` enables the delete path (reference O6,
+    ``RocksDBClient.delete`` samsa/db/rocksdb.py:75-85): a winning row whose
+    ``col`` equals ``val`` deletes the key. Two deletion modes:
+
+    - default (marker): state keeps the high-water ``(order...)`` mark with a
+      ``_tombstoned`` flag — the log-compaction shape. Correct under
+      out-of-order delivery across triggers (a late pre-delete event cannot
+      resurrect the key, because the mark still wins the order comparison);
+      :func:`read_state` filters the markers out.
+    - ``eager_delete``: ``state.remove()`` immediately — samsa's literal
+      semantics. Only correct when the feed is per-key ordered across
+      triggers (samsa's poll loop is; an arbitrary file backlog is not).
+
+    Either way the changelog emits a null-payload row for the key (the Kafka
+    tombstone convention), so external replay can apply the delete too.
+    """
     import pandas as pd
 
     ocols = list(order_cols)
     vcols = list(value_cols)
     n_order = len(ocols)
+    tomb_idx = (n_order + vcols.index(tombstone[0])) if tombstone else -1
+    tomb_val = tombstone[1] if tombstone else None
 
     def fold(key, pdfs, state):
         best = None  # tuple(order..., value...)
@@ -66,12 +91,17 @@ def _build_fold(key_col: str, order_cols: Sequence[str], value_cols: Sequence[st
             prior = tuple(state.get)
             if prior[:n_order] >= best[:n_order]:
                 return iter(())
-        state.update(best)
+        is_tomb = tomb_idx >= 0 and best[tomb_idx] == tomb_val
+        if is_tomb and eager_delete:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(best + (is_tomb,))
         out = {key_col: [key[0]]}
         for i, c in enumerate(ocols):
             out[c] = [best[i]]
         for i, c in enumerate(vcols):
-            out[c] = [best[n_order + i]]
+            out[c] = [None if is_tomb else best[n_order + i]]
         return iter([pd.DataFrame(out)])
 
     return fold
@@ -96,11 +126,15 @@ class StatefulStream:
         order_cols: Sequence[str] = ("ts_us", "event_id"),
         value_cols: Sequence[str] = ("event_type", "value"),
         store: str = "rocksdb",
+        tombstone: tuple[str, object] | None = None,
+        eager_delete: bool = False,
     ) -> None:
         self.spark = spark
         self.key_col = key_col
         self.order_cols = tuple(order_cols)
         self.value_cols = tuple(value_cols)
+        self.tombstone = tombstone
+        self.eager_delete = eager_delete
         if store == "rocksdb":
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
 
@@ -108,6 +142,7 @@ class StatefulStream:
         fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
         state_schema = StructType.fromDDL(
             ", ".join(f"{c} {fields[c]}" for c in (*self.order_cols, *self.value_cols))
+            + ", _tombstoned boolean"
         )
         out_schema = StructType.fromDDL(
             ", ".join(
@@ -120,9 +155,12 @@ class StatefulStream:
     def updates(self, stream_df: DataFrame) -> DataFrame:
         """Update-mode stream of state changes — the external changelog
         (reference O7, storage.py:129-149): one row per key per trigger in
-        which the key's latest value advanced."""
+        which the key's latest value advanced. With a tombstone configured,
+        a delete surfaces as a null-payload row (Kafka tombstone shape)."""
         state_schema, out_schema = self._schemas(stream_df)
-        fold = _build_fold(self.key_col, self.order_cols, self.value_cols)
+        fold = _build_fold(
+            self.key_col, self.order_cols, self.value_cols, self.tombstone, self.eager_delete
+        )
         return stream_df.groupBy(self.key_col).applyInPandasWithState(
             fold,
             outputStructType=out_schema,
@@ -208,10 +246,15 @@ def stateful_transform(
     )
 
 
-def read_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+def read_state(spark: SparkSession, checkpoint_dir: str, drop_tombstoned: bool = True) -> DataFrame:
     """Queryable state (reference ``query(key)`` from outside the operator,
     storage.py:208-219): read the operator's state store directly from the
     checkpoint via the state data source, flattened to key + state columns.
+
+    Marker-mode deletions (see :func:`_build_fold`) keep ``_tombstoned``
+    rows in the store as high-water marks; ``drop_tombstoned`` hides them —
+    a deleted key is absent from the queryable view, exactly like a key
+    removed via ``RocksDBClient.delete`` (reference rocksdb.py:75-85).
     """
     raw = spark.read.format("statestore").load(checkpoint_dir)
     key_fields = [f"key.{f.name}" for f in raw.schema["key"].dataType.fields]
@@ -220,19 +263,28 @@ def read_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     # field; unwrap when present so callers see their own state columns.
     if [f.name for f in value_type.fields] == ["groupState"]:
         prefix = "value.groupState"
-        val_fields = [f"{prefix}.{f.name}" for f in value_type.fields[0].dataType.fields]
+        state_fields = value_type.fields[0].dataType.fields
+        val_fields = [f"{prefix}.{f.name}" for f in state_fields]
     else:
-        val_fields = [f"value.{f.name}" for f in value_type.fields]
-    return raw.select(*key_fields, *val_fields)
+        state_fields = value_type.fields
+        val_fields = [f"value.{f.name}" for f in state_fields]
+    out = raw.select(*key_fields, *val_fields)
+    if drop_tombstoned and "_tombstoned" in out.columns:
+        out = out.where(~F.coalesce(F.col("_tombstoned"), F.lit(False))).drop("_tombstoned")
+    return out
 
 
-def replay_changelog(spark: SparkSession, changelog_dir: str, key_col: str) -> DataFrame:
+def replay_changelog(
+    spark: SparkSession, changelog_dir: str, key_col: str, tombstone_col: str | None = None
+) -> DataFrame:
     """Rebuild the state table from an external changelog directory — the
     batch analogue of reference recovery (storage.py:151-184): last writer
-    (by batch id, then log order) wins per key."""
+    (by batch id, then log order) wins per key. ``tombstone_col`` applies
+    null-payload delete records (O6): a key whose winning changelog row has
+    a null in that column is absent from the rebuilt table."""
     log = spark.read.parquet(changelog_dir)
     order = [c for c in log.columns if c not in (key_col, "_batch_id")]
-    return (
+    out = (
         log.groupBy(key_col)
         .agg(
             F.max_by(
@@ -242,3 +294,6 @@ def replay_changelog(spark: SparkSession, changelog_dir: str, key_col: str) -> D
         )
         .select(key_col, *[F.col(f"_s.{c}").alias(c) for c in order])
     )
+    if tombstone_col is not None:
+        out = out.where(F.col(tombstone_col).isNotNull())
+    return out
