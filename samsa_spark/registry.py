@@ -182,6 +182,37 @@ def _streaming_state(spark: SparkSession, sf: str) -> DataFrame:
 _register("st1_streaming_state", _streaming_state, state.ORACLE_SQL["d2_state_table"])
 
 
+# --- registration order ------------------------------------------------------
+# The driver hash-checks only the FIRST 50 registered queries, so order is a
+# deliberate artifact, not an accident of module layout. Rule:
+#   rank 0 — oracle-bearing operators (hash-checkable) fill the window;
+#   rank 1 — redundant relational twins are demoted behind them (every demoted
+#            query keeps an in-window sibling covering the same category);
+#   rank 2 — genuinely non-SQL-expressible queries (xxhash64 signatures,
+#            byte-loop checksums) go last: their ground truth lives in pytest
+#            (recall sweeps, python reimplementations), not in DuckDB.
+# tests/test_registry_order.py locks this invariant.
+_DEMOTED = (
+    "set1_customers_without_orders",  # set2 (INTERSECT/UNION) stays in-window
+    "j3_anti_join",                   # j2 semi-join stays in-window
+    "w2_customer_order_flow",         # w1 ranking + ses1 + d10 cover windows
+    "fn2_null_semantics",             # fn1 covers the scalar surface
+    "tm1_time_extraction",            # fn1 + x5 cover scalar/time/JSON fns
+    "cu1_cube_order_stats",           # ro1 rollup covers grouping sets
+    "h3_top_orders",                  # w1 top-k; TakeOrderedAndProject locked in test_plans
+    "hist1_doc_lengths",              # pc1 covers distribution shape
+)
+
+
+def _rank(name: str) -> int:
+    if name not in _ORACLES:
+        return 2
+    return 1 if name in _DEMOTED else 0
+
+
+_QUERIES = {n: _QUERIES[n] for n in sorted(_QUERIES, key=_rank)}
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

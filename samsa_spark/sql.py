@@ -61,9 +61,9 @@ def make_ngram_udtf():
 
 def sql_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """udtf1 — UDTF in lateral position: explode each document into
-    3-gram rows, then aggregate. Rows-only driver check (Python UDTFs have
-    no DuckDB twin); tests verify counts against the SQL shingle pipeline.
-    """
+    3-gram rows, then aggregate. Oracle: the same shingling written as
+    DuckDB list slicing over ``string_split`` (the UDTF itself has no
+    DuckDB twin, but its output relation does)."""
     register_views(spark, sf_dir)
     spark.udtf.register("ngrams", make_ngram_udtf())
     return spark.sql(
@@ -78,9 +78,22 @@ def sql_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_queries():
     return {
         "sql1_revenue_by_segment": (sql_revenue_by_segment, _SQL1_SQL),
-        "udtf1_ngram_counts": (sql_udtf_ngrams, None),
+        "udtf1_ngram_counts": (sql_udtf_ngrams, _UDTF1_SQL),
     }
 
+
+_UDTF1_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ngram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) gs
+  WHERE len(t) >= 3
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, min(ngram) AS first_ngram
+FROM g GROUP BY doc_id
+"""
 
 _SQL1_SQL = """
 SELECT c_mktsegment, count(*) AS n_orders,
