@@ -134,13 +134,17 @@ for _name, (_fn, _sql) in multimodal.build_queries().items():
 for _name, (_fn, _sql) in sql_surface.build_queries().items():
     _register(_name, _fn, _sql)
 
-# --- streaming state (the samsa API proper), checked against the D2 oracle --
-def _streaming_state(spark: SparkSession, sf: str) -> DataFrame:
-    """st1 — run the actual Structured Streaming stateful pipeline
-    (file-source stand-in, Trigger.AvailableNow, RocksDB state store) over
-    the events log, then read the final state store. Equal by construction
-    to batch D2 compaction — and checked against the same DuckDB oracle, so
-    the *streaming engine itself* sits inside the correctness gate."""
+# --- streaming state (the samsa API proper), checked against D2/D7 oracles --
+def _run_streaming_state(
+    spark: SparkSession, sf: str, tombstone: tuple[str, object] | None = None
+) -> DataFrame:
+    """Run the actual Structured Streaming stateful pipeline (file-source
+    stand-in, Trigger.AvailableNow, RocksDB state store) over the events
+    log, then read the final state store. Without a tombstone this equals
+    batch D2 compaction by construction; with ``("event_type", "error")``
+    it equals batch D7 (delete-on-tombstone) — each checked against the
+    same DuckDB oracle, so the *streaming engine itself* sits inside the
+    correctness gate."""
     import os
     import tempfile
 
@@ -152,12 +156,16 @@ def _streaming_state(spark: SparkSession, sf: str) -> DataFrame:
     ev = tables.load(spark, sf, "events").select(
         "user_id", "ts_us", "event_id", "event_type", "value", "props"
     )
-    base = tempfile.mkdtemp(prefix="samsa-st1-")
+    base = tempfile.mkdtemp(prefix="samsa-st-")
     src = os.path.join(base, "src")
     ev.repartition(4).write.parquet(src)
     chk = os.path.join(base, "chk")
     ss = StatefulStream(
-        spark, "user_id", ("ts_us", "event_id"), ("event_type", "value", "props")
+        spark,
+        "user_id",
+        ("ts_us", "event_id"),
+        ("event_type", "value", "props"),
+        tombstone=tombstone,
     )
     # The state store instantiates one RocksDB per shuffle partition; a
     # vanilla session's 200 partitions means 200 stores for a toy log. Pin a
@@ -179,7 +187,16 @@ def _streaming_state(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register("st1_streaming_state", _streaming_state, state.ORACLE_SQL["d2_state_table"])
+_register(
+    "st1_streaming_state",
+    lambda spark, sf: _run_streaming_state(spark, sf),
+    state.ORACLE_SQL["d2_state_table"],
+)
+_register(
+    "st2_streaming_tombstones",
+    lambda spark, sf: _run_streaming_state(spark, sf, tombstone=("event_type", "error")),
+    state.ORACLE_SQL["d7_tombstones"],
+)
 
 
 # --- registration order ------------------------------------------------------

@@ -64,16 +64,24 @@ def _build_fold(
       semantics. Only correct when the feed is per-key ordered across
       triggers (samsa's poll loop is; an arbitrary file backlog is not).
 
-    Either way the changelog emits a null-payload row for the key (the Kafka
-    tombstone convention), so external replay can apply the delete too.
+    Either way the changelog row for a delete carries an explicit
+    ``_deleted = true`` marker (plus null payload, the Kafka tombstone
+    convention) — replay keys off the marker, never off payload nullness, so
+    a genuinely-null winning value is not mistaken for a delete.
+
+    The ``_tombstoned`` state column and the ``_deleted`` output column exist
+    ONLY when a tombstone is configured: a plain StatefulStream keeps the
+    exact (order..., value...) state struct, so pre-existing checkpoints stay
+    schema-compatible.
     """
     import pandas as pd
 
     ocols = list(order_cols)
     vcols = list(value_cols)
     n_order = len(ocols)
-    tomb_idx = (n_order + vcols.index(tombstone[0])) if tombstone else -1
-    tomb_val = tombstone[1] if tombstone else None
+    has_tomb = tombstone is not None
+    tomb_idx = (n_order + vcols.index(tombstone[0])) if has_tomb else -1
+    tomb_val = tombstone[1] if has_tomb else None
 
     def fold(key, pdfs, state):
         best = None  # tuple(order..., value...)
@@ -91,17 +99,21 @@ def _build_fold(
             prior = tuple(state.get)
             if prior[:n_order] >= best[:n_order]:
                 return iter(())
-        is_tomb = tomb_idx >= 0 and best[tomb_idx] == tomb_val
+        is_tomb = has_tomb and best[tomb_idx] == tomb_val
         if is_tomb and eager_delete:
             if state.exists:
                 state.remove()
-        else:
+        elif has_tomb:
             state.update(best + (is_tomb,))
+        else:
+            state.update(best)
         out = {key_col: [key[0]]}
         for i, c in enumerate(ocols):
             out[c] = [best[i]]
         for i, c in enumerate(vcols):
             out[c] = [None if is_tomb else best[n_order + i]]
+        if has_tomb:
+            out["_deleted"] = [is_tomb]
         return iter([pd.DataFrame(out)])
 
     return fold
@@ -133,6 +145,11 @@ class StatefulStream:
         self.key_col = key_col
         self.order_cols = tuple(order_cols)
         self.value_cols = tuple(value_cols)
+        if tombstone is not None and tombstone[0] not in self.value_cols:
+            raise ValueError(
+                f"tombstone column {tombstone[0]!r} must be one of value_cols "
+                f"{self.value_cols} (order columns cannot carry the delete marker)"
+            )
         self.tombstone = tombstone
         self.eager_delete = eager_delete
         if store == "rocksdb":
@@ -140,17 +157,19 @@ class StatefulStream:
 
     def _schemas(self, src: DataFrame) -> tuple[StructType, StructType]:
         fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
-        state_schema = StructType.fromDDL(
-            ", ".join(f"{c} {fields[c]}" for c in (*self.order_cols, *self.value_cols))
-            + ", _tombstoned boolean"
+        state_ddl = ", ".join(
+            f"{c} {fields[c]}" for c in (*self.order_cols, *self.value_cols)
         )
-        out_schema = StructType.fromDDL(
-            ", ".join(
-                f"{c} {fields[c]}"
-                for c in (self.key_col, *self.order_cols, *self.value_cols)
-            )
+        out_ddl = ", ".join(
+            f"{c} {fields[c]}"
+            for c in (self.key_col, *self.order_cols, *self.value_cols)
         )
-        return state_schema, out_schema
+        # The marker column exists only when deletes are configured, keeping
+        # tombstone-free checkpoints schema-compatible with older runs.
+        if self.tombstone is not None:
+            state_ddl += ", _tombstoned boolean"
+            out_ddl += ", _deleted boolean"
+        return StructType.fromDDL(state_ddl), StructType.fromDDL(out_ddl)
 
     def updates(self, stream_df: DataFrame) -> DataFrame:
         """Update-mode stream of state changes — the external changelog
@@ -255,6 +274,13 @@ def read_state(spark: SparkSession, checkpoint_dir: str, drop_tombstoned: bool =
     rows in the store as high-water marks; ``drop_tombstoned`` hides them —
     a deleted key is absent from the queryable view, exactly like a key
     removed via ``RocksDBClient.delete`` (reference rocksdb.py:75-85).
+
+    Only tombstone-configured StatefulStream checkpoints carry a
+    ``_tombstoned`` column; pass ``drop_tombstoned=False`` when reading a
+    :func:`stateful_transform` checkpoint whose user state happens to use
+    that name. Note markers are retained indefinitely (NoTimeout) — the
+    log-compaction trade-off: a deleted key costs one high-water row until
+    a newer live event replaces it.
     """
     raw = spark.read.format("statestore").load(checkpoint_dir)
     key_fields = [f"key.{f.name}" for f in raw.schema["key"].dataType.fields]
@@ -274,26 +300,28 @@ def read_state(spark: SparkSession, checkpoint_dir: str, drop_tombstoned: bool =
     return out
 
 
-def replay_changelog(
-    spark: SparkSession, changelog_dir: str, key_col: str, tombstone_col: str | None = None
-) -> DataFrame:
+def replay_changelog(spark: SparkSession, changelog_dir: str, key_col: str) -> DataFrame:
     """Rebuild the state table from an external changelog directory — the
     batch analogue of reference recovery (storage.py:151-184): last writer
-    (by batch id, then log order) wins per key. ``tombstone_col`` applies
-    null-payload delete records (O6): a key whose winning changelog row has
-    a null in that column is absent from the rebuilt table."""
+    (by batch id, then log order) wins per key. Delete records carry an
+    explicit ``_deleted`` marker (written by tombstone-configured streams);
+    a key whose winning row is marked deleted is absent from the rebuilt
+    table. Keying off the marker — never payload nullness — means a winning
+    live row with a genuinely NULL value survives replay."""
     log = spark.read.parquet(changelog_dir)
-    order = [c for c in log.columns if c not in (key_col, "_batch_id")]
+    order = [c for c in log.columns if c not in (key_col, "_batch_id", "_deleted")]
+    has_deletes = "_deleted" in log.columns
+    picked = [c for c in log.columns if c != key_col]
     out = (
         log.groupBy(key_col)
         .agg(
             F.max_by(
-                F.struct(*[c for c in log.columns if c != key_col]),
+                F.struct(*picked),
                 F.struct(F.col("_batch_id"), *[F.col(c) for c in order]),
             ).alias("_s")
         )
-        .select(key_col, *[F.col(f"_s.{c}").alias(c) for c in order])
+        .select(key_col, *[F.col(f"_s.{c}").alias(c) for c in (*order, *(["_deleted"] if has_deletes else []))])
     )
-    if tombstone_col is not None:
-        out = out.where(F.col(tombstone_col).isNotNull())
+    if has_deletes:
+        out = out.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
     return out

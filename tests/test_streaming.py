@@ -124,6 +124,15 @@ def test_st1_streaming_state_oracle(spark):
     assert ok, msg
 
 
+def test_st2_streaming_tombstones_oracle(spark):
+    """The registered streaming-delete query against the batch d7 DuckDB
+    oracle — the driver-facing form of the marker-mode equivalence."""
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st2_streaming_tombstones", SF_SMALL)
+    assert ok, msg
+
+
 def test_stateful_transform_custom_fold(spark, staged):
     """User-defined per-key logic: running count + running sum kept in
     state across triggers (the arbitrary-callback parity feature)."""
