@@ -35,32 +35,47 @@ def dedup_stream(stream_df: DataFrame, id_cols: Sequence[str], ts_us_col: str = 
 class MaterializedStateSink:
     """foreachBatch sink that maintains a parquet state table by merging
     each micro-batch of events into the previous table generation
-    (write-new-then-swap; readers always see a complete generation)."""
+    (write-new-then-swap; readers always see a complete generation).
+
+    Generations are keyed by micro-batch id and discovered from disk, never
+    from sink-object memory: a restart from an existing checkpoint with a
+    FRESH sink object resumes from the latest on-disk generation instead of
+    silently discarding the accumulated table, and a retried batch rebuilds
+    its own generation from strictly-older ones (overwrite, so the merge is
+    idempotent under foreachBatch's at-least-once replay)."""
 
     def __init__(self, path: str, keys: Sequence[str] = ("user_id",)) -> None:
         self.path = path
         self.keys = tuple(keys)
-        self._gen = 0
+
+    def _gens(self) -> list[int]:
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        return sorted(int(n.split("=", 1)[1]) for n in names if n.startswith("gen="))
 
     def _gen_path(self, g: int) -> str:
         return os.path.join(self.path, f"gen={g}")
 
-    def current(self, spark: SparkSession) -> DataFrame | None:
-        if self._gen == 0:
+    def current(self, spark: SparkSession, before: int | None = None) -> DataFrame | None:
+        gens = [g for g in self._gens() if before is None or g < before]
+        if not gens:
             return None
-        return spark.read.parquet(self._gen_path(self._gen))
+        return spark.read.parquet(self._gen_path(gens[-1]))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev = self.current(spark)
+        # `before=batch_id` makes a retried batch re-merge against the same
+        # prior generation it saw the first time, not against its own output.
+        prev = self.current(spark, before=batch_id)
         if prev is None:
             new = compact_latest(batch_df, self.keys, payload_cols=[
                 c for c in batch_df.columns if c not in (*self.keys, "ts_us", "event_id")
             ])
         else:
             new = upsert_merge(prev, batch_df, self.keys)
-        self._gen += 1
-        new.write.mode("overwrite").parquet(self._gen_path(self._gen))
+        new.write.mode("overwrite").parquet(self._gen_path(batch_id))
 
 
 def run_materialized_state(
@@ -130,7 +145,13 @@ class IncrementalDedupIndex:
         self.index_path = index_path
         self.pairs_path = pairs_path
         self.min_est_jaccard = min_est_jaccard
-        self._has_index = False
+        # Recovered from disk so a restart keeps joining against the
+        # accumulated index instead of treating the corpus as empty. (Note:
+        # unlike MaterializedStateSink, the appends here are at-least-once —
+        # a batch retried after its append lands would duplicate pairs.)
+        self._has_index = os.path.isdir(index_path) and any(
+            f.endswith(".parquet") for f in os.listdir(index_path)
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from samsa_spark.operators.dedup import (

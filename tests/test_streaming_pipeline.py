@@ -76,6 +76,69 @@ def test_materialized_state_equals_batch_compaction(spark, staged):
     assert got == want
 
 
+def test_materialized_state_survives_restart(spark, staged):
+    """Restart data-loss regression (round-2 ADVICE): a FRESH sink object
+    pointed at an existing sink path + checkpoint must resume from the
+    on-disk generation — the first post-restart micro-batch may not discard
+    the accumulated table."""
+    base, ev = staged
+    from samsa_spark.operators.state import compact_latest
+    from samsa_spark.streaming.pipeline import MaterializedStateSink, run_materialized_state
+    from samsa_spark.streaming.sources import file_stream
+
+    thr = ev.agg({"event_id": "max"}).collect()[0][0] // 2
+    src_dir = os.path.join(base, "restart-src")
+    os.makedirs(src_dir)
+    chk = os.path.join(base, "restart-chk")
+    state_path = os.path.join(base, "restart-state")
+
+    ev.where(f"event_id <= {thr}").coalesce(2).write.parquet(os.path.join(base, "rh1"))
+    for f in os.listdir(os.path.join(base, "rh1")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(base, "rh1", f), os.path.join(src_dir, f"a-{f}"))
+    run_materialized_state(
+        file_stream(spark, src_dir, ev.schema, max_files_per_trigger=1),
+        chk,
+        MaterializedStateSink(state_path, (KEY,)),
+    )
+
+    # "crash": new data arrives, a NEW sink object restarts from the same path
+    ev.where(f"event_id > {thr}").coalesce(2).write.parquet(os.path.join(base, "rh2"))
+    for f in os.listdir(os.path.join(base, "rh2")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(base, "rh2", f), os.path.join(src_dir, f"b-{f}"))
+    fresh = MaterializedStateSink(state_path, (KEY,))
+    run_materialized_state(
+        file_stream(spark, src_dir, ev.schema, max_files_per_trigger=1), chk, fresh
+    )
+
+    want_df = compact_latest(ev, payload_cols=("event_type", "value"))
+    want = {tuple(r) for r in want_df.collect()}
+    got = {
+        tuple(r)
+        for r in fresh.current(spark).select(*[f.name for f in want_df.schema.fields]).collect()
+    }
+    assert got == want
+
+
+def test_materialized_state_batch_retry_idempotent(spark, staged):
+    """foreachBatch is at-least-once: re-invoking the sink with the same
+    batch id must rebuild that generation from strictly-older ones, not
+    double-apply it."""
+    base, ev = staged
+    from samsa_spark.streaming.pipeline import MaterializedStateSink
+
+    sink = MaterializedStateSink(os.path.join(base, "retry-state"), (KEY,))
+    b0 = ev.where("event_id % 2 = 0")
+    b1 = ev.where("event_id % 2 = 1")
+    sink(b0, 0)
+    sink(b1, 1)
+    once = {tuple(r) for r in sink.current(spark).collect()}
+    sink(b1, 1)  # retry of the last batch
+    twice = {tuple(r) for r in sink.current(spark).collect()}
+    assert once == twice
+
+
 def test_stream_stream_join_matches_batch(spark, staged):
     base, ev = staged
     from samsa_spark.streaming.pipeline import purchase_attribution
