@@ -74,13 +74,29 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
 _SPLIT_MOD = 1_000_003
 
 
+def _key_hash(col: str):
+    """31-bit-masked multiplicative hash of an int64 key. The xor-fold keeps
+    high bits contributing for keys >= 2^31 (a 100 TB corpus has them) while
+    the mask bounds the multiply at ~5.7e18 < 2^63 — ANSI mode (Spark 4
+    default) throws on bigint overflow, so the unmasked form is a
+    correctness-at-scale bug, not a style choice. Identity for keys < 2^31,
+    so small-corpus hashes are unchanged."""
+    mixed = F.expr(f"(({col} >> 31) ^ {col}) & 2147483647")
+    return (mixed * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
+
+
+# The same expression for the DuckDB oracles (DuckDB spells bitwise xor as
+# xor(); `^` is exponentiation there).
+_KEY_HASH_SQL = "((xor({col} >> 31, {col}) & 2147483647) * 2654435761) % 1000003"
+
+
 def deterministic_split(documents: DataFrame, train_pct: int = 80) -> DataFrame:
     """sp1 — stable train/test assignment: split = f(doc_id) only. Counts
     per (split, lang) prove the assignment; the same doc lands in the same
     split on any engine, partitioning, or retry — rand()-based splits break
     all three.
     """
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
+    bucket = _key_hash("doc_id")
     split = F.when((bucket * 100) < F.lit(train_pct * _SPLIT_MOD), "train").otherwise("test")
     return (
         documents.select(split.alias("split"), "lang")
@@ -172,9 +188,9 @@ scored AS (
 SELECT source, CAST(rank AS INT) AS rank, term, tfidf FROM r WHERE rank <= 5
 """
 
-_SP1_SQL = """
+_SP1_SQL = f"""
 WITH s AS (
-  SELECT CASE WHEN ((doc_id * 2654435761) % 1000003) * 100 < 80 * 1000003
+  SELECT CASE WHEN ({_KEY_HASH_SQL.format(col="doc_id")}) * 100 < 80 * 1000003
               THEN 'train' ELSE 'test' END AS split,
          lang
   FROM documents
@@ -234,7 +250,7 @@ def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
     row key — reproducible across engines, partitionings, and retries.
     Emits per-stratum sample membership counts plus extremes for audit.
     """
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
+    h = _key_hash("doc_id")
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     picked = documents.select("doc_id", "lang").withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= per_lang
@@ -248,25 +264,43 @@ def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
 
 
 def equidepth_histogram(documents: DataFrame, buckets: int = 4) -> DataFrame:
-    """nt1 — equi-depth histogram via ntile: quartiles of document length
-    with per-bucket extents. The ntile window is one sort per partition key
-    (here global within a single stratum — at 100 TB use approx_percentile
-    cutpoints instead; this is the exact small-stratum form).
+    """nt1 — equi-depth histogram WITHOUT a global sort: exact percentile
+    cutpoints + broadcast bucket assignment. ``percentile`` is a distributed
+    value-count aggregate (partial/merge over distinct values — cheap for
+    bounded-cardinality columns like doc length), and assignment is a
+    narrow pass against the broadcast one-row cutpoint frame; the previous
+    form (partition-less ``ntile`` window) serialized the corpus through a
+    single reducer and is exactly the shape that dies at 100 TB.
+
+    Tie semantics: equal lengths land in one bucket (cutpoint semantics)
+    rather than being split arbitrarily (ntile semantics) — which is also
+    what makes the result engine-portable (DuckDB ``quantile_cont`` twin).
     """
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    t = documents.select("doc_id", "n_chars").withColumn("bucket", F.ntile(buckets).over(w))
-    return t.groupBy("bucket").agg(
-        F.count("*").alias("n_docs"),
-        F.min("n_chars").alias("lo_chars"),
-        F.max("n_chars").alias("hi_chars"),
+    ps = [i / buckets for i in range(1, buckets)]
+    cuts = documents.agg(
+        F.expr(f"percentile(n_chars, array({', '.join(map(str, ps))}))").alias("cuts")
+    )
+    bucket = F.lit(1)
+    for i in range(len(ps)):
+        bucket = bucket + (F.col("n_chars") > F.col("cuts")[i]).cast("int")
+    return (
+        documents.select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("lo_chars"),
+            F.max("n_chars").alias("hi_chars"),
+        )
     )
 
 
-_SM1_SQL = """
+_SM1_SQL = f"""
 WITH r AS (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
-                            ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rk
+                            ORDER BY {_KEY_HASH_SQL.format(col="doc_id")} ASC, doc_id ASC) AS rk
   FROM documents
 )
 SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
@@ -275,10 +309,13 @@ FROM r WHERE rk <= 20 GROUP BY lang
 """
 
 _NT1_SQL = """
-WITH t AS (
+WITH cuts AS (
+  SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS c FROM documents
+), t AS (
   SELECT doc_id, n_chars,
-         ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
-  FROM documents
+         1 + CAST(n_chars > c[1] AS INTEGER) + CAST(n_chars > c[2] AS INTEGER)
+           + CAST(n_chars > c[3] AS INTEGER) AS bucket
+  FROM documents CROSS JOIN cuts
 )
 SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
        min(n_chars) AS lo_chars, max(n_chars) AS hi_chars

@@ -39,3 +39,45 @@ def test_custom_group_agg_matches_builtin(spark):
 def test_oracle_match_sampling(spark, name):
     ok, msg = check_query(spark, name, SF_SMALL)
     assert ok, msg
+
+
+def test_key_hash_survives_huge_doc_ids_under_ansi(spark):
+    """A 100 TB corpus has doc_ids past 2^32; the unmasked Knuth multiply
+    overflows bigint there and ANSI mode (Spark 4 default) throws. The
+    masked hash must (a) not throw, (b) agree with the DuckDB form, and
+    (c) be the identity transform of the old hash for small ids."""
+    import duckdb
+
+    from samsa_spark.operators.pipeline_ops import _KEY_HASH_SQL, _key_hash
+
+    ids = [1, 123, 2**31 - 1, 2**31, 2**32 + 17, 5_000_000_000, 2**62 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", _key_hash("doc_id").alias("h")).collect()
+    }
+    want = {
+        i: duckdb.sql(
+            f"SELECT {_KEY_HASH_SQL.format(col=str(i))} AS h"
+        ).fetchall()[0][0]
+        for i in ids
+    }
+    assert got == want
+    # identity with the legacy unmasked hash below 2^31
+    for i in (1, 123, 2**31 - 1):
+        assert got[i] == (i * 2654435761) % 1_000_003
+
+
+def test_split_and_sample_run_on_huge_doc_ids(spark):
+    """sp1/sm1 end-to-end on synthetic rows whose doc_id exceeds 2^32 —
+    the exact case the unmasked hash turned into an ANSI overflow error."""
+    from samsa_spark.operators.pipeline_ops import deterministic_split, stratified_sample
+
+    rows = [(2**32 + i * 7919, "en" if i % 2 else "de", "t" * 10) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    split_rows = deterministic_split(docs).collect()
+    assert sum(r.n_docs for r in split_rows) == 50
+    assert {r.split for r in split_rows} <= {"train", "test"}
+    sampled = stratified_sample(docs, per_lang=5).collect()
+    assert {r.lang for r in sampled} == {"en", "de"}
+    assert all(r.n_sampled == 5 for r in sampled)

@@ -62,3 +62,27 @@ def test_corpus_stats_prunes_text_payload_columns(spark):
 def test_semi_join_for_exists(spark):
     p = _plan(spark, "j2_order_priority_stats")
     assert "LeftSemi" in p
+
+
+def test_equidepth_histogram_has_no_global_sort(spark):
+    """nt1 must bucket by percentile cutpoints, never a partition-less
+    window (single-reducer global sort)."""
+    p = _plan(spark, "nt1_equidepth_histogram")
+    assert "Window" not in p
+    assert "Sort" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # cutpoint frame is broadcast
+
+
+def test_no_partitionless_windows_anywhere(spark):
+    """No registered query may sort the world through one reducer: a Window
+    whose required distribution is SinglePartition shows up as
+    'Exchange SinglePartition' feeding a Window node."""
+    from samsa_spark import registry
+
+    for name in registry.queries():
+        if name.startswith(("st1", "st2")):  # streaming queries: no static plan
+            continue
+        p = _plan(spark, name)
+        if "Window" not in p:
+            continue
+        assert "Exchange SinglePartition" not in p, f"{name} has a global-sort window"
