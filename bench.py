@@ -39,7 +39,7 @@ HEADLINE = [
     "sim1_cosine_topk",
     "sim3_ann_topk_lsh",
     "mm2_decoded_features",
-    "as1_asof_join",
+    "as2_asof_cogrouped",
     "ses1_sessionize",
     "ro1_rollup_revenue",
     "pv1_pivot_event_counts",

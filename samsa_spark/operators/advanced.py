@@ -20,15 +20,16 @@ from samsa_spark import tables
 
 
 def asof_join_events_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
-    """as1 — as-of join: each event matched to the customer's most recent
-    order at or before the event time.
+    """as1 — as-of join, join-then-reduce form: each event matched to the
+    customer's most recent order at or before the event time via equi-join
+    on the key + range filter + max_by per event.
 
-    Spark has no ASOF JOIN; the scalable decomposition is equi-join on the
-    key + range filter + max_by per event — one shuffle on the join key,
-    partial max_by on the map side. (A merge-as-of over bucketed, time-
-    sorted tables is the 100 TB refinement; the plan shape here is the same
-    joins DuckDB's ASOF executes.) Sampled to events of users < 50 to bound
-    the oracle's quadratic check.
+    NOT the canonical form: the join materializes every (event, prior
+    order) pair before the reduce — a per-key quadratic intermediate that
+    explodes on keys with long histories. ``as2_asof_cogrouped`` (the
+    merge-as-of, O(n log n) per key) is the canonical/bench operator; as1
+    is kept as the SQL-shaped cross-check against the same oracle.
+    Sampled to users < 50 to bound the oracle's quadratic check.
     """
     ev = events.where(F.col("user_id") < 50).select(
         "event_id", "user_id", "ts_us", F.col("ts").alias("ev_ts")
@@ -255,14 +256,14 @@ FROM events GROUP BY user_id
 
 
 def asof_join_cogrouped(events: DataFrame, orders: DataFrame) -> DataFrame:
-    """as2 — as-of join via cogrouped applyInPandas: both sides are
-    co-partitioned by the key, and each key's pair of Arrow batches is
-    merged with pandas ``merge_asof`` (a linear two-pointer merge over
-    time-sorted rows). This is the merge-as-of shape PLANS.md names as the
-    100 TB refinement of as1: per-key work is O(n log n) sort + O(n) merge
-    instead of joining every event to ALL prior orders before reducing.
-    Same semantics and oracle as as1 (backward match, ties to the largest
-    order key).
+    """as2 — the CANONICAL as-of join (bench + recommended API): cogrouped
+    applyInPandas merge-as-of. Both sides are co-partitioned by the key, and
+    each key's pair of Arrow batches is merged with pandas ``merge_asof``
+    (a linear two-pointer merge over time-sorted rows) — per-key work is
+    O(n log n) sort + O(n) merge instead of as1's join of every event to
+    ALL prior orders before reducing. Same semantics and oracle as as1
+    (backward match, ties to the largest order key), which survives as the
+    SQL-shaped cross-check.
     """
     import pandas as pd
 

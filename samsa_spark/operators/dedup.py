@@ -169,8 +169,15 @@ def minhash_lsh_pairs(documents: DataFrame, min_est_jaccard: float = 0.25) -> Da
     4 rows; pairs colliding in any band are candidates; estimated Jaccard =
     fraction of equal signature positions. Self-join is on (band, band_hash)
     — the only shuffle key — so work scales with collisions, not n^2.
+
+    Shuffle discipline: the self-join and the (doc_a, doc_b) dedup move ONLY
+    3-column band rows / 2-column pairs — the 64-long signatures are joined
+    back onto the already-deduped pairs afterwards. Carrying signatures
+    through the band join (the previous form) made every shuffle ~16x wider
+    for rows that mostly get thrown away by the dedup.
     """
-    bands = band_signatures(minhash_signatures(documents))
+    sigs = minhash_signatures(documents)
+    bands = band_signatures(sigs).select("doc_id", "band", "bh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -179,15 +186,13 @@ def minhash_lsh_pairs(documents: DataFrame, min_est_jaccard: float = 0.25) -> Da
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand.select("doc_a", "doc_b", est_jaccard_col()).where(
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    paired = cand.join(sa, "doc_a").join(sb, "doc_b")
+    return paired.select("doc_a", "doc_b", est_jaccard_col()).where(
         F.col("est_jaccard") >= min_est_jaccard
     )
 
