@@ -273,6 +273,11 @@ def asof_join_cogrouped(events: DataFrame, orders: DataFrame) -> DataFrame:
     od = orders.select(
         F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate", "o_totalprice"
     )
+    # Prune the right side to keys that exist on the left BEFORE cogrouping:
+    # every right-only key still costs a Python invocation inside the
+    # cogroup (measured: ~15k empty groups = ~22s at sf0.1), and a
+    # broadcast semi-join removes them for free.
+    od = od.join(F.broadcast(ev.select("user_id").distinct()), "user_id", "left_semi")
 
     def merge(ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(ev_pdf) == 0 or len(od_pdf) == 0:
