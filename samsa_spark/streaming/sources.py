@@ -16,6 +16,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def kafka_source_options(
+    brokers: str, topics: list[str], starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """Option wiring for the Kafka source, as a pure dict so tests can
+    assert the contract without a broker or the connector jar."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(brokers: str, topic: str, checkpoint_dir: str) -> dict[str, str]:
+    """Option wiring for the Kafka sink (see :func:`kafka_source_options`)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -30,9 +51,7 @@ def kafka_stream(
     try:
         raw = (
             spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("subscribe", ",".join(topics))
-            .option("startingOffsets", starting_offsets)
+            .options(**kafka_source_options(brokers, topics, starting_offsets))
             .load()
         )
     except Exception as e:  # connector jar absent in broker-less environments
@@ -62,9 +81,7 @@ def kafka_sink_writer(df: DataFrame, brokers: str, topic: str, checkpoint_dir: s
     )
     return (
         out.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(**kafka_sink_options(brokers, topic, checkpoint_dir))
         .outputMode("update")
     )
 
