@@ -47,6 +47,46 @@ def compact_latest_salted(
     )
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    salt_from: str = "event_id",
+) -> DataFrame:
+    """Join-side salting for pathological hot keys when the other side is
+    too big to broadcast (the case AQE skew-join may miss: skew detected
+    only at runtime per shuffle block, or a deliberately pinned plan).
+
+    Fact rows get a deterministic salt in [0, n) derived from ``salt_from``
+    (never rand(): retries/replays must route a row identically); each dim
+    row is replicated n times via explode, and the equi-join runs on
+    (key, _salt). The result is EXACTLY ``facts.join(dim, key)`` — only the
+    shuffle key gains entropy, so a hot key's rows land on n reducers
+    instead of one. Cost: dim side shuffles n copies — use for big-fact x
+    modest-dim joins with known hot keys.
+    """
+    salted_f = facts.withColumn(
+        "_salt", F.pmod(F.col(salt_from), F.lit(salt_buckets)).cast("int")
+    )
+    salted_d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_f.join(salted_d, [key, "_salt"]).drop("_salt")
+
+
+def salted_enrich_stats(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """js1 — per-nation event stats through a SALTED fact-dim join (the
+    join-side twin of d2s): same oracle as the plain join because salting
+    is result-invariant. Decimal-sum discipline per CLAUDE.md rule 6."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    j = salted_join(events.select("user_id", "event_id", "value"), dim, "user_id")
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
 def value_percentiles(lineitem: DataFrame) -> DataFrame:
     """pc1 — exact percentiles (median/p90) per group. Spark ``percentile``
     and DuckDB ``quantile_cont`` share the linear-interpolation definition.
@@ -102,12 +142,27 @@ def build_queries():
 
         return run
 
+    def q2(fn, n1, n2):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            return fn(tables.load(spark, sf, n1), tables.load(spark, sf, n2))
+
+        return run
+
     return {
         "d2s_salted_compaction": (q(compact_latest_salted, "events"), state_ops.ORACLE_SQL["d2_state_table"]),
+        "js1_salted_join": (q2(salted_enrich_stats, "events", "customer"), _JS1_SQL),
         "pc1_percentiles": (q(value_percentiles, "lineitem", spread=True), _PC1_SQL),
         "hist1_doc_lengths": (q(doc_length_histogram, "documents"), _HIST1_SQL),
         "arr1_vector_stats": (q(vector_stats, "embeddings"), _ARR1_SQL),
     }
+
+
+_JS1_SQL = """
+SELECT c_nationkey, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
 
 
 _PC1_SQL = """
