@@ -175,8 +175,16 @@ def minhash_lsh_pairs(documents: DataFrame, min_est_jaccard: float = 0.25) -> Da
     back onto the already-deduped pairs afterwards. Carrying signatures
     through the band join (the previous form) made every shuffle ~16x wider
     for rows that mostly get thrown away by the dedup.
+
+    The signature table is localCheckpoint'd: it feeds three plan branches
+    (banding + both sides of the re-attach) and Spark gets no ReusedExchange
+    across them, so without materialization the token-hash + 64-min
+    aggregate runs three times (measured 2.8x cost at sf0.1). Materializing
+    the sketch table is also what a real pipeline does — signatures are the
+    narrow, reusable artifact (n_docs x 64 ints), recomputing them per
+    branch is the expensive path at any scale.
     """
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(documents).localCheckpoint(eager=False)
     bands = band_signatures(sigs).select("doc_id", "band", "bh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
