@@ -105,6 +105,111 @@ def decode_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(_batches, DECODED_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, target_w: int = 64, target_h: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Resize pipeline over binary payloads (mapInPandas, narrow, Arrow-
+    batched). The stub "resize" truncates the payload to the target byte
+    budget (w*h*3, an RGB frame) — a real deployment replaces the body of
+    ``_resize_one`` with PIL ``Image.open(...).resize(...)`` and keeps
+    every other line: schema, batch iteration, and the no-shuffle plan are
+    the production plumbing. Output keeps both sizes so downstream can
+    audit the byte reduction.
+    """
+    budget = target_w * target_h * 3
+
+    def _resize_one(content: bytes) -> bytes:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media resize requires PIL/ffmpeg, not present in this container"
+            )
+        return bytes(content[:budget])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [_resize_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "n_bytes_in": pdf["content"].map(len).astype("int64"),
+                    "n_bytes_out": pd.Series([len(r) for r in resized], dtype="int64"),
+                    "content": resized,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes_in", LongType()),
+            StructField("n_bytes_out", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return media.mapInPandas(_batches, schema)
+
+
+FRAME_BYTES = 256
+
+
+def sample_frames(media: DataFrame, every_k: int = 3, decode_stub: bool = True) -> DataFrame:
+    """Frame sampling over binary payloads: one input row fans out to one
+    row PER SAMPLED FRAME (the 1->N mapInPandas shape a video pipeline
+    needs). The stub treats the payload as fixed-256-byte frames and keeps
+    every k-th; a real deployment demuxes with ffmpeg/pyav in
+    ``_frames_of`` and keeps the fan-out plumbing unchanged.
+
+    Deterministic by construction: frame count and sampled byte sizes are
+    pure arithmetic on payload length, which is what makes the aggregate
+    query (mm4) exactly oracle-checkable while the executor genuinely
+    slices bytes.
+    """
+
+    def _frames_of(content: bytes) -> list[bytes]:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real frame extraction requires ffmpeg/pyav, not present in this container"
+            )
+        return [content[o : o + FRAME_BYTES] for o in range(0, len(content), FRAME_BYTES)]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mts, idxs, totals, frames = [], [], [], [], []
+            for doc_id, mt, content in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+                fs = _frames_of(content)
+                for i in range(0, len(fs), every_k):
+                    ids.append(doc_id)
+                    mts.append(mt)
+                    idxs.append(i)
+                    totals.append(len(fs))
+                    frames.append(fs[i])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames_total": pd.Series(totals, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_frames_total", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+    return media.mapInPandas(_batches, schema)
+
+
 def media_metadata_stats(documents: DataFrame) -> DataFrame:
     """mm1 — metadata-only query: byte/char accounting per synthetic media
     type WITHOUT touching payload bytes (column pruning keeps the scan
@@ -150,6 +255,37 @@ def decoded_features(documents: DataFrame) -> DataFrame:
 # --- registry wiring -------------------------------------------------------
 
 
+def resized_stats(documents: DataFrame) -> DataFrame:
+    """mm3 — resize pipeline stats: encode -> mapInPandas resize (stub) ->
+    per-type byte accounting. Oracle-exact: the stub's output size is
+    ``least(n_bytes, w*h*3)``, so DuckDB reproduces the aggregate from
+    ``strlen(text)`` while Spark genuinely slices payload bytes on the
+    executors."""
+    r = resize_media(as_media(documents))
+    return r.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes_in").alias("total_bytes_in"),
+        F.sum("n_bytes_out").alias("total_bytes_out"),
+        F.max("n_bytes_out").alias("max_bytes_out"),
+        F.min("width").cast("int").alias("out_width"),
+        F.min("height").cast("int").alias("out_height"),
+    )
+
+
+def frame_sample_stats(documents: DataFrame, every_k: int = 3) -> DataFrame:
+    """mm4 — frame-sampling stats: encode -> 1->N frame fan-out (stub
+    demux) -> per-type frame accounting. Oracle-exact via frame arithmetic
+    on ``strlen(text)`` (frames of 256 bytes, every 3rd kept, short last
+    frame included)."""
+    fr = sample_frames(as_media(documents), every_k=every_k)
+    return fr.groupBy("media_type").agg(
+        F.count("*").alias("n_frames_sampled"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.octet_length("frame").cast("bigint")).alias("sampled_bytes"),
+        F.max("n_frames_total").cast("int").alias("max_frames"),
+    )
+
+
 def build_queries():
     def q(fn):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -160,8 +296,46 @@ def build_queries():
     return {
         "mm1_media_metadata": (q(media_metadata_stats), _MM1_SQL),
         "mm2_decoded_features": (q(decoded_features), None),
+        "mm3_resized_stats": (q(resized_stats), _MM3_SQL),
+        "mm4_frame_sample_stats": (q(frame_sample_stats), _MM4_SQL),
     }
 
+
+_MM3_SQL = """
+WITH m AS (
+  SELECT (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         strlen(text) AS n_in,
+         least(strlen(text), 64 * 64 * 3) AS n_out
+  FROM documents
+)
+SELECT media_type, count(*) AS n_media,
+       CAST(sum(n_in) AS BIGINT) AS total_bytes_in,
+       CAST(sum(n_out) AS BIGINT) AS total_bytes_out,
+       max(n_out) AS max_bytes_out,
+       CAST(64 AS INTEGER) AS out_width, CAST(64 AS INTEGER) AS out_height
+FROM m GROUP BY media_type
+"""
+
+_MM4_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         strlen(text) AS n,
+         CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS frames
+  FROM documents WHERE strlen(text) > 0
+), s AS (
+  SELECT doc_id, media_type, n, frames,
+         (frames - 1) // 3 + 1 AS n_sampled,
+         CASE WHEN (frames - 1) % 3 = 0 THEN 256 * frames - n ELSE 0 END AS short_adj
+  FROM m
+)
+SELECT media_type,
+       CAST(sum(n_sampled) AS BIGINT) AS n_frames_sampled,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(256 * n_sampled - short_adj) AS BIGINT) AS sampled_bytes,
+       CAST(max(frames) AS INTEGER) AS max_frames
+FROM s GROUP BY media_type
+"""
 
 _MM1_SQL = """
 WITH m AS (

@@ -218,6 +218,8 @@ _DEMOTED = (
     "cu1_cube_order_stats",           # ro1 rollup covers grouping sets
     "h3_top_orders",                  # w1 top-k; TakeOrderedAndProject locked in test_plans
     "hist1_doc_lengths",              # pc1 covers distribution shape
+    "rg1_user_value_trends",          # da1 aggregates; pytest checks vs applyInPandas twin
+    "ag1_event_sequences",            # pk1/pv1 cover ordered/shaped aggregation
 )
 
 

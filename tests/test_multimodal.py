@@ -36,6 +36,57 @@ def test_mm2_decode_matches_python(spark):
         assert got.height == 64 + (expect >> 10) % 1024
 
 
+def test_mm3_oracle(spark):
+    ok, msg = check_query(spark, "mm3_resized_stats", SF_SMALL)
+    assert ok, msg
+
+
+def test_mm4_oracle(spark):
+    ok, msg = check_query(spark, "mm4_frame_sample_stats", SF_SMALL)
+    assert ok, msg
+
+
+def test_resize_slices_real_bytes(spark):
+    """The resize stub must emit the actual truncated payload, not just
+    sizes: content == first w*h*3 bytes of the encoded text."""
+    from samsa_spark import tables
+    from samsa_spark.operators.multimodal import as_media, resize_media
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    out = {r.doc_id: r for r in resize_media(as_media(docs), 8, 8).collect()}
+    budget = 8 * 8 * 3
+    for r in docs.select("doc_id", "text").limit(20).collect():
+        raw = r.text.encode("utf-8")
+        got = out[r.doc_id]
+        assert bytes(got.content) == raw[:budget]
+        assert got.n_bytes_in == len(raw)
+        assert got.n_bytes_out == min(len(raw), budget)
+        assert (got.width, got.height) == (8, 8)
+
+
+def test_frame_sampling_fan_out(spark):
+    """1->N fan-out: every 3rd 256-byte frame, byte-exact, including the
+    short final frame."""
+    from samsa_spark import tables
+    from samsa_spark.operators.multimodal import FRAME_BYTES, as_media, sample_frames
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    rows = sample_frames(as_media(docs), every_k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for r in docs.select("doc_id", "text").limit(15).collect():
+        raw = r.text.encode("utf-8")
+        if not raw:
+            assert r.doc_id not in by_doc
+            continue
+        frames = [raw[o : o + FRAME_BYTES] for o in range(0, len(raw), FRAME_BYTES)]
+        want = {i: frames[i] for i in range(0, len(frames), 3)}
+        got = {x.frame_idx: bytes(x.frame) for x in by_doc[r.doc_id]}
+        assert got == want
+        assert all(x.n_frames_total == len(frames) for x in by_doc[r.doc_id])
+
+
 def test_mm2_stub_gate(spark):
     import pytest
 

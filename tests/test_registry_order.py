@@ -49,6 +49,8 @@ def test_demoted_queries_keep_in_window_sibling():
         "cu1_cube_order_stats": ["ro1_rollup_revenue"],
         "h3_top_orders": ["w1_segment_top_orders"],
         "hist1_doc_lengths": ["pc1_percentiles"],
+        "rg1_user_value_trends": ["da1_distinct_aggregates", "d10_windowed_changes"],
+        "ag1_event_sequences": ["pk1_pack_sequences", "pv1_pivot_event_counts"],
     }
     for demoted, sibs in siblings.items():
         if demoted in window:
