@@ -199,6 +199,75 @@ _register(
 )
 
 
+def _streaming_custom_fold(spark: SparkSession, sf: str) -> DataFrame:
+    """st3 — the O5 surface (arbitrary user callback against keyed state,
+    the reference's whole point: ``consume(callback)`` + query/save,
+    storage.py:228-253) under the driver gate: a Python fold keeping
+    (running count, exact cents sum) per user runs through
+    ``stateful_transform`` over a multi-trigger file backlog; the final
+    state store must equal the plain SQL aggregate. Cents are integers so
+    the fold's accumulation order cannot move the result."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import read_state, stateful_transform
+
+    ev = tables.load(spark, sf, "events").select("user_id", "value")
+    base = tempfile.mkdtemp(prefix="samsa-st3-")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    chk = os.path.join(base, "chk")
+
+    def fold(key, prior, pdf):
+        import pandas as pd
+
+        n0, c0 = prior if prior is not None else (0, 0)
+        n = n0 + len(pdf)
+        cents = c0 + int((pdf["value"] * 100).round().sum())
+        return (n, cents), pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+        )
+
+    out = stateful_transform(
+        file_stream(spark, src, ev.schema, max_files_per_trigger=2),
+        "user_id",
+        fold,
+        state_ddl="n_events bigint, cents bigint",
+        output_ddl="user_id bigint, n_events bigint, cents bigint",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = read_state(spark, chk)
+    return st.select(
+        "user_id",
+        "n_events",
+        (F.col("cents") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+_ST3_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events GROUP BY user_id
+"""
+
+_register("st3_streaming_custom_fold", _streaming_custom_fold, _ST3_SQL)
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:
@@ -220,6 +289,7 @@ _DEMOTED = (
     "hist1_doc_lengths",              # pc1 covers distribution shape
     "rg1_user_value_trends",          # da1 aggregates; pytest checks vs applyInPandas twin
     "ag1_event_sequences",            # pk1/pv1 cover ordered/shaped aggregation
+    "pv1_pivot_event_counts",         # vec1 exercises pivot in-window
 )
 
 

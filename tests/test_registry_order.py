@@ -17,6 +17,11 @@ MUST_BE_CHECKED = [
     "mm1_media_metadata",
     "sql1_revenue_by_segment",
     "udtf1_ngram_counts",
+    "st2_streaming_tombstones",
+    "st3_streaming_custom_fold",
+    "js1_salted_join",
+    "mm3_resized_stats",
+    "mm4_frame_sample_stats",
 ]
 
 
@@ -50,7 +55,8 @@ def test_demoted_queries_keep_in_window_sibling():
         "h3_top_orders": ["w1_segment_top_orders"],
         "hist1_doc_lengths": ["pc1_percentiles"],
         "rg1_user_value_trends": ["da1_distinct_aggregates", "d10_windowed_changes"],
-        "ag1_event_sequences": ["pk1_pack_sequences", "pv1_pivot_event_counts"],
+        "ag1_event_sequences": ["pk1_pack_sequences"],
+        "pv1_pivot_event_counts": ["vec1_label_centroids"],
     }
     for demoted, sibs in siblings.items():
         if demoted in window:

@@ -133,6 +133,15 @@ def test_st2_streaming_tombstones_oracle(spark):
     assert ok, msg
 
 
+def test_st3_streaming_custom_fold_oracle(spark):
+    """The registered user-callback (O5) query: an arbitrary Python fold
+    through stateful_transform, final state vs the plain SQL aggregate."""
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st3_streaming_custom_fold", SF_SMALL)
+    assert ok, msg
+
+
 def test_stateful_transform_custom_fold(spark, staged):
     """User-defined per-key logic: running count + running sum kept in
     state across triggers (the arbitrary-callback parity feature)."""
