@@ -165,6 +165,69 @@ def ann_topk_lsh(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataF
     )
 
 
+IVF_NPROBE = 2
+
+
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: per-label element-wise mean vector, rounded to
+    6 decimals for cross-engine determinism. Labels seed the cells instead
+    of iterative k-means — deterministic (no rand init), which is what lets
+    the whole IVF path sit in the exact-oracle gate; a production index
+    swaps this one function for k-means and keeps the query path."""
+    pe = embeddings.select("label", F.posexplode("embedding").alias("pos", "val"))
+    agg = pe.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+    )
+    cent = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+    )
+    return agg.groupBy("label").agg(cent.alias("cent"))
+
+
+def ivf_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataFrame:
+    """sim4 — IVF approximate top-k (the other scale path next to sim3's
+    LSH): assign every vector to its nearest centroid cell (one narrow
+    broadcast pass over ~cells rows), probe the query's IVF_NPROBE nearest
+    cells, and rank ONLY those cells' vectors by exact cosine.
+
+    Scale shape: centroids broadcast (cells x dim, tiny); assignment is one
+    (vec_id, cell) aggregate; the candidate join is probe-cells (broadcast,
+    |probes| x nprobe rows) x cell-partitioned corpus — |probes| x N/cells x
+    nprobe work, never N^2, and the cell column is the bucketing/partition
+    key a 100 TB layout would sort-cluster by. Fully deterministic, so
+    checked against an exact DuckDB twin (unlike sim3's seeded projection).
+    """
+    base = embeddings.select("vec_id", "embedding")
+    cents = F.broadcast(ivf_centroids(embeddings))
+    scored = base.crossJoin(cents).withColumn(
+        "ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6)
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
+    ranked = scored.withColumn("crank", F.row_number().over(wa))
+    assign = ranked.where(F.col("crank") == 1).select(
+        "vec_id", F.col("label").alias("cell"), "embedding"
+    )
+    probe_cells = F.broadcast(
+        ranked.where((F.col("vec_id") < n_probes) & (F.col("crank") <= IVF_NPROBE)).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("cell"),
+        )
+    )
+    cand = assign.join(probe_cells, "cell").where(F.col("q_id") != F.col("vec_id"))
+    s = cand.withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6)).select(
+        "q_id", "vec_id", "cos"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -181,7 +244,40 @@ def build_queries():
         # LSH buckets depend on a seeded-numpy projection only Spark-side:
         # rows-only driver check; recall asserted in tests/test_similarity.py.
         "sim3_ann_topk_lsh": (q(ann_topk_lsh), None),
+        "sim4_ivf_topk": (q(ivf_topk), _SIM4_SQL),
     }
+
+
+_SIM4_SQL = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+pe AS (
+  SELECT label, i AS pos, round(avg(emb[i]), 6) AS a
+  FROM v CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY label, i
+),
+c AS (SELECT label, list(a ORDER BY pos) AS cent FROM pe GROUP BY label),
+sc AS (
+  SELECT v.vec_id, v.emb, c.label,
+         round(list_cosine_similarity(c.cent, v.emb), 6) AS ccos,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(c.cent, v.emb), 6) DESC,
+                                     c.label ASC) AS crank
+  FROM v CROSS JOIN c
+),
+asg AS (SELECT vec_id, label AS cell, emb FROM sc WHERE crank = 1),
+pc AS (SELECT vec_id AS q_id, emb AS q_emb, label AS cell
+       FROM sc WHERE vec_id < 20 AND crank <= 2),
+s AS (
+  SELECT pc.q_id, a.vec_id, round(list_cosine_similarity(pc.q_emb, a.emb), 6) AS cos
+  FROM pc JOIN asg a USING (cell)
+  WHERE a.vec_id <> pc.q_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+"""
 
 
 _SIM1_SQL = """

@@ -290,6 +290,7 @@ _DEMOTED = (
     "rg1_user_value_trends",          # da1 aggregates; pytest checks vs applyInPandas twin
     "ag1_event_sequences",            # pk1/pv1 cover ordered/shaped aggregation
     "pv1_pivot_event_counts",         # vec1 exercises pivot in-window
+    "as1_asof_join",                  # as2 (canonical merge-asof) shares its oracle in-window
 )
 
 

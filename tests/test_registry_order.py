@@ -57,6 +57,7 @@ def test_demoted_queries_keep_in_window_sibling():
         "rg1_user_value_trends": ["da1_distinct_aggregates", "d10_windowed_changes"],
         "ag1_event_sequences": ["pk1_pack_sequences"],
         "pv1_pivot_event_counts": ["vec1_label_centroids"],
+        "as1_asof_join": ["as2_asof_cogrouped"],
     }
     for demoted, sibs in siblings.items():
         if demoted in window:

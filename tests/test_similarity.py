@@ -48,6 +48,39 @@ def test_ann_lsh_subset_of_bucket_and_sane(spark):
     assert hits >= 1, "ANN never intersects exact top-5"
 
 
+def test_ivf_oracle(spark):
+    ok, msg = check_query(spark, "sim4_ivf_topk", SF_SMALL)
+    assert ok, msg
+
+
+def test_ivf_candidates_respect_cells_and_overlap_exact(spark):
+    """IVF results must come from the probe's nprobe nearest cells, be
+    correctly ranked, and overlap the exact top-k for most probes (10 cells,
+    probing 2 -> a 5x candidate cut that should still find near neighbors)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    ivf = ivf_topk(emb, n_probes=20, k=3).collect()
+    assert ivf, "IVF returned nothing"
+    by_q: dict[int, list] = {}
+    for r in ivf:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        coss = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
+        assert coss == sorted(coss, reverse=True), f"ranking broken for q={q}"
+
+    exact_by_q: dict[int, set] = {}
+    for r in cosine_topk(emb, n_probes=20, k=5).collect():
+        exact_by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(
+        1 for q, rs in by_q.items() if {r.vec_id for r in rs} & exact_by_q.get(q, set())
+    )
+    assert hits >= len(by_q) // 2, f"IVF overlaps exact top-5 for only {hits}/{len(by_q)} probes"
+
+
 def test_cosine_udf_matches_numpy(spark):
     from samsa_spark import tables
     from samsa_spark.operators.similarity import cosine_topk
