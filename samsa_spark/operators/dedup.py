@@ -88,10 +88,19 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
     singleton shingles (doc frequency 1) are pruned before the self-join —
     they can't produce a pair, and they're the vast majority of postings.
     """
-    g = shingle_postings(documents).select("doc_id", F.xxhash64("sh").alias("sh_h"))
+    # Both postings tables feed multiple plan branches (sizes + df filter +
+    # both self-join sides) with no ReusedExchange across them — materialize
+    # once instead of re-running the explode/hash pipeline per branch
+    # (measured 2.2x at sf0.1, identical pairs). Same rule as dd3's
+    # signature table.
+    g = (
+        shingle_postings(documents)
+        .select("doc_id", F.xxhash64("sh").alias("sh_h"))
+        .localCheckpoint(eager=False)
+    )
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     shared = g.groupBy("sh_h").agg(F.count("*").alias("df")).where(F.col("df") > 1).select("sh_h")
-    g2 = g.join(shared, "sh_h")
+    g2 = g.join(shared, "sh_h").localCheckpoint(eager=False)
     a, b = g2.alias("a"), g2.alias("b")
     inter = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
