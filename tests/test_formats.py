@@ -30,7 +30,7 @@ def _events(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_roundtrip_compaction(spark, base, fmt):
     from samsa_spark.operators.state import compact_latest
 
@@ -44,8 +44,10 @@ def test_roundtrip_compaction(spark, base, fmt):
     reader = spark.read
     if fmt == "csv":
         back = reader.option("header", "true").schema(ev.schema).csv(path)
-    else:
+    elif fmt == "json":
         back = reader.schema(ev.schema).json(path)
+    else:
+        back = reader.orc(path)  # self-describing columnar, schema from footer
 
     want = {tuple(r) for r in compact_latest(ev, payload_cols=("event_type", "value")).collect()}
     got = {tuple(r) for r in compact_latest(back, payload_cols=("event_type", "value")).collect()}
