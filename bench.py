@@ -57,7 +57,7 @@ def main() -> None:
     from samsa_spark.session import get_spark
 
     spark = get_spark("samsa-spark-bench")
-    qs = registry.queries()
+    qs = registry.all_queries()  # bench covers pruned twins (h3) too
     # Warm both execution paths before timing: JVM/codegen (flagship) and
     # the Python worker pool (an Arrow pandas-UDF query) — steady-state
     # throughput is what the headline measures, not process spin-up.

@@ -72,8 +72,8 @@ def compare(spark_df, oracle_pdf) -> tuple[bool, str]:
 def check_query(spark, name: str, sf_dir: str) -> tuple[bool, str]:
     from samsa_spark import registry
 
-    q = registry.queries()[name]
-    sql = registry.oracle_sql().get(name)
+    q = registry.all_queries()[name]
+    sql = registry.all_oracle_sql().get(name)
     if sql is None:
         n = q(spark, sf_dir).count()
         return True, f"rows-only ({n} rows)"

@@ -32,7 +32,7 @@ def test_as2_equals_as1(spark):
     agree row for row."""
     from samsa_spark import registry
 
-    qs = registry.queries()
+    qs = registry.all_queries()
     a1 = {tuple(r) for r in qs["as1_asof_join"](spark, SF_SMALL).collect()}
     a2 = {tuple(r) for r in qs["as2_asof_cogrouped"](spark, SF_SMALL).collect()}
     assert a1 == a2

@@ -11,7 +11,7 @@ from tests.conftest import SF_SMALL
 def _plan(spark, name):
     from samsa_spark import registry
 
-    df = registry.queries()[name](spark, SF_SMALL)
+    df = registry.all_queries()[name](spark, SF_SMALL)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -79,7 +79,7 @@ def test_no_partitionless_windows_anywhere(spark):
     'Exchange SinglePartition' feeding a Window node."""
     from samsa_spark import registry
 
-    for name in registry.queries():
+    for name in registry.all_queries():
         if name.startswith(("st1", "st2")):  # streaming queries: no static plan
             continue
         p = _plan(spark, name)
