@@ -133,7 +133,9 @@ def ann_topk_lsh(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataF
     a co-locatable equi-join, never an all-pairs shuffle. Recall vs sim1 is
     asserted in tests/test_similarity.py.
     """
-    b = lsh_buckets(embeddings)
+    # Materialized: the bucket projection (pandas-UDF hyperplane pass) feeds
+    # both the probe filter and the corpus side of the candidate join.
+    b = lsh_buckets(embeddings).localCheckpoint(eager=False)
     probes = F.broadcast(
         b.where(F.col("vec_id") < n_probes).select(
             F.col("vec_id").alias("q_id"),
@@ -205,7 +207,10 @@ def ivf_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataFrame
     from pyspark.sql import Window
 
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
-    ranked = scored.withColumn("crank", F.row_number().over(wa))
+    # Materialized: the centroid-scoring pass feeds both the assignment and
+    # the probe-cell branches (no ReusedExchange across them) — without this
+    # the N x cells cosine pass runs twice.
+    ranked = scored.withColumn("crank", F.row_number().over(wa)).localCheckpoint(eager=False)
     assign = ranked.where(F.col("crank") == 1).select(
         "vec_id", F.col("label").alias("cell"), "embedding"
     )
