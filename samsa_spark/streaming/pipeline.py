@@ -163,41 +163,47 @@ class IncrementalDedupIndex:
         spark = batch_df.sparkSession
         bands = band_signatures(minhash_signatures(batch_df)).localCheckpoint(eager=True)
 
-        a, b = bands.alias("a"), bands.alias("b")
-        within = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bh") == F.col("b.bh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-                F.col("a.sig").alias("sig_a"),
-                F.col("b.sig").alias("sig_b"),
-            )
+        # Same shuffle discipline as batch dd3: band joins and the pair
+        # dedup move only (doc_id, band, bh) rows; the 64-long signatures
+        # are re-attached to the surviving pairs afterwards.
+        slim = bands.select("doc_id", "band", "bh")
+        a, b = slim.alias("a"), slim.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
         candidates = within
+        sig_sources = [bands.select("doc_id", "sig").dropDuplicates(["doc_id"])]
         if self._has_index:
-            idx = spark.read.parquet(self.index_path).alias("i")
+            idx = spark.read.parquet(self.index_path)
             cross = (
-                bands.alias("n")
+                slim.alias("n")
                 .join(
-                    idx,
+                    idx.select("doc_id", "band", "bh").alias("i"),
                     (F.col("n.band") == F.col("i.band")) & (F.col("n.bh") == F.col("i.bh")),
                 )
                 .where(F.col("n.doc_id") != F.col("i.doc_id"))
                 .select(
                     F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
                     F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_b"),
-                    F.col("n.sig").alias("sig_a"),
-                    F.col("i.sig").alias("sig_b"),
                 )
             )
             candidates = within.unionByName(cross)
+            sig_sources.append(idx.select("doc_id", "sig").dropDuplicates(["doc_id"]))
+        import functools
+
+        sigs = functools.reduce(
+            lambda x, y: x.unionByName(y), sig_sources
+        ).dropDuplicates(["doc_id"])
         pairs = (
             candidates.dropDuplicates(["doc_a", "doc_b"])
+            .join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+            .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
             .select("doc_a", "doc_b", est_jaccard_col())
             .where(F.col("est_jaccard") >= self.min_est_jaccard)
         )
