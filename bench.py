@@ -64,11 +64,21 @@ def main() -> None:
     qs["d2_state_table"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     qs["sim3_ann_topk_lsh"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # Pass 1 is the headline (protocol identical to rounds 1/2: one timed
+    # materialization per query, same order — comparable across rounds).
+    # Pass 2 re-times every query in the same session; the per-query min is
+    # reported as informational noise-floor fields, because host scheduler
+    # variance on this box moves byte-identical queries ±25% between runs.
     timings: dict[str, float] = {}
+    floor: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        floor[name] = round(min(timings[name], time.time() - t0), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -83,6 +93,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "value_floor": round(sum(floor.values()), 3),
+                "queries_floor": floor,
+                "protocol": "value/queries = single pass (rounds-1/2 protocol); *_floor = per-query min of 2 passes, same session",
             }
         )
     )

@@ -265,7 +265,10 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     "near" vacuous (radius 16 marks ~5% of ALL pairs near on the test
     corpus; radius 6 keeps it a duplicate detector).
     """
-    fps = simhash_fingerprints(documents)
+    # Materialized: the fingerprint table (2 longs per doc) feeds both sides
+    # of the chunk self-join — without this the bigram explode + 64-sum vote
+    # aggregate runs twice.
+    fps = simhash_fingerprints(documents).localCheckpoint(eager=False)
     chunks = fps.select(
         "doc_id",
         "simhash",
