@@ -142,6 +142,39 @@ def test_st3_streaming_custom_fold_oracle(spark):
     assert ok, msg
 
 
+def test_stateful_stream_string_contract(spark, staged):
+    """The reference's exact message shape — string key, string value,
+    log-offset order (storage.py:179-183) — through StatefulStream: final
+    state equals batch compaction over the same string-typed log (SURVEY §7
+    hard-part 4: the core surface keeps samsa's string contract)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.state import compact_latest
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import StatefulStream, read_state
+
+    base, half1, half2, ev = staged
+    log = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").alias("offset"),
+        F.concat_ws("|", "event_type", F.col("value").cast("string")).alias("value"),
+    )
+    src = os.path.join(base, "str-src")
+    log.repartition(4).write.parquet(src)
+    chk = os.path.join(base, "str-chk")
+    ss = StatefulStream(spark, "key", ("offset",), ("value",))
+    ss.run_available_now(file_stream(spark, src, log.schema, 2), chk)
+
+    got = {r.key: (r.offset, r.value) for r in read_state(spark, chk).collect()}
+    want = {
+        r.key: (r.last_offset, r.last_value)
+        for r in compact_latest(
+            log, keys=("key",), order_cols=("offset",), payload_cols=("value",)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stateful_transform_custom_fold(spark, staged):
     """User-defined per-key logic: running count + running sum kept in
     state across triggers (the arbitrary-callback parity feature)."""
