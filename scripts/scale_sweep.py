@@ -1,0 +1,143 @@
+"""Scale sweep: replicate the sf0.1 testdata 10x/100x and measure the core
+operators — the evidence behind PLANS.md's "would this survive 100x" tables.
+
+Usage:  python scripts/scale_sweep.py [events|dedup|all]
+
+- events: events log at 100k / 1M / 10M rows (replicas with shifted key/id
+  spaces, so key cardinality and per-key history both grow) -> D2 compaction,
+  D5 change detection, ses1 sessionization.
+- dedup: documents corpus at 1x and 10x (each doc + 9 perturbed replicas, so
+  true near-dup pairs grow ~100x) -> dd2 exact Jaccard, dd3 MinHash-LSH,
+  dd4 SimHash.
+
+Timings are steady-state (one warm pass per operator first at the smallest
+size). Writes one JSON line per measurement to stdout; paste the table into
+PLANS.md when the numbers move.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _spark():
+    from samsa_spark.session import get_spark
+
+    return get_spark(
+        "scale-sweep",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+
+
+def _time(label: str, df_builder, rows: int) -> None:
+    t0 = time.time()
+    df_builder().write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "measure": label,
+                "rows": rows,
+                "sec": round(dt, 2),
+                "rows_per_sec": int(rows / dt),
+            }
+        ),
+        flush=True,
+    )
+
+
+def sweep_events(spark) -> None:
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.advanced import sessionize
+    from samsa_spark.operators.state import compact_latest, detect_changes
+
+    base = tables.load(spark, SF_DIR, "events").select(
+        "user_id", "ts_us", "event_id", "event_type", "value"
+    )
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        # Shift both key and id spaces per replica: key cardinality grows
+        # (new users) AND each original key keeps its history (same user_id
+        # modulo shift pattern keeps ordering valid).
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("user_id") + F.col("_r") * 1000).alias("user_id"),
+            (F.col("ts_us") + F.col("_r")).alias("ts_us"),
+            (F.col("event_id") + F.col("_r") * 100_000_000).alias("event_id"),
+            "event_type",
+            "value",
+        )
+        return df, n_base * factor
+
+    # warm codegen + python-free paths at the smallest size
+    compact_latest(base).write.mode("overwrite").format("noop").save()
+    for factor in (1, 10, 100):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)  # measure operators, not generation
+        _time(f"d2_compact_x{factor}", lambda: compact_latest(df), n)
+        _time(f"d5_changes_x{factor}", lambda: detect_changes(df), n)
+        _time(f"ses1_sessionize_x{factor}", lambda: sessionize(df), n)
+        df.unpersist()
+
+
+def sweep_dedup(spark) -> None:
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select("doc_id", "text")
+    n_docs = docs.count()
+
+    def perturbed(factor: int):
+        if factor == 1:
+            return docs, n_docs
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            # replica 0 keeps the text; others get a token appended — near
+            # dups with jaccard just below 1.0
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("r"), F.col("_r"))))
+            .alias("text"),
+        )
+        return df, n_docs * factor
+
+    minhash_lsh_pairs(docs).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        df, n = perturbed(factor)
+        df = df.localCheckpoint(eager=True)
+        _time(f"dd2_exact_jaccard_x{factor}", lambda: ngram_jaccard_pairs(df, 0.5), n)
+        _time(f"dd3_minhash_lsh_x{factor}", lambda: minhash_lsh_pairs(df, 0.5), n)
+        _time(f"dd4_simhash_x{factor}", lambda: simhash_near_pairs(df), n)
+        df.unpersist()
+
+
+def main() -> None:
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    if what in ("events", "all"):
+        sweep_events(spark)
+    if what in ("dedup", "all"):
+        sweep_dedup(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
