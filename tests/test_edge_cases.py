@@ -90,3 +90,56 @@ def test_statetable_apply_on_empty_state(spark):
     assert {tuple(r) for r in merged.to_df().collect()} == {
         tuple(r) for r in compact_latest(ev).collect()
     }
+
+
+def test_salted_join_empty_sides(spark):
+    from samsa_spark.operators.scale import salted_join
+
+    facts = spark.createDataFrame([], "k long, event_id long")
+    dim = spark.createDataFrame([(1, "x")], "k long, attr string")
+    assert salted_join(facts, dim, "k").count() == 0
+    facts2 = spark.createDataFrame([(1, 10)], "k long, event_id long")
+    empty_dim = spark.createDataFrame([], "k long, attr string")
+    assert salted_join(facts2, empty_dim, "k").count() == 0
+
+
+def test_ivf_single_label_corpus(spark):
+    """One label -> one cell -> IVF degrades to brute force over the cell,
+    still returns ranked results."""
+    import numpy as np
+
+    from samsa_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, "only", [float(x) for x in rng.randn(64)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = ivf_topk(emb, n_probes=3, k=2).collect()
+    qids = {r.q_id for r in out}
+    assert qids == {0, 1, 2}
+    assert all(r.vec_id != r.q_id for r in out)
+
+
+def test_resize_and_frames_on_tiny_payloads(spark):
+    """Payload smaller than the budget / one frame: resize keeps all bytes,
+    frame sampling emits exactly one (short) frame."""
+    from samsa_spark.operators.multimodal import resize_media, sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "image/png", b"abc"), (2, "video/mp4", b"")],
+        "doc_id long, media_type string, content binary",
+    )
+    rs = {r.doc_id: r for r in resize_media(media, 8, 8).collect()}
+    assert bytes(rs[1].content) == b"abc" and rs[1].n_bytes_out == 3
+    assert rs[2].n_bytes_out == 0
+    fr = sample_frames(media, every_k=3).collect()
+    assert len(fr) == 1 and fr[0].doc_id == 1 and bytes(fr[0].frame) == b"abc"
+
+
+def test_equidepth_constant_column(spark):
+    """All-equal values: every cutpoint coincides, all rows land in one
+    bucket (cutpoint tie semantics) instead of crashing or splitting."""
+    from samsa_spark.operators.pipeline_ops import equidepth_histogram
+
+    docs = spark.createDataFrame([(i, 100) for i in range(20)], "doc_id long, n_chars int")
+    rows = equidepth_histogram(docs).collect()
+    assert len(rows) == 1 and rows[0].n_docs == 20 and rows[0].bucket == 1
