@@ -51,6 +51,11 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     term (broadcast-sized: vocabulary, not corpus). Deterministic top-k by
     (score desc, term asc).
     """
+    # The token stream feeds both frequency aggregates, but materializing it
+    # does NOT pay here (A/B'd: ~1.1 s warm either way at sf0.1) — recomputing
+    # a narrow explode is as cheap as caching 6M token rows. The multi-branch
+    # materialization rule (PLANS.md) applies to shared subtrees with
+    # expensive aggregate/UDF work, not cheap row generators.
     toks = documents.select("source", "doc_id", F.explode(F.split("text", " ")).alias("term"))
     n_docs = documents.select(F.countDistinct("doc_id").alias("nd"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
