@@ -76,6 +76,9 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
     for name in HEADLINE:
+        if timings[name] <= 1.0:  # floor pass only where noise matters
+            floor[name] = timings[name]
+            continue
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         floor[name] = round(min(timings[name], time.time() - t0), 3)
@@ -95,7 +98,7 @@ def main() -> None:
                 "sf": sf_num,
                 "value_floor": round(sum(floor.values()), 3),
                 "queries_floor": floor,
-                "protocol": "value/queries = single pass (rounds-1/2 protocol); *_floor = per-query min of 2 passes, same session",
+                "protocol": "value/queries = single pass (rounds-1/2 protocol); *_floor = per-query min of 2 same-session passes for queries over 1s",
             }
         )
     )
