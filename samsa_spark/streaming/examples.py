@@ -104,6 +104,23 @@ def windowed_change_counts(stream_df: DataFrame, ts_us_col: str = "ts_us", late:
     )
 
 
+def enrich_stream(stream_df: DataFrame, dim_df: DataFrame) -> DataFrame:
+    """Stream-static enrichment (the streaming twin of batch D9): each
+    event joined to a broadcast dimension. The static side is re-read per
+    micro-batch by the engine (picking up dim updates between triggers) and
+    broadcast, so the unbounded fact stream never shuffles — the same plan
+    discipline as the batch enrich.
+    """
+    dim = F.broadcast(
+        dim_df.select(
+            F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+        )
+    )
+    return stream_df.join(dim, "user_id", "left").select(
+        "user_id", "event_id", "ts_us", "event_type", "value", "c_name", "c_nationkey"
+    )
+
+
 def session_windows(stream_df: DataFrame, ts_us_col: str = "ts_us", gap: str = "30 minutes") -> DataFrame:
     """Session-window streaming aggregation: events within a 30-minute gap
     merge into one session per key (the streaming twin of the batch

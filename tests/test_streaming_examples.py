@@ -181,3 +181,44 @@ def test_session_windows_match_batch_sessionize(spark, staged):
     # and the stream must emit the bulk of sessions (watermark holds back
     # only each key's trailing session)
     assert len(emitted) >= len(batch) * 0.8
+
+
+def test_enrich_stream_matches_batch_d9(spark):
+    """Stream-static broadcast enrichment == batch D9 over the same log,
+    and the streaming plan broadcasts the dim (fact side never shuffles)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.streaming.examples import enrich_stream
+    from samsa_spark.streaming.sources import file_stream
+
+    base = tempfile.mkdtemp(prefix="samsa-enrich-")
+    ev = tables.load(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+    cust = tables.load(spark, SF_SMALL, "customer")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    out_dir = os.path.join(base, "out")
+
+    q = (
+        enrich_stream(file_stream(spark, src, ev.schema, 2), cust)
+        .writeStream.foreachBatch(lambda b, i: b.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    dim = cust.select(F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey")
+    want = {
+        tuple(r)
+        for r in ev.join(F.broadcast(dim), "user_id", "left")
+        .select("user_id", "event_id", "ts_us", "event_type", "value", "c_name", "c_nationkey")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    shutil.rmtree(base, ignore_errors=True)
