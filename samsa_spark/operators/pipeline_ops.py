@@ -136,6 +136,78 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
     )
 
 
+def prep_pipeline(
+    documents: DataFrame, min_chars: int = 50, min_alpha_ratio: float = 0.5, train_pct: int = 80
+) -> DataFrame:
+    """pp1 — the end-to-end training-data prep shard: quality filter ->
+    exact dedup -> deterministic split -> per-shard stats, composed from the
+    same primitives the individual queries check (tx2's alpha ratio, dd1's
+    content-hash canonicalization, sp1's masked key hash).
+
+    One declarative plan: Catalyst fuses the filter into the scan, the
+    dedup is one hash aggregate + semi-join shape, and the split adds no
+    shuffle (pure column function). This is the query a 100 TB corpus prep
+    job actually runs; everything else in the family is its building blocks.
+    Min/max quality (order-independent) instead of avg keeps the aggregate
+    engine-exact.
+    """
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    quality = F.round(alpha / n_chars, 6)
+    filtered = documents.select(
+        "doc_id", "lang", "text", quality.alias("alpha_ratio")
+    ).where((n_chars >= min_chars) & (F.col("alpha_ratio") >= min_alpha_ratio))
+    canon = filtered.groupBy(F.sha2("text", 256).alias("sha")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    kept = filtered.join(
+        canon, filtered.doc_id == canon.keep_id, "left_semi"
+    )
+    split = F.when(
+        (_key_hash("doc_id") * 100) < F.lit(train_pct * _SPLIT_MOD), "train"
+    ).otherwise("test")
+    return (
+        kept.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "alpha_ratio",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            F.min("alpha_ratio").alias("min_quality"),
+            F.max("alpha_ratio").alias("max_quality"),
+        )
+    )
+
+
+_PP1_SQL = f"""
+WITH f AS (
+  SELECT doc_id, lang, text, round(
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6
+         ) AS alpha_ratio
+  FROM documents
+  WHERE length(text) >= 50
+    AND round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) >= 0.5
+), canon AS (
+  SELECT sha256(text) AS sha, min(doc_id) AS keep_id FROM f GROUP BY sha256(text)
+), kept AS (
+  SELECT f.* FROM f WHERE f.doc_id IN (SELECT keep_id FROM canon)
+), s AS (
+  SELECT CASE WHEN ({_KEY_HASH_SQL.format(col="doc_id")}) * 100 < 80 * 1000003
+              THEN 'train' ELSE 'test' END AS split,
+         lang, len(string_split(text, ' ')) AS n_tokens, alpha_ratio
+  FROM kept
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(alpha_ratio) AS min_quality, max(alpha_ratio) AS max_quality
+FROM s GROUP BY split, lang
+"""
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -153,6 +225,7 @@ def build_queries():
         "pk1_pack_sequences": (q(pack_sequences, "documents"), _PK1_SQL),
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
+        "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
     }
 
 

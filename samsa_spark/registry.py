@@ -291,6 +291,7 @@ _DEMOTED = (
     "ag1_event_sequences",            # pk1/pv1 cover ordered/shaped aggregation
     "pv1_pivot_event_counts",         # vec1 exercises pivot in-window
     "as1_asof_join",                  # as2 (canonical merge-asof) shares its oracle in-window
+    "arr1_vector_stats",              # vec1/sim* cover the array surface in-window
 )
 
 

@@ -22,6 +22,7 @@ MUST_BE_CHECKED = [
     "mm1_media_metadata",
     "mm3_resized_stats",
     "mm4_frame_sample_stats",
+    "pp1_prep_pipeline",
     "sql1_revenue_by_segment",
     "udtf1_ngram_counts",
     "js1_salted_join",
@@ -41,6 +42,7 @@ SIBLINGS = {
     "ag1_event_sequences": ["pk1_pack_sequences"],
     "pv1_pivot_event_counts": ["vec1_label_centroids"],
     "as1_asof_join": ["as2_asof_cogrouped"],
+    "arr1_vector_stats": ["vec1_label_centroids"],
 }
 
 
