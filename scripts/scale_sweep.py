@@ -129,6 +129,44 @@ def sweep_dedup(spark) -> None:
         df.unpersist()
 
 
+def sweep_similarity(spark) -> None:
+    """Brute-force cosine vs LSH vs IVF as the corpus grows 10x/50x: the
+    probe set stays fixed (20 queries), so brute cost grows with N while
+    the bucketed paths grow with candidates-per-probe."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import ann_topk_lsh, cosine_topk, ivf_topk
+
+    base = tables.load(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            "label",
+            # perturb one component per replica so vectors are distinct but
+            # near their originals (realistic near-neighbor structure)
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(_r % 64 AS INT) "
+                "THEN x + CAST(0.01 * _r AS FLOAT) ELSE x END)"
+            ).alias("embedding"),
+        )
+        return df, n_base * factor
+
+    cosine_topk(base).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10, 50):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        _time(f"sim1_brute_x{factor}", lambda: cosine_topk(df), n)
+        _time(f"sim3_lsh_x{factor}", lambda: ann_topk_lsh(df), n)
+        _time(f"sim4_ivf_x{factor}", lambda: ivf_topk(df), n)
+        df.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -136,6 +174,8 @@ def main() -> None:
         sweep_events(spark)
     if what in ("dedup", "all"):
         sweep_dedup(spark)
+    if what in ("similarity", "all"):
+        sweep_similarity(spark)
     spark.stop()
 
 
