@@ -186,39 +186,92 @@ def ivf_centroids(embeddings: DataFrame) -> DataFrame:
     return agg.groupBy("label").agg(cent.alias("cent"))
 
 
-def ivf_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataFrame:
-    """sim4 — IVF approximate top-k (the other scale path next to sim3's
-    LSH): assign every vector to its nearest centroid cell (one narrow
-    broadcast pass over ~cells rows), probe the query's IVF_NPROBE nearest
-    cells, and rank ONLY those cells' vectors by exact cosine.
+def kmeans_centroids(embeddings: DataFrame, k: int = 32, iters: int = 4) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer — the
+    production build path (cells ~ sqrt(N) instead of the label count).
 
-    Scale shape: centroids broadcast (cells x dim, tiny); assignment is one
-    (vec_id, cell) aggregate; the candidate join is probe-cells (broadcast,
-    |probes| x nprobe rows) x cell-partitioned corpus — |probes| x N/cells x
-    nprobe work, never N^2, and the cell column is the bucketing/partition
-    key a 100 TB layout would sort-cluster by. Fully deterministic, so
-    checked against an exact DuckDB twin (unlike sim3's seeded projection).
+    Determinism without rand(): seeds are the k vectors with the smallest
+    masked multiplicative key hash (engine- and partitioning-stable), and
+    the iteration count is fixed. Each iteration is one broadcast crossJoin
+    (corpus x k cents) + one skinny-row aggregate — centroids stay
+    driver-sized (k x dim), the corpus never shuffles except the (cell,
+    pos) mean, and lineage is truncated per iteration (localCheckpoint,
+    same as dd6's loop). Empty cells keep their previous centroid.
     """
+    from pyspark.sql import Window
+
     base = embeddings.select("vec_id", "embedding")
-    cents = F.broadcast(ivf_centroids(embeddings))
-    scored = base.crossJoin(cents).withColumn(
+    h = F.expr("((vec_id >> 31) ^ vec_id) & 2147483647") * F.lit(2654435761) % F.lit(1_000_003)
+    # Seed selection is a bounded top-k (TakeOrderedAndProject: per-partition
+    # heap + driver merge), never a global-sort window; the seed's vec_id IS
+    # the cell id — unique and stable, contiguity is not needed.
+    cents = (
+        base.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = base.crossJoin(F.broadcast(cents)).withColumn(
+            "ccos", _cos_sim_udf()("cent", "embedding")
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+        assign = (
+            scored.withColumn("_rn", F.row_number().over(wa))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "cell", "embedding")
+        )
+        pe = assign.select("cell", F.posexplode("embedding").alias("pos", "val"))
+        agg = pe.groupBy("cell", "pos").agg(F.avg(F.col("val").cast("double")).alias("c"))
+        new_cents = agg.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cent")
+        )
+        # empty cells vanish from the aggregate; keep their previous centroid
+        cents = (
+            cents.alias("old")
+            .join(new_cents.alias("new"), "cell", "left")
+            .select("cell", F.coalesce(F.col("new.cent"), F.col("old.cent")).alias("cent"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def ivf_topk_kmeans(
+    embeddings: DataFrame, n_probes: int = 20, k: int = 3, cells: int = 32
+) -> DataFrame:
+    """sim5 — the production IVF shape: k-means quantizer (cells ~ sqrt(N))
+    + the same cell-probe query path as sim4. Rows-only driver check (Lloyd
+    iterations have no DuckDB twin); recall vs exact asserted in tests."""
+    return _ivf_query(embeddings, kmeans_centroids(embeddings, k=cells), "cell", n_probes, k)
+
+
+def _ivf_query(
+    embeddings: DataFrame, cents: DataFrame, cell_col: str, n_probes: int, k: int
+) -> DataFrame:
+    """Shared IVF query path: assign corpus to nearest centroid, probe each
+    query's IVF_NPROBE nearest cells, exact-rank within them."""
+    base = embeddings.select("vec_id", "embedding")
+    bcents = F.broadcast(cents)
+    scored = base.crossJoin(bcents).withColumn(
         "ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6)
     )
     from pyspark.sql import Window
 
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
-    # Materialized: the centroid-scoring pass feeds both the assignment and
-    # the probe-cell branches (no ReusedExchange across them) — without this
-    # the N x cells cosine pass runs twice.
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc(cell_col))
     ranked = scored.withColumn("crank", F.row_number().over(wa)).localCheckpoint(eager=False)
     assign = ranked.where(F.col("crank") == 1).select(
-        "vec_id", F.col("label").alias("cell"), "embedding"
+        "vec_id", F.col(cell_col).alias("cell"), "embedding"
     )
     probe_cells = F.broadcast(
         ranked.where((F.col("vec_id") < n_probes) & (F.col("crank") <= IVF_NPROBE)).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
-            F.col("label").alias("cell"),
+            F.col(cell_col).alias("cell"),
         )
     )
     cand = assign.join(probe_cells, "cell").where(F.col("q_id") != F.col("vec_id"))
@@ -231,6 +284,23 @@ def ivf_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataFrame
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+def ivf_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataFrame:
+    """sim4 — IVF approximate top-k (the other scale path next to sim3's
+    LSH): assign every vector to its nearest centroid cell (one narrow
+    broadcast pass over ~cells rows), probe the query's IVF_NPROBE nearest
+    cells, and rank ONLY those cells' vectors by exact cosine.
+
+    Scale shape: centroids broadcast (cells x dim, tiny); assignment is one
+    (vec_id, cell) aggregate; the candidate join is probe-cells (broadcast,
+    |probes| x nprobe rows) x cell-partitioned corpus — |probes| x N/cells x
+    nprobe work, never N^2, and the cell column is the bucketing/partition
+    key a 100 TB layout would sort-cluster by. Fully deterministic, so
+    checked against an exact DuckDB twin (unlike sim3's seeded projection).
+    The scoring pass is materialized inside _ivf_query (multi-branch rule).
+    """
+    return _ivf_query(embeddings, ivf_centroids(embeddings), "label", n_probes, k)
 
 
 # --- registry wiring -------------------------------------------------------
@@ -250,6 +320,9 @@ def build_queries():
         # rows-only driver check; recall asserted in tests/test_similarity.py.
         "sim3_ann_topk_lsh": (q(ann_topk_lsh), None),
         "sim4_ivf_topk": (q(ivf_topk), _SIM4_SQL),
+        # k-means quantizer: Lloyd iterations have no SQL twin -> rows-only;
+        # recall vs exact + determinism asserted in tests/test_similarity.py.
+        "sim5_ivf_kmeans_topk": (q(ivf_topk_kmeans), None),
     }
 
 

@@ -70,6 +70,7 @@ def test_rows_only_queries_remain_on_driver_surface():
         "dd3_minhash_lsh",
         "dd4_simhash_pairs",
         "sim3_ann_topk_lsh",
+        "sim5_ivf_kmeans_topk",
         "mm2_decoded_features",
     } <= names
 
@@ -97,6 +98,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "dd3_minhash_lsh",
         "dd4_simhash_pairs",
         "sim3_ann_topk_lsh",
+        "sim5_ivf_kmeans_topk",
         "mm2_decoded_features",
     }, f"unexpected rows-only queries: {rows_only}"
 

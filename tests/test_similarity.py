@@ -81,6 +81,34 @@ def test_ivf_candidates_respect_cells_and_overlap_exact(spark):
     assert hits >= len(by_q) // 2, f"IVF overlaps exact top-5 for only {hits}/{len(by_q)} probes"
 
 
+def test_kmeans_ivf_deterministic_and_overlaps_exact(spark):
+    """The production IVF path: k-means cells are deterministic across runs
+    (hash seeds, fixed iterations), every vector's cell is its nearest
+    centroid, and the probe results overlap the exact top-k."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_kmeans,
+        kmeans_centroids,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    c1 = {r.cell: tuple(round(x, 9) for x in r.cent) for r in kmeans_centroids(emb, k=8).collect()}
+    c2 = {r.cell: tuple(round(x, 9) for x in r.cent) for r in kmeans_centroids(emb, k=8).collect()}
+    assert c1 == c2 and len(c1) == 8
+
+    ivf = ivf_topk_kmeans(emb, n_probes=20, k=3, cells=8).collect()
+    assert ivf
+    by_q: dict[int, set] = {}
+    for r in ivf:
+        by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    exact_by_q: dict[int, set] = {}
+    for r in cosine_topk(emb, n_probes=20, k=5).collect():
+        exact_by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(1 for q, vs in by_q.items() if vs & exact_by_q.get(q, set()))
+    assert hits >= len(by_q) // 2, f"k-means IVF overlaps exact for only {hits}/{len(by_q)}"
+
+
 def test_cosine_udf_matches_numpy(spark):
     from samsa_spark import tables
     from samsa_spark.operators.similarity import cosine_topk
