@@ -198,8 +198,6 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 32, iters: int = 4) -> Data
     pos) mean, and lineage is truncated per iteration (localCheckpoint,
     same as dd6's loop). Empty cells keep their previous centroid.
     """
-    from pyspark.sql import Window
-
     base = embeddings.select("vec_id", "embedding")
     h = F.expr("((vec_id >> 31) ^ vec_id) & 2147483647") * F.lit(2654435761) % F.lit(1_000_003)
     # Seed selection is a bounded top-k (TakeOrderedAndProject: per-partition
@@ -214,16 +212,29 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 32, iters: int = 4) -> Data
         )
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql.types import LongType
+
+    def _argmax_cell_udf(cent_rows):
+        """One matmul per Arrow batch against the k x dim centroid matrix —
+        N rows through Python instead of N x cells. Centroids ride the
+        closure (they ARE the index metadata; k x dim is driver-sized by
+        construction). Ties: np.argmax takes the first max and the matrix
+        is sorted by cell id, so equal scores go to the smallest cell."""
+        ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cent_rows])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        def _assign(v: pd.Series) -> pd.Series:
+            X = np.stack(v.to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sims = np.round(Xn @ Cn.T, 6)
+            return pd.Series(ids[np.argmax(sims, axis=1)])
+
+        return pandas_udf(LongType())(_assign)
+
     for _ in range(iters):
-        scored = base.crossJoin(F.broadcast(cents)).withColumn(
-            "ccos", _cos_sim_udf()("cent", "embedding")
-        )
-        wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-        assign = (
-            scored.withColumn("_rn", F.row_number().over(wa))
-            .where(F.col("_rn") == 1)
-            .select("vec_id", "cell", "embedding")
-        )
+        cent_rows = sorted(((r["cell"], r["cent"]) for r in cents.collect()))
+        assign = base.withColumn("cell", _argmax_cell_udf(cent_rows)("embedding"))
         pe = assign.select("cell", F.posexplode("embedding").alias("pos", "val"))
         agg = pe.groupBy("cell", "pos").agg(F.avg(F.col("val").cast("double")).alias("c"))
         new_cents = agg.groupBy("cell").agg(
@@ -250,25 +261,50 @@ def ivf_topk_kmeans(
     return _ivf_query(embeddings, kmeans_centroids(embeddings, k=cells), "cell", n_probes, k)
 
 
+def _nearest_cell(base: DataFrame, cents: DataFrame, cell_col: str) -> DataFrame:
+    """(vec_id, cell, embedding): each vector's nearest centroid by rounded
+    cosine, ties to the smallest cell id — ONE hash aggregate (min_by over
+    (-cos, cell)), never a window sort over the N x cells scored rows."""
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6)
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col(cell_col).alias("cell"), "embedding"),
+                F.struct((-F.col("ccos")).alias("nc"), F.col(cell_col).alias("c")),
+            ).alias("_b")
+        )
+        .select("vec_id", F.col("_b.cell").alias("cell"), F.col("_b.embedding").alias("embedding"))
+    )
+
+
 def _ivf_query(
     embeddings: DataFrame, cents: DataFrame, cell_col: str, n_probes: int, k: int
 ) -> DataFrame:
     """Shared IVF query path: assign corpus to nearest centroid, probe each
-    query's IVF_NPROBE nearest cells, exact-rank within them."""
+    query's IVF_NPROBE nearest cells, exact-rank within them.
+
+    Plan shape: the corpus assignment is one hash aggregate over the
+    streamed (corpus x cells) scores — nothing N x cells is materialized or
+    window-sorted; the probe branch recomputes only its own tiny
+    (n_probes x cells) cross join (filter pushed below the broadcast join).
+    """
     base = embeddings.select("vec_id", "embedding")
-    bcents = F.broadcast(cents)
-    scored = base.crossJoin(bcents).withColumn(
-        "ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6)
+    assign = _nearest_cell(base, cents, cell_col)
+    probe_scored = (
+        base.where(F.col("vec_id") < n_probes)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6))
     )
     from pyspark.sql import Window
 
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc(cell_col))
-    ranked = scored.withColumn("crank", F.row_number().over(wa)).localCheckpoint(eager=False)
-    assign = ranked.where(F.col("crank") == 1).select(
-        "vec_id", F.col(cell_col).alias("cell"), "embedding"
-    )
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc(cell_col))
     probe_cells = F.broadcast(
-        ranked.where((F.col("vec_id") < n_probes) & (F.col("crank") <= IVF_NPROBE)).select(
+        probe_scored.withColumn("crank", F.row_number().over(wp))
+        .where(F.col("crank") <= IVF_NPROBE)
+        .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             F.col(cell_col).alias("cell"),

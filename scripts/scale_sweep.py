@@ -136,7 +136,12 @@ def sweep_similarity(spark) -> None:
     import pyspark.sql.functions as F
 
     from samsa_spark import tables
-    from samsa_spark.operators.similarity import ann_topk_lsh, cosine_topk, ivf_topk
+    from samsa_spark.operators.similarity import (
+        ann_topk_lsh,
+        cosine_topk,
+        ivf_topk,
+        ivf_topk_kmeans,
+    )
 
     base = tables.load(spark, SF_DIR, "embeddings")
     n_base = base.count()
@@ -164,6 +169,11 @@ def sweep_similarity(spark) -> None:
         _time(f"sim1_brute_x{factor}", lambda: cosine_topk(df), n)
         _time(f"sim3_lsh_x{factor}", lambda: ann_topk_lsh(df), n)
         _time(f"sim4_ivf_x{factor}", lambda: ivf_topk(df), n)
+        # ~sqrt(N) capped at 64: the Lloyd build is iters x N x cells
+        # cosines — at local[32] scale the cap keeps the sweep bounded while
+        # preserving the shape (build cost amortizes over every query).
+        cells = min(64, max(8, int(n ** 0.5 // 8) * 8))
+        _time(f"sim5_ivf_kmeans_x{factor}", lambda: ivf_topk_kmeans(df, cells=cells), n)
         df.unpersist()
 
 
