@@ -117,6 +117,11 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
     aggregate. Greedy-by-order packing is the streaming-friendly form — a
     bin-optimal packing would be a global optimization with no stable
     incremental answer.
+
+    NOT the canonical form at scale: the window partitions by ``source``
+    alone (a handful of values), so each source's entire corpus streams
+    through one task. ``pk2_pack_chunked`` (window per (source, doc-chunk))
+    is the canonical/scale operator; pk1 stays as its exact global twin.
     """
     toks = F.size(F.split("text", " "))
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
@@ -134,6 +139,56 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def pack_sequences_chunked(
+    documents: DataFrame, budget_tokens: int = 512, chunk_docs: int = 1000
+) -> DataFrame:
+    """pk2 — hierarchical token packing, the 100 TB form: bins are assigned
+    within fixed ``chunk_docs``-sized doc-id chunks per source, so packing
+    parallelism is (sources x chunks) instead of sources, and bins never
+    span chunks — the bounded-underfill-at-chunk-edges trade every
+    distributed shard packer makes for parallel, deterministic packing.
+    Bin ids are (chunk << 20) | bin-in-chunk: globally unique per source,
+    stable under any partitioning.
+    """
+    toks = F.size(F.split("text", " "))
+    chunk = F.expr(f"doc_id div {chunk_docs}")
+    w = Window.partitionBy("source", "chunk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = documents.select(
+        "source", "doc_id", chunk.alias("chunk"), toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    binned = cum.withColumn(
+        "bin",
+        F.shiftleft(F.col("chunk"), 20)
+        + F.expr(f"(cum_tokens - n_tokens) div {budget_tokens}"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PK2_SQL = """
+WITH c AS (
+  SELECT source, doc_id, doc_id // 1000 AS chunk,
+         len(string_split(text, ' ')) AS n_tokens,
+         sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source, doc_id // 1000 ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM documents
+), b AS (
+  SELECT *, (chunk * 1048576) + CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin FROM c
+)
+SELECT source, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY source, bin
+"""
 
 
 def prep_pipeline(
@@ -223,6 +278,7 @@ def build_queries():
         "tf1_tfidf_top_terms": (q(tfidf_top_terms, "documents", spread=True), _TF1_SQL),
         "sp1_deterministic_split": (q(deterministic_split, "documents"), _SP1_SQL),
         "pk1_pack_sequences": (q(pack_sequences, "documents"), _PK1_SQL),
+        "pk2_pack_chunked": (q(pack_sequences_chunked, "documents"), _PK2_SQL),
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),

@@ -292,6 +292,7 @@ _DEMOTED = (
     "pv1_pivot_event_counts",         # vec1 exercises pivot in-window
     "as1_asof_join",                  # as2 (canonical merge-asof) shares its oracle in-window
     "arr1_vector_stats",              # vec1/sim* cover the array surface in-window
+    "pk1_pack_sequences",             # pk2 (chunked, the scale form) is canonical in-window
 )
 
 

@@ -12,6 +12,7 @@ PIPE_QUERIES = [
     "tf1_tfidf_top_terms",
     "sp1_deterministic_split",
     "pk1_pack_sequences",
+    "pk2_pack_chunked",
     "pp1_prep_pipeline",
 ]
 

@@ -23,6 +23,7 @@ MUST_BE_CHECKED = [
     "mm3_resized_stats",
     "mm4_frame_sample_stats",
     "pp1_prep_pipeline",
+    "pk2_pack_chunked",
     "sql1_revenue_by_segment",
     "udtf1_ngram_counts",
     "js1_salted_join",
@@ -39,10 +40,11 @@ SIBLINGS = {
     "h3_top_orders": ["w1_segment_top_orders"],
     "hist1_doc_lengths": ["pc1_percentiles"],
     "rg1_user_value_trends": ["da1_distinct_aggregates", "d10_windowed_changes"],
-    "ag1_event_sequences": ["pk1_pack_sequences"],
+    "ag1_event_sequences": ["pk2_pack_chunked"],
     "pv1_pivot_event_counts": ["vec1_label_centroids"],
     "as1_asof_join": ["as2_asof_cogrouped"],
     "arr1_vector_stats": ["vec1_label_centroids"],
+    "pk1_pack_sequences": ["pk2_pack_chunked"],
 }
 
 
