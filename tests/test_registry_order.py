@@ -48,6 +48,14 @@ SIBLINGS = {
 }
 
 
+def test_demoted_names_all_exist():
+    """A typo in registry._DEMOTED silently no-ops (the name just never
+    matches) — every demoted name must be a real registered query."""
+    all_q = set(registry.all_queries())
+    ghosts = [n for n in registry._DEMOTED if n not in all_q]
+    assert not ghosts, f"_DEMOTED names that match nothing: {ghosts}"
+
+
 def test_window_is_all_oracle_bearing():
     names = list(registry.queries())
     oracles = registry.oracle_sql()
