@@ -129,6 +129,36 @@ def sweep_dedup(spark) -> None:
         df.unpersist()
 
 
+def sweep_packing(spark) -> None:
+    """pk1 (window per source — a handful of partitions) vs pk2 (window per
+    (source, chunk)) as the corpus grows: the hierarchical form's advantage
+    is parallelism, which only shows once per-source row counts dwarf the
+    task count."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import pack_sequences, pack_sequences_chunked
+
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select("source", "doc_id", "text")
+    n_docs = docs.count()
+    pack_sequences(docs).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        if factor == 1:
+            df, n = docs, n_docs
+        else:
+            reps = spark.range(factor).select(F.col("id").alias("_r"))
+            df = docs.crossJoin(F.broadcast(reps)).select(
+                "source",
+                (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+                "text",
+            )
+            n = n_docs * factor
+        df = df.localCheckpoint(eager=True)
+        _time(f"pk1_global_x{factor}", lambda: pack_sequences(df), n)
+        _time(f"pk2_chunked_x{factor}", lambda: pack_sequences_chunked(df), n)
+        df.unpersist()
+
+
 def sweep_similarity(spark) -> None:
     """Brute-force cosine vs LSH vs IVF as the corpus grows 10x/50x: the
     probe set stays fixed (20 queries), so brute cost grows with N while
@@ -186,6 +216,8 @@ def main() -> None:
         sweep_dedup(spark)
     if what in ("similarity", "all"):
         sweep_similarity(spark)
+    if what in ("packing", "all"):
+        sweep_packing(spark)
     spark.stop()
 
 
