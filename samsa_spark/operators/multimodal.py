@@ -105,8 +105,15 @@ def decode_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(_batches, DECODED_SCHEMA)
 
 
+# Defaults shared between the registered query paths and the oracle SQL
+# (interpolated below) so changing one side cannot silently break the other.
+RESIZE_W = 64
+RESIZE_H = 64
+SAMPLE_EVERY_K = 3
+
+
 def resize_media(
-    media: DataFrame, target_w: int = 64, target_h: int = 64, decode_stub: bool = True
+    media: DataFrame, target_w: int = RESIZE_W, target_h: int = RESIZE_H, decode_stub: bool = True
 ) -> DataFrame:
     """Resize pipeline over binary payloads (mapInPandas, narrow, Arrow-
     batched). The stub "resize" truncates the payload to the target byte
@@ -157,7 +164,9 @@ def resize_media(
 FRAME_BYTES = 256
 
 
-def sample_frames(media: DataFrame, every_k: int = 3, decode_stub: bool = True) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_k: int = SAMPLE_EVERY_K, decode_stub: bool = True
+) -> DataFrame:
     """Frame sampling over binary payloads: one input row fans out to one
     row PER SAMPLED FRAME (the 1->N mapInPandas shape a video pipeline
     needs). The stub treats the payload as fixed-256-byte frames and keeps
@@ -272,7 +281,7 @@ def resized_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample_stats(documents: DataFrame, every_k: int = 3) -> DataFrame:
+def frame_sample_stats(documents: DataFrame, every_k: int = SAMPLE_EVERY_K) -> DataFrame:
     """mm4 — frame-sampling stats: encode -> 1->N frame fan-out (stub
     demux) -> per-type frame accounting. Oracle-exact via frame arithmetic
     on ``strlen(text)`` (frames of 256 bytes, every 3rd kept, short last
@@ -301,38 +310,41 @@ def build_queries():
     }
 
 
-_MM3_SQL = """
+# Constants interpolated (not hardcoded) so the registered query defaults and
+# the oracle arithmetic cannot drift apart (round-3 advice).
+_MM3_SQL = f"""
 WITH m AS (
   SELECT (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
          strlen(text) AS n_in,
-         least(strlen(text), 64 * 64 * 3) AS n_out
+         least(strlen(text), {RESIZE_W} * {RESIZE_H} * 3) AS n_out
   FROM documents
 )
 SELECT media_type, count(*) AS n_media,
        CAST(sum(n_in) AS BIGINT) AS total_bytes_in,
        CAST(sum(n_out) AS BIGINT) AS total_bytes_out,
        max(n_out) AS max_bytes_out,
-       CAST(64 AS INTEGER) AS out_width, CAST(64 AS INTEGER) AS out_height
+       CAST({RESIZE_W} AS INTEGER) AS out_width, CAST({RESIZE_H} AS INTEGER) AS out_height
 FROM m GROUP BY media_type
 """
 
-_MM4_SQL = """
+_MM4_SQL = f"""
 WITH m AS (
   SELECT doc_id,
          (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
          strlen(text) AS n,
-         CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS frames
+         CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT) AS frames
   FROM documents WHERE strlen(text) > 0
 ), s AS (
   SELECT doc_id, media_type, n, frames,
-         (frames - 1) // 3 + 1 AS n_sampled,
-         CASE WHEN (frames - 1) % 3 = 0 THEN 256 * frames - n ELSE 0 END AS short_adj
+         (frames - 1) // {SAMPLE_EVERY_K} + 1 AS n_sampled,
+         CASE WHEN (frames - 1) % {SAMPLE_EVERY_K} = 0
+              THEN {FRAME_BYTES} * frames - n ELSE 0 END AS short_adj
   FROM m
 )
 SELECT media_type,
        CAST(sum(n_sampled) AS BIGINT) AS n_frames_sampled,
        count(DISTINCT doc_id) AS n_docs,
-       CAST(sum(256 * n_sampled - short_adj) AS BIGINT) AS sampled_bytes,
+       CAST(sum({FRAME_BYTES} * n_sampled - short_adj) AS BIGINT) AS sampled_bytes,
        CAST(max(frames) AS INTEGER) AS max_frames
 FROM s GROUP BY media_type
 """

@@ -409,6 +409,11 @@ def equidepth_histogram(documents: DataFrame, buckets: int = 4) -> DataFrame:
     Tie semantics: equal lengths land in one bucket (cutpoint semantics)
     rather than being split arbitrarily (ntile semantics) — which is also
     what makes the result engine-portable (DuckDB ``quantile_cont`` twin).
+    Cutpoints are rounded to 6 decimals before the comparison (repo rule:
+    round float scores BEFORE thresholding) so an ulp of interpolation
+    difference between percentile and quantile_cont can't flip a boundary
+    row — with buckets=4 the quartile weights are exact in binary, but e.g.
+    buckets=3 (1/3 weights) would not be.
     """
     ps = [i / buckets for i in range(1, buckets)]
     cuts = documents.agg(
@@ -416,7 +421,7 @@ def equidepth_histogram(documents: DataFrame, buckets: int = 4) -> DataFrame:
     )
     bucket = F.lit(1)
     for i in range(len(ps)):
-        bucket = bucket + (F.col("n_chars") > F.col("cuts")[i]).cast("int")
+        bucket = bucket + (F.col("n_chars") > F.round(F.col("cuts")[i], 6)).cast("int")
     return (
         documents.select("doc_id", "n_chars")
         .crossJoin(F.broadcast(cuts))
@@ -447,8 +452,9 @@ WITH cuts AS (
   SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS c FROM documents
 ), t AS (
   SELECT doc_id, n_chars,
-         1 + CAST(n_chars > c[1] AS INTEGER) + CAST(n_chars > c[2] AS INTEGER)
-           + CAST(n_chars > c[3] AS INTEGER) AS bucket
+         1 + CAST(n_chars > round(c[1], 6) AS INTEGER)
+           + CAST(n_chars > round(c[2], 6) AS INTEGER)
+           + CAST(n_chars > round(c[3], 6) AS INTEGER) AS bucket
   FROM documents CROSS JOIN cuts
 )
 SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_docs,

@@ -222,11 +222,15 @@ def _streaming_custom_fold(spark: SparkSession, sf: str) -> DataFrame:
     chk = os.path.join(base, "chk")
 
     def fold(key, prior, pdf):
+        import numpy as np
         import pandas as pd
 
         n0, c0 = prior if prior is not None else (0, 0)
         n = n0 + len(pdf)
-        cents = c0 + int((pdf["value"] * 100).round().sum())
+        # Half-away-from-zero, matching DuckDB round() in _ST3_SQL — pandas
+        # Series.round() is half-to-even and would diverge on half-cent values.
+        v = pdf["value"].to_numpy(np.float64) * 100
+        cents = c0 + int(np.copysign(np.floor(np.abs(v) + 0.5), v).sum())
         return (n, cents), pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
         )

@@ -80,7 +80,7 @@ def test_no_partitionless_windows_anywhere(spark):
     from samsa_spark import registry
 
     for name in registry.all_queries():
-        if name.startswith(("st1", "st2")):  # streaming queries: no static plan
+        if name.startswith("st"):  # streaming-backed queries: no static plan
             continue
         p = _plan(spark, name)
         if "Window" not in p:
