@@ -186,7 +186,9 @@ def ivf_centroids(embeddings: DataFrame) -> DataFrame:
     return agg.groupBy("label").agg(cent.alias("cent"))
 
 
-def kmeans_centroids(embeddings: DataFrame, k: int = 32, iters: int = 4) -> DataFrame:
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 32, iters: int = 4, round_cents: int | None = None
+) -> DataFrame:
     """Deterministic Lloyd k-means for the IVF coarse quantizer — the
     production build path (cells ~ sqrt(N) instead of the label count).
 
@@ -198,6 +200,12 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 32, iters: int = 4) -> Data
     aggregate with map-side partials; lineage is truncated per iteration
     (localCheckpoint, same as dd6's loop). Empty cells keep their previous
     centroid.
+
+    ``round_cents`` rounds each mean component to that many decimals —
+    sim6's cross-engine mode (round BEFORE use, repo rule 6, so a DuckDB
+    twin reproduces the centroids bit-for-bit); sim5 leaves means unrounded
+    (the production form — rounding inside Lloyd is a needless precision
+    loss when no oracle needs to match).
     """
     base = embeddings.select("vec_id", "embedding")
     h = F.expr("((vec_id >> 31) ^ vec_id) & 2147483647") * F.lit(2654435761) % F.lit(1_000_003)
@@ -242,7 +250,10 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 32, iters: int = 4) -> Data
         # ships every raw embedding row to its cell's group (A/B'd at 100k
         # vectors: 32 s vs 58 s for the whole build+query).
         pe = assign.select("cell", F.posexplode("embedding").alias("pos", "val"))
-        agg = pe.groupBy("cell", "pos").agg(F.avg(F.col("val").cast("double")).alias("c"))
+        mean = F.avg(F.col("val").cast("double"))
+        if round_cents is not None:
+            mean = F.round(mean, round_cents)
+        agg = pe.groupBy("cell", "pos").agg(mean.alias("c"))
         new_cents = agg.groupBy("cell").agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
@@ -265,6 +276,24 @@ def ivf_topk_kmeans(
     + the same cell-probe query path as sim4. Rows-only driver check (Lloyd
     iterations have no DuckDB twin); recall vs exact asserted in tests."""
     return _ivf_query(embeddings, kmeans_centroids(embeddings, k=cells), "cell", n_probes, k)
+
+
+def ivf_topk_kmeans1(
+    embeddings: DataFrame, n_probes: int = 20, k: int = 3, cells: int = 32
+) -> DataFrame:
+    """sim6 — the k-means code path under the exact-oracle gate: ONE fixed
+    Lloyd iteration (deterministic hash-based seeds -> one argmax assignment
+    -> one 6-decimal-rounded mean, empty cells keeping their seed) feeding
+    the shared cell-probe query. Every step is SQL-expressible, so unlike
+    sim5 (whose multi-iteration Lloyd is rows-only-checked), this variant's
+    seeds/assignment/means/query all sit in the DuckDB hash gate — exercising
+    the same ``kmeans_centroids`` + ``_ivf_query`` code sim5 runs.
+
+    Rounding the means (round_cents=6) is what makes the centroid table
+    reproducible cross-engine; the assignment and ranking cosines were
+    already rounded before comparison (repo rule 6)."""
+    cents = kmeans_centroids(embeddings, k=cells, iters=1, round_cents=6)
+    return _ivf_query(embeddings, cents, "cell", n_probes, k)
 
 
 def _nearest_cell(base: DataFrame, cents: DataFrame, cell_col: str) -> DataFrame:
@@ -365,6 +394,8 @@ def build_queries():
         # k-means quantizer: Lloyd iterations have no SQL twin -> rows-only;
         # recall vs exact + determinism asserted in tests/test_similarity.py.
         "sim5_ivf_kmeans_topk": (q(ivf_topk_kmeans), None),
+        # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
+        "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
     }
 
 
@@ -386,6 +417,61 @@ sc AS (
 ),
 asg AS (SELECT vec_id, label AS cell, emb FROM sc WHERE crank = 1),
 pc AS (SELECT vec_id AS q_id, emb AS q_emb, label AS cell
+       FROM sc WHERE vec_id < 20 AND crank <= 2),
+s AS (
+  SELECT pc.q_id, a.vec_id, round(list_cosine_similarity(pc.q_emb, a.emb), 6) AS cos
+  FROM pc JOIN asg a USING (cell)
+  WHERE a.vec_id <> pc.q_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+"""
+
+
+# sim6: _SIM4_SQL's query shape with the quantizer replaced by one Lloyd
+# step — hash-ranked seeds, argmax assignment (ties to smallest cell),
+# 6-decimal-rounded per-cell means, empty cells keeping their seed vector.
+_SIM6_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+h AS (
+  SELECT vec_id, emb,
+         row_number() OVER (
+           ORDER BY ((xor(vec_id >> 31, vec_id) & 2147483647) * 2654435761) % 1000003 ASC,
+                    vec_id ASC) AS rk
+  FROM v
+),
+seeds AS (SELECT vec_id AS cell, emb AS cent FROM h WHERE rk <= 32),
+a0 AS (
+  SELECT v.vec_id, v.emb, s.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(s.cent, v.emb), 6) DESC,
+                                     s.cell ASC) AS crank
+  FROM v CROSS JOIN seeds s
+),
+asg0 AS (SELECT vec_id, emb, cell FROM a0 WHERE crank = 1),
+pe AS (
+  SELECT cell, i AS pos, round(avg(emb[i]), 6) AS c
+  FROM asg0 CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY cell, i
+),
+m AS (SELECT cell, list(c ORDER BY pos) AS cent FROM pe GROUP BY cell),
+cents AS (
+  SELECT s.cell, coalesce(m.cent, s.cent) AS cent
+  FROM seeds s LEFT JOIN m USING (cell)
+),
+sc AS (
+  SELECT v.vec_id, v.emb, c.cell,
+         round(list_cosine_similarity(c.cent, v.emb), 6) AS ccos,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(c.cent, v.emb), 6) DESC,
+                                     c.cell ASC) AS crank
+  FROM v CROSS JOIN cents c
+),
+asg AS (SELECT vec_id, cell, emb FROM sc WHERE crank = 1),
+pc AS (SELECT vec_id AS q_id, emb AS q_emb, cell
        FROM sc WHERE vec_id < 20 AND crank <= 2),
 s AS (
   SELECT pc.q_id, a.vec_id, round(list_cosine_similarity(pc.q_emb, a.emb), 6) AS cos

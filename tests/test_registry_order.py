@@ -19,6 +19,7 @@ MUST_BE_CHECKED = [
     "sim1_cosine_topk",
     "sim2_embedding_near_dups",
     "sim4_ivf_topk",
+    "sim6_ivf_kmeans1_topk",
     "mm1_media_metadata",
     "mm3_resized_stats",
     "mm4_frame_sample_stats",
@@ -31,6 +32,7 @@ MUST_BE_CHECKED = [
 
 # Demoted twin -> in-window siblings covering the same category.
 SIBLINGS = {
+    "d3_replay_prefix": ["d2_state_table", "d4_point_lookup"],
     "set1_customers_without_orders": ["set2_active_nations"],
     "j3_anti_join": ["j2_order_priority_stats"],
     "w2_customer_order_flow": ["w1_segment_top_orders", "ses1_sessionize"],

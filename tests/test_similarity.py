@@ -53,6 +53,13 @@ def test_ivf_oracle(spark):
     assert ok, msg
 
 
+def test_kmeans1_ivf_oracle(spark):
+    """sim6: the kmeans_centroids + _ivf_query code path against its exact
+    DuckDB twin — one fixed Lloyd iteration is fully SQL-expressible."""
+    ok, msg = check_query(spark, "sim6_ivf_kmeans1_topk", SF_SMALL)
+    assert ok, msg
+
+
 def test_ivf_candidates_respect_cells_and_overlap_exact(spark):
     """IVF results must come from the probe's nprobe nearest cells, be
     correctly ranked, and overlap the exact top-k for most probes (10 cells,
