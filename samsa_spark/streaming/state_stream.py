@@ -46,6 +46,7 @@ def _build_fold(
     value_cols: Sequence[str],
     tombstone: tuple[str, object] | None = None,
     eager_delete: bool = False,
+    ttl: bool = False,
 ):
     """Build the per-key fold *inside* a function so cloudpickle serializes
     it by value (executor workers can't import this package when the driver
@@ -73,6 +74,16 @@ def _build_fold(
     ONLY when a tombstone is configured: a plain StatefulStream keeps the
     exact (order..., value...) state struct, so pre-existing checkpoints stay
     schema-compatible.
+
+    ``ttl=True`` (set by :class:`StatefulStream` when its ``ttl`` option is
+    on) adds event-time eviction: the key's GroupState timeout is armed at
+    its high-water mark, so the key is removed once the watermark (= max
+    event time - horizon) passes it. GroupState clears the timeout on EVERY
+    invocation, so it must be re-armed on every path — including the
+    no-op "prior state already newer" path — or one quiet trigger would
+    immortalize the key. Rows at or below the current watermark are ignored
+    (the engine filters them too; the explicit guard makes non-resurrection
+    a property of the fold, not of engine version behavior).
     """
     import pandas as pd
 
@@ -84,8 +95,22 @@ def _build_fold(
     tomb_val = tombstone[1] if has_tomb else None
 
     def fold(key, pdfs, state):
+        if ttl and state.hasTimedOut:
+            state.remove()
+            return iter(())
+        wm_ms = state.getCurrentWatermarkMs() if ttl else 0
+
+        def _arm(hw_us) -> None:
+            # Timeout fires when watermark > timestamp; arm at the key's
+            # high-water mark (clamped above the watermark, which Spark
+            # requires of new timeouts). int(): hw may be a numpy int64 from
+            # pandas, and GroupState JSON-serializes the timestamp.
+            state.setTimeoutTimestamp(int(max(hw_us // 1000 + 1, wm_ms + 1)))
+
         best = None  # tuple(order..., value...)
         for pdf in pdfs:
+            if ttl and wm_ms > 0 and len(pdf):
+                pdf = pdf[(pdf[ocols[0]] // 1000) > wm_ms]
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(ocols, kind="mergesort")
@@ -94,10 +119,14 @@ def _build_fold(
             if best is None or cand[:n_order] > best[:n_order]:
                 best = cand
         if best is None:
+            if ttl and state.exists:
+                _arm(tuple(state.get)[0])
             return iter(())
         if state.exists:
             prior = tuple(state.get)
             if prior[:n_order] >= best[:n_order]:
+                if ttl:
+                    _arm(prior[0])
                 return iter(())
         is_tomb = has_tomb and best[tomb_idx] == tomb_val
         if is_tomb and eager_delete:
@@ -107,6 +136,8 @@ def _build_fold(
             state.update(best + (is_tomb,))
         else:
             state.update(best)
+        if ttl and not (is_tomb and eager_delete):
+            _arm(best[0])
         out = {key_col: [key[0]]}
         for i, c in enumerate(ocols):
             out[c] = [best[i]]
@@ -129,6 +160,17 @@ class StatefulStream:
     an implementation: "rocksdb" for the RocksDB provider (changelog-
     checkpointed, the Kafka-Streams-alike), "default" for the HDFS-backed
     in-memory provider (the SQLite-ish fallback).
+
+    ``ttl=(order_col, horizon)`` turns on opt-in state eviction: a key whose
+    high-water mark falls more than ``horizon`` (an interval string, e.g.
+    ``"1 hour"``) behind the stream's max event time is dropped from state
+    at trigger time — the watermark-bounded pattern ``dedup_stream`` uses,
+    applied to the keyed store. Without it samsa semantics hold exactly
+    (every key forever, reference storage.py:190-206 — which at 100 TB with
+    an unbounded key domain grows RocksDB without bound). ``order_col`` must
+    be the first order column and hold µs-epoch BIGINTs (the repo's ts_us
+    convention); the horizon doubles as the allowed event lateness, so an
+    event older than the watermark can never resurrect an evicted key.
     """
 
     def __init__(
@@ -140,6 +182,7 @@ class StatefulStream:
         store: str = "rocksdb",
         tombstone: tuple[str, object] | None = None,
         eager_delete: bool = False,
+        ttl: tuple[str, str] | None = None,
     ) -> None:
         self.spark = spark
         self.key_col = key_col
@@ -150,8 +193,15 @@ class StatefulStream:
                 f"tombstone column {tombstone[0]!r} must be one of value_cols "
                 f"{self.value_cols} (order columns cannot carry the delete marker)"
             )
+        if ttl is not None and ttl[0] != self.order_cols[0]:
+            raise ValueError(
+                f"ttl column {ttl[0]!r} must be the first order column "
+                f"({self.order_cols[0]!r}) — eviction is defined on the log order's "
+                "µs-epoch high-water mark"
+            )
         self.tombstone = tombstone
         self.eager_delete = eager_delete
+        self.ttl = ttl
         if store == "rocksdb":
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
 
@@ -178,14 +228,30 @@ class StatefulStream:
         a delete surfaces as a null-payload row (Kafka tombstone shape)."""
         state_schema, out_schema = self._schemas(stream_df)
         fold = _build_fold(
-            self.key_col, self.order_cols, self.value_cols, self.tombstone, self.eager_delete
+            self.key_col,
+            self.order_cols,
+            self.value_cols,
+            self.tombstone,
+            self.eager_delete,
+            ttl=self.ttl is not None,
         )
-        return stream_df.groupBy(self.key_col).applyInPandasWithState(
+        src = stream_df
+        timeout = GroupStateTimeout.NoTimeout
+        if self.ttl is not None:
+            # Event-time watermark (delay = horizon) drives both late-row
+            # filtering and the eviction timeouts; the helper column rides
+            # the input only (state/output schemas were built above, from
+            # the raw stream schema).
+            src = stream_df.withColumn(
+                "_ttl_event_time", F.timestamp_micros(F.col(self.ttl[0]))
+            ).withWatermark("_ttl_event_time", self.ttl[1])
+            timeout = GroupStateTimeout.EventTimeTimeout
+        return src.groupBy(self.key_col).applyInPandasWithState(
             fold,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
 
     def run_available_now(
@@ -285,9 +351,12 @@ def read_state(spark: SparkSession, checkpoint_dir: str, drop_tombstoned: bool =
     raw = spark.read.format("statestore").load(checkpoint_dir)
     key_fields = [f"key.{f.name}" for f in raw.schema["key"].dataType.fields]
     value_type = raw.schema["value"].dataType
+    value_names = [f.name for f in value_type.fields]
     # applyInPandasWithState wraps the user state struct in a `groupState`
-    # field; unwrap when present so callers see their own state columns.
-    if [f.name for f in value_type.fields] == ["groupState"]:
+    # field (plus an engine-side `timeoutTimestamp` when a timeout conf —
+    # e.g. the TTL option — is active); unwrap so callers see their own
+    # state columns and never the engine bookkeeping.
+    if value_names[:1] == ["groupState"]:
         prefix = "value.groupState"
         state_fields = value_type.fields[0].dataType.fields
         val_fields = [f"{prefix}.{f.name}" for f in state_fields]
