@@ -1,12 +1,27 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
-"sf"}.
+"sf"} plus a `canonical_*` section.
 
 Each query is fully materialized through the `noop` sink (all columns
 evaluated, no write cost). Queries span the operator families: state-store
 semantics (d*), relational (h*/w*/j*), text (tx*), dedup (dd*), similarity
 (sim*), multimodal (mm*).
+
+Two frozen sections:
+
+- HEADLINE — the round-1 list, protocol unchanged (single timed pass as the
+  headline `value`), kept byte-identical for round-over-round comparability
+  even where a member was later demoted (pk1) or superseded.
+- CANONICAL — the round-3/4 recommended forms (chunked packing, prep
+  pipeline, IVF, salted join, multimodal pipelines, and wall-time for the
+  streaming gate queries st1/st3, each of which runs a full
+  Trigger.AvailableNow job against a fresh checkpoint). Its headline metric
+  is the FLOOR (per-query min of two same-session passes): host scheduler
+  variance on this box moves byte-identical queries ±25% between runs
+  (PLANS.md "Measurement noise"), so regression judgments for the canonical
+  surface use floors; the single-pass numbers are kept as informational
+  fields.
 """
 
 from __future__ import annotations
@@ -50,6 +65,22 @@ HEADLINE = [
     "pk1_pack_sequences",
 ]
 
+# Frozen in round 4 — the canonical operator forms. First recorded floors
+# (BENCH_r04) are the baseline: no member may regress past 2x its first
+# recorded floor.
+CANONICAL = [
+    "pk2_pack_chunked",
+    "pp1_prep_pipeline",
+    "sim4_ivf_topk",
+    "sim5_ivf_kmeans_topk",
+    "sim6_ivf_kmeans1_topk",
+    "js1_salted_join",
+    "mm3_resized_stats",
+    "mm4_frame_sample_stats",
+    "st1_streaming_state",
+    "st3_streaming_custom_fold",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,19 +100,24 @@ def main() -> None:
     # Pass 2 re-times every query in the same session; the per-query min is
     # reported as informational noise-floor fields, because host scheduler
     # variance on this box moves byte-identical queries ±25% between runs.
-    timings: dict[str, float] = {}
-    floor: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-    for name in HEADLINE:
-        if timings[name] <= 1.0:  # floor pass only where noise matters
-            floor[name] = timings[name]
-            continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        floor[name] = round(min(timings[name], time.time() - t0), 3)
+    def run_section(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        floor: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+        for name in names:
+            if timings[name] <= 1.0:  # floor pass only where noise matters
+                floor[name] = timings[name]
+                continue
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            floor[name] = round(min(timings[name], time.time() - t0), 3)
+        return timings, floor
+
+    timings, floor = run_section(HEADLINE)
+    canon, canon_floor = run_section(CANONICAL)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -98,7 +134,11 @@ def main() -> None:
                 "sf": sf_num,
                 "value_floor": round(sum(floor.values()), 3),
                 "queries_floor": floor,
-                "protocol": "value/queries = single pass (rounds-1/2 protocol); *_floor = per-query min of 2 same-session passes for queries over 1s",
+                "canonical_value_floor": round(sum(canon_floor.values()), 3),
+                "canonical_queries_floor": canon_floor,
+                "canonical_value": round(sum(canon.values()), 3),
+                "canonical_queries": canon,
+                "protocol": "value/queries = single pass (rounds-1/2 protocol, legacy section); *_floor = per-query min of 2 same-session passes for queries over 1s; canonical section headline = canonical_value_floor (regressions judged on floors, PLANS.md 'Measurement noise')",
             }
         )
     )
