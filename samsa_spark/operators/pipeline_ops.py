@@ -192,12 +192,17 @@ FROM b GROUP BY source, bin
 
 
 def prep_pipeline(
-    documents: DataFrame, min_chars: int = 50, min_alpha_ratio: float = 0.5, train_pct: int = 80
+    documents: DataFrame,
+    min_chars: int = 50,
+    min_alpha_ratio: float = 0.5,
+    train_pct: int = 80,
+    fuzzy_min_est_jaccard: float | None = None,
 ) -> DataFrame:
     """pp1 — the end-to-end training-data prep shard: quality filter ->
-    exact dedup -> deterministic split -> per-shard stats, composed from the
-    same primitives the individual queries check (tx2's alpha ratio, dd1's
-    content-hash canonicalization, sp1's masked key hash).
+    exact dedup [-> fuzzy dedup] -> deterministic split -> per-shard stats,
+    composed from the same primitives the individual queries check (tx2's
+    alpha ratio, dd1's content-hash canonicalization, dd3's MinHash-LSH,
+    sp1's masked key hash).
 
     One declarative plan: Catalyst fuses the filter into the scan, the
     dedup is one hash aggregate + semi-join shape, and the split adds no
@@ -205,6 +210,17 @@ def prep_pipeline(
     job actually runs; everything else in the family is its building blocks.
     Min/max quality (order-independent) instead of avg keeps the aggregate
     engine-exact.
+
+    ``fuzzy_min_est_jaccard`` (opt-in) inserts a near-dup removal stage
+    between exact dedup and split: any doc with a MinHash-LSH near-duplicate
+    of SMALLER doc_id (estimated Jaccard >= the threshold) is dropped via
+    one anti-join on dd3's candidate pairs — greedy lowest-id-survives, the
+    rule real corpus-prep pipelines use, deterministic because the pair
+    generator is. The fuzzy form is rows-only (no DuckDB twin): dd3's
+    signatures are built on xxhash64, which DuckDB does not implement, so
+    this stage is checked by pytest ground truth (planted near-dup corpus,
+    tests/test_pipeline_ops.py) exactly like dd3 itself; the registered
+    oracle query stays the exact-only form.
     """
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
@@ -218,6 +234,19 @@ def prep_pipeline(
     kept = filtered.join(
         canon, filtered.doc_id == canon.keep_id, "left_semi"
     )
+    if fuzzy_min_est_jaccard is not None:
+        from samsa_spark.operators.dedup import minhash_lsh_pairs
+
+        # doc_b > doc_a by construction, so "appears as doc_b in a
+        # qualifying pair" == "has a near-dup with smaller id". The anti-join
+        # key set is narrow (ids only); the signature/banding cost is dd3's,
+        # already shuffle-audited there.
+        dominated = (
+            minhash_lsh_pairs(kept, min_est_jaccard=fuzzy_min_est_jaccard)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        kept = kept.join(dominated, "doc_id", "left_anti")
     split = F.when(
         (_key_hash("doc_id") * 100) < F.lit(train_pct * _SPLIT_MOD), "train"
     ).otherwise("test")
@@ -282,6 +311,16 @@ def build_queries():
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
+        # fuzzy form: the dd3 MinHash stage rides xxhash64 (no DuckDB twin)
+        # -> rows-only, rank 2, outside the hash window like dd3/sim5;
+        # ground truth = planted-corpus equivalence in tests/test_pipeline_ops.py.
+        "pp2_prep_pipeline_fuzzy": (
+            lambda spark, sf: prep_pipeline(
+                tables.load(spark, sf, "documents", spread=True),
+                fuzzy_min_est_jaccard=0.5,
+            ),
+            None,
+        ),
     }
 
 

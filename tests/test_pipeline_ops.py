@@ -83,3 +83,40 @@ def test_split_and_sample_run_on_huge_doc_ids(spark):
     sampled = stratified_sample(docs, per_lang=5).collect()
     assert {r.lang for r in sampled} == {"en", "de"}
     assert all(r.n_sampled == 5 for r in sampled)
+
+
+def test_prep_pipeline_fuzzy_stage_removes_planted_near_dups(spark):
+    """pp1's opt-in fuzzy stage (dd3 MinHash-LSH between exact dedup and
+    split) must be equivalent to physically deleting the planted near-dups:
+    ground truth is prep_pipeline over the corpus with the near-dup rows
+    removed by hand. Rows-only rationale: the stage rides xxhash64
+    signatures, which DuckDB cannot compute, so like dd3 it is checked here
+    rather than by the driver's SQL oracle."""
+    from samsa_spark.operators.pipeline_ops import prep_pipeline
+
+    def words(tag):
+        return " ".join(f"{tag}tok{i}" for i in range(40))
+
+    base = [(i, "en", words(f"d{i}")) for i in range(1, 7)]
+    near_1 = words("d1").rsplit(" ", 1)[0] + " changedtail"       # ~0.85 Jaccard vs doc 1
+    near_3 = words("d3").replace("d3tok20", "changedmid")          # ~0.86 Jaccard vs doc 3
+    extra = [
+        (101, "en", near_1),
+        (102, "en", words("d2")),   # exact dup of doc 2 -> exact stage drops it
+        (103, "en", near_3),
+        (104, "en", "1234567890 " * 10),  # fails the alpha-ratio quality filter
+    ]
+    schema = "doc_id long, lang string, text string"
+    docs_all = spark.createDataFrame(base + extra, schema)
+    docs_pruned = spark.createDataFrame(base + extra[1:2], schema)  # bases + exact dup only
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fuzzy = prep_pipeline(docs_all, fuzzy_min_est_jaccard=0.5)
+    truth = prep_pipeline(docs_pruned, fuzzy_min_est_jaccard=None)
+    assert rows(fuzzy) == rows(truth)
+    assert sum(r.n_docs for r in fuzzy.collect()) == 6  # all six bases survive
+
+    plain = prep_pipeline(docs_all)
+    assert sum(r.n_docs for r in plain.collect()) == 8  # near-dups survive without fuzzy

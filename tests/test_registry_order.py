@@ -112,6 +112,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "sim3_ann_topk_lsh",
         "sim5_ivf_kmeans_topk",
         "mm2_decoded_features",
+        "pp2_prep_pipeline_fuzzy",  # dd3 stage inside -> same xxhash64 reason
     }, f"unexpected rows-only queries: {rows_only}"
 
 
