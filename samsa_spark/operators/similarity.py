@@ -357,6 +357,73 @@ def _ivf_query(
     )
 
 
+def save_index(embeddings: DataFrame, path: str, cells: int = 32, iters: int = 4) -> None:
+    """Persist an IVF index: k-means centroids (``<path>/centroids``) and
+    per-vector cell assignments (``<path>/assignments``, partitioned by
+    ``cell``) as parquet — the build-once/query-many split a production ANN
+    service runs (PLANS.md: index build is the expensive pass; queries
+    should pay only the probe join).
+
+    The partition-by-cell layout IS the 100 TB story: a query probes
+    IVF_NPROBE cells per probe vector, so the candidate scan touches only
+    those cells' files (partition pruning / dynamic partition pruning on
+    the join key), not the corpus. Quantizer parameters mirror sim5's
+    defaults so a saved index reproduces ``ivf_topk_kmeans`` exactly."""
+    cents = kmeans_centroids(embeddings, k=cells, iters=iters)
+    base = embeddings.select("vec_id", "embedding")
+    assign = _nearest_cell(base, cents, "cell")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assign.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
+
+
+def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) back from :func:`save_index`'s layout."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assignments"),
+    )
+
+
+def ivf_topk_prebuilt(
+    spark: SparkSession, path: str, n_probes: int = 20, k: int = 3
+) -> DataFrame:
+    """sim5's query path against a saved index: identical output to
+    ``ivf_topk_kmeans`` on the corpus the index was built from, but the
+    quantizer build and the N-row assignment pass are replaced by parquet
+    scans — probes come from ``assignments`` with the ``vec_id < n_probes``
+    filter pushed to the scan, and candidates from the probed cells'
+    partitions only."""
+    cents, assign = load_index(spark, path)
+    probe_scored = (
+        assign.select("vec_id", "embedding")
+        .where(F.col("vec_id") < n_probes)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6))
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probe_cells = F.broadcast(
+        probe_scored.withColumn("crank", F.row_number().over(wp))
+        .where(F.col("crank") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell",
+        )
+    )
+    cand = assign.join(probe_cells, "cell").where(F.col("q_id") != F.col("vec_id"))
+    s = cand.withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6)).select(
+        "q_id", "vec_id", "cos"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 def ivf_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataFrame:
     """sim4 — IVF approximate top-k (the other scale path next to sim3's
     LSH): assign every vector to its nearest centroid cell (one narrow

@@ -127,3 +127,35 @@ def test_cosine_udf_matches_numpy(spark):
         a, b = vecs[r.q_id], vecs[r.vec_id]
         expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r.cos - round(expect, 6)) < 1e-9
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """Build-once/query-many: a saved index (centroids + cell-partitioned
+    assignments as parquet) must reproduce ivf_topk_kmeans exactly — the
+    prebuilt query path replaces the quantizer build and the N-row
+    assignment pass with parquet scans, nothing else."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        ivf_topk_kmeans,
+        ivf_topk_prebuilt,
+        load_index,
+        save_index,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf")
+    save_index(emb, path, cells=8)
+
+    cents, assign = load_index(spark, path)
+    assert cents.count() == 8
+    assert assign.count() == emb.count()
+    assert set(assign.columns) == {"vec_id", "embedding", "cell"}
+
+    live = sorted(tuple(r) for r in ivf_topk_kmeans(emb, n_probes=20, k=3, cells=8).collect())
+    pre = sorted(tuple(r) for r in ivf_topk_prebuilt(spark, path, n_probes=20, k=3).collect())
+    assert pre == live
+
+    # the probe filter reaches the assignments parquet scan (query-only path
+    # must not scan the corpus for probes)
+    plan = ivf_topk_prebuilt(spark, path, n_probes=20, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)" in plan, plan[:2000]
