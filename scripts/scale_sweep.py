@@ -207,6 +207,142 @@ def sweep_similarity(spark) -> None:
         df.unpersist()
 
 
+def sweep_ivf_index(spark) -> None:
+    """Build-once/query-many: index build (save_index: quantizer + N-row
+    assignment + parquet write) vs query-only latency (ivf_topk_prebuilt
+    over the saved index) vs the rebuild-every-query form, as the corpus
+    grows. The gap between query-only and rebuild is what persisting the
+    index buys every query after the first."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        ivf_topk_kmeans,
+        ivf_topk_prebuilt,
+        save_index,
+    )
+
+    base = tables.load(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            "label",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(_r % 64 AS INT) "
+                "THEN x + CAST(0.01 * _r AS FLOAT) ELSE x END)"
+            ).alias("embedding"),
+        )
+        return df, n_base * factor
+
+    ivf_topk_kmeans(base, cells=8).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10, 50):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        cells = min(64, max(8, int(n**0.5 // 8) * 8))
+        tmp = tempfile.mkdtemp(prefix="samsa-ivf-idx-")
+        t0 = time.time()
+        save_index(df, tmp, cells=cells)
+        print(
+            json.dumps(
+                {"measure": f"ivf_index_build_x{factor}", "rows": n,
+                 "sec": round(time.time() - t0, 2), "rows_per_sec": int(n / (time.time() - t0))}
+            ),
+            flush=True,
+        )
+        _time(f"ivf_query_only_x{factor}", lambda: ivf_topk_prebuilt(spark, tmp), n)
+        _time(f"ivf_rebuild_x{factor}", lambda: ivf_topk_kmeans(df, cells=cells), n)
+        df.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def sweep_streaming(spark) -> None:
+    """StatefulStream throughput and state-store footprint: the events log
+    replicated to 100k/1M/10M rows (key cardinality AND per-key history
+    grow) through the full file-source -> applyInPandasWithState -> RocksDB
+    pipeline with Trigger.AvailableNow, at 8 vs 32 shuffle partitions (one
+    RocksDB store per partition — CLAUDE.md note 8)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import StatefulStream
+
+    base = tables.load(spark, SF_DIR, "events").select(
+        "user_id", "ts_us", "event_id", "event_type", "value"
+    )
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("user_id") + F.col("_r") * 1000).alias("user_id"),
+            (F.col("ts_us") + F.col("_r")).alias("ts_us"),
+            (F.col("event_id") + F.col("_r") * 100_000_000).alias("event_id"),
+            "event_type",
+            "value",
+        )
+        return df, n_base * factor
+
+    def du_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    for factor in (1, 10, 100):
+        df, n = replicated(factor)
+        tmp = tempfile.mkdtemp(prefix="samsa-stream-sweep-")
+        src = os.path.join(tmp, "src")
+        df.repartition(16).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        for parts in (8, 32):
+            chk = os.path.join(tmp, f"chk{parts}")
+            ss = StatefulStream(
+                spark, "user_id", ("ts_us", "event_id"), ("event_type", "value")
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                t0 = time.time()
+                ss.run_available_now(
+                    file_stream(spark, src, schema, max_files_per_trigger=8), chk
+                )
+                dt = time.time() - t0
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            print(
+                json.dumps(
+                    {
+                        "measure": f"stream_state_x{factor}_p{parts}",
+                        "rows": n,
+                        "sec": round(dt, 2),
+                        "rows_per_sec": int(n / dt),
+                        "state_mb": round(du_bytes(os.path.join(chk, "state")) / 1e6, 1),
+                    }
+                ),
+                flush=True,
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -218,6 +354,10 @@ def main() -> None:
         sweep_similarity(spark)
     if what in ("packing", "all"):
         sweep_packing(spark)
+    if what in ("ivf_index", "all"):
+        sweep_ivf_index(spark)
+    if what in ("streaming", "all"):
+        sweep_streaming(spark)
     spark.stop()
 
 
