@@ -84,6 +84,16 @@ def _build_fold(
     immortalize the key. Rows at or below the current watermark are ignored
     (the engine filters them too; the explicit guard makes non-resurrection
     a property of the fold, not of engine version behavior).
+
+    Boundary note: when EVERY row for a not-yet-evicted stale key in a
+    trigger is late (below the watermark), Spark still requires the re-armed
+    timeout to sit ABOVE the current watermark, so that key's eviction slips
+    to the next watermark advance — seeing a late row defers (never cancels)
+    an overdue eviction by one step. This is engine-forced
+    (setTimeoutTimestamp must exceed the watermark) and is why eviction
+    timing is deliberately NOT part of any exact-hash oracle; the
+    batch-equivalence guarantees tested are eventual (evicted keys stay
+    gone, survivors equal batch compaction).
     """
     import pandas as pd
 
