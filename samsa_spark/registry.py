@@ -283,7 +283,7 @@ _register("st3_streaming_custom_fold", _streaming_custom_fold, _ST3_SQL)
 #            (recall sweeps, python reimplementations), not in DuckDB.
 # tests/test_registry_order.py locks this invariant.
 _DEMOTED = (
-    "d3_replay_prefix",               # d2 compaction-over-a-time-prefix twin; d2/d4 stay in-window
+    "pc1_percentiles",                # nt1's percentile cutpoints keep the quantile surface in-window; d3 (a §2.2 derived op) returns to the hash window
     "set1_customers_without_orders",  # set2 (INTERSECT/UNION) stays in-window
     "j3_anti_join",                   # j2 semi-join stays in-window
     "w2_customer_order_flow",         # w1 ranking + ses1 + d10 cover windows

@@ -32,7 +32,7 @@ MUST_BE_CHECKED = [
 
 # Demoted twin -> in-window siblings covering the same category.
 SIBLINGS = {
-    "d3_replay_prefix": ["d2_state_table", "d4_point_lookup"],
+    "pc1_percentiles": ["nt1_equidepth_histogram"],
     "set1_customers_without_orders": ["set2_active_nations"],
     "j3_anti_join": ["j2_order_priority_stats"],
     "w2_customer_order_flow": ["w1_segment_top_orders", "ses1_sessionize"],
@@ -40,7 +40,7 @@ SIBLINGS = {
     "tm1_time_extraction": ["fn1_scalar_functions"],
     "cu1_cube_order_stats": ["ro1_rollup_revenue"],
     "h3_top_orders": ["w1_segment_top_orders"],
-    "hist1_doc_lengths": ["pc1_percentiles"],
+    "hist1_doc_lengths": ["nt1_equidepth_histogram"],
     "rg1_user_value_trends": ["da1_distinct_aggregates", "d10_windowed_changes"],
     "ag1_event_sequences": ["pk2_pack_chunked"],
     "pv1_pivot_event_counts": ["vec1_label_centroids"],
