@@ -120,6 +120,34 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
     )
 
 
+def decontaminate(documents: DataFrame, probe_max_id: int = 20, min_hits: int = 1) -> DataFrame:
+    """dc1 — benchmark decontamination: per corpus doc, the number of
+    distinct 3-token shingles shared with the eval/benchmark probe set
+    (stand-in: docs with doc_id < ``probe_max_id``), and a contamination
+    flag at ``min_hits``. The standard pre-training hygiene pass — drop or
+    audit training docs that leak eval content.
+
+    Scale shape: eval suites are thousands of docs while the corpus is
+    billions, so the benchmark shingle set is distinct-aggregated and
+    BROADCAST; the corpus posting list streams through one broadcast
+    semi-join + count, one row out per corpus doc. Never a corpus
+    self-join, and the corpus text column is pruned after shingling.
+    """
+    probes = documents.where(F.col("doc_id") < probe_max_id)
+    bench_sh = shingle_postings(probes).select("sh").distinct()
+    corpus = documents.where(F.col("doc_id") >= probe_max_id)
+    hits = (
+        shingle_postings(corpus)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n = F.coalesce("n_hits", F.lit(0))
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id", n.alias("n_hits"), (n >= min_hits).alias("contaminated")
+    )
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """64-permutation MinHash signatures via double hashing: two xxhash64
     evaluations per shingle, then the i-th permutation is the affine combo
@@ -385,7 +413,34 @@ def build_queries():
         "dd3_minhash_lsh": (q(minhash_lsh_pairs), None),
         "dd4_simhash_pairs": (q(simhash_near_pairs), None),
         "dd6_dedup_clusters": (q(dedup_clusters), _DD6_SQL),
+        "dc1_decontaminate": (q(decontaminate), _DC1_SQL),
     }
+
+
+_DC1_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)])
+              ELSE [] END AS shs
+  FROM t
+),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN bench USING (sh)
+  WHERE s.doc_id >= 20
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= 20
+"""
 
 
 _DD1_SQL = """

@@ -298,6 +298,7 @@ _DEMOTED = (
     "as1_asof_join",                  # as2 (canonical merge-asof) shares its oracle in-window
     "arr1_vector_stats",              # vec1/sim* cover the array surface in-window
     "pk1_pack_sequences",             # pk2 (chunked, the scale form) is canonical in-window
+    "d2s_salted_compaction",          # js1 keeps salting in-window; d2 is the unsalted anchor (slot went to dc1 decontamination)
 )
 
 

@@ -11,10 +11,28 @@ from tests.conftest import SF_SMALL
 from tests.oracle import check_query
 
 
-@pytest.mark.parametrize("name", ["dd1_exact_dedup", "dd2_ngram_jaccard"])
+@pytest.mark.parametrize("name", ["dd1_exact_dedup", "dd2_ngram_jaccard", "dc1_decontaminate"])
 def test_oracle_match(spark, name):
     ok, msg = check_query(spark, name, SF_SMALL)
     assert ok, msg
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    """A corpus doc that quotes a benchmark doc's text must be flagged with
+    the exact distinct-shingle overlap count; disjoint docs must not be."""
+    from samsa_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta"      # doc 0: 4 shingles
+    rows = [
+        (0, "en", bench_text),
+        (1, "en", "one two three four five six seven"),     # benchmark too (id < 20)
+        (20, "en", "prefix alpha beta gamma delta suffix"), # quotes 2 of doc 0's shingles
+        (21, "en", "totally unrelated words here indeed"),
+        (22, "en", bench_text),                              # verbatim leak: all 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: (r.n_hits, r.contaminated) for r in decontaminate(df).collect()}
+    assert got == {20: (2, True), 21: (0, False), 22: (4, True)}
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:

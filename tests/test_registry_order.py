@@ -47,6 +47,7 @@ SIBLINGS = {
     "as1_asof_join": ["as2_asof_cogrouped"],
     "arr1_vector_stats": ["vec1_label_centroids"],
     "pk1_pack_sequences": ["pk2_pack_chunked"],
+    "d2s_salted_compaction": ["js1_salted_join", "d2_state_table"],
 }
 
 
