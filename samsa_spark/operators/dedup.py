@@ -120,12 +120,21 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
     )
 
 
-def decontaminate(documents: DataFrame, probe_max_id: int = 20, min_hits: int = 1) -> DataFrame:
+def decontaminate(
+    documents: DataFrame,
+    probe_max_id: int = 20,
+    min_hits: int = 1,
+    benchmark: DataFrame | None = None,
+) -> DataFrame:
     """dc1 — benchmark decontamination: per corpus doc, the number of
-    distinct 3-token shingles shared with the eval/benchmark probe set
-    (stand-in: docs with doc_id < ``probe_max_id``), and a contamination
-    flag at ``min_hits``. The standard pre-training hygiene pass — drop or
-    audit training docs that leak eval content.
+    distinct 3-token shingles shared with the eval/benchmark probe set,
+    and a contamination flag at ``min_hits``. The standard pre-training
+    hygiene pass — drop or audit training docs that leak eval content.
+
+    ``benchmark``: a separate (doc_id, text) frame of eval documents — the
+    production form. When None, docs with doc_id < ``probe_max_id`` stand
+    in as the benchmark and are excluded from the scored corpus (the
+    self-contained oracle form the registry runs).
 
     Scale shape: eval suites are thousands of docs while the corpus is
     billions, so the benchmark shingle set is distinct-aggregated and
@@ -133,9 +142,12 @@ def decontaminate(documents: DataFrame, probe_max_id: int = 20, min_hits: int = 
     semi-join + count, one row out per corpus doc. Never a corpus
     self-join, and the corpus text column is pruned after shingling.
     """
-    probes = documents.where(F.col("doc_id") < probe_max_id)
+    if benchmark is None:
+        probes = documents.where(F.col("doc_id") < probe_max_id)
+        corpus = documents.where(F.col("doc_id") >= probe_max_id)
+    else:
+        probes, corpus = benchmark, documents
     bench_sh = shingle_postings(probes).select("sh").distinct()
-    corpus = documents.where(F.col("doc_id") >= probe_max_id)
     hits = (
         shingle_postings(corpus)
         .join(F.broadcast(bench_sh), "sh")

@@ -197,9 +197,11 @@ def prep_pipeline(
     min_alpha_ratio: float = 0.5,
     train_pct: int = 80,
     fuzzy_min_est_jaccard: float | None = None,
+    decontaminate_against: DataFrame | None = None,
 ) -> DataFrame:
     """pp1 — the end-to-end training-data prep shard: quality filter ->
-    exact dedup [-> fuzzy dedup] -> deterministic split -> per-shard stats,
+    [decontaminate ->] exact dedup [-> fuzzy dedup] -> deterministic split
+    -> per-shard stats,
     composed from the same primitives the individual queries check (tx2's
     alpha ratio, dd1's content-hash canonicalization, dd3's MinHash-LSH,
     sp1's masked key hash).
@@ -221,6 +223,12 @@ def prep_pipeline(
     this stage is checked by pytest ground truth (planted near-dup corpus,
     tests/test_pipeline_ops.py) exactly like dd3 itself; the registered
     oracle query stays the exact-only form.
+
+    ``decontaminate_against`` (opt-in) drops docs sharing any 3-token
+    shingle with the given benchmark/eval frame BEFORE dedup — dc1's
+    broadcast-probe shape, applied as one anti-join (eval leakage must not
+    survive into any shard; running it first keeps leaked docs from ever
+    becoming dedup canonicals).
     """
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
@@ -228,6 +236,15 @@ def prep_pipeline(
     filtered = documents.select(
         "doc_id", "lang", "text", quality.alias("alpha_ratio")
     ).where((n_chars >= min_chars) & (F.col("alpha_ratio") >= min_alpha_ratio))
+    if decontaminate_against is not None:
+        from samsa_spark.operators.dedup import decontaminate
+
+        leaked = (
+            decontaminate(filtered, benchmark=decontaminate_against)
+            .where("contaminated")
+            .select("doc_id")
+        )
+        filtered = filtered.join(leaked, "doc_id", "left_anti")
     canon = filtered.groupBy(F.sha2("text", 256).alias("sha")).agg(
         F.min("doc_id").alias("keep_id")
     )

@@ -120,3 +120,35 @@ def test_prep_pipeline_fuzzy_stage_removes_planted_near_dups(spark):
 
     plain = prep_pipeline(docs_all)
     assert sum(r.n_docs for r in plain.collect()) == 8  # near-dups survive without fuzzy
+
+
+def test_prep_pipeline_decontamination_stage(spark):
+    """pp1's decontamination stage must equal physically deleting the docs
+    that share a shingle with the benchmark frame — ground truth is the
+    pipeline over the hand-pruned corpus."""
+    from samsa_spark.operators.pipeline_ops import prep_pipeline
+
+    def words(tag):
+        return " ".join(f"{tag}tok{i}" for i in range(40))
+
+    bench = spark.createDataFrame(
+        [(900, "en", "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, lang string, text string",
+    )
+    corpus_rows = [
+        (1, "en", words("d1")),
+        (2, "en", words("d2") + " alpha beta gamma tail"),  # leaks a benchmark shingle
+        (3, "en", words("d3")),
+        (4, "en", "intro alpha beta gamma delta outro"),    # leaks two
+    ]
+    schema = "doc_id long, lang string, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    clean = spark.createDataFrame([corpus_rows[0], corpus_rows[2]], schema)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = prep_pipeline(corpus, decontaminate_against=bench)
+    truth = prep_pipeline(clean)
+    assert rows(got) == rows(truth)
+    assert sum(r.n_docs for r in got.collect()) == 2
