@@ -144,6 +144,57 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_bigram_frac: float = 0.15,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """tx6 — Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted to
+    this corpus's scale): per-doc word count, mean word length, duplicate-
+    bigram fraction (the repetition signal), stopword hits, and a single
+    pass/fail flag over the classic threshold battery. The industry-standard
+    rule filter next to tx2's continuous score.
+
+    All signals are exact column algebra (counts + 6-decimal-rounded ratios
+    compared AFTER rounding on both engines — repo rule 6); the bigram list
+    keeps multiplicity, so dup_frac = 1 - distinct/total.
+    """
+    toks = _toks()
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    spaces = n_chars - F.length(F.regexp_replace("text", " ", ""))
+    mwl = F.round((n_chars - spaces) / n_words, 6)
+    idx = F.sequence(F.lit(1), n_words - 1)
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    dup_frac = F.when(
+        n_words >= 2,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n_words - 1), 6),
+    ).otherwise(F.lit(0.0))
+    stop = _stop_hits(toks, _STOP_EN)
+    scored = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        dup_frac.alias("dup_bigram_frac"),
+        stop.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return scored.withColumn("passes", passes)
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """tx5 — corpus statistics per (lang, source): doc counts, char totals,
     token totals, length extents. One hash aggregate over narrow projections.
@@ -175,6 +226,7 @@ def build_queries():
         "tx3_lang_id": (q(lang_id), _TX3_SQL),
         "tx4_fingerprints": (q(fingerprints), _TX4_SQL),
         "tx5_corpus_stats": (q(corpus_stats), _TX5_SQL),
+        "tx6_gopher_rules": (q(gopher_rules), _TX6_SQL),
     }
 
 
@@ -255,4 +307,32 @@ WITH a AS (
   FROM documents GROUP BY lang, source
 )
 SELECT *, total_chars / n_docs AS avg_chars FROM a
+"""
+
+_TX6_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) AS spaces,
+         len(list_filter(string_split(text, ' '), t -> t IN {_STOP_EN_SQL})) AS stop
+  FROM documents
+), g AS (
+  SELECT doc_id, n_words,
+         round((n_chars - spaces) / n_words, 6) AS mean_word_len,
+         CASE WHEN n_words >= 2 THEN
+           round(1.0 - len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                          for i in generate_series(1, n_words - 1)]))
+                       / (n_words - 1), 6)
+         ELSE 0.0 END AS dup_bigram_frac,
+         stop AS stop_hits
+  FROM b
+)
+SELECT doc_id, n_words, mean_word_len, dup_bigram_frac, stop_hits,
+       (n_words BETWEEN 30 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND (dup_bigram_frac <= 0.15)
+         AND (stop_hits >= 1) AS passes
+FROM g
 """

@@ -299,6 +299,7 @@ _DEMOTED = (
     "arr1_vector_stats",              # vec1/sim* cover the array surface in-window
     "pk1_pack_sequences",             # pk2 (chunked, the scale form) is canonical in-window
     "d2s_salted_compaction",          # js1 keeps salting in-window; d2 is the unsalted anchor (slot went to dc1 decontamination)
+    "tx6_gopher_rules",               # tx2's continuous score anchors text quality in-window; the rule battery is pytest-oracle-checked
 )
 
 

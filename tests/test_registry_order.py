@@ -48,6 +48,7 @@ SIBLINGS = {
     "arr1_vector_stats": ["vec1_label_centroids"],
     "pk1_pack_sequences": ["pk2_pack_chunked"],
     "d2s_salted_compaction": ["js1_salted_join", "d2_state_table"],
+    "tx6_gopher_rules": ["tx2_quality_scores"],
 }
 
 

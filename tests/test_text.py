@@ -13,6 +13,7 @@ TX_QUERIES = [
     "tx3_lang_id",
     "tx4_fingerprints",
     "tx5_corpus_stats",
+    "tx6_gopher_rules",
 ]
 
 
