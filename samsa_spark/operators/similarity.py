@@ -357,6 +357,57 @@ def _ivf_query(
     )
 
 
+def quantization_report(embeddings: DataFrame) -> DataFrame:
+    """qz1 — symmetric per-vector int8 quantization audit: q_i =
+    round(127 * x_i / max_abs), dequant q_i * max_abs / 127; per label the
+    vector count, mean/max absolute round-trip error and mean scale. The
+    check an embedding store runs before switching ANN search to the
+    4x-smaller int8 corpus (zero vectors quantize to zero, scale 1).
+
+    Pure column algebra (transform/zip/aggregate lambdas + one hash
+    aggregate with map-side partials); both engines compute the identical
+    IEEE expression per element, and group aggregates are 6-decimal-rounded
+    (same acceptance as vec1's means).
+    """
+    embd = F.transform("embedding", lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", "label", embd.alias("emb"))
+    m = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    scaled = base.withColumn("scale", F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0)))
+    errs = F.transform(
+        "emb", lambda x: F.abs(x - F.round(x / F.col("scale")) * F.col("scale"))
+    )
+    e = scaled.withColumn("errs", errs)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.avg(F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.lit(64.0)), 6
+        ).alias("avg_abs_err"),
+        F.round(F.max(F.array_max("errs")), 6).alias("max_abs_err"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+    )
+
+
+_QZ1_SQL = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, label, emb,
+         CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+  FROM (SELECT vec_id, label, emb,
+               list_max(list_transform(emb, x -> abs(x))) AS m FROM v)
+), e AS (
+  SELECT label, scale,
+         [abs(emb[i] - round(emb[i] / scale) * scale)
+          for i in generate_series(1, 64)] AS errs
+  FROM s
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(list_sum(errs) / 64.0), 6) AS avg_abs_err,
+       round(max(list_max(errs)), 6) AS max_abs_err,
+       round(avg(scale), 6) AS avg_scale
+FROM e GROUP BY label
+"""
+
+
 def save_index(embeddings: DataFrame, path: str, cells: int = 32, iters: int = 4) -> None:
     """Persist an IVF index: k-means centroids (``<path>/centroids``) and
     per-vector cell assignments (``<path>/assignments``, partitioned by
@@ -463,6 +514,7 @@ def build_queries():
         "sim5_ivf_kmeans_topk": (q(ivf_topk_kmeans), None),
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
+        "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
     }
 
 

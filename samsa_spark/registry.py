@@ -300,6 +300,7 @@ _DEMOTED = (
     "pk1_pack_sequences",             # pk2 (chunked, the scale form) is canonical in-window
     "d2s_salted_compaction",          # js1 keeps salting in-window; d2 is the unsalted anchor (slot went to dc1 decontamination)
     "tx6_gopher_rules",               # tx2's continuous score anchors text quality in-window; the rule battery is pytest-oracle-checked
+    "qz1_quantization_report",        # vec1/sim4 anchor the embedding surface in-window; the int8 audit is pytest-oracle-checked
 )
 
 

@@ -49,6 +49,7 @@ SIBLINGS = {
     "pk1_pack_sequences": ["pk2_pack_chunked"],
     "d2s_salted_compaction": ["js1_salted_join", "d2_state_table"],
     "tx6_gopher_rules": ["tx2_quality_scores"],
+    "qz1_quantization_report": ["vec1_label_centroids", "sim4_ivf_topk"],
 }
 
 

@@ -159,3 +159,27 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
     # must not scan the corpus for probes)
     plan = ivf_topk_prebuilt(spark, path, n_probes=20, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)" in plan, plan[:2000]
+
+
+def test_quantization_report_oracle(spark):
+    ok, msg = check_query(spark, "qz1_quantization_report", SF_SMALL)
+    assert ok, msg
+
+
+def test_quantization_roundtrip_bound(spark):
+    """Symmetric int8 round-trip error is bounded by scale/2 = max_abs/254
+    per component; the report's max error must respect that bound."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import quantization_report
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    import pyspark.sql.functions as F
+
+    gmax = emb.select(
+        F.max(F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))))
+    ).collect()[0][0]
+    rep = quantization_report(emb).collect()
+    assert rep, "empty report"
+    for r in rep:
+        assert r.max_abs_err <= gmax / 254 + 1e-9, f"label {r.label}: {r.max_abs_err}"
+        assert 0.0 <= r.avg_abs_err <= r.max_abs_err + 1e-9
