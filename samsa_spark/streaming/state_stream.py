@@ -38,6 +38,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import StructType
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+DEFAULT_PROVIDER = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
 
 def _build_fold(
@@ -214,6 +215,17 @@ class StatefulStream:
         self.ttl = ttl
         if store == "rocksdb":
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        elif store == "default":
+            # Explicit, not a no-op: a prior store="rocksdb" stream set the
+            # session conf, and "default" must actually select the HDFS-backed
+            # provider rather than silently inherit RocksDB.
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", DEFAULT_PROVIDER)
+        else:
+            # reference parity: storage.py:221-224 raises
+            # UnknownDatabaseSpecified for anything but sqlite/rocksdb
+            raise ValueError(
+                f"unknown store {store!r}: expected 'rocksdb' or 'default'"
+            )
 
     def _schemas(self, src: DataFrame) -> tuple[StructType, StructType]:
         fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
@@ -320,6 +332,12 @@ def stateful_transform(
         stream_df.sparkSession.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
+    elif store == "default":
+        stream_df.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", DEFAULT_PROVIDER
+        )
+    else:
+        raise ValueError(f"unknown store {store!r}: expected 'rocksdb' or 'default'")
 
     def wrapped(key, pdfs, state):
         parts = [p for p in pdfs if len(p)]
