@@ -97,6 +97,7 @@ def sweep_dedup(spark) -> None:
 
     from samsa_spark import tables
     from samsa_spark.operators.dedup import (
+        decontaminate,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_near_pairs,
@@ -126,6 +127,9 @@ def sweep_dedup(spark) -> None:
         _time(f"dd2_exact_jaccard_x{factor}", lambda: ngram_jaccard_pairs(df, 0.5), n)
         _time(f"dd3_minhash_lsh_x{factor}", lambda: minhash_lsh_pairs(df, 0.5), n)
         _time(f"dd4_simhash_x{factor}", lambda: simhash_near_pairs(df), n)
+        # fixed benchmark probe set (broadcast), corpus grows -> must be
+        # linear in N (one broadcast join + count, no self-join)
+        _time(f"dc1_decontaminate_x{factor}", lambda: decontaminate(df), n)
         df.unpersist()
 
 
