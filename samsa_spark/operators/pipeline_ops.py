@@ -284,6 +284,117 @@ def prep_pipeline(
     )
 
 
+_CHUNK_W = 16  # tokens per chunk
+_CHUNK_S = 12  # stride (overlap = W - S = 4 tokens)
+
+
+def chunk_overlap(
+    documents: DataFrame, window: int = _CHUNK_W, stride: int = _CHUNK_S
+) -> DataFrame:
+    """ck1 — overlapping sliding-window chunking: split each document into
+    ``window``-token chunks every ``stride`` tokens (the context-window prep
+    every RAG / long-context training pipeline runs; pk2 *packs* whole docs
+    into budgets, ck1 *splits* docs into overlapping model-sized pieces).
+
+    Chunk starts are 0, S, 2S, … ; the last chunk may be short (array slice
+    truncates identically on both engines); a doc with <= W tokens yields
+    exactly one chunk. Pure array algebra — split, sequence, slice,
+    concat_ws — so the 1→N fan-out happens JVM-side inside codegen with no
+    shuffle at all: at 100 TB this is a narrow scan-explode whose output
+    parallelism is the input's, and the chunk id (doc_id, chunk_idx) is
+    stable under any partitioning.
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    extra = F.when(
+        n > window, (n - F.lit(window) + F.lit(stride - 1)).cast("long") / F.lit(stride)
+    ).otherwise(F.lit(0))
+    base = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n_doc_tokens"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.floor(extra))).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("toks"), (F.col("chunk_idx") * stride + 1).cast("int"), window
+    )
+    return base.select(
+        "doc_id",
+        "chunk_idx",
+        "n_doc_tokens",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+_CK1_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_doc_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, n_doc_tokens,
+         unnest(range(0, 1 + CASE WHEN n_doc_tokens > {_CHUNK_W}
+           THEN (n_doc_tokens - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}
+           ELSE 0 END)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, chunk_idx, n_doc_tokens,
+       len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                      chunk_idx * {_CHUNK_S} + {_CHUNK_W})) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                                  chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ') AS chunk_text
+FROM c
+"""
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """lm1 — unigram language-model quality score: per-doc mean token
+    log-probability under the corpus's own unigram distribution (the
+    CCNet-style LM-perplexity quality filter — Wenzek et al. 2020 §4.3 —
+    with the KenLM 5-gram swapped for the engine-portable unigram model;
+    low mean logprob = rare-token-heavy = boilerplate/noise candidate).
+
+    Two hash aggregates over the exploded token stream (vocab counts, then
+    per-doc mean), with the scored join broadcasting the vocab — vocabulary
+    is word *types*, bounded and tiny next to the corpus. At true web scale
+    (vocab past broadcast size) the same plan degrades gracefully to a
+    shuffle join on the term — the token stream is already skinny — and the
+    vocab aggregate's map-side combine keeps the heavy shuffle at type-level
+    cardinality. Mean logprob rounds to 6 decimals on both engines (repo
+    rule 6) so libm-vs-Java ``ln`` ulps cannot surface.
+    """
+    toks = documents.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log(F.col("c") / F.col("t")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+_LM1_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(vocab.c / tot.t)), 6) AS avg_logprob
+FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 _PP1_SQL = f"""
 WITH f AS (
   SELECT doc_id, lang, text, round(
@@ -328,6 +439,8 @@ def build_queries():
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
+        "ck1_chunk_overlap": (q(chunk_overlap, "documents"), _CK1_SQL),
+        "lm1_unigram_logprob": (q(unigram_logprob, "documents", spread=True), _LM1_SQL),
         # fuzzy form: the dd3 MinHash stage rides xxhash64 (no DuckDB twin)
         # -> rows-only, rank 2, outside the hash window like dd3/sim5;
         # ground truth = planted-corpus equivalence in tests/test_pipeline_ops.py.

@@ -195,6 +195,51 @@ def gopher_rules(
     return scored.withColumn("passes", passes)
 
 
+# PII patterns (Dolma-style scrub stage: Soldaini et al. 2024 §4.1 runs
+# exactly this email/phone/IP regex battery before training). ASCII classes
+# and explicit quantifiers only — Java regex (Spark) and RE2 (DuckDB) agree
+# on these; no \w/\p{...} which drag in engine-specific unicode tables.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """tx7 — PII scrubbing: count and redact emails / NANP-style phone
+    numbers / IPv4 literals, the standard pre-training redaction battery.
+
+    Counts come from ``regexp_count`` on the raw text; the scrubbed text
+    applies the replacements in a fixed order (email, then phone, then IP —
+    order matters because redaction tokens must not feed later patterns).
+    Pure per-row regex column algebra: at 100 TB this is a narrow
+    scan-transform with zero shuffles, and the counts aggregate (if any)
+    is the caller's. The corpus tables are synthetic word-salad (zero
+    matches — the oracle still locks regex-dialect parity on the no-match
+    path); the match path is pytest-checked on a PII-injected corpus
+    against the same DuckDB twin (tests/test_text.py).
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(PHONE_RE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(IP_RE),
+        F.lit("[IP]"),
+    )
+    n_emails = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+    n_ips = F.regexp_count(F.col("text"), F.lit(IP_RE))
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+        ((n_emails + n_phones + n_ips) > 0).alias("had_pii"),
+    )
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """tx5 — corpus statistics per (lang, source): doc counts, char totals,
     token totals, length extents. One hash aggregate over narrow projections.
@@ -227,6 +272,7 @@ def build_queries():
         "tx4_fingerprints": (q(fingerprints), _TX4_SQL),
         "tx5_corpus_stats": (q(corpus_stats), _TX5_SQL),
         "tx6_gopher_rules": (q(gopher_rules), _TX6_SQL),
+        "tx7_pii_scrub": (q(pii_scrub), _TX7_SQL),
     }
 
 
@@ -335,4 +381,20 @@ SELECT doc_id, n_words, mean_word_len, dup_bigram_frac, stop_hits,
          AND (dup_bigram_frac <= 0.15)
          AND (stop_hits >= 1) AS passes
 FROM g
+"""
+
+_TX7_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(text, '{IP_RE}')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g'),
+         '{IP_RE}', '[IP]', 'g') AS scrubbed,
+       (len(regexp_extract_all(text, '{EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{PHONE_RE}'))
+        + len(regexp_extract_all(text, '{IP_RE}'))) > 0 AS had_pii
+FROM documents
 """

@@ -301,6 +301,9 @@ _DEMOTED = (
     "d2s_salted_compaction",          # js1 keeps salting in-window; d2 is the unsalted anchor (slot went to dc1 decontamination)
     "tx6_gopher_rules",               # tx2's continuous score anchors text quality in-window; the rule battery is pytest-oracle-checked
     "qz1_quantization_report",        # vec1/sim4 anchor the embedding surface in-window; the int8 audit is pytest-oracle-checked
+    "tx7_pii_scrub",                  # tx1/tx2 anchor per-row text transforms in-window; the scrub battery is pytest-oracle-checked (incl. a PII-injected corpus)
+    "ck1_chunk_overlap",              # pk2 anchors doc->training-piece shaping in-window; overlap chunking is pytest-oracle-checked
+    "lm1_unigram_logprob",            # tf1 anchors the explode->vocab->score shape in-window; the LM score is pytest-oracle-checked
 )
 
 

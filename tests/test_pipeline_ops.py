@@ -14,7 +14,37 @@ PIPE_QUERIES = [
     "pk1_pack_sequences",
     "pk2_pack_chunked",
     "pp1_prep_pipeline",
+    "ck1_chunk_overlap",
+    "lm1_unigram_logprob",
 ]
+
+
+def test_chunk_overlap_shape(spark):
+    """Chunk arithmetic locked on constructed docs: starts every S tokens,
+    last chunk short, <=W-token doc yields one full-copy chunk."""
+    import pandas as pd
+
+    from samsa_spark.operators.pipeline_ops import chunk_overlap
+
+    toks41 = " ".join(f"t{i}" for i in range(41))
+    toks16 = " ".join(f"s{i}" for i in range(16))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [toks41, toks16, "one"]})
+    )
+    out = chunk_overlap(df)  # W=16, S=12
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # 41 tokens -> ceil((41-16)/12)=3 extra -> starts 0,12,24,36; last is short
+    assert sorted(i for d, i in rows if d == 1) == [0, 1, 2, 3]
+    assert rows[(1, 0)].n_chunk_tokens == 16
+    assert rows[(1, 0)].chunk_text.split(" ")[0] == "t0"
+    assert rows[(1, 1)].chunk_text.split(" ")[0] == "t12", "stride-12 overlap"
+    assert rows[(1, 3)].n_chunk_tokens == 5
+    assert rows[(1, 3)].chunk_text == "t36 t37 t38 t39 t40"
+    assert all(r.n_doc_tokens == 41 for (d, _), r in rows.items() if d == 1)
+    # exactly-W and tiny docs -> a single chunk equal to the doc
+    assert sorted(i for d, i in rows if d == 2) == [0]
+    assert rows[(2, 0)].chunk_text == toks16
+    assert rows[(3, 0)].chunk_text == "one"
 
 
 @pytest.mark.parametrize("name", PIPE_QUERIES)

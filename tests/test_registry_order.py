@@ -50,6 +50,9 @@ SIBLINGS = {
     "d2s_salted_compaction": ["js1_salted_join", "d2_state_table"],
     "tx6_gopher_rules": ["tx2_quality_scores"],
     "qz1_quantization_report": ["vec1_label_centroids", "sim4_ivf_topk"],
+    "tx7_pii_scrub": ["tx1_token_counts", "tx2_quality_scores"],
+    "ck1_chunk_overlap": ["pk2_pack_chunked"],
+    "lm1_unigram_logprob": ["tf1_tfidf_top_terms"],
 }
 
 

@@ -14,10 +14,47 @@ TX_QUERIES = [
     "tx4_fingerprints",
     "tx5_corpus_stats",
     "tx6_gopher_rules",
+    "tx7_pii_scrub",
 ]
 
 
 @pytest.mark.parametrize("name", TX_QUERIES)
 def test_oracle_match(spark, name):
     ok, msg = check_query(spark, name, SF_SMALL)
+    assert ok, msg
+
+
+def test_pii_scrub_injected_corpus(spark, tmp_path):
+    """The corpus tables contain no PII (the registered query locks the
+    no-match path); this locks the match path — counts, redaction, and
+    ordering — against the same DuckDB twin on a PII-injected corpus."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import _TX7_SQL, pii_scrub
+    from tests.oracle import compare, run_oracle
+
+    rows = [
+        (0, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+        (1, "call 555-867-5309 or 555.867.5309 x12"),
+        (2, "server at 10.0.0.1 and 192.168.100.200 responded"),
+        (3, "mixed: a@b.co 123-456-7890 1.2.3.4 end"),
+        (4, "clean text with no identifiers at all"),
+        (5, "edge: not-an-email@ nor 12-34-5678 nor 1.2.3"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    (tmp_path / "docs").mkdir()
+    pdf.to_parquet(tmp_path / "docs" / "documents.parquet", index=False)
+
+    out = pii_scrub(spark.createDataFrame(pdf))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["n_emails"] == 2 and got[0]["had_pii"]
+    assert got[0]["scrubbed"] == "contact [EMAIL] or [EMAIL] today"
+    assert got[1]["n_phones"] == 2
+    assert got[2]["n_ips"] == 2
+    assert got[3]["scrubbed"] == "mixed: [EMAIL] [PHONE] [IP] end"
+    assert got[4]["n_emails"] == got[4]["n_phones"] == got[4]["n_ips"] == 0
+    assert not got[4]["had_pii"]
+    assert not got[5]["had_pii"], "near-miss patterns must not match"
+
+    ok, msg = compare(out, run_oracle(_TX7_SQL, str(tmp_path / "docs")))
     assert ok, msg
