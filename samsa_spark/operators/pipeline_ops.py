@@ -366,7 +366,9 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     """
     toks = documents.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    tot = vocab.agg(F.sum("c").cast("double").alias("t"))
+    # total instances = count of the token stream — same number as sum(c)
+    # but skips re-running the vocab aggregate in a second branch.
+    tot = toks.agg(F.count("*").cast("double").alias("t"))
     lp = vocab.crossJoin(F.broadcast(tot)).select(
         "tok", F.log(F.col("c") / F.col("t")).alias("lp")
     )
@@ -386,7 +388,7 @@ WITH toks AS (
 ), vocab AS (
   SELECT tok, count(*) AS c FROM toks GROUP BY tok
 ), tot AS (
-  SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM toks
 )
 SELECT doc_id, count(*) AS n_tokens,
        round(avg(ln(vocab.c / tot.t)), 6) AS avg_logprob
