@@ -182,3 +182,39 @@ def test_prep_pipeline_decontamination_stage(spark):
     truth = prep_pipeline(clean)
     assert rows(got) == rows(truth)
     assert sum(r.n_docs for r in got.collect()) == 2
+
+
+def test_chunk_overlap_coverage_property(spark):
+    """Invariants over random docs: every token index lands in >=1 chunk,
+    full chunks overlap their successor by exactly W-S tokens, chunk 0
+    starts at token 0, and reassembling stride-slices reproduces the doc."""
+    import random
+
+    import pandas as pd
+
+    from samsa_spark.operators.pipeline_ops import _CHUNK_S, _CHUNK_W, chunk_overlap
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(1, 80))))
+        for i in range(25)
+    ]
+    out = chunk_overlap(spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"])))
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_idx == 0
+        covered = set()
+        for r in chunks:
+            start = r.chunk_idx * _CHUNK_S
+            piece = toks[start : start + _CHUNK_W]
+            assert r.chunk_text == " ".join(piece), (doc_id, r.chunk_idx)
+            assert r.n_chunk_tokens == len(piece)
+            covered.update(range(start, start + len(piece)))
+        assert covered == set(range(len(toks))), f"doc {doc_id}: gap in coverage"
+        for a, b in zip(chunks, chunks[1:]):
+            if a.n_chunk_tokens == _CHUNK_W:
+                assert a.chunk_text.split(" ")[_CHUNK_S:] == b.chunk_text.split(" ")[: _CHUNK_W - _CHUNK_S]
