@@ -133,6 +133,40 @@ def sweep_dedup(spark) -> None:
         df.unpersist()
 
 
+def sweep_text(spark) -> None:
+    """Per-document prep stages at 1x/10x corpus: tx7 PII scrub and ck1
+    overlap chunking are shuffle-free scan transforms (must scale ~linearly
+    with N); lm1 unigram scoring carries the one type-cardinality vocab
+    shuffle + broadcast join (near-linear expected — vocab grows far slower
+    than the corpus)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import chunk_overlap, unigram_logprob
+    from samsa_spark.operators.text import pii_scrub
+
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    pii_scrub(docs).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        if factor == 1:
+            df, n = docs, n_docs
+        else:
+            reps = spark.range(factor).select(F.col("id").alias("_r"))
+            df = docs.crossJoin(F.broadcast(reps)).select(
+                (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+                F.concat_ws(" ", "text", F.concat(F.lit("r"), F.col("_r"))).alias("text"),
+            )
+            n = n_docs * factor
+        df = df.localCheckpoint(eager=True)
+        _time(f"tx7_pii_scrub_x{factor}", lambda: pii_scrub(df), n)
+        _time(f"ck1_chunk_overlap_x{factor}", lambda: chunk_overlap(df), n)
+        _time(f"lm1_unigram_logprob_x{factor}", lambda: unigram_logprob(df), n)
+        df.unpersist()
+
+
 def sweep_packing(spark) -> None:
     """pk1 (window per source — a handful of partitions) vs pk2 (window per
     (source, chunk)) as the corpus grows: the hierarchical form's advantage
@@ -354,6 +388,8 @@ def main() -> None:
         sweep_events(spark)
     if what in ("dedup", "all"):
         sweep_dedup(spark)
+    if what in ("text", "all"):
+        sweep_text(spark)
     if what in ("similarity", "all"):
         sweep_similarity(spark)
     if what in ("packing", "all"):
