@@ -143,3 +143,30 @@ def test_equidepth_constant_column(spark):
     docs = spark.createDataFrame([(i, 100) for i in range(20)], "doc_id long, n_chars int")
     rows = equidepth_histogram(docs).collect()
     assert len(rows) == 1 and rows[0].n_docs == 20 and rows[0].bucket == 1
+
+
+def test_prep_stage_ops_on_empty_and_degenerate_docs(spark):
+    """tx7/ck1/lm1 on empty frames and degenerate text: no rows -> no rows
+    (no crash), empty-string docs still chunk/score without dividing by
+    zero (split('') yields [''] — one empty token on both engines)."""
+    from samsa_spark.operators.pipeline_ops import chunk_overlap, unigram_logprob
+    from samsa_spark.operators.text import pii_scrub
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    assert pii_scrub(empty).count() == 0
+    assert chunk_overlap(empty).count() == 0
+    assert unigram_logprob(empty).count() == 0
+
+    degenerate = spark.createDataFrame([(1, ""), (2, "x")], DOC_SCHEMA)
+    assert pii_scrub(degenerate).count() == 2
+    chunks = chunk_overlap(degenerate).collect()
+    assert {(r.doc_id, r.chunk_idx, r.chunk_text) for r in chunks} == {
+        (1, 0, ""),
+        (2, 0, "x"),
+    }
+    lm = {r.doc_id: r for r in unigram_logprob(degenerate).collect()}
+    assert lm[1].n_tokens == 1 and lm[2].n_tokens == 1
+    # two singleton token types over a 2-token stream: logprob = ln(1/2)
+    import math
+
+    assert abs(lm[1].avg_logprob - round(math.log(0.5), 6)) < 1e-9
