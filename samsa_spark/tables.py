@@ -6,14 +6,17 @@ events documents embeddings — one parquet file each under
 
 The ``events`` table models samsa's message log (reference
 samsa/kafka/storage.py:228-253 consumes keyed messages; FIXTURES.md §1 maps
-key -> ``user_id``, arrival order -> ``(ts, event_id)``). Its ``ts`` column is
-parquet TIMESTAMP(NANOS), which Spark cannot read natively — we read it as a
-nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``) and derive:
+key -> ``user_id``, arrival order -> ``(ts, event_id)``). Its ``ts`` column
+has shipped in two parquet encodings across driver testdata generations —
+TIMESTAMP(NANOS) (rounds 1-4; Spark can only read it as a nanosecond long
+via ``spark.sql.legacy.parquet.nanosAsLong``) and plain TIMESTAMP(MICROS)
+``isAdjustedToUTC=false`` (round 5+; Spark reads TIMESTAMP_NTZ natively).
+``load`` normalizes either encoding to the same contract:
 
 - ``ts_us``: microsecond epoch BIGINT — the canonical ordering column. The
-  DuckDB oracle reads the same file truncated to microseconds, so all
-  ordering/comparison is done at microsecond precision with ``event_id`` as
-  the deterministic tie-break on both sides.
+  DuckDB oracle computes ``epoch_us(ts)`` over the same file (truncating to
+  µs in the NANOS case), so all ordering/comparison is done at microsecond
+  precision with ``event_id`` as the deterministic tie-break on both sides.
 - ``ts``: TIMESTAMP_NTZ at microsecond precision (timezone-free arithmetic,
   so results don't depend on the session timezone).
 """
@@ -22,7 +25,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = [
     "region",
@@ -37,8 +40,9 @@ TABLES = [
     "embeddings",
 ]
 
-# Columns stored as parquet TIMESTAMP(NANOS) that arrive as `long` under
-# nanosAsLong and need the ns -> us conversion.
+# Timestamp columns that need normalization to the (ts TIMESTAMP_NTZ µs,
+# ts_us BIGINT) contract, whatever parquet encoding the testdata generation
+# used (NANOS-as-long or native MICROS).
 _NS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
@@ -80,7 +84,9 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> D
     if spread and _single_row_group_rows(path) is not None:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     for c in _NS_TS_COLS.get(name, ()):
-        if isinstance(df.schema[c].dataType, LongType):
+        dtype = df.schema[c].dataType
+        if isinstance(dtype, LongType):
+            # TIMESTAMP(NANOS) parquet read under nanosAsLong (rounds 1-4).
             df = (
                 df.withColumnRenamed(c, f"_{c}_ns")
                 # integer div: going through double would lose precision at
@@ -91,6 +97,19 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> D
                     F.expr(f"timestampadd(MICROSECOND, _{c}_ns div 1000, {_EPOCH_NTZ})"),
                 )
                 .drop(f"_{c}_ns")
+            )
+        elif isinstance(dtype, TimestampNTZType):
+            # Native TIMESTAMP(MICROS) isAdjustedToUTC=false (round 5+).
+            # timestampdiff against the NTZ epoch is timezone-free, unlike
+            # unix_micros which would route through the session timezone.
+            df = df.withColumn(
+                f"{c}_us", F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {c})")
+            )
+        elif isinstance(dtype, TimestampType):
+            # Instant-typed read (only if NTZ inference is off): unix_micros
+            # is exact on instants; re-anchor ts to NTZ for the contract.
+            df = df.withColumn(f"{c}_us", F.unix_micros(F.col(c))).withColumn(
+                c, F.expr(f"timestampadd(MICROSECOND, unix_micros({c}), {_EPOCH_NTZ})")
             )
     return df
 
