@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
-"sf"} plus a `canonical_*` section.
+compact JSON line as the FINAL stdout line: {"metric", "value" (total sec),
+"unit", "queries" {name: sec}, "sf", "value_floor", "canonical_value",
+"canonical_value_floor"}. The full per-query floor/canonical breakdown is
+written to BENCH_DETAIL.json beside this script (the driver's stdout
+capture keeps only a ~2 KB tail, so the final line must stay small).
 
 Each query is fully materialized through the `noop` sink (all columns
 evaluated, no write cost). Queries span the operator families: state-store
@@ -124,25 +127,46 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf_dir
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-                "value_floor": round(sum(floor.values()), 3),
-                "queries_floor": floor,
-                "canonical_value_floor": round(sum(canon_floor.values()), 3),
-                "canonical_queries_floor": canon_floor,
-                "canonical_value": round(sum(canon.values()), 3),
-                "canonical_queries": canon,
-                "protocol": "value/queries = single pass (rounds-1/2 protocol, legacy section); *_floor = per-query min of 2 same-session passes for queries over 1s; canonical section headline = canonical_value_floor (regressions judged on floors, PLANS.md 'Measurement noise')",
-            }
-        )
+    # The driver retains only the tail (~2 KB) of stdout and parses the last
+    # JSON line it finds there (BENCH_r04/r05 went "parsed": null because the
+    # full per-query dump grew past that window and its head was cut). So the
+    # FINAL stdout line is a compact self-contained summary — original
+    # contract fields (metric/value/unit/queries/sf) plus section totals —
+    # and the complete per-query floor/canonical breakdown goes to
+    # BENCH_DETAIL.json beside this script.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "value_floor": round(sum(floor.values()), 3),
+        "canonical_value_floor": round(sum(canon_floor.values()), 3),
+        "canonical_value": round(sum(canon.values()), 3),
+        "detail": "BENCH_DETAIL.json",
+    }
+    detail = dict(
+        summary,
+        queries_floor=floor,
+        canonical_queries_floor=canon_floor,
+        canonical_queries=canon,
+        protocol=(
+            "value/queries = single pass (rounds-1/2 protocol, legacy"
+            " section); *_floor = per-query min of 2 same-session passes for"
+            " queries over 1s; regression judgments for BOTH sections read"
+            " the floors (value_floor / canonical_value_floor — BASELINE.md,"
+            " PLANS.md 'Measurement noise')"
+        ),
+    )
+    (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
     )
     spark.stop()
+    line = json.dumps(summary)
+    if len(line) > 1800:  # never outgrow the driver's ~2 KB tail again
+        summary["queries"] = {"see": "BENCH_DETAIL.json"}
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Testdata parquet stores event time as TIMESTAMP(NANOS); Spark has
         # no nanosecond timestamp type, so read as long and convert in
-        # tables.load (see tables._NS_TS_COLS).
+        # tables.load (see tables._TS_COLS).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

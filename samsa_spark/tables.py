@@ -43,7 +43,7 @@ TABLES = [
 # Timestamp columns that need normalization to the (ts TIMESTAMP_NTZ µs,
 # ts_us BIGINT) contract, whatever parquet encoding the testdata generation
 # used (NANOS-as-long or native MICROS).
-_NS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
@@ -66,6 +66,22 @@ def _single_row_group_rows(path: str) -> int | None:
         return None
 
 
+def _parquet_ts_is_utc_adjusted(path: str, col: str) -> bool:
+    """True if the parquet timestamp column is isAdjustedToUTC=true.
+
+    Arrow surfaces the parquet flag as the field's ``tz`` attribute
+    (``None`` for wall-clock/NTZ encodings, a zone string for
+    instant/adjusted ones). Unreadable metadata counts as not-adjusted —
+    the caller's arithmetic is then no worse than before this check.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        return getattr(pq.read_schema(path).field(col).type, "tz", None) is not None
+    except Exception:
+        return False
+
+
 def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Load one testdata table, normalizing nanosecond timestamps.
 
@@ -83,7 +99,7 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> D
     df = spark.read.parquet(path)
     if spread and _single_row_group_rows(path) is not None:
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    for c in _NS_TS_COLS.get(name, ()):
+    for c in _TS_COLS.get(name, ()):
         dtype = df.schema[c].dataType
         if isinstance(dtype, LongType):
             # TIMESTAMP(NANOS) parquet read under nanosAsLong (rounds 1-4).
@@ -108,6 +124,17 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> D
         elif isinstance(dtype, TimestampType):
             # Instant-typed read (only if NTZ inference is off): unix_micros
             # is exact on instants; re-anchor ts to NTZ for the contract.
+            # This assumes the parquet column is isAdjustedToUTC=false (raw
+            # micros == NTZ wall clock). An adjusted-to-UTC encoding would
+            # make ts a UTC wall clock while DuckDB reads TIMESTAMPTZ —
+            # silently diverging from the oracle — so check and refuse.
+            if _parquet_ts_is_utc_adjusted(path, c):
+                raise ValueError(
+                    f"{path}:{c} is parquet TIMESTAMP(isAdjustedToUTC=true); "
+                    "tables.load only supports wall-clock (NTZ) encodings — "
+                    "the DuckDB oracle would read this as TIMESTAMPTZ and "
+                    "diverge. Extend tables.load before using this data."
+                )
             df = df.withColumn(f"{c}_us", F.unix_micros(F.col(c))).withColumn(
                 c, F.expr(f"timestampadd(MICROSECOND, unix_micros({c}), {_EPOCH_NTZ})")
             )
