@@ -375,22 +375,38 @@ def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int
 
 def _propagate_labels(documents: DataFrame, min_jaccard: float, max_iter: int) -> DataFrame:
     pairs = ngram_jaccard_pairs(documents, min_jaccard).select("doc_a", "doc_b")
-    sym = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = documents.select("doc_id").withColumn("label", F.col("doc_id")).localCheckpoint(
-        eager=True
+    nodes = documents.select(F.col("doc_id").alias("id"))
+    labels = propagate_min_labels(
+        nodes, pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")), max_iter
     )
+    return labels.select(F.col("id").alias("doc_id"), "label")
+
+
+def propagate_min_labels(nodes: DataFrame, edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components by iterative min-label propagation — the shared
+    core of dd6 (Jaccard pair graph) and sd1 (semantic embedding pair
+    graph). ``nodes`` has one ``id`` column; ``edges`` has ``src``/``dst``
+    (one direction is enough — symmetrized here). Returns ``(id, label)``
+    where ``label`` is the smallest id reachable from ``id``.
+
+    Scale shape: per-iteration ``localCheckpoint`` truncates lineage (no
+    exponential plan growth), the join key is the node id (shuffle size =
+    |edges|), and the loop exits on convergence (iterations bounded by
+    component diameter — tiny for dup clusters)."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy("doc_a")
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
         new = (
-            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            labels.join(nbr, labels.id == nbr.src, "left")
             .select(
-                F.col("doc_id"),
+                F.col("id"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
                     "new_label"
                 ),
@@ -399,7 +415,7 @@ def _propagate_labels(documents: DataFrame, min_jaccard: float, max_iter: int) -
             .localCheckpoint(eager=True)
         )
         changed = new.where(F.col("new_label") != F.col("old_label")).count()
-        labels = new.select("doc_id", F.col("new_label").alias("label"))
+        labels = new.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels

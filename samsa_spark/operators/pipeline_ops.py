@@ -198,6 +198,9 @@ def prep_pipeline(
     train_pct: int = 80,
     fuzzy_min_est_jaccard: float | None = None,
     decontaminate_against: DataFrame | None = None,
+    semantic_dedup_embeddings: DataFrame | None = None,
+    semantic_min_cos: float = 0.9,
+    semantic_cells: int = 32,
 ) -> DataFrame:
     """pp1 — the end-to-end training-data prep shard: quality filter ->
     [decontaminate ->] exact dedup [-> fuzzy dedup] -> deterministic split
@@ -229,6 +232,15 @@ def prep_pipeline(
     broadcast-probe shape, applied as one anti-join (eval leakage must not
     survive into any shard; running it first keeps leaked docs from ever
     becoming dedup canonicals).
+
+    ``semantic_dedup_embeddings`` (opt-in) inserts sd1's SemDeDup stage
+    after the text-level dedups: the given embeddings frame (``vec_id``
+    keyed 1:1 to ``doc_id`` — the caller owns that mapping) is clustered
+    and any doc whose vector lands in a semantic group as a non-
+    representative (``is_dup``) is dropped via one anti-join on ids. Runs
+    LAST of the dedups because it is the most expensive per candidate;
+    rows-only like the fuzzy stage (k-means + UDF cosines have no DuckDB
+    twin; ground truth in tests/test_semantic_dedup.py).
     """
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
@@ -264,6 +276,20 @@ def prep_pipeline(
             .distinct()
         )
         kept = kept.join(dominated, "doc_id", "left_anti")
+    if semantic_dedup_embeddings is not None:
+        from samsa_spark.operators.similarity import semantic_dedup
+
+        # Only vectors for still-kept docs enter the clustering — the
+        # semi-join prunes the (expensive) pairing input to survivors.
+        vecs = semantic_dedup_embeddings.join(
+            kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        sem_dups = (
+            semantic_dedup(vecs, cells=semantic_cells, min_cos=semantic_min_cos)
+            .where("is_dup")
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        kept = kept.join(sem_dups, "doc_id", "left_anti")
     split = F.when(
         (_key_hash("doc_id") * 100) < F.lit(train_pct * _SPLIT_MOD), "train"
     ).otherwise("test")

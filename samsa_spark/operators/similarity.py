@@ -357,6 +357,77 @@ def _ivf_query(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    cells: int = 32,
+    min_cos: float = 0.9,
+    max_iter: int = 10,
+    kmeans_iters: int = 4,
+) -> DataFrame:
+    """sd1 — SemDeDup-shaped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic k-means
+    quantizer, emit within-cell pairs whose rounded cosine clears
+    ``min_cos``, take connected components, and keep one representative
+    (smallest vec_id) per semantic group. The embedding-level dedup family
+    next to dd1 (exact), dd3 (MinHash) and dd4 (SimHash) — it catches
+    paraphrases and re-encodings that share no n-grams at all.
+
+    Output: ``(vec_id, rep_id, group_size, is_dup)`` — one row per input
+    vector; ``is_dup`` marks the rows a prep pipeline drops.
+
+    Scale shape: the clustering is what makes this 100 TB-safe — pairing is
+    per-cell (a co-partitioned self-equi-join on ``cell``, quadratic only
+    within a cell, exactly the SemDeDup trick), never corpus-all-pairs.
+    ``cells`` should grow ~N/target_cell_size so per-cell work stays
+    bounded; AQE's skew-join split handles an oversized cell. The pair
+    graph then collapses through the same bounded label-propagation loop as
+    dd6 (shuffle size = |edges|, lineage truncated per iteration).
+    Deterministic end-to-end (hash-seeded k-means, 6-decimal-rounded
+    cosines), but k-means + UDF cosines have no DuckDB twin -> rows-only
+    driver check; ground truth is a planted near-duplicate-embedding corpus
+    (tests/test_semantic_dedup.py) asserting recall against the brute-force
+    threshold graph, exactly like dd3's.
+    """
+    from samsa_spark.operators.dedup import propagate_min_labels
+
+    base = embeddings.select("vec_id", "embedding")
+    cents = kmeans_centroids(embeddings, k=cells, iters=kmeans_iters)
+    # Feeds both sides of the pair join and the final output: materialize
+    # once (multi-branch rule, CLAUDE.md note 12).
+    assign = _nearest_cell(base, cents, "cell").localCheckpoint(eager=False)
+    pairs = (
+        assign.alias("a")
+        .join(
+            assign.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos", F.round(_cos_sim_udf()(F.col("a.embedding"), F.col("b.embedding")), 6)
+        )
+        .where(F.col("cos") >= min_cos)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+    spark = embeddings.sparkSession
+    # The propagation loop EXECUTES here (count per iteration) — pin tiny
+    # shuffles for it, restore after (same scoping as dd6).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        labels = propagate_min_labels(
+            base.select(F.col("vec_id").alias("id")), pairs, max_iter
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    lab = labels.select(F.col("id").alias("vec_id"), F.col("label").alias("rep_id"))
+    sizes = lab.groupBy("rep_id").agg(F.count("*").alias("group_size"))
+    return lab.join(sizes, "rep_id").select(
+        "vec_id",
+        "rep_id",
+        "group_size",
+        (F.col("vec_id") != F.col("rep_id")).alias("is_dup"),
+    )
+
+
 def quantization_report(embeddings: DataFrame) -> DataFrame:
     """qz1 — symmetric per-vector int8 quantization audit: q_i =
     round(127 * x_i / max_abs), dequant q_i * max_abs / 127; per label the
@@ -515,6 +586,12 @@ def build_queries():
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
+        # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
+        # ground truth is the planted-corpus recall suite
+        # (tests/test_semantic_dedup.py). min_cos=0.3 on the near-orthogonal
+        # synthetic embeddings yields non-trivial groups (max corpus cosine
+        # ~0.51); real near-dup corpora run the 0.9+ default.
+        "sd1_semantic_dedup": (q(semantic_dedup, min_cos=0.3), None),
     }
 
 

@@ -381,6 +381,136 @@ def sweep_streaming(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def sweep_semdedup(spark) -> None:
+    """sd1 SemDeDup at 1x/10x corpus with cells scaled ~N/150 (the
+    SemDeDup sizing rule: fixed target cell size keeps the per-cell pairing
+    ~linear in N — sum(cell^2) ~ N x target). Replicas are perturbed copies
+    of the originals, so true semantic-dup pairs grow ~100x like the dedup
+    sweep's."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import semantic_dedup
+
+    base = tables.load(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(_r % 64 AS INT) "
+                "THEN x + CAST(0.001 * _r AS FLOAT) ELSE x END)"
+            ).alias("embedding"),
+        )
+        return df, n_base * factor
+
+    semantic_dedup(base, cells=8, min_cos=0.9, kmeans_iters=1).write.mode(
+        "overwrite"
+    ).format("noop").save()  # warm
+    for factor in (1, 10):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        cells = max(32, n // 150)
+        _time(
+            f"sd1_semantic_dedup_x{factor}",
+            lambda: semantic_dedup(df, cells=cells, min_cos=0.9),
+            n,
+        )
+        df.unpersist()
+
+
+def sweep_skew(spark) -> None:
+    """Zipf-keyed log at 10M rows: vanilla vs salted forms of last-write
+    compaction (d2 vs d2s) and of the fact-dim join (js1's shape), with the
+    dim side forced off the broadcast path (the regime salting exists for)
+    and AQE skew-join toggled — the measurement behind PLANS.md's
+    'when does salting pay' rule.
+
+    Keys are log-uniform over [1, 100k] (P(key) ~ 1/key, i.e. Zipf s=1):
+    the hottest key draws ~1/ln(100k) ~ 8.7% of all rows."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.scale import compact_latest_salted, salted_join
+    from samsa_spark.operators.state import compact_latest
+
+    n = 10_000_000
+    n_keys = 100_000
+    key_exprs = {
+        # log-uniform over [1, 100k]: hottest key ~ n/ln(100k) ~ 6-9% of rows
+        "zipf": f"cast(exp(rand(42) * ln({n_keys})) as long)",
+        # one pathological key with half the log (~16x a 32-reducer share)
+        "hot50": f"cast(CASE WHEN rand(42) < 0.5 THEN 1 "
+        f"ELSE cast(rand(43) * {n_keys} as long) + 1 END as long)",
+    }
+    dim = (
+        spark.range(n_keys + 1)
+        .select(F.col("id").alias("user_id"), (F.col("id") % 25).alias("segment"))
+        .localCheckpoint(eager=True)
+    )
+    warm = True
+    for profile, key_expr in key_exprs.items():
+        ev = (
+            spark.range(n)
+            .repartition(32)
+            .select(
+                F.col("id").alias("event_id"),
+                F.expr(key_expr).alias("user_id"),
+                F.col("id").alias("ts_us"),
+                F.lit("purchase").alias("event_type"),
+                (F.rand(7) * 100).alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hot = ev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+        print(
+            json.dumps(
+                {
+                    "measure": f"skew_profile_{profile}",
+                    "rows": n,
+                    "hottest_key_rows": int(hot),
+                }
+            ),
+            flush=True,
+        )
+
+        def plain_join():
+            return (
+                ev.join(dim, "user_id")
+                .groupBy("segment")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            )
+
+        def s_join():
+            return (
+                salted_join(ev.select("user_id", "event_id", "value"), dim, "user_id")
+                .groupBy("segment")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            )
+
+        if warm:
+            compact_latest(ev).write.mode("overwrite").format("noop").save()
+            warm = False
+        _time(f"skew_{profile}_d2_vanilla", lambda: compact_latest(ev), n)
+        _time(f"skew_{profile}_d2s_salted", lambda: compact_latest_salted(ev), n)
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            _time(f"skew_{profile}_join_vanilla_aqe", plain_join, n)
+            _time(f"skew_{profile}_join_salted_aqe", s_join, n)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            _time(f"skew_{profile}_join_vanilla_noskewjoin", plain_join, n)
+            _time(f"skew_{profile}_join_salted_noskewjoin", s_join, n)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+        ev.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -398,6 +528,10 @@ def main() -> None:
         sweep_ivf_index(spark)
     if what in ("streaming", "all"):
         sweep_streaming(spark)
+    if what in ("semdedup", "all"):
+        sweep_semdedup(spark)
+    if what in ("skew", "all"):
+        sweep_skew(spark)
     spark.stop()
 
 

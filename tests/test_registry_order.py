@@ -119,6 +119,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "sim5_ivf_kmeans_topk",
         "mm2_decoded_features",
         "pp2_prep_pipeline_fuzzy",  # dd3 stage inside -> same xxhash64 reason
+        "sd1_semantic_dedup",  # k-means + UDF cosines; planted-corpus pytest oracle
     }, f"unexpected rows-only queries: {rows_only}"
 
 
