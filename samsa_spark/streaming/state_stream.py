@@ -84,7 +84,11 @@ def _build_fold(
     no-op "prior state already newer" path — or one quiet trigger would
     immortalize the key. Rows at or below the current watermark are ignored
     (the engine filters them too; the explicit guard makes non-resurrection
-    a property of the fold, not of engine version behavior).
+    a property of the fold, not of engine version behavior). An eviction
+    EMITS a ``_deleted`` tombstone row (null payload, the key's final
+    high-water order columns) so external changelogs record it —
+    :func:`replay_changelog` then agrees with :func:`read_state` after
+    evictions instead of resurrecting the key.
 
     Boundary note: when EVERY row for a not-yet-evicted stale key in a
     trigger is late (below the watermark), Spark still requires the re-armed
@@ -107,8 +111,24 @@ def _build_fold(
 
     def fold(key, pdfs, state):
         if ttl and state.hasTimedOut:
+            # Changelog parity: the eviction must be visible downstream, or
+            # replaying an external changelog would resurrect the key that
+            # read_state no longer shows. Emit the Kafka-tombstone shape
+            # (null payload + _deleted marker) carrying the key's final
+            # high-water order columns, so replay's last-writer-wins picks
+            # the delete (its batch id is necessarily newer than the last
+            # live update's).
+            prior = tuple(state.get) if state.exists else None
             state.remove()
-            return iter(())
+            if prior is None:
+                return iter(())
+            out = {key_col: [key[0]]}
+            for i, c in enumerate(ocols):
+                out[c] = [prior[i]]
+            for c in vcols:
+                out[c] = [None]
+            out["_deleted"] = [True]
+            return iter([pd.DataFrame(out)])
         wm_ms = state.getCurrentWatermarkMs() if ttl else 0
 
         def _arm(hw_us) -> None:
@@ -154,7 +174,7 @@ def _build_fold(
             out[c] = [best[i]]
         for i, c in enumerate(vcols):
             out[c] = [None if is_tomb else best[n_order + i]]
-        if has_tomb:
+        if has_tomb or ttl:
             out["_deleted"] = [is_tomb]
         return iter([pd.DataFrame(out)])
 
@@ -236,10 +256,15 @@ class StatefulStream:
             f"{c} {fields[c]}"
             for c in (self.key_col, *self.order_cols, *self.value_cols)
         )
-        # The marker column exists only when deletes are configured, keeping
-        # tombstone-free checkpoints schema-compatible with older runs.
+        # The marker columns exist only when deletes can happen, keeping
+        # delete-free checkpoints schema-compatible with older runs. TTL
+        # streams delete too (evictions), so their OUTPUT carries _deleted
+        # — the changelog must record evictions or replay would resurrect
+        # evicted keys — but their state needs no _tombstoned column
+        # (eviction is state.remove(), not a high-water marker).
         if self.tombstone is not None:
             state_ddl += ", _tombstoned boolean"
+        if self.tombstone is not None or self.ttl is not None:
             out_ddl += ", _deleted boolean"
         return StructType.fromDDL(state_ddl), StructType.fromDDL(out_ddl)
 
@@ -247,7 +272,10 @@ class StatefulStream:
         """Update-mode stream of state changes — the external changelog
         (reference O7, storage.py:129-149): one row per key per trigger in
         which the key's latest value advanced. With a tombstone configured,
-        a delete surfaces as a null-payload row (Kafka tombstone shape)."""
+        a delete surfaces as a null-payload row (Kafka tombstone shape);
+        with ``ttl`` configured, watermark evictions surface the same way
+        (``_deleted`` true), so a changelog built from this stream replays
+        to exactly the surviving state."""
         state_schema, out_schema = self._schemas(stream_df)
         fold = _build_fold(
             self.key_col,

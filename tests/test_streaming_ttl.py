@@ -190,3 +190,40 @@ def test_ttl_column_validated(spark):
         StatefulStream(spark, KEY, ORDER, VALUES, ttl=("event_id", "1 hour"))
     with pytest.raises(ValueError, match="ttl column"):
         StatefulStream(spark, KEY, ORDER, VALUES, ttl=("no_such_col", "1 hour"))
+
+
+def test_ttl_eviction_reaches_changelog(spark, base):
+    """Changelog parity for evictions (round-5 verdict #8): a TTL eviction
+    emits a ``_deleted`` tombstone row, so replaying an external changelog
+    yields exactly ``read_state``'s survivors — evicted keys must not be
+    resurrected by replay."""
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import replay_changelog
+
+    src = os.path.join(base, "src")
+    chk = os.path.join(base, "chk")
+    log = os.path.join(base, "log")
+    stages = [
+        [(1, 1000 * SEC, 1, "view", 1.0), (2, 1500 * SEC, 2, "view", 2.0),
+         (3, 1800 * SEC, 3, "view", 3.0)],
+        [(3, 10_000 * SEC, 4, "purchase", 30.0)],  # watermark jump
+        [(5, 10_050 * SEC, 5, "click", 50.0)],     # trigger fires evictions of 1/2
+    ]
+    for i, rows in enumerate(stages):
+        _add_files(spark, rows, base, src, f"s{i}")
+        schema = spark.read.parquet(src).schema
+        _stream(spark).run_available_now(
+            file_stream(spark, src, schema, max_files_per_trigger=2), chk,
+            changelog_dir=log,
+        )
+
+    live = _live_keys(spark, chk)
+    assert set(live) == {3, 5}, f"expected evictions of 1/2: {live}"
+
+    raw = spark.read.parquet(log)
+    assert "_deleted" in raw.columns
+    assert {r.user_id for r in raw.where("_deleted").collect()} == {1, 2}
+
+    replayed = {r.user_id: (r.ts_us, r.event_id, r.event_type, r.value)
+                for r in replay_changelog(spark, log, KEY).collect()}
+    assert replayed == live, "changelog replay diverged from read_state"
