@@ -125,6 +125,7 @@ def decontaminate(
     probe_max_id: int = 20,
     min_hits: int = 1,
     benchmark: DataFrame | None = None,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """dc1 — benchmark decontamination: per corpus doc, the number of
     distinct 3-token shingles shared with the eval/benchmark probe set,
@@ -141,6 +142,14 @@ def decontaminate(
     BROADCAST; the corpus posting list streams through one broadcast
     semi-join + count, one row out per corpus doc. Never a corpus
     self-join, and the corpus text column is pruned after shingling.
+
+    ``broadcast_benchmark=False`` is the beyond-broadcast fallback: when
+    the probe set's distinct shingles outgrow an executor broadcast (a
+    mega-benchmark or decontaminating against another CORPUS), the same
+    equi-join on the shingle runs as a shuffle join — both sides hash-
+    partition on ``sh``, so the plan stays a partitioned equi-join (never a
+    cartesian/nested-loop) and cost becomes one corpus shuffle. Results are
+    identical by construction; only the physical join strategy changes.
     """
     if benchmark is None:
         probes = documents.where(F.col("doc_id") < probe_max_id)
@@ -148,9 +157,11 @@ def decontaminate(
     else:
         probes, corpus = benchmark, documents
     bench_sh = shingle_postings(probes).select("sh").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
     hits = (
         shingle_postings(corpus)
-        .join(F.broadcast(bench_sh), "sh")
+        .join(bench_sh, "sh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

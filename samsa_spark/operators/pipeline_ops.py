@@ -310,6 +310,65 @@ def prep_pipeline(
     )
 
 
+def write_shards(
+    documents: DataFrame,
+    path: str,
+    train_pct: int = 80,
+    by_source: bool = False,
+    max_records_per_file: int = 100_000,
+) -> DataFrame:
+    """Materialize a prepped corpus as training shards — the artifact a
+    training job actually consumes (pp1 computes shard STATS; this writes
+    the shards). Layout:
+
+    - ``<path>/data``: parquet partitioned by ``split`` (sp1's
+      deterministic doc_id-hash assignment, so reruns land every doc in
+      the same shard) and optionally ``source``; ``maxRecordsPerFile``
+      caps each file so one shard is a bounded, schedulable training unit.
+    - ``<path>/manifest``: one parquet row per shard file — partition
+      values, file path, rows, bytes, and the doc_id range — the index a
+      loader uses to schedule/resume without listing or reading data files.
+
+    Scale shape: the write is one pass (split is a pure column function —
+    no shuffle beyond the caller's partitioning; directory partitioning
+    means a reader's ``split='train'`` filter prunes directories, asserted
+    in tests/test_storage_layout.py). The manifest is computed from the
+    written files' ``_metadata`` (file_path/file_size ride the scan for
+    free) with one hash aggregate per shard file — never a driver-side
+    listing loop. Returns the manifest DataFrame (as re-read from disk).
+    """
+    spark = documents.sparkSession
+    split = F.when(
+        (_key_hash("doc_id") * 100) < F.lit(train_pct * _SPLIT_MOD), "train"
+    ).otherwise("test")
+    part_cols = ["split", *(["source"] if by_source else [])]
+    (
+        documents.withColumn("split", split)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*part_cols)
+        .parquet(f"{path}/data")
+    )
+    back = spark.read.parquet(f"{path}/data")
+    manifest = (
+        back.select(
+            *part_cols,
+            "doc_id",
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("n_bytes"),
+        )
+        .groupBy(*part_cols, "file", "n_bytes")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .select(*part_cols, "file", "n_rows", "n_bytes", "min_doc_id", "max_doc_id")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    return spark.read.parquet(f"{path}/manifest")
+
+
 _CHUNK_W = 16  # tokens per chunk
 _CHUNK_S = 12  # stride (overlap = W - S = 4 tokens)
 

@@ -119,3 +119,31 @@ def test_dedup_clusters_union_find_ground_truth(spark):
     want = {i: find(i) for i in all_ids}
     got = {r.doc_id: r.canonical_id for r in dedup_clusters(docs, 0.1).collect()}
     assert got == want
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_benchmark=False (the beyond-broadcast path, round-5
+    verdict #4): with auto-broadcast disabled the equi-join on the shingle
+    must become a partitioned shuffle join — never a cartesian/nested-loop
+    — and the output must be identical to the broadcast form."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import decontaminate
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    want = sorted(tuple(r) for r in decontaminate(docs).collect())
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fb = decontaminate(docs, broadcast_benchmark=False)
+        got = sorted(tuple(r) for r in fb.collect())
+        plan = fb._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == want
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the shingle equi-join must run as a shuffle join (either strategy)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan

@@ -66,3 +66,40 @@ def test_partitioned_write_prunes(spark):
     assert "PartitionFilters" in plan and "purchase" in plan
     # pruned read returns exactly the partition's rows
     assert df.count() == ev.where("event_type = 'purchase'").count()
+
+
+def test_write_shards_roundtrip_manifest_and_pruning(spark):
+    """write_shards (round-5 verdict #5): read-back equals input, every
+    shard file respects the record cap, the manifest accounts for every row
+    and byte, and a split filter prunes partitions at the scan."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import write_shards
+
+    base = tempfile.mkdtemp(prefix="samsa-shards-")
+    docs = tables.load(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    cap = 40  # force multiple files per split at this corpus size
+    manifest = write_shards(docs, base, by_source=True, max_records_per_file=cap)
+
+    back = spark.read.parquet(os.path.join(base, "data"))
+    want = sorted(tuple(r) for r in docs.collect())
+    got = sorted(tuple(r) for r in back.select(*docs.columns).collect())
+    assert got == want, "shard read-back lost or altered rows"
+
+    rows = manifest.collect()
+    assert len(rows) > 2
+    assert all(r.n_rows <= cap for r in rows), "maxRecordsPerFile violated"
+    assert sum(r.n_rows for r in rows) == docs.count()
+    assert all(r.n_bytes > 0 and r.min_doc_id <= r.max_doc_id for r in rows)
+    # deterministic split: every doc in exactly one split, stable on rerun
+    splits = {r.split for r in rows}
+    assert splits == {"train", "test"}
+
+    pruned = back.where(F.col("split") == "train")
+    plan = _formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "train" in plan
+    n_train = pruned.count()
+    assert 0 < n_train < docs.count()
+    # manifest agrees with the pruned scan
+    assert n_train == sum(r.n_rows for r in rows if r.split == "train")
