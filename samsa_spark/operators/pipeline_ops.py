@@ -110,6 +110,48 @@ def deterministic_split(documents: DataFrame, train_pct: int = 80) -> DataFrame:
     )
 
 
+def shuffle_shards(documents: DataFrame, n_shards: int = 8, seed: int = 1) -> DataFrame:
+    """ds1 — deterministic epoch shuffle: assign each doc to a shard by a
+    SEEDED key hash and give it a stable pseudo-random sequence inside the
+    shard. Training loaders need the corpus decorrelated from ingest order
+    (source/time runs would otherwise fill whole batches); ``rand()`` breaks
+    retries, replays and cross-engine parity, so the order is a pure
+    function of (doc_id, seed) — a new ``seed`` per epoch yields a fresh
+    permutation that every engine and rerun agrees on.
+
+    Scale shape: no global sort — the only window is partitioned by
+    ``shard`` (the unit a loader consumes), so parallelism = n_shards and
+    each task sorts one shard's ids. At 100 TB, n_shards is sized so a
+    shard's (hash, doc_id) pairs fit one task's sort buffer — the payload
+    is never in the sort, a loader joins it back by doc_id or reads the
+    write_shards layout.
+    """
+    mixed = F.expr("((doc_id >> 31) ^ doc_id) & 2147483647")
+    h = ((mixed + F.lit(seed)) * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
+    d = documents.select(
+        "doc_id", h.alias("_h"), (h % n_shards).cast("int").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return d.select(
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        "doc_id",
+    )
+
+
+_DS1_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         (((xor(doc_id >> 31, doc_id) & 2147483647) + 1) * 2654435761) % 1000003 AS h
+  FROM documents
+)
+SELECT CAST(h % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS seq,
+       doc_id
+FROM h
+"""
+
+
 def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
     """pk1 — token packing: assign documents (in deterministic doc_id order
     per source) to training-sequence bins by cumulative token budget. The
@@ -524,6 +566,7 @@ def build_queries():
         "pk1_pack_sequences": (q(pack_sequences, "documents"), _PK1_SQL),
         "pk2_pack_chunked": (q(pack_sequences_chunked, "documents"), _PK2_SQL),
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
+        "ds1_shuffle_shards": (q(shuffle_shards, "documents"), _DS1_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
         "ck1_chunk_overlap": (q(chunk_overlap, "documents"), _CK1_SQL),

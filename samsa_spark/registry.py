@@ -304,6 +304,7 @@ _DEMOTED = (
     "tx7_pii_scrub",                  # tx1/tx2 anchor per-row text transforms in-window; the scrub battery is pytest-oracle-checked (incl. a PII-injected corpus)
     "ck1_chunk_overlap",              # pk2 anchors doc->training-piece shaping in-window; overlap chunking is pytest-oracle-checked
     "lm1_unigram_logprob",            # tf1 anchors the explode->vocab->score shape in-window; the LM score is pytest-oracle-checked
+    "ds1_shuffle_shards",             # sp1 anchors hash-deterministic sharding in-window; the epoch-shuffle window form is pytest-oracle-checked
 )
 
 

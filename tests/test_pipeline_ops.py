@@ -16,6 +16,7 @@ PIPE_QUERIES = [
     "pp1_prep_pipeline",
     "ck1_chunk_overlap",
     "lm1_unigram_logprob",
+    "ds1_shuffle_shards",
 ]
 
 
@@ -218,3 +219,30 @@ def test_chunk_overlap_coverage_property(spark):
         for a, b in zip(chunks, chunks[1:]):
             if a.n_chunk_tokens == _CHUNK_W:
                 assert a.chunk_text.split(" ")[_CHUNK_S:] == b.chunk_text.split(" ")[: _CHUNK_W - _CHUNK_S]
+
+
+def test_shuffle_shards_is_a_seeded_permutation(spark):
+    """ds1: every doc appears exactly once with a contiguous per-shard
+    sequence; the order is stable for a seed and genuinely different across
+    seeds (an epoch reshuffle, not a rotation)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import shuffle_shards
+
+    docs = tables.load(spark, SF_SMALL, "documents").select("doc_id")
+    n = docs.count()
+
+    a = shuffle_shards(docs, n_shards=8, seed=1).collect()
+    assert len(a) == n and len({r.doc_id for r in a}) == n
+    by_shard: dict[int, list] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.seq)
+    for shard, seqs in by_shard.items():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1)), f"shard {shard} gaps"
+
+    again = shuffle_shards(docs, n_shards=8, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, again)), "same seed must be stable"
+
+    b = shuffle_shards(docs, n_shards=8, seed=2).collect()
+    order_a = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.seq))]
+    order_b = [r.doc_id for r in sorted(b, key=lambda r: (r.shard, r.seq))]
+    assert order_a != order_b, "different seeds must permute differently"

@@ -53,6 +53,7 @@ SIBLINGS = {
     "tx7_pii_scrub": ["tx1_token_counts", "tx2_quality_scores"],
     "ck1_chunk_overlap": ["pk2_pack_chunked"],
     "lm1_unigram_logprob": ["tf1_tfidf_top_terms"],
+    "ds1_shuffle_shards": ["sp1_deterministic_split", "pk2_pack_chunked"],
 }
 
 
