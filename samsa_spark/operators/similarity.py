@@ -379,7 +379,9 @@ def semantic_dedup(
     per-cell (a co-partitioned self-equi-join on ``cell``, quadratic only
     within a cell, exactly the SemDeDup trick), never corpus-all-pairs.
     ``cells`` should grow ~N/target_cell_size so per-cell work stays
-    bounded; AQE's skew-join split handles an oversized cell. The pair
+    bounded; AQE's skew-join split handles an oversized cell. Keep cells
+    well below N — at cells >= N every vector seeds its own cell and the
+    stage silently finds nothing (no pair shares a cell). The pair
     graph then collapses through the same bounded label-propagation loop as
     dd6 (shuffle size = |edges|, lineage truncated per iteration).
     Deterministic end-to-end (hash-seeded k-means, 6-decimal-rounded

@@ -246,3 +246,80 @@ def test_shuffle_shards_is_a_seeded_permutation(spark):
     order_a = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.seq))]
     order_b = [r.doc_id for r in sorted(b, key=lambda r: (r.shard, r.seq))]
     assert order_a != order_b, "different seeds must permute differently"
+
+
+def test_full_prep_to_shards_integration(spark):
+    """The whole corpus-prep path in one run: quality filter ->
+    decontaminate -> exact dedup -> fuzzy (MinHash) dedup -> semantic
+    (SemDeDup) dedup -> split, then write_shards materializes the
+    survivors. Ground truth: the survivor set is computed by hand from the
+    planted corpus."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from samsa_spark.operators.pipeline_ops import prep_pipeline, write_shards
+
+    def words(tag):
+        return " ".join(f"{tag}tok{i}" for i in range(40))
+
+    bench = spark.createDataFrame(
+        [(900, "en", "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, lang string, text string",
+    )
+    corpus_rows = [
+        (1, "en", words("d1")),                                  # survives
+        (2, "en", words("d2")),                                  # survives
+        (3, "en", words("d3")),                                  # survives
+        (4, "en", words("d4") + " alpha beta gamma tail"),       # decontaminated
+        (5, "en", words("d2")),                                  # exact dup of 2
+        (6, "en", words("d3").replace("d3tok20", "changedmid")), # fuzzy dup of 3
+        (7, "en", words("d7")),                                  # semantic dup of 1 (below)
+        (8, "en", "1234567890 " * 10),                           # quality-filtered
+    ]
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, lang string, text string")
+
+    rng = np.random.RandomState(3)
+    base_vec = rng.randn(32)
+    base_vec /= np.linalg.norm(base_vec)
+    vecs = {}
+    for i, _, _ in corpus_rows:
+        v = base_vec + rng.randn(32) * 0.01 if i in (1, 7) else rng.randn(32)
+        vecs[i] = v / np.linalg.norm(v)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+
+    stats = prep_pipeline(
+        docs,
+        decontaminate_against=bench,
+        fuzzy_min_est_jaccard=0.5,
+        semantic_dedup_embeddings=emb,
+        semantic_min_cos=0.9,
+        # only 4 docs reach the semantic stage; cells must stay below that
+        # or every vector seeds its own cell and no pair is ever generated
+        semantic_cells=2,
+    )
+    assert sum(r.n_docs for r in stats.collect()) == 3  # docs 1, 2, 3
+
+    # materialize the same survivor set (smallest-id-wins at every stage)
+    survivors = docs.where("doc_id in (1, 2, 3)")
+    base = tempfile.mkdtemp(prefix="samsa-e2e-")
+    manifest = write_shards(survivors, base, max_records_per_file=2)
+    back = spark.read.parquet(os.path.join(base, "data"))
+    assert {r.doc_id for r in back.collect()} == {1, 2, 3}
+    assert sum(r.n_rows for r in manifest.collect()) == 3
