@@ -393,22 +393,9 @@ def semantic_dedup(
     from samsa_spark.operators.dedup import propagate_min_labels
 
     base = embeddings.select("vec_id", "embedding")
-    cents = kmeans_centroids(embeddings, k=cells, iters=kmeans_iters)
-    # Feeds both sides of the pair join and the final output: materialize
-    # once (multi-branch rule, CLAUDE.md note 12).
-    assign = _nearest_cell(base, cents, "cell").localCheckpoint(eager=False)
-    pairs = (
-        assign.alias("a")
-        .join(
-            assign.alias("b"),
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn(
-            "cos", F.round(_cos_sim_udf()(F.col("a.embedding"), F.col("b.embedding")), 6)
-        )
-        .where(F.col("cos") >= min_cos)
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-    )
+    pairs = semantic_dup_pairs(
+        embeddings, cells=cells, min_cos=min_cos, kmeans_iters=kmeans_iters
+    ).select("src", "dst")
     spark = embeddings.sparkSession
     # The propagation loop EXECUTES here (count per iteration) — pin tiny
     # shuffles for it, restore after (same scoping as dd6).
@@ -427,6 +414,37 @@ def semantic_dedup(
         "rep_id",
         "group_size",
         (F.col("vec_id") != F.col("rep_id")).alias("is_dup"),
+    )
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    cells: int = 32,
+    min_cos: float = 0.9,
+    kmeans_iters: int = 4,
+) -> DataFrame:
+    """sd1's candidate stage as its own surface — ``(src, dst, cos)`` pairs
+    (src < dst) whose rounded cosine clears ``min_cos``, generated ONLY
+    within a k-means cell. The audit view a SemDeDup rollout reviews before
+    committing to drops, and the plan-assertable join shape: a
+    co-partitioned self-equi-join on ``cell`` (never corpus-all-pairs;
+    tests/test_plans.py locks out cartesian/nested-loop strategies)."""
+    base = embeddings.select("vec_id", "embedding")
+    cents = kmeans_centroids(embeddings, k=cells, iters=kmeans_iters)
+    # Feeds both sides of the pair join: materialize once (multi-branch
+    # rule, CLAUDE.md note 12).
+    assign = _nearest_cell(base, cents, "cell").localCheckpoint(eager=False)
+    return (
+        assign.alias("a")
+        .join(
+            assign.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos", F.round(_cos_sim_udf()(F.col("a.embedding"), F.col("b.embedding")), 6)
+        )
+        .where(F.col("cos") >= min_cos)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"), "cos")
     )
 
 

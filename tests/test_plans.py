@@ -86,3 +86,19 @@ def test_no_partitionless_windows_anywhere(spark):
         if "Window" not in p:
             continue
         assert "Exchange SinglePartition" not in p, f"{name} has a global-sort window"
+
+
+def test_sd1_pair_join_is_partitioned_equi_join(spark):
+    """sd1's within-cell pairing must plan as an equi-join on the cell
+    (shuffle or broadcast-HASH), never a cartesian/nested-loop — the shape
+    that makes SemDeDup 100 TB-safe."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import semantic_dup_pairs
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    df = semantic_dup_pairs(emb, cells=8, min_cos=0.3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
