@@ -152,16 +152,25 @@ def gopher_rules(
     max_mean_word_len: float = 10.0,
     max_dup_bigram_frac: float = 0.15,
     min_stop_hits: int = 1,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_ratio: float = 0.1,
+    max_dup_line_frac: float = 0.3,
 ) -> DataFrame:
     """tx6 — Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted to
     this corpus's scale): per-doc word count, mean word length, duplicate-
-    bigram fraction (the repetition signal), stopword hits, and a single
-    pass/fail flag over the classic threshold battery. The industry-standard
-    rule filter next to tx2's continuous score.
+    bigram fraction and duplicate-line fraction (the repetition signals),
+    stopword hits, alphabetic-word fraction, symbol-to-word ratio
+    (hash/ellipsis), and a single pass/fail flag over the classic threshold
+    battery. The industry-standard rule filter next to tx2's continuous
+    score.
 
     All signals are exact column algebra (counts + 6-decimal-rounded ratios
-    compared AFTER rounding on both engines — repo rule 6); the bigram list
-    keeps multiplicity, so dup_frac = 1 - distinct/total.
+    compared AFTER rounding on both engines — repo rule 6); the bigram and
+    line lists keep multiplicity, so dup_frac = 1 - distinct/total. The
+    corpus tables are single-line word salad (dup_line_frac 0, symbols 0 —
+    the oracle still locks the expression parity); the discriminating paths
+    are pytest-checked on planted multi-line/symbol docs (tests/
+    test_text.py), the tx7 pattern.
     """
     toks = _toks()
     n_words = F.size(toks)
@@ -177,12 +186,25 @@ def gopher_rules(
         F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n_words - 1), 6),
     ).otherwise(F.lit(0.0))
     stop = _stop_hits(toks, _STOP_EN)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    symbols = F.regexp_count(F.col("text"), F.lit("#")) + F.regexp_count(
+        F.col("text"), F.lit(r"\.\.\.")
+    )
+    sym_ratio = F.round(symbols / n_words, 6)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    dup_lines = F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines, 6)
     scored = documents.select(
         "doc_id",
         n_words.alias("n_words"),
         mwl.alias("mean_word_len"),
         dup_frac.alias("dup_bigram_frac"),
         stop.alias("stop_hits"),
+        alpha_frac.alias("alpha_word_frac"),
+        sym_ratio.alias("symbol_word_ratio"),
+        dup_lines.alias("dup_line_frac"),
     )
     passes = (
         (F.col("n_words") >= min_words)
@@ -191,6 +213,9 @@ def gopher_rules(
         & (F.col("mean_word_len") <= max_mean_word_len)
         & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
         & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
     )
     return scored.withColumn("passes", passes)
 
@@ -362,7 +387,10 @@ WITH b AS (
          len(string_split(text, ' ')) AS n_words,
          length(text) AS n_chars,
          length(text) - length(regexp_replace(text, ' ', '', 'g')) AS spaces,
-         len(list_filter(string_split(text, ' '), t -> t IN {_STOP_EN_SQL})) AS stop
+         len(list_filter(string_split(text, ' '), t -> t IN {_STOP_EN_SQL})) AS stop,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols
   FROM documents
 ), g AS (
   SELECT doc_id, n_words,
@@ -372,14 +400,22 @@ WITH b AS (
                                           for i in generate_series(1, n_words - 1)]))
                        / (n_words - 1), 6)
          ELSE 0.0 END AS dup_bigram_frac,
-         stop AS stop_hits
+         stop AS stop_hits,
+         round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+               / n_words, 6) AS alpha_word_frac,
+         round(symbols / n_words, 6) AS symbol_word_ratio,
+         round(1.0 - len(list_distinct(lines)) / len(lines), 6) AS dup_line_frac
   FROM b
 )
 SELECT doc_id, n_words, mean_word_len, dup_bigram_frac, stop_hits,
+       alpha_word_frac, symbol_word_ratio, dup_line_frac,
        (n_words BETWEEN 30 AND 100000)
          AND (mean_word_len BETWEEN 3.0 AND 10.0)
          AND (dup_bigram_frac <= 0.15)
-         AND (stop_hits >= 1) AS passes
+         AND (stop_hits >= 1)
+         AND (alpha_word_frac >= 0.8)
+         AND (symbol_word_ratio <= 0.1)
+         AND (dup_line_frac <= 0.3) AS passes
 FROM g
 """
 

@@ -58,3 +58,43 @@ def test_pii_scrub_injected_corpus(spark, tmp_path):
 
     ok, msg = compare(out, run_oracle(_TX7_SQL, str(tmp_path / "docs")))
     assert ok, msg
+
+
+def test_gopher_repetition_symbol_alpha_rules(spark, tmp_path):
+    """The corpus tables are single-line word salad (zero symbols, no dup
+    lines — the registered tx6 query locks that no-op path); this locks the
+    discriminating paths of the round-6 signals — duplicate-line fraction,
+    symbol-to-word ratio, alphabetic-word fraction — on planted docs
+    against hand values AND the DuckDB twin (the tx7 pattern)."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import _TX6_SQL, gopher_rules
+    from tests.oracle import compare, run_oracle
+
+    # 40 words: one stopword + 39 distinct 7-char words -> every bigram
+    # distinct (repetition rules pass), mean word length in [3, 10]
+    good = "the " + " ".join(f"wordy{i:02d}" for i in range(39))
+    rows = [
+        (0, good),
+        (1, "line one\nline two\nline one\nline one"),   # 2 dup lines of 4
+        (2, "# heading with symbols ... and more ... #"), # 2 hashes + 2 ellipses
+        (3, "12 34 56 78 90 11 22 33 44 55"),             # zero alpha words
+        (4, good + "\n" + good),                          # 1 dup line of 2
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    (tmp_path / "docs").mkdir()
+    pdf.to_parquet(tmp_path / "docs" / "documents.parquet", index=False)
+
+    out = gopher_rules(spark.createDataFrame(pdf))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["dup_line_frac"] == 0.0 and got[0]["symbol_word_ratio"] == 0.0
+    assert got[0]["alpha_word_frac"] == 1.0 and got[0]["passes"]
+    assert got[1]["dup_line_frac"] == 0.5          # 4 lines, 2 distinct
+    assert got[2]["symbol_word_ratio"] == 0.444444  # 4 symbols / 9 words
+    assert got[3]["alpha_word_frac"] == 0.0
+    assert not got[3]["passes"]
+    assert got[4]["dup_line_frac"] == 0.5
+    assert not got[4]["passes"], "dup-line fraction 0.5 must fail the 0.3 cap"
+
+    ok, msg = compare(out, run_oracle(_TX6_SQL, str(tmp_path / "docs")))
+    assert ok, msg
