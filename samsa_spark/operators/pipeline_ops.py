@@ -411,6 +411,26 @@ def write_shards(
     return spark.read.parquet(f"{path}/manifest")
 
 
+def read_shards(
+    spark: SparkSession,
+    path: str,
+    split: str | None = None,
+    source: str | None = None,
+) -> DataFrame:
+    """Loader side of :func:`write_shards`: read the shard layout with the
+    split/source filters applied as PARTITION filters (pruned directories
+    are never listed, let alone read — asserted in
+    tests/test_storage_layout.py). A loader that needs per-file scheduling
+    or resume reads ``<path>/manifest`` instead and feeds the file list to
+    its own reader."""
+    df = spark.read.parquet(f"{path}/data")
+    if split is not None:
+        df = df.where(F.col("split") == split)
+    if source is not None:
+        df = df.where(F.col("source") == source)
+    return df
+
+
 _CHUNK_W = 16  # tokens per chunk
 _CHUNK_S = 12  # stride (overlap = W - S = 4 tokens)
 

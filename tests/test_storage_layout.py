@@ -103,3 +103,13 @@ def test_write_shards_roundtrip_manifest_and_pruning(spark):
     assert 0 < n_train < docs.count()
     # manifest agrees with the pruned scan
     assert n_train == sum(r.n_rows for r in rows if r.split == "train")
+
+    # the loader helper applies the same filters as partition filters
+    from samsa_spark.operators.pipeline_ops import read_shards
+
+    via_helper = read_shards(spark, base, split="train")
+    plan2 = _formatted_plan(via_helper)
+    assert "PartitionFilters" in plan2 and "train" in plan2
+    assert via_helper.count() == n_train
+    one_source = read_shards(spark, base, split="train", source="wiki")
+    assert "wiki" in _formatted_plan(one_source)
