@@ -499,6 +499,70 @@ FROM e GROUP BY label
 """
 
 
+def quantized_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 5) -> DataFrame:
+    """qz2 — cosine top-k over the int8-QUANTIZED corpus: qz1's symmetric
+    per-vector scheme (q_i = round(127 * x_i / max_abs)) put to work for
+    search. Cosine is invariant to a per-vector scale, so ranking runs on
+    the raw int8 codes — the scale column never enters the query path, and
+    the corpus the query scans is 4x smaller than float32 (the reason an
+    embedding store quantizes at 100 TB). Same probe-broadcast shape as
+    sim1; exact DuckDB twin (quantization is plain rounding arithmetic,
+    locked engine-identical by qz1); ranking-quality-vs-full-precision
+    recall asserted in tests/test_similarity.py.
+    """
+    embd = F.transform("embedding", lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", embd.alias("emb"))
+    m = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = base.select(
+        "vec_id",
+        F.transform("emb", lambda x: F.round(x / scale)).alias("qemb"),
+    )
+    probes = F.broadcast(
+        q.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("q_id"), F.col("qemb").alias("q_qemb")
+        )
+    )
+    scored = (
+        q.join(probes, F.col("q_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(_cos_sim_udf()("q_qemb", "qemb"), 6))
+        .select("q_id", "vec_id", "cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+_QZ2_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+  FROM (SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) AS m FROM v)
+),
+q AS (
+  SELECT vec_id, [round(emb[i] / scale) for i in generate_series(1, 64)] AS qe
+  FROM s
+),
+p AS (SELECT vec_id AS q_id, qe AS q_qe FROM q WHERE vec_id < 20),
+sc AS (
+  SELECT p.q_id, q.vec_id, round(list_cosine_similarity(p.q_qe, q.qe), 6) AS cos
+  FROM p JOIN q ON p.q_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def save_index(embeddings: DataFrame, path: str, cells: int = 32, iters: int = 4) -> None:
     """Persist an IVF index: k-means centroids (``<path>/centroids``) and
     per-vector cell assignments (``<path>/assignments``, partitioned by
@@ -606,6 +670,7 @@ def build_queries():
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
+        "qz2_quantized_topk": (q(quantized_topk), _QZ2_SQL),
         # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
         # ground truth is the planted-corpus recall suite
         # (tests/test_semantic_dedup.py). min_cos=0.3 on the near-orthogonal

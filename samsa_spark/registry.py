@@ -305,6 +305,7 @@ _DEMOTED = (
     "ck1_chunk_overlap",              # pk2 anchors doc->training-piece shaping in-window; overlap chunking is pytest-oracle-checked
     "lm1_unigram_logprob",            # tf1 anchors the explode->vocab->score shape in-window; the LM score is pytest-oracle-checked
     "ds1_shuffle_shards",             # sp1 anchors hash-deterministic sharding in-window; the epoch-shuffle window form is pytest-oracle-checked
+    "qz2_quantized_topk",             # sim1 anchors probe-broadcast top-k in-window; the int8 search path is pytest-oracle-checked (+ recall vs full precision)
 )
 
 

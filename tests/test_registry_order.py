@@ -54,6 +54,7 @@ SIBLINGS = {
     "ck1_chunk_overlap": ["pk2_pack_chunked"],
     "lm1_unigram_logprob": ["tf1_tfidf_top_terms"],
     "ds1_shuffle_shards": ["sp1_deterministic_split", "pk2_pack_chunked"],
+    "qz2_quantized_topk": ["sim1_cosine_topk", "sim4_ivf_topk"],
 }
 
 

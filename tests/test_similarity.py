@@ -183,3 +183,27 @@ def test_quantization_roundtrip_bound(spark):
     for r in rep:
         assert r.max_abs_err <= gmax / 254 + 1e-9, f"label {r.label}: {r.max_abs_err}"
         assert 0.0 <= r.avg_abs_err <= r.max_abs_err + 1e-9
+
+
+def test_quantized_topk_oracle(spark):
+    ok, msg = check_query(spark, "qz2_quantized_topk", SF_SMALL)
+    assert ok, msg
+
+
+def test_quantized_topk_recall_vs_full_precision(spark):
+    """qz2's int8 ranking must nearly reproduce sim1's full-precision top-k
+    — int8 round-trip error on 64-dim vectors is ~1e-2, far below typical
+    neighbor gaps. Require >= 80% average top-5 overlap."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import cosine_topk, quantized_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    exact = {}
+    for r in cosine_topk(emb, n_probes=20, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    quant = {}
+    for r in quantized_topk(emb, n_probes=20, k=5).collect():
+        quant.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(quant) == set(exact)
+    recalls = [len(quant[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean recall {sum(recalls)/len(recalls)}"
