@@ -227,3 +227,54 @@ def test_ttl_eviction_reaches_changelog(spark, base):
     replayed = {r.user_id: (r.ts_us, r.event_id, r.event_type, r.value)
                 for r in replay_changelog(spark, log, KEY).collect()}
     assert replayed == live, "changelog replay diverged from read_state"
+
+
+def test_ttl_with_tombstone_combined(spark, base):
+    """TTL + tombstone configured TOGETHER: an explicit delete (tombstone
+    event) and a watermark eviction coexist — read_state hides both, the
+    changelog records both as _deleted rows, and replay agrees."""
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import (
+        StatefulStream,
+        read_state,
+        replay_changelog,
+    )
+
+    src = os.path.join(base, "src")
+    chk = os.path.join(base, "chk")
+    log = os.path.join(base, "log")
+    stages = [
+        [(1, 1000 * SEC, 1, "view", 1.0),        # will be TTL-evicted
+         (2, 1500 * SEC, 2, "view", 2.0),        # will be tombstoned
+         (3, 1800 * SEC, 3, "view", 3.0)],       # refreshes, survives
+        [(2, 1600 * SEC, 4, "error", 0.0),       # explicit delete of key 2
+         (3, 10_000 * SEC, 5, "purchase", 30.0)],
+        [(5, 10_050 * SEC, 6, "click", 50.0)],   # eviction trigger for key 1
+    ]
+
+    def stream():
+        return StatefulStream(
+            spark, KEY, ORDER, VALUES,
+            tombstone=("event_type", "error"),
+            ttl=("ts_us", f"{HORIZON_S} seconds"),
+        )
+
+    for i, rows in enumerate(stages):
+        _add_files(spark, rows, base, src, f"s{i}")
+        schema = spark.read.parquet(src).schema
+        stream().run_available_now(
+            file_stream(spark, src, schema, max_files_per_trigger=2), chk,
+            changelog_dir=log,
+        )
+
+    live = {r.user_id: (r.ts_us, r.event_id, r.event_type, r.value)
+            for r in read_state(spark, chk).collect()}
+    assert set(live) == {3, 5}, f"want tombstoned 2 and evicted 1 gone: {live}"
+
+    raw = spark.read.parquet(log)
+    deleted = {r.user_id for r in raw.where("_deleted").collect()}
+    assert {1, 2} <= deleted, f"both delete kinds must reach the changelog: {deleted}"
+
+    replayed = {r.user_id: (r.ts_us, r.event_id, r.event_type, r.value)
+                for r in replay_changelog(spark, log, KEY).collect()}
+    assert replayed == live
