@@ -563,7 +563,13 @@ SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """
 
 
-def save_index(embeddings: DataFrame, path: str, cells: int = 32, iters: int = 4) -> None:
+def save_index(
+    embeddings: DataFrame,
+    path: str,
+    cells: int = 32,
+    iters: int = 4,
+    quantize: bool = False,
+) -> None:
     """Persist an IVF index: k-means centroids (``<path>/centroids``) and
     per-vector cell assignments (``<path>/assignments``, partitioned by
     ``cell``) as parquet — the build-once/query-many split a production ANN
@@ -574,10 +580,29 @@ def save_index(embeddings: DataFrame, path: str, cells: int = 32, iters: int = 4
     IVF_NPROBE cells per probe vector, so the candidate scan touches only
     those cells' files (partition pruning / dynamic partition pruning on
     the join key), not the corpus. Quantizer parameters mirror sim5's
-    defaults so a saved index reproduces ``ivf_topk_kmeans`` exactly."""
+    defaults so a saved index reproduces ``ivf_topk_kmeans`` exactly.
+
+    ``quantize=True`` stores qz2's int8 codes instead of the float
+    embeddings (the IVF+SQ8 composition every production ANN store ships):
+    cosine is per-vector-scale-invariant, so the SAME
+    ``ivf_topk_prebuilt`` query path ranks the codes unchanged — only the
+    stored bytes shrink (3.6x on high-entropy corpora, PLANS.md footprint
+    table; approximate ranking, recall vs the float index tested in
+    tests/test_similarity.py)."""
     cents = kmeans_centroids(embeddings, k=cells, iters=iters)
     base = embeddings.select("vec_id", "embedding")
     assign = _nearest_cell(base, cents, "cell")
+    if quantize:
+        embd = F.transform("embedding", lambda x: x.cast("double"))
+        m = F.array_max(F.transform(embd, lambda x: F.abs(x)))
+        scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
+        assign = assign.select(
+            "vec_id",
+            "cell",
+            F.transform(embd, lambda x: F.round(x / scale).cast("tinyint")).alias(
+                "embedding"
+            ),
+        )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     assign.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
 

@@ -207,3 +207,32 @@ def test_quantized_topk_recall_vs_full_precision(spark):
     assert set(quant) == set(exact)
     recalls = [len(quant[q] & exact[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.8, f"mean recall {sum(recalls)/len(recalls)}"
+
+
+def test_quantized_ivf_index_matches_float_index(spark, tmp_path):
+    """save_index(quantize=True) — the IVF+SQ8 composition: the SAME
+    prebuilt query path runs over int8 codes and must nearly reproduce the
+    float index's results (cosine is per-vector-scale-invariant; only
+    quantization error separates them)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import ivf_topk_prebuilt, save_index
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    fpath, qpath = str(tmp_path / "f"), str(tmp_path / "q")
+    save_index(emb, fpath, cells=8)
+    save_index(emb, qpath, cells=8, quantize=True)
+
+    def top(path):
+        out = {}
+        for r in ivf_topk_prebuilt(spark, path, n_probes=20, k=5).collect():
+            out.setdefault(r.q_id, set()).add(r.vec_id)
+        return out
+
+    f, q = top(fpath), top(qpath)
+    assert set(f) == set(q)
+    recalls = [len(f[i] & q[i]) / len(f[i]) for i in f]
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean overlap {sum(recalls)/len(recalls)}"
+
+    # the stored codes really are bytes
+    sch = spark.read.parquet(f"{qpath}/assignments").schema["embedding"].dataType
+    assert sch.simpleString() == "array<tinyint>", sch.simpleString()
