@@ -147,3 +147,51 @@ def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
     assert "BroadcastNestedLoop" not in plan
     # the shingle equi-join must run as a shuffle join (either strategy)
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_propagate_min_labels_matches_union_find_on_random_graphs(spark):
+    """The label-propagation core shared by dd6 and sd1, checked against a
+    python union-find on randomized graphs — including shapes that stress
+    the loop: chains (diameter > 1 iteration), stars, cycles, and
+    singletons."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.dedup import propagate_min_labels
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n = 60
+        nodes = list(range(n))
+        edges = []
+        # one long chain to force multiple propagation iterations
+        chain = rng.sample(nodes, 12)
+        edges += list(zip(chain, chain[1:]))
+        # a star and random extra edges (cycles welcome)
+        hub = rng.choice(nodes)
+        edges += [(hub, rng.choice(nodes)) for _ in range(5)]
+        edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(10)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in nodes}
+
+        nodes_df = spark.createDataFrame([(i,) for i in nodes], "id long")
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.id: r.label
+            for r in propagate_min_labels(nodes_df, edges_df, max_iter=20).collect()
+        }
+        assert got == want, f"trial {trial}: component labels diverged"
