@@ -95,14 +95,24 @@ def _key_hash(col: str):
 _KEY_HASH_SQL = "((xor({col} >> 31, {col}) & 2147483647) * 2654435761) % 1000003"
 
 
+def _split_expr(train_pct: int):
+    """The canonical train/test assignment expression — ONE definition so
+    sp1, pp1's stats, and write_shards' physical layout can never
+    desynchronize (shards written by one must match stats reported by the
+    others, doc for doc)."""
+    bucket = _key_hash("doc_id")
+    return F.when(
+        (bucket * 100) < F.lit(train_pct * _SPLIT_MOD), "train"
+    ).otherwise("test")
+
+
 def deterministic_split(documents: DataFrame, train_pct: int = 80) -> DataFrame:
     """sp1 — stable train/test assignment: split = f(doc_id) only. Counts
     per (split, lang) prove the assignment; the same doc lands in the same
     split on any engine, partitioning, or retry — rand()-based splits break
     all three.
     """
-    bucket = _key_hash("doc_id")
-    split = F.when((bucket * 100) < F.lit(train_pct * _SPLIT_MOD), "train").otherwise("test")
+    split = _split_expr(train_pct)
     return (
         documents.select(split.alias("split"), "lang")
         .groupBy("split", "lang")
@@ -125,9 +135,16 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 8, seed: int = 1) -> Da
     shard's (hash, doc_id) pairs fit one task's sort buffer — the payload
     is never in the sort, a loader joins it back by doc_id or reads the
     write_shards layout.
+
+    The seed enters the mix by XOR BEFORE the multiply (never additively:
+    ``(mixed + seed) * C % M`` shifts every hash by the same constant, so
+    epochs would be cyclic rotations of one order, not fresh permutations
+    — tests assert cross-seed pair-order inversions). The seed constant is
+    scrambled and masked driver-side, so any Python int seed is ANSI-safe.
     """
-    mixed = F.expr("((doc_id >> 31) ^ doc_id) & 2147483647")
-    h = ((mixed + F.lit(seed)) * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
+    seed_mix = (seed * 2654435761) & 0x7FFFFFFF
+    mixed = F.expr(f"(((doc_id >> 31) ^ doc_id) & 2147483647) ^ {seed_mix}")
+    h = (mixed * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
     d = documents.select(
         "doc_id", h.alias("_h"), (h % n_shards).cast("int").alias("shard")
     )
@@ -142,7 +159,8 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 8, seed: int = 1) -> Da
 _DS1_SQL = """
 WITH h AS (
   SELECT doc_id,
-         (((xor(doc_id >> 31, doc_id) & 2147483647) + 1) * 2654435761) % 1000003 AS h
+         (xor(xor(doc_id >> 31, doc_id) & 2147483647, 506952113)
+          * 2654435761) % 1000003 AS h
   FROM documents
 )
 SELECT CAST(h % 8 AS INT) AS shard,
@@ -321,20 +339,24 @@ def prep_pipeline(
     if semantic_dedup_embeddings is not None:
         from samsa_spark.operators.similarity import semantic_dedup
 
+        # semantic_dedup executes EAGERLY (k-means iterations + label
+        # propagation), re-deriving its input many times, and `kept` feeds
+        # both that input and the final anti-join — materialize it once or
+        # the whole upstream filter/decontaminate/dedup plan runs ~8x
+        # (CLAUDE.md note 12).
+        kept = kept.localCheckpoint(eager=True)
         # Only vectors for still-kept docs enter the clustering — the
         # semi-join prunes the (expensive) pairing input to survivors.
         vecs = semantic_dedup_embeddings.join(
             kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-        )
+        ).localCheckpoint(eager=True)
         sem_dups = (
             semantic_dedup(vecs, cells=semantic_cells, min_cos=semantic_min_cos)
             .where("is_dup")
             .select(F.col("vec_id").alias("doc_id"))
         )
         kept = kept.join(sem_dups, "doc_id", "left_anti")
-    split = F.when(
-        (_key_hash("doc_id") * 100) < F.lit(train_pct * _SPLIT_MOD), "train"
-    ).otherwise("test")
+    split = _split_expr(train_pct)
     return (
         kept.select(
             split.alias("split"),
@@ -380,9 +402,7 @@ def write_shards(
     listing loop. Returns the manifest DataFrame (as re-read from disk).
     """
     spark = documents.sparkSession
-    split = F.when(
-        (_key_hash("doc_id") * 100) < F.lit(train_pct * _SPLIT_MOD), "train"
-    ).otherwise("test")
+    split = _split_expr(train_pct)
     part_cols = ["split", *(["source"] if by_source else [])]
     (
         documents.withColumn("split", split)
@@ -418,11 +438,14 @@ def read_shards(
     source: str | None = None,
 ) -> DataFrame:
     """Loader side of :func:`write_shards`: read the shard layout with the
-    split/source filters applied as PARTITION filters (pruned directories
-    are never listed, let alone read — asserted in
-    tests/test_storage_layout.py). A loader that needs per-file scheduling
-    or resume reads ``<path>/manifest`` instead and feeds the file list to
-    its own reader."""
+    split filter applied as a PARTITION filter (pruned directories are
+    never listed, let alone read — asserted in
+    tests/test_storage_layout.py). ``source`` prunes the same way ONLY if
+    the layout was written with ``by_source=True``; against a
+    split-only layout it is a plain data filter (correct results, but
+    every file of the split is scanned). A loader that needs per-file
+    scheduling or resume reads ``<path>/manifest`` instead and feeds the
+    file list to its own reader."""
     df = spark.read.parquet(f"{path}/data")
     if split is not None:
         df = df.where(F.col("split") == split)

@@ -499,6 +499,37 @@ FROM e GROUP BY label
 """
 
 
+def _with_int8_codes(df: DataFrame, cast_to: str | None = None) -> DataFrame:
+    """qz1's symmetric int8 quantization of the ``embedding`` column — the
+    ONE definition of the scheme, shared by qz2's search, the IVF+SQ8 index
+    (save_index quantize=True), and mirrored by the DuckDB twins; a change
+    here must change all of them together. q_i = round(127 * x_i /
+    max_abs); zero vectors quantize to zero (scale 1). Replaces
+    ``embedding`` with its code array (other columns pass through).
+
+    Shape matters here: the per-vector scale is computed as its OWN column
+    with an RDD boundary (localCheckpoint) before the code transform —
+    written inline inside the transform lambda, the array_max subexpression
+    re-evaluates PER ELEMENT (64 array scans per row; no CSE inside
+    higher-order-function lambdas, and CollapseProject would re-inline a
+    chained projection), which measured ~10x slower at 100 k vectors."""
+    embd = F.transform("embedding", lambda x: x.cast("double"))
+    m = F.array_max(F.transform(F.col("_emb"), lambda x: F.abs(x)))
+    staged = (
+        df.withColumn("_emb", embd)
+        .withColumn("_scale", F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0)))
+        .localCheckpoint(eager=False)
+    )
+    code = lambda x: F.round(x / F.col("_scale"))  # noqa: E731
+    codes = (
+        F.transform("_emb", lambda x: code(x).cast(cast_to))
+        if cast_to is not None
+        else F.transform("_emb", code)
+    )
+    keep = [c for c in df.columns if c != "embedding"]
+    return staged.select(*keep, codes.alias("embedding"))
+
+
 def quantized_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 5) -> DataFrame:
     """qz2 — cosine top-k over the int8-QUANTIZED corpus: qz1's symmetric
     per-vector scheme (q_i = round(127 * x_i / max_abs)) put to work for
@@ -510,13 +541,13 @@ def quantized_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 5) -> Dat
     locked engine-identical by qz1); ranking-quality-vs-full-precision
     recall asserted in tests/test_similarity.py.
     """
-    embd = F.transform("embedding", lambda x: x.cast("double"))
-    base = embeddings.select("vec_id", embd.alias("emb"))
-    m = F.array_max(F.transform("emb", lambda x: F.abs(x)))
-    scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
-    q = base.select(
-        "vec_id",
-        F.transform("emb", lambda x: F.round(x / scale)).alias("qemb"),
+    # Codes feed BOTH the probe branch and the corpus side of the join —
+    # materialize once (multi-branch rule, CLAUDE.md note 12) so the
+    # 20-probe join fan-out can't recompute them per pair.
+    q = (
+        _with_int8_codes(embeddings.select("vec_id", "embedding"))
+        .withColumnRenamed("embedding", "qemb")
+        .localCheckpoint(eager=False)
     )
     probes = F.broadcast(
         q.where(F.col("vec_id") < n_probes).select(
@@ -593,16 +624,7 @@ def save_index(
     base = embeddings.select("vec_id", "embedding")
     assign = _nearest_cell(base, cents, "cell")
     if quantize:
-        embd = F.transform("embedding", lambda x: x.cast("double"))
-        m = F.array_max(F.transform(embd, lambda x: F.abs(x)))
-        scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
-        assign = assign.select(
-            "vec_id",
-            "cell",
-            F.transform(embd, lambda x: F.round(x / scale).cast("tinyint")).alias(
-                "embedding"
-            ),
-        )
+        assign = _with_int8_codes(assign, cast_to="tinyint")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     assign.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
 

@@ -72,13 +72,23 @@ def _parquet_ts_is_utc_adjusted(path: str, col: str) -> bool:
     Arrow surfaces the parquet flag as the field's ``tz`` attribute
     (``None`` for wall-clock/NTZ encodings, a zone string for
     instant/adjusted ones). Unreadable metadata counts as not-adjusted —
-    the caller's arithmetic is then no worse than before this check.
+    the caller's arithmetic is then no worse than before this check — but
+    NOISILY: a silent False here would quietly disable the very refusal
+    this function exists to enforce.
     """
     try:
         import pyarrow.parquet as pq
 
         return getattr(pq.read_schema(path).field(col).type, "tz", None) is not None
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"could not inspect parquet timestamp encoding of {path}:{col} "
+            f"({e!r}); assuming wall-clock (isAdjustedToUTC=false) — if the "
+            "file is UTC-adjusted, results will diverge from the DuckDB oracle",
+            stacklevel=2,
+        )
         return False
 
 

@@ -247,6 +247,22 @@ def test_shuffle_shards_is_a_seeded_permutation(spark):
     order_b = [r.doc_id for r in sorted(b, key=lambda r: (r.shard, r.seq))]
     assert order_a != order_b, "different seeds must permute differently"
 
+    # a rotation also satisfies !=; a FRESH permutation flips the relative
+    # order of ~half of all pairs. Sample pairs and require real inversions
+    # (an additive seed mix — the bug this guards — flips almost none).
+    pos_a = {d: i for i, d in enumerate(order_a)}
+    pos_b = {d: i for i, d in enumerate(order_b)}
+    import itertools
+
+    sample = order_a[:: max(1, len(order_a) // 40)]
+    pairs = list(itertools.combinations(sample, 2))
+    flips = sum(
+        1
+        for x, y in pairs
+        if (pos_a[x] < pos_a[y]) != (pos_b[x] < pos_b[y])
+    )
+    assert flips / len(pairs) >= 0.2, f"only {flips}/{len(pairs)} pair inversions"
+
 
 def test_full_prep_to_shards_integration(spark):
     """The whole corpus-prep path in one run: quality filter ->
