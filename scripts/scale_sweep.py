@@ -230,11 +230,16 @@ def sweep_similarity(spark) -> None:
         )
         return df, n_base * factor
 
+    from samsa_spark.operators.similarity import quantized_topk
+
     cosine_topk(base).write.mode("overwrite").format("noop").save()  # warm
     for factor in (1, 10, 50):
         df, n = replicated(factor)
         df = df.localCheckpoint(eager=True)
         _time(f"sim1_brute_x{factor}", lambda: cosine_topk(df), n)
+        # same probes x N shape on int8 codes: local cost tracks sim1 (the
+        # win is the 3.6x smaller stored corpus — PLANS.md footprint table)
+        _time(f"qz2_quantized_x{factor}", lambda: quantized_topk(df, k=3), n)
         _time(f"sim3_lsh_x{factor}", lambda: ann_topk_lsh(df), n)
         _time(f"sim4_ivf_x{factor}", lambda: ivf_topk(df), n)
         # ~sqrt(N) capped at 64: the Lloyd build is iters x N x cells
