@@ -83,6 +83,86 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+_GF_BUCKET_US = 86_400_000_000  # 1 day
+
+
+def gap_fill(events: DataFrame, bucket_us: int = _GF_BUCKET_US) -> DataFrame:
+    """gf1 — time-series gap-fill / resample: bucket each key's events onto
+    a fixed time grid, generate the FULL grid between the key's first and
+    last bucket, and forward-fill empty buckets with the last observed
+    value — the downsample-then-densify every monitoring/feature pipeline
+    runs before joining series with different event rates (samsa's
+    state-per-key stream viewed as a regular time series).
+
+    Per (user, bucket) the observation is the latest event's value (same
+    (ts_us, event_id) tie-break as D2 compaction); ``gap`` marks buckets
+    that had no events. Plan shape: one hash aggregate onto the grid, a
+    per-key sequence()/explode to densify (rows = buckets-per-key, never a
+    cross join against a global calendar), one left join on (key, bucket),
+    and the forward fill is last_value(ignorenulls) over the SAME
+    (user, bucket-order) partitioning — no second shuffle. At 100 TB the
+    grid explode is bounded by span/bucket per key, and the join keys are
+    co-partitioned by construction.
+    """
+    bucket = (F.col("ts_us") / F.lit(bucket_us)).cast("long")  # ts_us >= 0: trunc == floor
+    obs = (
+        events.select("user_id", bucket.alias("bucket"), "ts_us", "event_id", "value")
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.max_by("value", F.struct("ts_us", "event_id")).alias("bucket_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select("user_id", F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    )
+    joined = grid.join(obs, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        (F.col("bucket") * bucket_us).alias("bucket_start_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("bucket_value").isNull().alias("gap"),
+    )
+
+
+_GF1_SQL = """
+WITH rk AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS bucket, value,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000)
+           AS n_events
+  FROM events
+),
+obs AS (
+  SELECT user_id, bucket, value AS bucket_value, n_events FROM rk WHERE rn = 1
+),
+rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM rng),
+j AS (
+  SELECT g.user_id, g.bucket, o.bucket_value, o.n_events
+  FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+)
+SELECT user_id, bucket,
+       bucket * 86400000000 AS bucket_start_us,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       last_value(bucket_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       bucket_value IS NULL AS gap
+FROM j
+"""
+
+
 def rollup_revenue(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
     """ro1 — ROLLUP aggregation: order totals by (nation, mktsegment) with
     subtotals and grand total. Spark executes grouping sets as one expand +
@@ -163,6 +243,7 @@ def build_queries():
         ),
         "rg1_user_value_trends": (q(user_value_trends, "events"), _RG1_SQL),
         "as2_asof_cogrouped": (q(asof_join_cogrouped, "events", "orders"), _AS1_SQL),
+        "gf1_gap_fill": (q(gap_fill, "events"), _GF1_SQL),
     }
 
 

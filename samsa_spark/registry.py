@@ -306,6 +306,7 @@ _DEMOTED = (
     "lm1_unigram_logprob",            # tf1 anchors the explode->vocab->score shape in-window; the LM score is pytest-oracle-checked
     "ds1_shuffle_shards",             # sp1 anchors hash-deterministic sharding in-window; the epoch-shuffle window form is pytest-oracle-checked
     "qz2_quantized_topk",             # sim1 anchors probe-broadcast top-k in-window; the int8 search path is pytest-oracle-checked (+ recall vs full precision)
+    "gf1_gap_fill",                   # ses1/d10 anchor keyed time-window shapes in-window; the resample/forward-fill grid is pytest-oracle-checked
 )
 
 

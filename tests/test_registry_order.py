@@ -55,6 +55,7 @@ SIBLINGS = {
     "lm1_unigram_logprob": ["tf1_tfidf_top_terms"],
     "ds1_shuffle_shards": ["sp1_deterministic_split", "pk2_pack_chunked"],
     "qz2_quantized_topk": ["sim1_cosine_topk", "sim4_ivf_topk"],
+    "gf1_gap_fill": ["ses1_sessionize", "d10_windowed_changes"],
 }
 
 
