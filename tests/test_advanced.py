@@ -70,3 +70,54 @@ def test_gap_fill_planted_gaps(spark):
         (1, 3): (2, 41.0, False),
         (2, 7): (1, 70.0, False),
     }
+
+
+def test_gap_fill_matches_python_model_on_random_series(spark):
+    """gf1 against an in-process python model on randomized event sets —
+    duplicate buckets, ties inside a bucket, sparse and dense keys."""
+    import random
+
+    from samsa_spark.operators.advanced import gap_fill
+
+    rng = random.Random(29)
+    B = 1_000_000
+    for trial in range(3):
+        rows = []
+        eid = 0
+        for user in range(1, 6):
+            for _ in range(rng.randint(1, 25)):
+                eid += 1
+                bucket = rng.randint(0, 12)
+                off = rng.randint(0, B - 1)
+                rows.append((user, bucket * B + off, eid, "a", round(rng.uniform(0, 100), 2)))
+        ev = spark.createDataFrame(
+            rows,
+            "user_id long, ts_us long, event_id long, event_type string, value double",
+        )
+
+        # python model
+        by_bucket = {}
+        for u, ts, e, _, v in rows:
+            key = (u, ts // B)
+            cur = by_bucket.get(key)
+            if cur is None or (ts, e) > (cur[0], cur[1]):
+                by_bucket[key] = (ts, e, v, (cur[3] + 1) if cur else 1)
+            else:
+                by_bucket[key] = (cur[0], cur[1], cur[2], cur[3] + 1)
+        want = {}
+        for u in {r[0] for r in rows}:
+            buckets = [b for (uu, b) in by_bucket if uu == u]
+            last = None
+            for b in range(min(buckets), max(buckets) + 1):
+                obs = by_bucket.get((u, b))
+                if obs is not None:
+                    last = obs[2]
+                    want[(u, b)] = (obs[3], last, False)
+                else:
+                    want[(u, b)] = (0, last, True)
+
+        got = {
+            (r.user_id, r.bucket): (r.n_events, r.filled_value, r.gap)
+            for r in gap_fill(ev, bucket_us=B).collect()
+        }
+        assert got == want, f"trial {trial} diverged"
