@@ -104,7 +104,11 @@ def gap_fill(events: DataFrame, bucket_us: int = _GF_BUCKET_US) -> DataFrame:
     grid explode is bounded by span/bucket per key, and the join keys are
     co-partitioned by construction.
     """
-    bucket = (F.col("ts_us") / F.lit(bucket_us)).cast("long")  # ts_us >= 0: trunc == floor
+    # Integer division, never float: double is exact only to 2^53, so the
+    # float form silently mis-buckets very large ts_us (same rule as the
+    # nanos branch in tables.py). `div` truncates while DuckDB `//` floors —
+    # identical for ts_us >= 0, which the testdata contract guarantees.
+    bucket = F.expr(f"ts_us div {bucket_us}")
     obs = (
         events.select("user_id", bucket.alias("bucket"), "ts_us", "event_id", "value")
         .groupBy("user_id", "bucket")

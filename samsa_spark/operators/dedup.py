@@ -26,7 +26,7 @@ from __future__ import annotations
 import functools
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from samsa_spark import tables
 
@@ -355,6 +355,158 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+SPAN_K = 8  # min duplicated-span length in tokens (dd7 default)
+
+
+def span_postings(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Positional k-token span postings: one row per token position, with
+    the span of ``k`` tokens starting there — the NON-distinct sibling of
+    :func:`shingle_postings` (substring dedup needs every occurrence and its
+    position; set-similarity needs neither). ``pos`` is 1-based; docs with
+    fewer than ``k`` tokens emit nothing."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    spans = F.when(
+        n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select(
+        "doc_id", F.posexplode(spans).alias("_p0", "span")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "span")
+
+
+def substring_dup_spans(documents: DataFrame, min_tokens: int = SPAN_K) -> DataFrame:
+    """dd7 — exact substring-level dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family):
+    every maximal token range of length >= ``min_tokens`` that occurs more
+    than once in the corpus — the boilerplate/template case dd1–dd4 cannot
+    catch, because the *surrounding* documents differ. Output is the merged
+    range table ``(doc_id, span_start, span_end, n_tokens, n_spans)``: one
+    row per maximal duplicated range (1-based token positions, inclusive;
+    ``n_spans`` = how many k-token seed spans merged into it), covering
+    EVERY occurrence including the one a rewriter would keep.
+
+    Why positional shingles instead of Lee et al.'s suffix array: a span of
+    length L >= k is duplicated iff all of its k-token sub-spans are
+    duplicated, so flagging duplicated k-spans and merging
+    overlapping/adjacent flagged positions reconstructs exactly the maximal
+    duplicated ranges — with a plan that is one explode, one hash aggregate
+    and one bounded per-doc window instead of a global suffix sort.
+    Within-doc repeats count (a span occurring twice in ONE doc is
+    boilerplate too, matching the corpus-wide occurrence count).
+
+    Scale shape: the posting table is one row per token position (corpus
+    token count — the same cardinality every tokenizing op here shuffles);
+    the occurrence count groups on a 64-bit span hash (never the string —
+    same collision-negligibility argument as dd2), is algebraic (map-side
+    partials), and >1 pruning drops the overwhelmingly-singleton tail
+    before the join back. The island merge windows per ``doc_id`` with
+    per-doc work bounded by doc length. The only driver-free artifacts are
+    joins/aggregates on narrow keys — no global sort, no cartesian.
+
+    Oracle: positional shingles and interval merging are plain SQL, so dd7
+    sits in the exact DuckDB hash gate (unlike dd3/dd4, whose xxhash64
+    signatures aren't portable — here the hash is only an internal groupBy
+    key; the OUTPUT is positions).
+    """
+    k = min_tokens
+    # Postings feed the occurrence count AND the join back — materialize
+    # once (multi-branch rule, CLAUDE.md note 12), and hash the span so the
+    # shuffle moves 8-byte keys, not k-token strings.
+    p = (
+        span_postings(documents, k)
+        .select("doc_id", "pos", F.xxhash64("span").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    hot = p.groupBy("sh").agg(F.count("*").alias("occ")).where(F.col("occ") > 1).select("sh")
+    dup = p.join(hot, "sh").select("doc_id", "pos")
+    # Merge flagged positions into maximal ranges. All seed intervals are
+    # [pos, pos+k-1] (equal length), so sorted by pos their ends are
+    # monotone and "overlaps-or-touches the island so far" reduces to
+    # pos <= lag(pos) + k. Both windows share one (doc_id, pos)
+    # partitioning — one shuffle.
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "new_island",
+        (F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-k)) + k).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(k - 1) - F.min("pos") + 1).alias("n_tokens"),
+            F.count("*").alias("n_spans"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_tokens", "n_spans")
+    )
+
+
+def dominated_span_fraction(documents: DataFrame, min_tokens: int = SPAN_K) -> DataFrame:
+    """dd7's pipeline-facing form: per document, the fraction of its tokens
+    inside DOMINATED duplicated ranges — occurrences of a duplicated span
+    that are not the corpus-first (smallest ``(doc_id, pos)``) occurrence.
+    Excluding the first occurrence is what makes "drop high-fraction docs"
+    a dedup rule rather than content destruction: the canonical copy of a
+    shared template scores 0 from that template, every later copy scores
+    its full length (greedy lowest-id-survives, the same convention as
+    pp1's fuzzy stage).
+
+    Output: ``(doc_id, n_doc_tokens, dup_tokens, dup_frac)`` for every doc
+    (docs shorter than ``min_tokens`` score 0). Same plan family as
+    :func:`substring_dup_spans` with the occurrence count swapped for a
+    min-occurrence aggregate.
+    """
+    k = min_tokens
+    p = (
+        span_postings(documents, k)
+        .select("doc_id", "pos", F.xxhash64("span").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    firsts = p.groupBy("sh").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    dom = (
+        p.join(firsts.where(F.col("occ") > 1), "sh")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dom.withColumn(
+            "new_island",
+            (F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-k)) + k).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("pos") + F.lit(k - 1) - F.min("pos") + 1).alias("len"))
+        .groupBy("doc_id")
+        .agg(F.sum("len").alias("dup_tokens"))
+    )
+    n_toks = documents.select("doc_id", F.size(F.split("text", " ")).alias("n_doc_tokens"))
+    d = F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+    return n_toks.join(islands, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_doc_tokens").cast("bigint").alias("n_doc_tokens"),
+        d.alias("dup_tokens"),
+        F.round(d / F.col("n_doc_tokens"), 6).alias("dup_frac"),
+    )
+
+
 def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int = 15) -> DataFrame:
     """dd6 — near-dup clustering: connected components over the Jaccard
     pair graph by iterative min-label propagation; every document gets a
@@ -453,7 +605,95 @@ def build_queries():
         "dd4_simhash_pairs": (q(simhash_near_pairs), None),
         "dd6_dedup_clusters": (q(dedup_clusters), _DD6_SQL),
         "dc1_decontaminate": (q(decontaminate), _DC1_SQL),
+        "dd7_substring_spans": (q(substring_dup_spans), _DD7_SQL),
+        "dd8_dominated_frac": (q(dominated_span_fraction), _DD8_SQL),
     }
+
+
+# dd7/dd8 oracles group by the span STRING where Spark groups by its
+# xxhash64 (same exactness argument as dd2: a cross-span hash collision
+# perturbs a count with probability ~n^2/2^64).
+_DD7_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+i AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {SPAN_K - 1})) AS pos
+  FROM t
+),
+p AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos, pos + {SPAN_K - 1}), ' ') AS span
+  FROM i
+),
+hot AS (SELECT span FROM p GROUP BY span HAVING count(*) > 1),
+d AS (SELECT doc_id, pos FROM p JOIN hot USING (span)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER w, -{SPAN_K}) + {SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {SPAN_K - 1} AS INT) AS span_end,
+       CAST(max(pos) + {SPAN_K - 1} - min(pos) + 1 AS INT) AS n_tokens,
+       count(*) AS n_spans
+FROM s GROUP BY doc_id, island
+"""
+
+_DD8_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+i AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {SPAN_K - 1})) AS pos
+  FROM t
+),
+p AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos, pos + {SPAN_K - 1}), ' ') AS span
+  FROM i
+),
+firsts AS (
+  SELECT span, count(*) AS occ,
+         min({{'d': doc_id, 'p': pos}}) AS f
+  FROM p GROUP BY span
+),
+dom AS (
+  SELECT p.doc_id, p.pos
+  FROM p JOIN firsts USING (span)
+  WHERE firsts.occ > 1 AND (p.doc_id <> firsts.f.d OR p.pos <> firsts.f.p)
+),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER w, -{SPAN_K}) + {SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM dom WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+isl AS (
+  SELECT doc_id, island, max(pos) + {SPAN_K - 1} - min(pos) + 1 AS len
+  FROM s GROUP BY doc_id, island
+),
+per_doc AS (SELECT doc_id, sum(len) AS dup_tokens FROM isl GROUP BY doc_id),
+nt AS (SELECT doc_id, len(string_split(text, ' ')) AS n_doc_tokens FROM documents)
+SELECT nt.doc_id,
+       CAST(nt.n_doc_tokens AS BIGINT) AS n_doc_tokens,
+       CAST(coalesce(per_doc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(per_doc.dup_tokens, 0) AS BIGINT) / nt.n_doc_tokens, 6)
+         AS dup_frac
+FROM nt LEFT JOIN per_doc USING (doc_id)
+"""
 
 
 _DC1_SQL = """

@@ -256,6 +256,8 @@ def prep_pipeline(
     min_chars: int = 50,
     min_alpha_ratio: float = 0.5,
     train_pct: int = 80,
+    substring_dedup_min_tokens: int | None = None,
+    substring_max_dup_frac: float = 0.5,
     fuzzy_min_est_jaccard: float | None = None,
     decontaminate_against: DataFrame | None = None,
     semantic_dedup_embeddings: DataFrame | None = None,
@@ -275,6 +277,18 @@ def prep_pipeline(
     job actually runs; everything else in the family is its building blocks.
     Min/max quality (order-independent) instead of avg keeps the aggregate
     engine-exact.
+
+    ``substring_dedup_min_tokens`` (opt-in) inserts dd7's substring-level
+    stage between exact and fuzzy dedup: any doc whose DOMINATED duplicated
+    token fraction (``dominated_span_fraction`` — occurrences of a repeated
+    >=k-token span that are not the corpus-first occurrence, so the
+    canonical copy of shared boilerplate scores 0) reaches
+    ``substring_max_dup_frac`` is dropped via one anti-join on ids — the
+    Lee et al. 2022 boilerplate case dd1 can't catch because the
+    surrounding docs differ. Fully SQL-expressible (the stage's primitive
+    is oracle-checked as dd8); the registered pp1 oracle stays the
+    stage-free exact form, and the staged composition is checked by a
+    planted-boilerplate pytest (tests/test_dedup.py).
 
     ``fuzzy_min_est_jaccard`` (opt-in) inserts a near-dup removal stage
     between exact dedup and split: any doc with a MinHash-LSH near-duplicate
@@ -323,6 +337,19 @@ def prep_pipeline(
     kept = filtered.join(
         canon, filtered.doc_id == canon.keep_id, "left_semi"
     )
+    if substring_dedup_min_tokens is not None:
+        from samsa_spark.operators.dedup import dominated_span_fraction
+
+        # Anti-join on ids only — the span-posting cost is dd8's, already
+        # shuffle-audited there; the dominated (not total) fraction keeps
+        # the first copy of every template (greedy lowest-(doc,pos)
+        # survives, the same convention as the fuzzy stage below).
+        heavy = (
+            dominated_span_fraction(kept, min_tokens=substring_dedup_min_tokens)
+            .where(F.col("dup_frac") >= substring_max_dup_frac)
+            .select("doc_id")
+        )
+        kept = kept.join(heavy, "doc_id", "left_anti")
     if fuzzy_min_est_jaccard is not None:
         from samsa_spark.operators.dedup import minhash_lsh_pairs
 

@@ -578,7 +578,7 @@ s AS (
                list_max(list_transform(emb, x -> abs(x))) AS m FROM v)
 ),
 q AS (
-  SELECT vec_id, [round(emb[i] / scale) for i in generate_series(1, 64)] AS qe
+  SELECT vec_id, [round(emb[i] / scale) for i in generate_series(1, len(emb))] AS qe
   FROM s
 ),
 p AS (SELECT vec_id AS q_id, qe AS q_qe FROM q WHERE vec_id < 20),

@@ -307,6 +307,8 @@ _DEMOTED = (
     "ds1_shuffle_shards",             # sp1 anchors hash-deterministic sharding in-window; the epoch-shuffle window form is pytest-oracle-checked
     "qz2_quantized_topk",             # sim1 anchors probe-broadcast top-k in-window; the int8 search path is pytest-oracle-checked (+ recall vs full precision)
     "gf1_gap_fill",                   # ses1/d10 anchor keyed time-window shapes in-window; the resample/forward-fill grid is pytest-oracle-checked
+    "dd2_ngram_jaccard",              # dd6's in-window recursive-CTE oracle embeds dd2's full shingle/Jaccard pair algebra; slot goes to dd7 substring dedup
+    "dd8_dominated_frac",             # dd7 anchors substring-level dedup in-window; the dominated-fraction pipeline form shares its exact plan family and is pytest-oracle-checked
 )
 
 

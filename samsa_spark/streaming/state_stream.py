@@ -304,6 +304,31 @@ class StatefulStream:
             timeoutConf=timeout,
         )
 
+    def _check_changelog_compat(self, changelog_dir: str) -> None:
+        """Refuse to append to a changelog whose layout predates this
+        stream's output schema. Tombstone/TTL-configured streams emit a
+        ``_deleted`` marker column; appending marker-bearing batches to a
+        marker-less parquet changelog (written by an older, marker-free
+        configuration of the same key space) would leave mixed file schemas
+        — and :func:`replay_changelog` reading the sampled (old) schema
+        would silently drop every delete/eviction on replay. Detect it up
+        front and name the fix instead."""
+        if self.tombstone is None and self.ttl is None:
+            return
+        try:
+            existing = self.spark.read.parquet(changelog_dir).schema.names
+        except Exception:
+            return  # no changelog written yet — nothing to be incompatible with
+        if "_deleted" not in existing:
+            raise ValueError(
+                f"changelog at {changelog_dir!r} was written without the "
+                "_deleted marker column, but this stream is configured with "
+                "tombstone/ttl and emits it. Appending would mix file schemas "
+                "and replay_changelog would silently drop deletes/evictions. "
+                "Restart from a fresh changelog directory (and a fresh "
+                "checkpoint if the sink schema is engine-tracked)."
+            )
+
     def run_available_now(
         self, stream_df: DataFrame, checkpoint_dir: str, changelog_dir: str | None = None
     ):
@@ -314,6 +339,8 @@ class StatefulStream:
         Returns after the query terminates.
         """
         upd = self.updates(stream_df)
+        if changelog_dir is not None:
+            self._check_changelog_compat(changelog_dir)
         if changelog_dir is None:
             writer = upd.writeStream.format("noop").outputMode("update")
         else:

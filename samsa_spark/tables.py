@@ -71,25 +71,24 @@ def _parquet_ts_is_utc_adjusted(path: str, col: str) -> bool:
 
     Arrow surfaces the parquet flag as the field's ``tz`` attribute
     (``None`` for wall-clock/NTZ encodings, a zone string for
-    instant/adjusted ones). Unreadable metadata counts as not-adjusted —
-    the caller's arithmetic is then no worse than before this check — but
-    NOISILY: a silent False here would quietly disable the very refusal
-    this function exists to enforce.
+    instant/adjusted ones). Unreadable metadata FAILS CLOSED: this branch
+    only runs for the rare instant-typed read, and guessing "not adjusted"
+    on a file Spark can still read would silently disable the very refusal
+    this function exists to enforce (a warning in driver logs is easy to
+    miss; a UTC-adjusted file would then quietly diverge from the oracle).
     """
     try:
         import pyarrow.parquet as pq
 
         return getattr(pq.read_schema(path).field(col).type, "tz", None) is not None
     except Exception as e:
-        import warnings
-
-        warnings.warn(
-            f"could not inspect parquet timestamp encoding of {path}:{col} "
-            f"({e!r}); assuming wall-clock (isAdjustedToUTC=false) — if the "
-            "file is UTC-adjusted, results will diverge from the DuckDB oracle",
-            stacklevel=2,
-        )
-        return False
+        raise ValueError(
+            f"could not inspect the parquet timestamp encoding of {path}:{col} "
+            f"({e!r}); refusing to guess — if the column is "
+            "isAdjustedToUTC=true, results would silently diverge from the "
+            "DuckDB oracle. Fix the file metadata (or extend tables.load for "
+            "this encoding) before loading it."
+        ) from e
 
 
 def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:

@@ -195,3 +195,130 @@ def test_propagate_min_labels_matches_union_find_on_random_graphs(spark):
             for r in propagate_min_labels(nodes_df, edges_df, max_iter=20).collect()
         }
         assert got == want, f"trial {trial}: component labels diverged"
+
+
+# --- dd7/dd8: substring-level (span) dedup ----------------------------------
+
+
+@pytest.mark.parametrize("name", ["dd7_substring_spans", "dd8_dominated_frac"])
+def test_substring_oracle_match(spark, name):
+    ok, msg = check_query(spark, name, SF_SMALL)
+    assert ok, msg
+
+
+def _brute_dup_ranges(texts: dict[int, str], k: int):
+    """Ground truth for dd7: flag every k-token position whose span occurs
+    more than once corpus-wide, merge overlapping/adjacent flags per doc."""
+    from collections import Counter
+
+    occ = Counter()
+    pos_spans = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        spans = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        pos_spans[d] = spans
+        occ.update(spans)
+    ranges = {}
+    for d, spans in pos_spans.items():
+        flagged = [i + 1 for i, s in enumerate(spans) if occ[s] > 1]  # 1-based
+        merged = []
+        for p in flagged:
+            if merged and p <= merged[-1][1] - k + 1 + k:  # p <= prev_start_max + k
+                merged[-1] = (merged[-1][0], max(merged[-1][1], p + k - 1))
+            else:
+                merged.append((p, p + k - 1))
+        if merged:
+            ranges[d] = merged
+    return ranges
+
+
+def test_substring_spans_planted_boilerplate(spark):
+    """Two docs sharing an embedded 10-token template (different
+    surroundings — the case dd1-dd4 can't catch) must both report exactly
+    the template range; a doc repeating a span internally is flagged too;
+    clean docs and sub-k overlaps report nothing."""
+    from samsa_spark.operators.dedup import substring_dup_spans
+
+    template = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+    rows = [
+        (1, "en", f"intro one two three {template} outro alpha beta"),
+        (2, "en", f"completely different start here {template} and another ending text"),
+        (3, "en", "short shared seven token run only x1 y1 z1"),      # 7-token overlap w/ 4
+        (4, "en", "short shared seven token run only x2 y2 z2"),      # < k=8: not flagged
+        (5, "en", "p q r s t u v w p q r s t u v w"),                 # internal repeat
+        (6, "en", "nothing in common with anything else at all here"),
+    ]
+    texts = {r[0]: r[2] for r in rows}
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {}
+    for r in substring_dup_spans(df, min_tokens=8).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        assert r.n_tokens == r.span_end - r.span_start + 1
+    got = {d: sorted(v) for d, v in got.items()}
+    want = _brute_dup_ranges(texts, 8)
+    assert got == want
+    # the planted template must be inside both carriers' reported ranges
+    assert 1 in got and 2 in got and 5 in got
+    assert 3 not in got and 4 not in got and 6 not in got
+
+
+def test_substring_spans_matches_brute_force_on_corpus(spark):
+    """dd7 ≡ the brute-force positional-shingle model on the real corpus."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import SPAN_K, substring_dup_spans
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    want = _brute_dup_ranges(texts, SPAN_K)
+    got = {}
+    for r in substring_dup_spans(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == want
+
+
+def test_dominated_fraction_keeps_first_copy(spark):
+    """The corpus-first occurrence of a template scores 0 from it; every
+    later copy scores the full template length — lowest-(doc,pos) survives."""
+    from samsa_spark.operators.dedup import dominated_span_fraction
+
+    template = "a b c d e f g h i j"  # 10 tokens
+    rows = [
+        (1, "en", f"{template} unique tail one two"),
+        (2, "en", f"other head words {template}"),
+        (3, "en", "fully distinct text with no repeats whatsoever right"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: (r.dup_tokens, r.dup_frac) for r in dominated_span_fraction(df, 8).collect()}
+    assert got[1][0] == 0          # first occurrence: canonical, scores 0
+    assert got[2][0] == 10         # later copy: whole template dominated
+    assert got[3] == (0, 0.0)
+
+
+def test_prep_pipeline_substring_stage(spark):
+    """pp1's opt-in substring stage drops exactly the docs whose dominated
+    fraction clears the threshold, and keeps the canonical copies."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.dedup import dominated_span_fraction
+    from samsa_spark.operators.pipeline_ops import prep_pipeline
+
+    template = " ".join(f"tmpl{i}" for i in range(12))
+    filler = lambda d: " ".join(f"w{d}x{i}" for i in range(10))  # noqa: E731
+    rows = [(d, "en", f"{filler(d)} {template}") for d in range(1, 6)] + [
+        (d, "en", " ".join(f"solo{d}n{i}" for i in range(22))) for d in range(6, 11)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # min_chars=1/min_alpha_ratio=0 disable the quality gate so the stage
+    # under test is the only filter.
+    base = prep_pipeline(df, min_chars=1, min_alpha_ratio=0.0)
+    staged = prep_pipeline(
+        df, min_chars=1, min_alpha_ratio=0.0, substring_dedup_min_tokens=8,
+        substring_max_dup_frac=0.5,
+    )
+    n_base = sum(r.n_docs for r in base.collect())
+    n_staged = sum(r.n_docs for r in staged.collect())
+    frac = dominated_span_fraction(df, 8)
+    n_heavy = frac.where(F.col("dup_frac") >= 0.5).count()
+    assert n_heavy > 0, "planted corpus must contain dominated-heavy docs"
+    assert n_base - n_staged == n_heavy

@@ -28,6 +28,7 @@ MUST_BE_CHECKED = [
     "sql1_revenue_by_segment",
     "udtf1_ngram_counts",
     "js1_salted_join",
+    "dd7_substring_spans",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -56,6 +57,8 @@ SIBLINGS = {
     "ds1_shuffle_shards": ["sp1_deterministic_split", "pk2_pack_chunked"],
     "qz2_quantized_topk": ["sim1_cosine_topk", "sim4_ivf_topk"],
     "gf1_gap_fill": ["ses1_sessionize", "d10_windowed_changes"],
+    "dd2_ngram_jaccard": ["dd6_dedup_clusters"],
+    "dd8_dominated_frac": ["dd7_substring_spans"],
 }
 
 
