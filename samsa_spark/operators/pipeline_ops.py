@@ -263,6 +263,8 @@ def prep_pipeline(
     semantic_dedup_embeddings: DataFrame | None = None,
     semantic_min_cos: float = 0.9,
     semantic_cells: int = 32,
+    mixture_temperature: float | None = None,
+    mixture_budget_frac: float = 0.5,
 ) -> DataFrame:
     """pp1 — the end-to-end training-data prep shard: quality filter ->
     [decontaminate ->] exact dedup [-> fuzzy dedup] -> deterministic split
@@ -277,6 +279,14 @@ def prep_pipeline(
     job actually runs; everything else in the family is its building blocks.
     Min/max quality (order-independent) instead of avg keeps the aggregate
     engine-exact.
+
+    ``mixture_temperature`` (opt-in) appends sm2's token-budgeted
+    temperature mixing AFTER all dedups (rates must reflect the corpus a
+    trainer actually draws from): per-source acceptance rates from
+    ``_mixture_accept`` with ``mixture_budget_frac`` of the surviving
+    tokens as the target, applied as one semi-join on ids. Deterministic
+    (hash-threshold, never rand()); checked by the sm2 oracle plus the
+    staged-composition pytest.
 
     ``substring_dedup_min_tokens`` (opt-in) inserts dd7's substring-level
     stage between exact and fuzzy dedup: any doc whose DOMINATED duplicated
@@ -320,7 +330,7 @@ def prep_pipeline(
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     quality = F.round(alpha / n_chars, 6)
     filtered = documents.select(
-        "doc_id", "lang", "text", quality.alias("alpha_ratio")
+        "doc_id", "source", "lang", "text", quality.alias("alpha_ratio")
     ).where((n_chars >= min_chars) & (F.col("alpha_ratio") >= min_alpha_ratio))
     if decontaminate_against is not None:
         from samsa_spark.operators.dedup import decontaminate
@@ -383,6 +393,15 @@ def prep_pipeline(
             .select(F.col("vec_id").alias("doc_id"))
         )
         kept = kept.join(sem_dups, "doc_id", "left_anti")
+    if mixture_temperature is not None:
+        # Mixing runs LAST (rates must reflect the deduped corpus a trainer
+        # would actually draw from); semi-join on ids keeps the plan narrow.
+        picked = _mixture_accept(
+            kept.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")),
+            mixture_temperature,
+            mixture_budget_frac,
+        ).select("doc_id")
+        kept = kept.join(picked, "doc_id", "left_semi")
     split = _split_expr(train_pct)
     return (
         kept.select(
@@ -636,6 +655,7 @@ def build_queries():
         "pk1_pack_sequences": (q(pack_sequences, "documents"), _PK1_SQL),
         "pk2_pack_chunked": (q(pack_sequences_chunked, "documents"), _PK2_SQL),
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
+        "sm2_mixture_sample": (q(mixture_sample, "documents"), _SM2_SQL),
         "ds1_shuffle_shards": (q(shuffle_shards, "documents"), _DS1_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
@@ -764,6 +784,105 @@ def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
         F.max("doc_id").alias("max_doc"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+def _mixture_accept(d: DataFrame, temperature: float, budget_frac: float) -> DataFrame:
+    """Shared acceptance core of sm2 and pp1's mixture stage: given
+    ``(doc_id, source, n_tokens)`` rows, compute the per-source temperature
+    rates and return the accepted rows with ``rate``/``src_tokens``
+    attached. ONE definition so the registered query and the pipeline stage
+    can never desynchronize (same rule as ``_split_expr``)."""
+    t = d.groupBy("source").agg(
+        F.sum(F.col("n_tokens").cast("bigint")).alias("src_tokens")
+    )
+    tot = t.agg(
+        F.sum("src_tokens").cast("double").alias("tot_toks"),
+        F.sum(F.pow(F.col("src_tokens").cast("double"), F.lit(temperature))).alias(
+            "tot_pow"
+        ),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac)
+            * F.col("tot_toks")
+            * F.pow(F.col("src_tokens").cast("double"), F.lit(temperature))
+            / F.col("tot_pow")
+            / F.col("src_tokens").cast("double"),
+        ),
+        6,
+    )
+    rates = t.crossJoin(F.broadcast(tot)).select("source", "src_tokens", rate.alias("rate"))
+    return d.join(F.broadcast(rates), "source").where(
+        _key_hash("doc_id") < F.floor(F.col("rate") * F.lit(float(_SPLIT_MOD)))
+    )
+
+
+def mixture_sample(
+    documents: DataFrame, temperature: float = 0.7, budget_frac: float = 0.5
+) -> DataFrame:
+    """sm2 — deterministic temperature-weighted mixture sampling with TOKEN
+    budgets: the data-mixing step between corpus prep and packing. Each
+    source's token budget is proportional to ``T_s^temperature`` (T_s = the
+    source's total tokens; temperature < 1 upweights small sources — the
+    standard pretraining mix rule), scaled so the expected sampled total is
+    ``budget_frac`` of the corpus; a doc is accepted iff its portable key
+    hash clears the source's acceptance rate — rand()-free, so the sample
+    is identical across engines, partitionings, and retries (sm1's
+    fixed-count per-stratum form is the audit sibling; sm2 budgets TOKENS,
+    which is what a training mix actually allocates).
+
+    Acceptance is ``key_hash(doc_id) < floor(rate * MOD)`` with the rate
+    rounded to 6 decimals BEFORE thresholding (repo rule 6: pow/div ulps
+    must not flip a comparison; both engines then compare identical
+    doubles). Rates cap at 1 (a source can't oversample itself —
+    temperature upweighting saturates small sources instead).
+
+    Plan shape: one hash aggregate for per-source token totals (map-side
+    partials), a broadcast of the source-level rate table (sources are a
+    handful), one narrow filter, one final aggregate — no extra shuffle
+    beyond the two aggregates at any corpus size. Output per source:
+    acceptance rate, sampled docs/tokens and the source's total tokens.
+    """
+    d = documents.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    accepted = _mixture_accept(d, temperature, budget_frac)
+    # rate/src_tokens are functionally dependent on source — grouping by all
+    # three (instead of first()-style picks) keeps the output provably
+    # deterministic on both engines.
+    return accepted.groupBy("source", "rate", "src_tokens").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("n_tokens"),
+    )
+
+
+_SM2_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source),
+tot AS (
+  SELECT CAST(sum(src_tokens) AS DOUBLE) AS tot_toks,
+         sum(pow(CAST(src_tokens AS DOUBLE), 0.7)) AS tot_pow
+  FROM t
+),
+r AS (
+  SELECT source, src_tokens,
+         round(least(1.0,
+           0.5 * tot_toks * pow(CAST(src_tokens AS DOUBLE), 0.7)
+             / tot_pow / CAST(src_tokens AS DOUBLE)), 6) AS rate
+  FROM t CROSS JOIN tot
+),
+a AS (
+  SELECT d.source, r.rate, r.src_tokens, d.n_tokens
+  FROM d JOIN r USING (source)
+  WHERE ({_KEY_HASH_SQL.format(col="doc_id")}) < floor(r.rate * 1000003.0)
+)
+SELECT source, rate, CAST(src_tokens AS BIGINT) AS src_tokens,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM a GROUP BY source, rate, src_tokens
+"""
 
 
 def equidepth_histogram(documents: DataFrame, buckets: int = 4) -> DataFrame:

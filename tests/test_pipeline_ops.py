@@ -68,10 +68,71 @@ def test_custom_group_agg_matches_builtin(spark):
         assert abs(custom[u] - s) < 1e-4, f"user {u}: custom={custom[u]} builtin={s}"
 
 
-@pytest.mark.parametrize("name", ["sm1_stratified_sample", "nt1_equidepth_histogram"])
+@pytest.mark.parametrize(
+    "name", ["sm1_stratified_sample", "sm2_mixture_sample", "nt1_equidepth_histogram"]
+)
 def test_oracle_match_sampling(spark, name):
     ok, msg = check_query(spark, name, SF_SMALL)
     assert ok, msg
+
+
+def test_mixture_sample_budget_and_temperature(spark):
+    """sm2 semantics on the real corpus: (a) sampled tokens track the
+    budget fraction, (b) temperature < 1 upweights small sources (their
+    acceptance rate is >= the biggest source's), (c) the sample is
+    invariant under repartitioning (hash-threshold, not rand())."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import mixture_sample
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    out = mixture_sample(docs, temperature=0.7, budget_frac=0.5).collect()
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    sampled = sum(r.n_tokens for r in out)
+    # hash acceptance is a Bernoulli draw per doc: allow sampling noise
+    assert 0.35 * total <= sampled <= 0.65 * total, (sampled, total)
+    rates = {r.source: r.rate for r in out}
+    toks = {r.source: r.src_tokens for r in out}
+    small, big = min(toks, key=toks.get), max(toks, key=toks.get)
+    assert rates[small] >= rates[big]
+    again = mixture_sample(docs.repartition(13), temperature=0.7, budget_frac=0.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_prep_pipeline_mixture_stage(spark):
+    """pp1's opt-in mixture stage reproduces sm2's acceptance set exactly
+    (stage and registered query share _mixture_accept by construction, but
+    the stage must also compose with the quality filter upstream)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        _mixture_accept,
+        prep_pipeline,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    staged = prep_pipeline(docs, mixture_temperature=0.7, mixture_budget_frac=0.5)
+    n_staged = sum(r.n_docs for r in staged.collect())
+
+    # Model: run the pipeline's own upstream (quality filter + exact dedup)
+    # then the shared acceptance core on the survivors.
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    filtered = docs.select(
+        "doc_id", "source", "text", F.round(alpha / n_chars, 6).alias("q")
+    ).where((n_chars >= 50) & (F.col("q") >= 0.5))
+    canon = filtered.groupBy(F.sha2("text", 256).alias("sha")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    kept = filtered.join(canon, filtered.doc_id == canon.keep_id, "left_semi")
+    want = _mixture_accept(
+        kept.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")),
+        0.7,
+        0.5,
+    ).count()
+    assert n_staged == want
 
 
 def test_key_hash_survives_huge_doc_ids_under_ansi(spark):

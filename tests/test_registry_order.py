@@ -59,6 +59,7 @@ SIBLINGS = {
     "gf1_gap_fill": ["ses1_sessionize", "d10_windowed_changes"],
     "dd2_ngram_jaccard": ["dd6_dedup_clusters"],
     "dd8_dominated_frac": ["dd7_substring_spans"],
+    "sm1_stratified_sample": ["sm2_mixture_sample"],
 }
 
 
