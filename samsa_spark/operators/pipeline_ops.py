@@ -329,8 +329,16 @@ def prep_pipeline(
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     quality = F.round(alpha / n_chars, 6)
+    if mixture_temperature is not None and "source" not in documents.columns:
+        raise ValueError(
+            "prep_pipeline(mixture_temperature=...) needs a 'source' column "
+            "on the input — mixture rates are allocated per source"
+        )
+    # `source` rides along only when present (mixing needs it; ad-hoc doc
+    # frames without it keep working).
+    src_cols = ["source"] if "source" in documents.columns else []
     filtered = documents.select(
-        "doc_id", "source", "lang", "text", quality.alias("alpha_ratio")
+        "doc_id", *src_cols, "lang", "text", quality.alias("alpha_ratio")
     ).where((n_chars >= min_chars) & (F.col("alpha_ratio") >= min_alpha_ratio))
     if decontaminate_against is not None:
         from samsa_spark.operators.dedup import decontaminate

@@ -53,6 +53,7 @@ def salted_join(
     key: str,
     salt_buckets: int = 16,
     salt_from: str = "event_id",
+    check_skew: bool = False,
 ) -> DataFrame:
     """Join-side salting for pathological hot keys when the other side is
     too big to broadcast (the case AQE skew-join may miss: skew detected
@@ -65,7 +66,35 @@ def salted_join(
     shuffle key gains entropy, so a hot key's rows land on n reducers
     instead of one. Cost: dim side shuffles n copies — use for big-fact x
     modest-dim joins with known hot keys.
+
+    ``check_skew=True`` turns the PLANS.md skew-sweep crossover into a
+    runtime guard: one extra key-count aggregate over the fact side, and a
+    warning when the hottest key holds LESS than ~10x a reducer's fair
+    share — the measured regime where salting is a wash-or-loss (AQE alone
+    suffices) and the replicated dim shuffle is pure overhead. Opt-in
+    because the measuring aggregate is itself a pass over the facts: use
+    it while tuning, drop it from the pinned production plan.
     """
+    if check_skew:
+        import warnings
+
+        parts = int(facts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        stats = (
+            facts.groupBy(key)
+            .count()
+            .agg(F.max("count").alias("hot"), F.sum("count").alias("n"))
+            .collect()[0]
+        )
+        fair = stats["n"] / max(parts, 1)
+        if stats["hot"] < 10 * fair:
+            warnings.warn(
+                f"salted_join: hottest {key!r} holds {stats['hot']} of "
+                f"{stats['n']} rows (~{stats['hot'] / fair:.1f}x a reducer's "
+                f"fair share across {parts} partitions) — below the ~10x "
+                "crossover where salting wins (PLANS.md skew sweep). A plain "
+                "join with AQE skew handling is the better plan here.",
+                stacklevel=2,
+            )
     salted_f = facts.withColumn(
         "_salt", F.pmod(F.col(salt_from), F.lit(salt_buckets)).cast("int")
     )

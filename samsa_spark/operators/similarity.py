@@ -357,9 +357,12 @@ def _ivf_query(
     )
 
 
+_SEMDEDUP_TARGET_CELL = 150  # PLANS.md semdedup sweep: cells ∝ N, ~150 vecs/cell
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    cells: int = 32,
+    cells: int | None = None,
     min_cos: float = 0.9,
     max_iter: int = 10,
     kmeans_iters: int = 4,
@@ -378,10 +381,13 @@ def semantic_dedup(
     Scale shape: the clustering is what makes this 100 TB-safe — pairing is
     per-cell (a co-partitioned self-equi-join on ``cell``, quadratic only
     within a cell, exactly the SemDeDup trick), never corpus-all-pairs.
-    ``cells`` should grow ~N/target_cell_size so per-cell work stays
-    bounded; AQE's skew-join split handles an oversized cell. Keep cells
-    well below N — at cells >= N every vector seeds its own cell and the
-    stage silently finds nothing (no pair shares a cell). The pair
+    ``cells=None`` (the default) auto-sizes to ``max(32, N // 150)`` from
+    one cheap count — the PLANS.md semdedup-sweep rule (cells ∝ N, ~150
+    vectors per cell), so a 10 M-vector call stays linear instead of going
+    quadratic inside 300 k-row cells; AQE's skew-join split handles an
+    oversized cell. An EXPLICIT cells > N/10 warns: near N every vector
+    seeds its own cell and the stage silently finds nothing (no pair
+    shares a cell). The pair
     graph then collapses through the same bounded label-propagation loop as
     dd6 (shuffle size = |edges|, lineage truncated per iteration).
     Deterministic end-to-end (hash-seeded k-means, 6-decimal-rounded
@@ -419,7 +425,7 @@ def semantic_dedup(
 
 def semantic_dup_pairs(
     embeddings: DataFrame,
-    cells: int = 32,
+    cells: int | None = None,
     min_cos: float = 0.9,
     kmeans_iters: int = 4,
 ) -> DataFrame:
@@ -428,8 +434,28 @@ def semantic_dup_pairs(
     within a k-means cell. The audit view a SemDeDup rollout reviews before
     committing to drops, and the plan-assertable join shape: a
     co-partitioned self-equi-join on ``cell`` (never corpus-all-pairs;
-    tests/test_plans.py locks out cartesian/nested-loop strategies)."""
+    tests/test_plans.py locks out cartesian/nested-loop strategies).
+
+    ``cells=None`` auto-sizes to ``max(32, N // 150)`` (see
+    :func:`semantic_dedup`); the count this costs is one cheap aggregate —
+    callers feeding an expensive lazy pipeline should materialize it first
+    (pp1's semantic stage localCheckpoints for exactly this reason)."""
     base = embeddings.select("vec_id", "embedding")
+    if cells is None:
+        n = base.count()
+        cells = max(32, n // _SEMDEDUP_TARGET_CELL)
+    else:
+        import warnings
+
+        n = base.count()
+        if cells * 10 > n:
+            warnings.warn(
+                f"semantic_dup_pairs: cells={cells} is > N/10 (N={n}) — "
+                "most cells will hold a single vector and the stage will "
+                "find (near-)nothing. Size cells ~ N/150 (or pass "
+                "cells=None to auto-size).",
+                stacklevel=2,
+            )
     cents = kmeans_centroids(embeddings, k=cells, iters=kmeans_iters)
     # Feeds both sides of the pair join: materialize once (multi-branch
     # rule, CLAUDE.md note 12).

@@ -73,3 +73,75 @@ def test_salted_join_bounds_hot_key_partitions(spark):
     # and end-to-end through the join, every fact row still appears exactly once
     d = spark.createDataFrame([(1, "x")], "k int, attr string")
     assert salted_join(hot, d, "k").count() == 10_000
+
+
+def test_salted_join_skew_guard(spark):
+    """check_skew warns on a uniform key distribution (salting is overhead
+    there — PLANS.md crossover), stays silent on a genuinely hot key, and
+    never changes the result either way."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.scale import salted_join
+
+    # The crossover is defined against the shuffle's reducer count — pin a
+    # production-like 200 (at the test session's 8, no single key can ever
+    # reach 10x fair share, so the guard would always fire).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(100)], "user_id long, attr string"
+        )
+        uniform = spark.range(800).select(
+            (F.col("id") % 100).alias("user_id"), F.col("id").alias("event_id")
+        )
+        # hottest key: 8 rows = 2x the 4-row fair share -> below crossover
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = salted_join(uniform, dim, "user_id", check_skew=True)
+            n = out.count()
+        assert any("crossover" in str(x.message) for x in w), "uniform keys must warn"
+        assert n == 800
+
+        # one key holds 95% of rows: 760 = 190x the fair share -> silent
+        hot = spark.range(800).select(
+            F.when(F.col("id") < 760, F.lit(3)).otherwise(F.col("id") % 100).alias("user_id"),
+            F.col("id").alias("event_id"),
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = salted_join(hot, dim, "user_id", check_skew=True)
+            n = out.count()
+        assert not any("crossover" in str(x.message) for x in w), "hot key must not warn"
+        assert n == 800
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_semantic_cells_guard_and_autosize(spark):
+    """semantic_dup_pairs warns on an explicit cells > N/10 (degenerate:
+    one vector per cell finds nothing) and auto-sizes to max(32, N//150)
+    when cells=None."""
+    import warnings
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from samsa_spark.operators.similarity import semantic_dup_pairs
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(64, 8).astype("float32")
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    df = spark.createDataFrame([(i, [float(x) for x in X[i]]) for i in range(64)], schema)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semantic_dup_pairs(df, cells=32, kmeans_iters=1).count()  # 32 > 64/10
+    assert any("N/10" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semantic_dup_pairs(df, cells=None, kmeans_iters=1).count()  # auto: 32 cells, no warn
+    assert not any("N/10" in str(x.message) for x in w)
