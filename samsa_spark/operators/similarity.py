@@ -655,6 +655,59 @@ def save_index(
     assign.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
 
 
+def append_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> DataFrame:
+    """Incrementally append vectors to a saved IVF index (save_index is
+    build-once; a production ingest appends daily batches without
+    re-training): assign the new vectors against the SAVED centroids (the
+    quantizer stays frozen — re-running k-means would shift cells and
+    invalidate the existing layout), append their cell-partitioned parquet
+    files, and record per-append drift statistics.
+
+    Drift is the signal that says when a rebuild IS due: per cell, the
+    appended count and the mean/min assignment cosine of the new vectors to
+    their centroid. A distribution shift shows up as falling assignment
+    cosines (new data far from every frozen centroid); rows accumulate in
+    ``<path>/drift`` stamped with a monotone ``append_id``, and the full
+    drift table is returned. Quantized (IVF+SQ8) layouts are detected from
+    the stored element type and the new vectors encoded identically.
+
+    Appended files are plain additional parquet files inside the existing
+    ``cell=`` directories — readers (``ivf_topk_prebuilt``) see the union
+    with the same partition pruning; a query against the appended index is
+    IDENTICAL to one against an index of the union corpus sharing these
+    centroids (asserted in tests/test_similarity.py). ``vec_id``
+    uniqueness across appends is the caller's contract, as with any
+    re-ingest."""
+    from pyspark.sql.types import ByteType
+
+    cents, assign0 = load_index(spark, path)
+    quantized = isinstance(assign0.schema["embedding"].dataType.elementType, ByteType)
+    base = new_vectors.select("vec_id", "embedding")
+    # Feeds the data write AND the drift aggregate — materialize once
+    # (multi-branch rule, CLAUDE.md note 12).
+    newa = _nearest_cell(base, cents, "cell").localCheckpoint(eager=False)
+    to_write = _with_int8_codes(newa, cast_to="tinyint") if quantized else newa
+    to_write.write.mode("append").partitionBy("cell").parquet(f"{path}/assignments")
+    try:
+        prev = spark.read.parquet(f"{path}/drift")
+        next_id = prev.agg(F.max("append_id")).collect()[0][0] + 1
+    except Exception:
+        next_id = 0
+    drift = (
+        newa.join(F.broadcast(cents), "cell")
+        .withColumn("ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_appended"),
+            F.round(F.avg("ccos"), 6).alias("avg_assign_cos"),
+            F.min("ccos").alias("min_assign_cos"),
+        )
+        .withColumn("append_id", F.lit(next_id))
+    )
+    drift.coalesce(1).write.mode("append").parquet(f"{path}/drift")
+    return spark.read.parquet(f"{path}/drift")
+
+
 def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) back from :func:`save_index`'s layout."""
     return (

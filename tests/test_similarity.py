@@ -236,3 +236,75 @@ def test_quantized_ivf_index_matches_float_index(spark, tmp_path):
     # the stored codes really are bytes
     sch = spark.read.parquet(f"{qpath}/assignments").schema["embedding"].dataType
     assert sch.simpleString() == "array<tinyint>", sch.simpleString()
+
+
+def test_append_index_matches_union_query(spark, tmp_path):
+    """append_index ≡ assigning the union corpus against the same frozen
+    centroids: a query over the appended layout returns exactly the
+    in-memory _ivf_query over (old + new) vectors with the saved quantizer,
+    and the drift table records every appended vector once per append."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        _ivf_query,
+        append_index,
+        ivf_topk_prebuilt,
+        load_index,
+        save_index,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    save_index(half1, path, cells=8)
+    drift = append_index(spark, path, half2)
+
+    cents, _ = load_index(spark, path)
+    got = sorted(
+        tuple(r) for r in ivf_topk_prebuilt(spark, path, n_probes=20, k=5).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _ivf_query(
+            emb.select("vec_id", "embedding"), cents, "cell", n_probes=20, k=5
+        ).collect()
+    )
+    assert got == want
+
+    d = drift.collect()
+    assert {r.append_id for r in d} == {0}
+    assert sum(r.n_appended for r in d) == half2.count()
+    assert all(-1.0 <= r.min_assign_cos <= r.avg_assign_cos <= 1.0 for r in d)
+
+    # second append: monotone append_id, drift history preserved
+    drift2 = append_index(spark, path, half2.where(F.col("vec_id") < 0))
+    assert {r.append_id for r in drift2.collect()} <= {0, 1}
+
+
+def test_append_index_quantized_layout(spark, tmp_path):
+    """Appending to an IVF+SQ8 index encodes the new vectors to the stored
+    int8 scheme (schema stays tinyint; prebuilt query still runs)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import ByteType
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        append_index,
+        ivf_topk_prebuilt,
+        load_index,
+        save_index,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfq")
+    save_index(half1, path, cells=8, quantize=True)
+    append_index(spark, path, half2)
+    _, assign = load_index(spark, path)
+    assert isinstance(assign.schema["embedding"].dataType.elementType, ByteType)
+    assert assign.count() == emb.count()
+    out = ivf_topk_prebuilt(spark, path, n_probes=10, k=3).collect()
+    assert len(out) > 0
