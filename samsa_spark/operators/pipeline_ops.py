@@ -508,6 +508,33 @@ def read_shards(
     return df
 
 
+def read_shards_shuffled(
+    spark: SparkSession,
+    path: str,
+    split: str | None = None,
+    seed: int = 1,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The full loader contract a trainer runs per epoch: read the
+    :func:`write_shards` layout (split filter pruned at the scan) and
+    overlay :func:`shuffle_shards`'s deterministic epoch order — every doc
+    tagged with its ``(shard, seq)`` consumption slot for this ``seed``. A
+    new seed per epoch yields a fresh permutation of the SAME doc set; a
+    retry of either epoch reproduces its order exactly (both sides are
+    pure functions of (doc_id, seed)).
+
+    Plan shape: the order overlay is ds1's (one shard-partitioned window
+    over (hash, doc_id) pairs) joined back to the payload by ``doc_id`` —
+    the payload itself is never sorted; a loader consumes shard files in
+    manifest order and presents batches by ``(shard, seq)``. At 100 TB the
+    join is the standard id-to-payload equi-join and the window stays
+    n_shards-parallel with only ids in the sort buffer.
+    """
+    df = read_shards(spark, path, split=split)
+    order = shuffle_shards(df, n_shards=n_shards, seed=seed)
+    return order.join(df, "doc_id").select("shard", "seq", *df.columns)
+
+
 _CHUNK_W = 16  # tokens per chunk
 _CHUNK_S = 12  # stride (overlap = W - S = 4 tokens)
 
