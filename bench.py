@@ -11,7 +11,7 @@ evaluated, no write cost). Queries span the operator families: state-store
 semantics (d*), relational (h*/w*/j*), text (tx*), dedup (dd*), similarity
 (sim*), multimodal (mm*).
 
-Two frozen sections:
+Three sections:
 
 - HEADLINE — the round-1 list, protocol unchanged (single timed pass as the
   headline `value`), kept byte-identical for round-over-round comparability
@@ -25,6 +25,10 @@ Two frozen sections:
   (PLANS.md "Measurement noise"), so regression judgments for the canonical
   surface use floors; the single-pass numbers are kept as informational
   fields.
+- PIPELINE — added round 7: the round-6/7 data-pipeline operators (gap
+  fill, epoch shuffle, quantized search, SemDeDup, substring dedup,
+  mixture sampling, shard write/read roundtrip) under the same floor
+  protocol; first floors recorded in BENCH_r07.
 """
 
 from __future__ import annotations
@@ -84,6 +88,38 @@ CANONICAL = [
     "st3_streaming_custom_fold",
 ]
 
+# Added in round 7 — the round-6/7 pipeline operators, so the floor
+# regression rule covers them too (the round-6 verdict's gap #2: a silent
+# 5x regression in gf1 would otherwise ship undetected). Same protocol as
+# CANONICAL (floor = per-query min of two same-session passes); first
+# recorded floors (BENCH_r07) are these members' baselines. The frozen
+# CANONICAL list is untouched so its round-4 floors stay comparable.
+PIPELINE = [
+    "gf1_gap_fill",
+    "ds1_shuffle_shards",
+    "qz2_quantized_topk",
+    "sd1_semantic_dedup",
+    "dd7_substring_spans",
+    "sm2_mixture_sample",
+    "shards_roundtrip",
+]
+
+
+def _shards_roundtrip(spark, sf_dir):
+    """write_shards -> read_shards_shuffled over the documents table: the
+    full shard write + manifest + epoch-ordered read loop, timed as one
+    unit (the write executes inside the call; the returned epoch read is
+    materialized by the harness like any query)."""
+    import tempfile
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import read_shards_shuffled, write_shards
+
+    docs = tables.load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="samsa-bench-shards-")
+    write_shards(docs, path)
+    return read_shards_shuffled(spark, path, split="train", seed=1)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,7 +127,8 @@ def main() -> None:
     from samsa_spark.session import get_spark
 
     spark = get_spark("samsa-spark-bench")
-    qs = registry.all_queries()  # bench covers pruned twins (h3) too
+    qs = dict(registry.all_queries())  # bench covers pruned twins (h3) too
+    qs["shards_roundtrip"] = _shards_roundtrip
     # Warm both execution paths before timing: JVM/codegen (flagship) and
     # the Python worker pool (an Arrow pandas-UDF query) — steady-state
     # throughput is what the headline measures, not process spin-up.
@@ -121,6 +158,7 @@ def main() -> None:
 
     timings, floor = run_section(HEADLINE)
     canon, canon_floor = run_section(CANONICAL)
+    pipe, pipe_floor = run_section(PIPELINE)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -143,6 +181,8 @@ def main() -> None:
         "value_floor": round(sum(floor.values()), 3),
         "canonical_value_floor": round(sum(canon_floor.values()), 3),
         "canonical_value": round(sum(canon.values()), 3),
+        "pipeline_value_floor": round(sum(pipe_floor.values()), 3),
+        "pipeline_value": round(sum(pipe.values()), 3),
         "detail": "BENCH_DETAIL.json",
     }
     detail = dict(
@@ -150,6 +190,8 @@ def main() -> None:
         queries_floor=floor,
         canonical_queries_floor=canon_floor,
         canonical_queries=canon,
+        pipeline_queries_floor=pipe_floor,
+        pipeline_queries=pipe,
         protocol=(
             "value/queries = single pass (rounds-1/2 protocol, legacy"
             " section); *_floor = per-query min of 2 same-session passes for"
