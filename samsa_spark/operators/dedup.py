@@ -447,22 +447,11 @@ def substring_dup_spans(documents: DataFrame, min_tokens: int = SPAN_K) -> DataF
     )
 
 
-def dominated_span_fraction(documents: DataFrame, min_tokens: int = SPAN_K) -> DataFrame:
-    """dd7's pipeline-facing form: per document, the fraction of its tokens
-    inside DOMINATED duplicated ranges — occurrences of a duplicated span
-    that are not the corpus-first (smallest ``(doc_id, pos)``) occurrence.
-    Excluding the first occurrence is what makes "drop high-fraction docs"
-    a dedup rule rather than content destruction: the canonical copy of a
-    shared template scores 0 from that template, every later copy scores
-    its full length (greedy lowest-id-survives, the same convention as
-    pp1's fuzzy stage).
-
-    Output: ``(doc_id, n_doc_tokens, dup_tokens, dup_frac)`` for every doc
-    (docs shorter than ``min_tokens`` score 0). Same plan family as
-    :func:`substring_dup_spans` with the occurrence count swapped for a
-    min-occurrence aggregate.
-    """
-    k = min_tokens
+def _dominated_islands(documents: DataFrame, k: int) -> DataFrame:
+    """Merged DOMINATED duplicated ranges ``(doc_id, span_start, span_end)``
+    — occurrences of a duplicated k-span that are not the corpus-first
+    (smallest ``(doc_id, pos)``) occurrence, islands merged per doc. The
+    shared core of dd8 (fraction) and dd9 (text rewrite)."""
     p = (
         span_postings(documents, k)
         .select("doc_id", "pos", F.xxhash64("span").alias("sh"))
@@ -481,7 +470,7 @@ def dominated_span_fraction(documents: DataFrame, min_tokens: int = SPAN_K) -> D
         .select("doc_id", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = (
+    return (
         dom.withColumn(
             "new_island",
             (F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-k)) + k).cast("int"),
@@ -493,7 +482,33 @@ def dominated_span_fraction(documents: DataFrame, min_tokens: int = SPAN_K) -> D
             ),
         )
         .groupBy("doc_id", "island")
-        .agg((F.max("pos") + F.lit(k - 1) - F.min("pos") + 1).alias("len"))
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def dominated_span_fraction(documents: DataFrame, min_tokens: int = SPAN_K) -> DataFrame:
+    """dd7's pipeline-facing form: per document, the fraction of its tokens
+    inside DOMINATED duplicated ranges — occurrences of a duplicated span
+    that are not the corpus-first (smallest ``(doc_id, pos)``) occurrence.
+    Excluding the first occurrence is what makes "drop high-fraction docs"
+    a dedup rule rather than content destruction: the canonical copy of a
+    shared template scores 0 from that template, every later copy scores
+    its full length (greedy lowest-id-survives, the same convention as
+    pp1's fuzzy stage).
+
+    Output: ``(doc_id, n_doc_tokens, dup_tokens, dup_frac)`` for every doc
+    (docs shorter than ``min_tokens`` score 0). Same plan family as
+    :func:`substring_dup_spans` with the occurrence count swapped for a
+    min-occurrence aggregate.
+    """
+    k = min_tokens
+    islands = (
+        _dominated_islands(documents, k)
+        .select("doc_id", (F.col("span_end") - F.col("span_start") + 1).alias("len"))
         .groupBy("doc_id")
         .agg(F.sum("len").alias("dup_tokens"))
     )
@@ -505,6 +520,111 @@ def dominated_span_fraction(documents: DataFrame, min_tokens: int = SPAN_K) -> D
         d.alias("dup_tokens"),
         F.round(d / F.col("n_doc_tokens"), 6).alias("dup_frac"),
     )
+
+
+def strip_dominated_spans(documents: DataFrame, min_tokens: int = SPAN_K) -> DataFrame:
+    """dd9 — the substring-dedup REWRITE (what Lee et al. 2022 actually do
+    to the corpus, not just flag): remove every dominated duplicated range
+    from each document's text, keeping the corpus-first occurrence of every
+    span. Output ``(doc_id, n_doc_tokens, n_kept_tokens, clean_text)`` for
+    every doc — a fully-dominated doc comes back empty, a clean doc comes
+    back verbatim; dd8's drop rule and this rewrite are the two standard
+    deployments of the same dominated-range table.
+
+    Plan shape: the range table is dd8's (:func:`_dominated_islands`);
+    ranges collect to a per-doc array (bounded: merged ranges per doc <=
+    tokens/k) and the rebuild is pure array algebra — a position-tagged
+    transform + filter + concat_ws, shuffle-free after the one (doc_id)
+    join, running JVM-side at the input's partitioning. Per-token work is
+    O(ranges-per-doc) (the membership scan over the tiny range array) —
+    inherent to the semantics, not a note-20 recomputed invariant.
+    """
+    k = min_tokens
+    rng = (
+        _dominated_islands(documents, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("rs")
+        )
+    )
+    toks = F.split("text", " ")
+    j = (
+        documents.select("doc_id", "text")
+        .join(rng, "doc_id", "left")
+        .withColumn("rs", F.coalesce("rs", F.array().cast("array<struct<s:int,e:int>>")))
+    )
+    tagged = F.transform(toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p")))
+    kept = F.filter(
+        tagged,
+        lambda s: ~F.exists("rs", lambda r: (s["p"] >= r["s"]) & (s["p"] <= r["e"])),
+    )
+    return j.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_doc_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+    )
+
+
+_DD9_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+i AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {SPAN_K - 1})) AS pos
+  FROM t
+),
+p AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos, pos + {SPAN_K - 1}), ' ') AS span
+  FROM i
+),
+firsts AS (
+  SELECT span, count(*) AS occ,
+         min({{'d': doc_id, 'p': pos}}) AS f
+  FROM p GROUP BY span
+),
+dom AS (
+  SELECT p.doc_id, p.pos
+  FROM p JOIN firsts USING (span)
+  WHERE firsts.occ > 1 AND (p.doc_id <> firsts.f.d OR p.pos <> firsts.f.p)
+),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER w, -{SPAN_K}) + {SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM dom WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+isl AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+  FROM s GROUP BY doc_id, island
+),
+allpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t),
+keep AS (
+  SELECT a.doc_id, a.pos, a.toks[a.pos] AS tok
+  FROM allpos a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM isl WHERE isl.doc_id = a.doc_id AND a.pos BETWEEN isl.s AND isl.e
+  )
+),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_doc_tokens,
+       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       coalesce(ka.clean_text, '') AS clean_text
+FROM t LEFT JOIN ka USING (doc_id)
+"""
 
 
 def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int = 15) -> DataFrame:
@@ -607,6 +727,7 @@ def build_queries():
         "dc1_decontaminate": (q(decontaminate), _DC1_SQL),
         "dd7_substring_spans": (q(substring_dup_spans), _DD7_SQL),
         "dd8_dominated_frac": (q(dominated_span_fraction), _DD8_SQL),
+        "dd9_strip_spans": (q(strip_dominated_spans), _DD9_SQL),
     }
 
 

@@ -310,6 +310,7 @@ _DEMOTED = (
     "dd2_ngram_jaccard",              # dd6's in-window recursive-CTE oracle embeds dd2's full shingle/Jaccard pair algebra; slot goes to dd7 substring dedup
     "dd8_dominated_frac",             # dd7 anchors substring-level dedup in-window; the dominated-fraction pipeline form shares its exact plan family and is pytest-oracle-checked
     "sm1_stratified_sample",          # sm2 (token-budgeted temperature mixing, the canonical data-mix form) takes the deterministic-sampling slot; sm1 stays pytest-oracle-checked
+    "dd9_strip_spans",                # dd7 anchors substring dedup in-window; the rewrite form reuses its dominated-island core and is pytest-oracle-checked
 )
 
 

@@ -322,3 +322,74 @@ def test_prep_pipeline_substring_stage(spark):
     n_heavy = frac.where(F.col("dup_frac") >= 0.5).count()
     assert n_heavy > 0, "planted corpus must contain dominated-heavy docs"
     assert n_base - n_staged == n_heavy
+
+
+def _brute_strip(texts: dict[int, str], k: int) -> dict[int, str]:
+    """Ground truth for dd9: drop tokens inside dominated merged ranges
+    (occurrences of a duplicated k-span that are not the corpus-first)."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d in sorted(texts):
+        toks = texts[d].split(" ")
+        for i in range(len(toks) - k + 1):
+            occ[" ".join(toks[i : i + k])].append((d, i + 1))
+    out = {}
+    for d in sorted(texts):
+        toks = texts[d].split(" ")
+        dominated = set()
+        for i in range(len(toks) - k + 1):
+            span = " ".join(toks[i : i + k])
+            if len(occ[span]) > 1 and min(occ[span]) != (d, i + 1):
+                dominated.update(range(i + 1, i + k + 1))  # token positions 1-based
+        out[d] = " ".join(t for j, t in enumerate(toks, start=1) if j not in dominated)
+    return out
+
+
+def test_strip_spans_planted_and_oracle(spark):
+    """dd9 rewrite semantics: the first carrier keeps the template, later
+    carriers lose exactly it; clean docs come back verbatim; plus the
+    exact-oracle check at sf0.001."""
+    from samsa_spark.operators.dedup import strip_dominated_spans
+
+    template = "the quick brown fox jumps over the lazy sleeping dog"
+    rows = [
+        (1, "en", f"intro one two three {template} outro alpha beta"),
+        (2, "en", f"completely different start here {template} and another ending text"),
+        (3, "en", "nothing in common with anything else at all here"),
+    ]
+    texts = {r[0]: r[2] for r in rows}
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in strip_dominated_spans(df, min_tokens=8).collect()}
+    want = _brute_strip(texts, 8)
+    for d in texts:
+        assert got[d].clean_text == want[d], d
+        assert got[d].n_doc_tokens == len(texts[d].split(" "))
+        assert got[d].n_kept_tokens == len(want[d].split(" ")) if want[d] else got[d].n_kept_tokens == 0
+    assert template in got[1].clean_text            # first carrier keeps it
+    assert template not in got[2].clean_text        # later carrier stripped
+    assert got[3].clean_text == texts[3]            # clean doc verbatim
+
+    ok, msg = check_query(spark, "dd9_strip_spans", SF_SMALL)
+    assert ok, msg
+
+
+def test_strip_spans_matches_brute_force_on_corpus(spark):
+    """dd9 ≡ the Python dominated-range model over the real corpus, and is
+    consistent with dd8 (kept = total - dominated, doc for doc)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import (
+        SPAN_K,
+        dominated_span_fraction,
+        strip_dominated_spans,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    want = _brute_strip(texts, SPAN_K)
+    got = {r.doc_id: r for r in strip_dominated_spans(docs).collect()}
+    for d, exp in want.items():
+        assert got[d].clean_text == exp, d
+    frac = {r.doc_id: r for r in dominated_span_fraction(docs).collect()}
+    for d in texts:
+        assert got[d].n_kept_tokens == frac[d].n_doc_tokens - frac[d].dup_tokens, d

@@ -60,6 +60,7 @@ SIBLINGS = {
     "dd2_ngram_jaccard": ["dd6_dedup_clusters"],
     "dd8_dominated_frac": ["dd7_substring_spans"],
     "sm1_stratified_sample": ["sm2_mixture_sample"],
+    "dd9_strip_spans": ["dd7_substring_spans"],
 }
 
 
