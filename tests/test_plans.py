@@ -102,3 +102,30 @@ def test_sd1_pair_join_is_partitioned_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dd7_span_count_is_partial_aggregate_no_cartesian(spark):
+    """dd7's occurrence count must get map-side partials (algebraic count
+    on the hashed span key) and the join back must stay an equi-join —
+    never a cartesian/nested-loop over postings."""
+    p = _plan(spark, "dd7_substring_spans")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dd9_rewrite_single_id_join_no_cartesian(spark):
+    """dd9's rebuild joins ranges back by doc_id only; the token filter is
+    array algebra with no extra shuffle and no nested-loop join."""
+    p = _plan(spark, "dd9_strip_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sm2_rate_table_broadcasts(spark):
+    """sm2's source-level rate table must reach the corpus as a broadcast
+    hash join (sources are a handful); the only nested-loop is the
+    documented one-row-total crossJoin."""
+    p = _plan(spark, "sm2_mixture_sample")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
