@@ -327,10 +327,10 @@ def test_shuffle_shards_is_a_seeded_permutation(spark):
 
 def test_full_prep_to_shards_integration(spark):
     """The whole corpus-prep path in one run: quality filter ->
-    decontaminate -> exact dedup -> fuzzy (MinHash) dedup -> semantic
-    (SemDeDup) dedup -> split, then write_shards materializes the
-    survivors. Ground truth: the survivor set is computed by hand from the
-    planted corpus."""
+    decontaminate -> exact dedup -> substring (dominated-span) dedup ->
+    fuzzy (MinHash) dedup -> semantic (SemDeDup) dedup -> split, then
+    write_shards materializes the survivors. Ground truth: the survivor
+    set is computed by hand from the planted corpus."""
     import os
     import tempfile
 
@@ -361,6 +361,11 @@ def test_full_prep_to_shards_integration(spark):
         (6, "en", words("d3").replace("d3tok20", "changedmid")), # fuzzy dup of 3
         (7, "en", words("d7")),                                  # semantic dup of 1 (below)
         (8, "en", "1234567890 " * 10),                           # quality-filtered
+        # 19-token prefix lifted verbatim from doc 1 + 10 unique tokens:
+        # dominated fraction 19/29 >= 0.5 -> dropped by the substring stage
+        # (doc 1, the corpus-first occurrence, is untouched).
+        (9, "en", " ".join(words("d1").split(" ")[:19])
+            + " " + " ".join(f"d9uniq{i}" for i in range(10))),
     ]
     docs = spark.createDataFrame(corpus_rows, "doc_id long, lang string, text string")
 
@@ -384,6 +389,8 @@ def test_full_prep_to_shards_integration(spark):
     stats = prep_pipeline(
         docs,
         decontaminate_against=bench,
+        substring_dedup_min_tokens=8,
+        substring_max_dup_frac=0.5,
         fuzzy_min_est_jaccard=0.5,
         semantic_dedup_embeddings=emb,
         semantic_min_cos=0.9,
