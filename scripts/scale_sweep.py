@@ -428,6 +428,47 @@ def sweep_semdedup(spark) -> None:
         df.unpersist()
 
 
+def sweep_substring(spark) -> None:
+    """dd7/dd8/dd9 at 1x and 10x corpus: replicas are the original text
+    plus one appended token, so every replica position's k-span is
+    dominated by replica 0 — dominated positions grow ∝ N (the worst
+    realistic case: a corpus that is mostly template). The posting table,
+    the occurrence-count aggregate, and the per-doc island windows are all
+    linear in token positions, so rows/sec should hold ~flat at 10x."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import (
+        dominated_span_fraction,
+        strip_dominated_spans,
+        substring_dup_spans,
+    )
+
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select("doc_id", "text")
+    n_docs = docs.count()
+
+    def perturbed(factor: int):
+        if factor == 1:
+            return docs, n_docs
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("r"), F.col("_r"))))
+            .alias("text"),
+        )
+        return df, n_docs * factor
+
+    substring_dup_spans(docs).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        df, n = perturbed(factor)
+        df = df.localCheckpoint(eager=True)
+        _time(f"dd7_substring_spans_x{factor}", lambda: substring_dup_spans(df), n)
+        _time(f"dd8_dominated_frac_x{factor}", lambda: dominated_span_fraction(df), n)
+        _time(f"dd9_strip_spans_x{factor}", lambda: strip_dominated_spans(df), n)
+        df.unpersist()
+
+
 def sweep_skew(spark) -> None:
     """Zipf-keyed log at 10M rows: vanilla vs salted forms of last-write
     compaction (d2 vs d2s) and of the fact-dim join (js1's shape), with the
@@ -535,6 +576,8 @@ def main() -> None:
         sweep_streaming(spark)
     if what in ("semdedup", "all"):
         sweep_semdedup(spark)
+    if what in ("substring", "all"):
+        sweep_substring(spark)
     if what in ("skew", "all"):
         sweep_skew(spark)
     spark.stop()
