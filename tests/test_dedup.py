@@ -393,3 +393,51 @@ def test_strip_spans_matches_brute_force_on_corpus(spark):
     frac = {r.doc_id: r for r in dominated_span_fraction(docs).collect()}
     for d in texts:
         assert got[d].n_kept_tokens == frac[d].n_doc_tokens - frac[d].dup_tokens, d
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# Small alphabet + short docs: k-span collisions, within-doc repeats,
+# overlapping/adjacent island merges, and sub-k docs all occur constantly.
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=1, max_size=14).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doc_strategy, k=st.integers(min_value=2, max_value=4))
+def test_substring_family_matches_model_on_random_corpora(spark, texts, k):
+    """dd7 ranges, dd8 dominated counts, and dd9 rewrites must all agree
+    with the brute-force positional-shingle model on random small-alphabet
+    corpora (hypothesis shrinks any counterexample)."""
+    from samsa_spark.operators.dedup import (
+        dominated_span_fraction,
+        strip_dominated_spans,
+        substring_dup_spans,
+    )
+
+    tx = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(d, "en", t) for d, t in tx.items()], "doc_id long, lang string, text string"
+    )
+
+    want_ranges = _brute_dup_ranges(tx, k)
+    got_ranges = {}
+    for r in substring_dup_spans(df, min_tokens=k).collect():
+        got_ranges.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert {d: sorted(v) for d, v in got_ranges.items()} == want_ranges
+
+    want_clean = _brute_strip(tx, k)
+    got9 = {r.doc_id: r for r in strip_dominated_spans(df, min_tokens=k).collect()}
+    for d in tx:
+        assert got9[d].clean_text == want_clean[d], (d, k)
+
+    got8 = {r.doc_id: r for r in dominated_span_fraction(df, min_tokens=k).collect()}
+    for d in tx:
+        n_dom = len(tx[d].split(" ")) - (
+            len(want_clean[d].split(" ")) if want_clean[d] else 0
+        )
+        assert got8[d].dup_tokens == n_dom, (d, k)
