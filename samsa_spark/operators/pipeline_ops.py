@@ -156,6 +156,65 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 8, seed: int = 1) -> Da
     )
 
 
+def curriculum_shards(
+    documents: DataFrame, n_shards: int = 8, seed: int = 1, buckets: int = 4
+) -> DataFrame:
+    """ds2 — curriculum data ordering: ds1's deterministic epoch shuffle
+    with a quality-tier overlay. Docs are bucketed by alpha-ratio quality
+    (tx2's score, ``buckets`` fixed-width tiers) and each shard serves its
+    HIGHEST tier first, hash-shuffled within a tier — the easy-to-hard
+    (clean-to-noisy) curriculum schedule, reproducible across engines,
+    retries, and epochs because every term is a pure function of
+    (doc_id, text, seed).
+
+    Same scale shape as ds1 (the window partitions by ``shard`` only, ids
+    and two small ints in the sort buffer — never the payload); the
+    quality score adds one scan-side projection. A different ``seed``
+    reshuffles WITHIN tiers but never across them (the curriculum is the
+    contract; the hash only decorrelates ingest order inside a tier).
+    """
+    seed_mix = (seed * 2654435761) & 0x7FFFFFFF
+    mixed = F.expr(f"(((doc_id >> 31) ^ doc_id) & 2147483647) ^ {seed_mix}")
+    h = (mixed * F.lit(2654435761)) % F.lit(_SPLIT_MOD)
+    q = F.round(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text"), 6
+    )
+    tier = F.least(F.lit(buckets - 1), F.floor(q * buckets)).cast("int")
+    d = documents.select(
+        "doc_id",
+        h.alias("_h"),
+        (h % n_shards).cast("int").alias("shard"),
+        tier.alias("q_tier"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("q_tier"), F.asc("_h"), F.asc("doc_id")
+    )
+    return d.select(
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        "doc_id",
+        "q_tier",
+    )
+
+
+_DS2_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         (xor(xor(doc_id >> 31, doc_id) & 2147483647, 506952113)
+          * 2654435761) % 1000003 AS h,
+         least(3, CAST(floor(round(
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6
+         ) * 4) AS INT)) AS q_tier
+  FROM documents
+)
+SELECT CAST(h % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8
+                               ORDER BY q_tier DESC, h, doc_id) AS BIGINT) AS seq,
+       doc_id, q_tier
+FROM h
+"""
+
+
 _DS1_SQL = """
 WITH h AS (
   SELECT doc_id,
@@ -692,6 +751,7 @@ def build_queries():
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
         "sm2_mixture_sample": (q(mixture_sample, "documents"), _SM2_SQL),
         "ds1_shuffle_shards": (q(shuffle_shards, "documents"), _DS1_SQL),
+        "ds2_curriculum_shards": (q(curriculum_shards, "documents"), _DS2_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
         "ck1_chunk_overlap": (q(chunk_overlap, "documents"), _CK1_SQL),

@@ -311,6 +311,7 @@ _DEMOTED = (
     "dd8_dominated_frac",             # dd7 anchors substring-level dedup in-window; the dominated-fraction pipeline form shares its exact plan family and is pytest-oracle-checked
     "sm1_stratified_sample",          # sm2 (token-budgeted temperature mixing, the canonical data-mix form) takes the deterministic-sampling slot; sm1 stays pytest-oracle-checked
     "dd9_strip_spans",                # dd7 anchors substring dedup in-window; the rewrite form reuses its dominated-island core and is pytest-oracle-checked
+    "ds2_curriculum_shards",          # sp1/sm2 anchor hash-deterministic ordering in-window; the curriculum tier overlay on ds1's shape is pytest-oracle-checked
 )
 
 

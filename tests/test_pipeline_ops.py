@@ -449,3 +449,32 @@ def test_epoch_shuffled_loader_contract(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "train" in plan
+
+
+def test_curriculum_shards_oracle_and_semantics(spark):
+    """ds2: exact oracle parity, plus the curriculum contract — within a
+    shard, sequence order never ascends in quality tier, and a different
+    seed reshuffles within tiers but never across them."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import curriculum_shards
+
+    ok, msg = check_query(spark, "ds2_curriculum_shards", SF_SMALL)
+    assert ok, msg
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    a = curriculum_shards(docs, seed=1).collect()
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.seq)
+        tiers = [r.q_tier for r in rows]
+        assert tiers == sorted(tiers, reverse=True), f"shard {shard} tier order"
+
+    b = curriculum_shards(docs, seed=2).collect()
+    tier_of_a = {r.doc_id: r.q_tier for r in a}
+    assert {r.doc_id: r.q_tier for r in b} == tier_of_a, "tiers are seed-independent"
+    # seed must reorder within at least one tier
+    order_a = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.seq))]
+    order_b = [r.doc_id for r in sorted(b, key=lambda r: (r.shard, r.seq))]
+    assert order_a != order_b

@@ -61,6 +61,7 @@ SIBLINGS = {
     "dd8_dominated_frac": ["dd7_substring_spans"],
     "sm1_stratified_sample": ["sm2_mixture_sample"],
     "dd9_strip_spans": ["dd7_substring_spans"],
+    "ds2_curriculum_shards": ["sp1_deterministic_split", "sm2_mixture_sample"],
 }
 
 
