@@ -326,7 +326,8 @@ def prep_pipeline(
     mixture_budget_frac: float = 0.5,
 ) -> DataFrame:
     """pp1 — the end-to-end training-data prep shard: quality filter ->
-    [decontaminate ->] exact dedup [-> fuzzy dedup] -> deterministic split
+    [decontaminate ->] exact dedup [-> substring dedup] [-> fuzzy dedup]
+    [-> semantic dedup] [-> mixture sampling] -> deterministic split
     -> per-shard stats,
     composed from the same primitives the individual queries check (tx2's
     alpha ratio, dd1's content-hash canonicalization, dd3's MinHash-LSH,
@@ -750,6 +751,7 @@ def build_queries():
         "pk2_pack_chunked": (q(pack_sequences_chunked, "documents"), _PK2_SQL),
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
         "sm2_mixture_sample": (q(mixture_sample, "documents"), _SM2_SQL),
+        "sm3_mixture_expand": (q(mixture_expand, "documents"), _SM3_SQL),
         "ds1_shuffle_shards": (q(shuffle_shards, "documents"), _DS1_SQL),
         "ds2_curriculum_shards": (q(curriculum_shards, "documents"), _DS2_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
@@ -881,12 +883,14 @@ def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
     )
 
 
-def _mixture_accept(d: DataFrame, temperature: float, budget_frac: float) -> DataFrame:
-    """Shared acceptance core of sm2 and pp1's mixture stage: given
-    ``(doc_id, source, n_tokens)`` rows, compute the per-source temperature
-    rates and return the accepted rows with ``rate``/``src_tokens``
-    attached. ONE definition so the registered query and the pipeline stage
-    can never desynchronize (same rule as ``_split_expr``)."""
+def _mixture_rates(
+    d: DataFrame, temperature: float, budget_frac: float, cap: bool = True
+) -> DataFrame:
+    """Per-source temperature rates ``(source, src_tokens, rate)`` for
+    ``(doc_id, source, n_tokens)`` rows: rate ∝ src_tokens^T scaled so the
+    expected sampled total is ``budget_frac`` of the corpus. ``cap=True``
+    clips at 1 (downsample-only); ``cap=False`` lets small sources exceed 1
+    (the upsample/repeat regime :func:`mixture_expand` materializes)."""
     t = d.groupBy("source").agg(
         F.sum(F.col("n_tokens").cast("bigint")).alias("src_tokens")
     )
@@ -896,21 +900,99 @@ def _mixture_accept(d: DataFrame, temperature: float, budget_frac: float) -> Dat
             "tot_pow"
         ),
     )
-    rate = F.round(
-        F.least(
-            F.lit(1.0),
-            F.lit(budget_frac)
-            * F.col("tot_toks")
-            * F.pow(F.col("src_tokens").cast("double"), F.lit(temperature))
-            / F.col("tot_pow")
-            / F.col("src_tokens").cast("double"),
-        ),
-        6,
+    raw = (
+        F.lit(budget_frac)
+        * F.col("tot_toks")
+        * F.pow(F.col("src_tokens").cast("double"), F.lit(temperature))
+        / F.col("tot_pow")
+        / F.col("src_tokens").cast("double")
     )
-    rates = t.crossJoin(F.broadcast(tot)).select("source", "src_tokens", rate.alias("rate"))
+    rate = F.round(F.least(F.lit(1.0), raw) if cap else raw, 6)
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source", "src_tokens", rate.alias("rate")
+    )
+
+
+def _mixture_accept(d: DataFrame, temperature: float, budget_frac: float) -> DataFrame:
+    """Shared acceptance core of sm2 and pp1's mixture stage: given
+    ``(doc_id, source, n_tokens)`` rows, compute the per-source temperature
+    rates and return the accepted rows with ``rate``/``src_tokens``
+    attached. ONE definition so the registered query and the pipeline stage
+    can never desynchronize (same rule as ``_split_expr``)."""
+    rates = _mixture_rates(d, temperature, budget_frac)
     return d.join(F.broadcast(rates), "source").where(
         _key_hash("doc_id") < F.floor(F.col("rate") * F.lit(float(_SPLIT_MOD)))
     )
+
+
+def mixture_expand(
+    documents: DataFrame, temperature: float = 0.7, budget_frac: float = 1.0
+) -> DataFrame:
+    """sm3 — the UPSAMPLING mixture form: materialize the per-copy doc
+    stream where a source's rate may exceed 1 (the standard pretraining
+    mix repeats small high-quality sources for several effective epochs
+    while downsampling the crawl). Each doc yields
+    ``floor(rate) + (hash-threshold on the fractional part)`` copies —
+    deterministic per (doc_id, source), expected tokens per source =
+    rate x src_tokens. Output: one row per copy ``(doc_id, source, copy,
+    n_tokens)`` with ``copy`` in [0, n_copies); a loader feeds ``copy``
+    into the epoch-shuffle seed so repeats land in different batches.
+
+    Same plan family as sm2 (two aggregates + broadcast rates); the 1->N
+    fan-out is a JVM-side sequence explode at the input's partitioning —
+    no shuffle grows with the repeat factor.
+    """
+    d = documents.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    rates = _mixture_rates(d, temperature, budget_frac, cap=False)
+    n_copies = (
+        F.floor("rate")
+        + (
+            _key_hash("doc_id")
+            < F.floor((F.col("rate") - F.floor("rate")) * F.lit(float(_SPLIT_MOD)))
+        ).cast("bigint")
+    )
+    j = d.join(F.broadcast(rates), "source").withColumn("n_copies", n_copies)
+    return j.where(F.col("n_copies") > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1)).alias(
+            "copy"
+        ),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+_SM3_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source),
+tot AS (
+  SELECT CAST(sum(src_tokens) AS DOUBLE) AS tot_toks,
+         sum(pow(CAST(src_tokens AS DOUBLE), 0.7)) AS tot_pow
+  FROM t
+),
+r AS (
+  SELECT source,
+         round(1.0 * tot_toks * pow(CAST(src_tokens AS DOUBLE), 0.7)
+               / tot_pow / CAST(src_tokens AS DOUBLE), 6) AS rate
+  FROM t CROSS JOIN tot
+),
+j AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         CAST(floor(r.rate) AS BIGINT) +
+         CASE WHEN ({_KEY_HASH_SQL.format(col="doc_id")})
+                   < floor((r.rate - floor(r.rate)) * 1000003.0)
+              THEN 1 ELSE 0 END AS n_copies
+  FROM d JOIN r USING (source)
+)
+SELECT doc_id, source,
+       unnest(generate_series(0, n_copies - 1)) AS copy,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM j WHERE n_copies > 0
+"""
 
 
 def mixture_sample(

@@ -478,3 +478,49 @@ def test_curriculum_shards_oracle_and_semantics(spark):
     order_a = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.seq))]
     order_b = [r.doc_id for r in sorted(b, key=lambda r: (r.shard, r.seq))]
     assert order_a != order_b
+
+
+def test_mixture_expand_oracle_and_upsampling(spark):
+    """sm3: exact oracle parity, plus the upsample contract — with
+    budget_frac=1 and temperature<1, the smallest source's rate exceeds 1
+    (docs repeat) while the biggest is downsampled, expected sampled
+    tokens track rate x src_tokens per source, and the expansion is
+    invariant under repartitioning."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import _mixture_rates, mixture_expand
+
+    ok, msg = check_query(spark, "sm3_mixture_expand", SF_SMALL)
+    assert ok, msg
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    d = docs.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens"))
+    rates = {
+        r.source: (r.rate, r.src_tokens)
+        for r in _mixture_rates(d, 0.7, 1.0, cap=False).collect()
+    }
+    small = min(rates, key=lambda s: rates[s][1])
+    big = max(rates, key=lambda s: rates[s][1])
+    assert rates[small][0] > 1.0, "smallest source must upsample"
+    assert rates[big][0] < 1.0, "biggest source must downsample"
+
+    out = mixture_expand(docs, temperature=0.7, budget_frac=1.0).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, [0, 0])
+        per_src[r.source][0] += 1
+        per_src[r.source][1] += r.n_tokens
+    for s, (rate, src_tokens) in rates.items():
+        want = rate * src_tokens
+        got = per_src.get(s, [0, 0])[1]
+        assert abs(got - want) <= max(0.35 * want, 200), (s, got, want)
+    # every (doc, copy) unique; copies contiguous from 0
+    seen = {}
+    for r in out:
+        seen.setdefault(r.doc_id, []).append(r.copy)
+    for d_id, copies in seen.items():
+        assert sorted(copies) == list(range(len(copies))), d_id
+
+    again = mixture_expand(docs.repartition(11), temperature=0.7, budget_frac=1.0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

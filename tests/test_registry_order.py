@@ -62,6 +62,7 @@ SIBLINGS = {
     "sm1_stratified_sample": ["sm2_mixture_sample"],
     "dd9_strip_spans": ["dd7_substring_spans"],
     "ds2_curriculum_shards": ["sp1_deterministic_split", "sm2_mixture_sample"],
+    "sm3_mixture_expand": ["sm2_mixture_sample"],
 }
 
 
