@@ -278,3 +278,36 @@ def test_ttl_with_tombstone_combined(spark, base):
     replayed = {r.user_id: (r.ts_us, r.event_id, r.event_type, r.value)
                 for r in replay_changelog(spark, log, KEY).collect()}
     assert replayed == live
+
+
+def test_legacy_markerless_changelog_refused(spark, base):
+    """A marker-bearing (ttl/tombstone) stream must refuse to append to a
+    changelog written without the ``_deleted`` column (pre-marker layout):
+    mixed file schemas would make replay silently drop every eviction.
+    A marker-free stream writes such a changelog; pointing a TTL stream at
+    it raises an actionable error BEFORE any batch is appended."""
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import StatefulStream
+
+    src = os.path.join(base, "src")
+    chk1 = os.path.join(base, "chk1")
+    log = os.path.join(base, "log")
+    _add_files(spark, [(1, 1000 * SEC, 1, "view", 1.0)], base, src, "s0")
+    schema = spark.read.parquet(src).schema
+    plain = StatefulStream(spark, KEY, ORDER, VALUES)  # no ttl/tombstone
+    plain.run_available_now(
+        file_stream(spark, src, schema, max_files_per_trigger=2), chk1,
+        changelog_dir=log,
+    )
+    legacy = spark.read.parquet(log)
+    assert "_deleted" not in legacy.columns
+    n_before = legacy.count()
+
+    ttl_stream = _stream(spark)
+    with pytest.raises(ValueError, match="_deleted"):
+        ttl_stream.run_available_now(
+            file_stream(spark, src, schema, max_files_per_trigger=2),
+            os.path.join(base, "chk2"),
+            changelog_dir=log,
+        )
+    assert spark.read.parquet(log).count() == n_before, "nothing appended"
