@@ -292,6 +292,53 @@ def pack_sequences_chunked(
     )
 
 
+def pack_assignments(
+    documents: DataFrame, budget_tokens: int = 512, chunk_docs: int = 1000
+) -> DataFrame:
+    """pk3 — the loader-facing form of pk2: one row PER DOCUMENT with its
+    assigned bin and token offset inside the bin (pk2 emits per-bin stats;
+    a loader materializing training sequences needs the doc -> (bin,
+    offset) map to lay tokens out). Same window, same bin ids, same
+    hierarchical chunking — ``offset`` is the doc's start position in the
+    bin's token stream (< budget by construction, asserted in tests).
+    """
+    toks = F.size(F.split("text", " "))
+    chunk = F.expr(f"doc_id div {chunk_docs}")
+    w = Window.partitionBy("source", "chunk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = documents.select(
+        "source", "doc_id", chunk.alias("chunk"), toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "source",
+        "doc_id",
+        (
+            F.shiftleft(F.col("chunk"), 20) + F.expr(f"(cum_tokens - n_tokens) div {budget_tokens}")
+        ).alias("bin"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (start % budget_tokens).cast("bigint").alias("offset"),
+    )
+
+
+_PK3_SQL = """
+WITH c AS (
+  SELECT source, doc_id, doc_id // 1000 AS chunk,
+         len(string_split(text, ' ')) AS n_tokens,
+         sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source, doc_id // 1000 ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM documents
+)
+SELECT source, doc_id,
+       (chunk * 1048576) + CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS offset
+FROM c
+"""
+
+
 _PK2_SQL = """
 WITH c AS (
   SELECT source, doc_id, doc_id // 1000 AS chunk,
@@ -749,6 +796,7 @@ def build_queries():
         "sp1_deterministic_split": (q(deterministic_split, "documents"), _SP1_SQL),
         "pk1_pack_sequences": (q(pack_sequences, "documents"), _PK1_SQL),
         "pk2_pack_chunked": (q(pack_sequences_chunked, "documents"), _PK2_SQL),
+        "pk3_pack_assignments": (q(pack_assignments, "documents"), _PK3_SQL),
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
         "sm2_mixture_sample": (q(mixture_sample, "documents"), _SM2_SQL),
         "sm3_mixture_expand": (q(mixture_expand, "documents"), _SM3_SQL),

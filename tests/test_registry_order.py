@@ -63,6 +63,7 @@ SIBLINGS = {
     "dd9_strip_spans": ["dd7_substring_spans"],
     "ds2_curriculum_shards": ["sp1_deterministic_split", "sm2_mixture_sample"],
     "sm3_mixture_expand": ["sm2_mixture_sample"],
+    "pk3_pack_assignments": ["pk2_pack_chunked"],
 }
 
 
