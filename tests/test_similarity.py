@@ -278,9 +278,16 @@ def test_append_index_matches_union_query(spark, tmp_path):
     assert sum(r.n_appended for r in d) == half2.count()
     assert all(-1.0 <= r.min_assign_cos <= r.avg_assign_cos <= 1.0 for r in d)
 
-    # second append: monotone append_id, drift history preserved
-    drift2 = append_index(spark, path, half2.where(F.col("vec_id") < 0))
-    assert {r.append_id for r in drift2.collect()} <= {0, 1}
+    # second append (re-keyed vectors): monotone append_id, history kept
+    again = half2.limit(5).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    drift2 = append_index(spark, path, again).collect()
+    assert {r.append_id for r in drift2} == {0, 1}
+    assert sum(r.n_appended for r in drift2 if r.append_id == 1) == 5
+    # an empty batch appends no drift rows and leaves the id sequence alone
+    drift3 = append_index(spark, path, half2.where(F.col("vec_id") < 0)).collect()
+    assert {r.append_id for r in drift3} == {0, 1}
 
 
 def test_append_index_quantized_layout(spark, tmp_path):
