@@ -386,12 +386,16 @@ def substring_dup_spans(documents: DataFrame, min_tokens: int = SPAN_K) -> DataF
     ``n_spans`` = how many k-token seed spans merged into it), covering
     EVERY occurrence including the one a rewriter would keep.
 
-    Why positional shingles instead of Lee et al.'s suffix array: a span of
-    length L >= k is duplicated iff all of its k-token sub-spans are
-    duplicated, so flagging duplicated k-spans and merging
-    overlapping/adjacent flagged positions reconstructs exactly the maximal
-    duplicated ranges — with a plan that is one explode, one hash aggregate
-    and one bounded per-doc window instead of a global suffix sort.
+    Why positional shingles instead of Lee et al.'s suffix array: every
+    k-token sub-span of a duplicated range of length L >= k is itself
+    duplicated, so merging overlapping/adjacent duplicated k-span
+    positions always COVERS every maximal duplicated range — with a plan
+    that is one explode, one hash aggregate and one bounded per-doc window
+    instead of a global suffix sort. (A merged island can chain through
+    k-spans duplicated against *different* partners, so it may extend past
+    any single literal duplicate — the standard, slightly-conservative
+    positional-shingle approximation; the tests' ground-truth model is
+    defined identically.)
     Within-doc repeats count (a span occurring twice in ONE doc is
     boilerplate too, matching the corpus-wide occurrence count).
 
