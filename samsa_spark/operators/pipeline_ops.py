@@ -362,6 +362,7 @@ def prep_pipeline(
     min_chars: int = 50,
     min_alpha_ratio: float = 0.5,
     train_pct: int = 80,
+    quality_quantile_keep: float | None = None,
     substring_dedup_min_tokens: int | None = None,
     substring_max_dup_frac: float = 0.5,
     fuzzy_min_est_jaccard: float | None = None,
@@ -373,9 +374,9 @@ def prep_pipeline(
     mixture_budget_frac: float = 0.5,
 ) -> DataFrame:
     """pp1 — the end-to-end training-data prep shard: quality filter ->
-    [decontaminate ->] exact dedup [-> substring dedup] [-> fuzzy dedup]
-    [-> semantic dedup] [-> mixture sampling] -> deterministic split
-    -> per-shard stats,
+    [quantile filter ->] [decontaminate ->] exact dedup [-> substring dedup]
+    [-> fuzzy dedup] [-> semantic dedup] [-> mixture sampling]
+    -> deterministic split -> per-shard stats,
     composed from the same primitives the individual queries check (tx2's
     alpha ratio, dd1's content-hash canonicalization, dd3's MinHash-LSH,
     sp1's masked key hash).
@@ -394,6 +395,12 @@ def prep_pipeline(
     tokens as the target, applied as one semi-join on ids. Deterministic
     (hash-threshold, never rand()); checked by the sm2 oracle plus the
     staged-composition pytest.
+
+    ``quality_quantile_keep`` (opt-in) inserts qf1's corpus-relative
+    quality stage right after the absolute filter: keep the top fraction of
+    each source by tx2 quality score, threshold learned from the surviving
+    corpus (:func:`quality_quantile_filter` — FineWeb-style). Needs a
+    ``source`` column (same contract as the mixture stage).
 
     ``substring_dedup_min_tokens`` (opt-in) inserts dd7's substring-level
     stage between exact and fuzzy dedup: any doc whose DOMINATED duplicated
@@ -436,17 +443,32 @@ def prep_pipeline(
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     quality = F.round(alpha / n_chars, 6)
-    if mixture_temperature is not None and "source" not in documents.columns:
-        raise ValueError(
-            "prep_pipeline(mixture_temperature=...) needs a 'source' column "
-            "on the input — mixture rates are allocated per source"
-        )
+    for opt, val in (
+        ("mixture_temperature", mixture_temperature),
+        ("quality_quantile_keep", quality_quantile_keep),
+    ):
+        if val is not None and "source" not in documents.columns:
+            raise ValueError(
+                f"prep_pipeline({opt}=...) needs a 'source' column on the "
+                "input — per-source rates/cutpoints are allocated per source"
+            )
     # `source` rides along only when present (mixing needs it; ad-hoc doc
     # frames without it keep working).
     src_cols = ["source"] if "source" in documents.columns else []
     filtered = documents.select(
         "doc_id", *src_cols, "lang", "text", quality.alias("alpha_ratio")
     ).where((n_chars >= min_chars) & (F.col("alpha_ratio") >= min_alpha_ratio))
+    if quality_quantile_keep is not None:
+        # Corpus-relative quality stage (qf1, FineWeb-style) right after the
+        # absolute filter: cutpoints must reflect the corpus that passed the
+        # base gates, and running it before dedup keeps low-quality docs
+        # from ever becoming dedup canonicals. Semi-join on ids keeps the
+        # plan narrow; the double scan here is two parquet passes (the
+        # upstream is just scan+filter at this point).
+        picked = quality_quantile_filter(
+            filtered, keep_frac=quality_quantile_keep
+        ).select("doc_id")
+        filtered = filtered.join(picked, "doc_id", "left_semi")
     if decontaminate_against is not None:
         from samsa_spark.operators.dedup import decontaminate
 
@@ -803,6 +825,7 @@ def build_queries():
         "ds1_shuffle_shards": (q(shuffle_shards, "documents"), _DS1_SQL),
         "ds2_curriculum_shards": (q(curriculum_shards, "documents"), _DS2_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
+        "qf1_quality_quantile": (q(quality_quantile_report, "documents"), _qf1_sql()),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
         "ck1_chunk_overlap": (q(chunk_overlap, "documents"), _CK1_SQL),
         "lm1_unigram_logprob": (q(unigram_logprob, "documents", spread=True), _LM1_SQL),
@@ -1146,6 +1169,112 @@ def equidepth_histogram(documents: DataFrame, buckets: int = 4) -> DataFrame:
             F.max("n_chars").alias("hi_chars"),
         )
     )
+
+
+def quality_quantile_cutpoints(
+    documents: DataFrame, keep_frac: float = 0.5, by: str = "source"
+) -> DataFrame:
+    """Per-group score cutpoint at quantile ``1 - keep_frac`` of the
+    3-decimal-QUANTIZED tx2 quality score. The quantization is the scale
+    contract: ``percentile``'s aggregation state is O(distinct values), so
+    a continuous per-doc score would grow the state with the corpus, while
+    the 1e-3 grid caps it at ~2k values per group regardless of N (the
+    same bounded-cardinality argument as nt1 over doc lengths).
+
+    Engine parity: grid values are decimal multiples of 1e-3, so the
+    0.5-weight interpolation lands on multiples of 5e-4 — exactly
+    representable at the 6-decimal rounding applied to the cutpoint, which
+    keeps Spark ``percentile`` and DuckDB ``quantile_cont`` agreeing (nt1's
+    argument; prefer binary-exact ``keep_frac`` values like 0.5/0.25).
+    """
+    from samsa_spark.operators.text import quality_score_col
+
+    scored = documents.select(
+        by, F.round(quality_score_col(), 3).alias("qscore")
+    )
+    return scored.groupBy(by).agg(
+        F.round(F.expr(f"percentile(qscore, {1.0 - keep_frac!r})"), 6).alias(
+            "cutpoint"
+        )
+    )
+
+
+def quality_quantile_filter(
+    documents: DataFrame, keep_frac: float = 0.5, by: str = "source"
+) -> DataFrame:
+    """Corpus-relative quality filtering (the FineWeb-style prep stage,
+    Penedo et al. 2024 §3): keep the top ``keep_frac`` of each ``by`` group
+    by tx2 quality score, with the threshold learned from the corpus itself
+    rather than fixed a priori — absolute thresholds mis-fire when sources
+    have different score baselines.
+
+    Scale shape: the cutpoint frame is one bounded-state aggregate down to
+    |groups| rows (see :func:`quality_quantile_cutpoints`), broadcast back;
+    the filter itself is a scan-local comparison. No window function, no
+    global sort — the naive per-source ``percent_rank`` window would
+    serialize each source through one reducer (3 sources at 100 TB = 3
+    reducers). Ties at the cutpoint are all kept (cutpoint semantics, like
+    nt1), so the kept fraction is >= keep_frac, not exact.
+
+    Input scans twice (score aggregate + filter); callers composing over an
+    expensive upstream plan should localCheckpoint it first (CLAUDE.md
+    note 12) — prep_pipeline applies this right after the cheap base
+    filter, where the double scan is two parquet passes.
+    """
+    from samsa_spark.operators.text import quality_score_col
+
+    cuts = F.broadcast(quality_quantile_cutpoints(documents, keep_frac, by))
+    scored = documents.withColumn(
+        "qscore", F.round(quality_score_col(), 3)
+    )
+    return scored.join(cuts, by).where(F.col("qscore") >= F.col("cutpoint"))
+
+
+def quality_quantile_report(
+    documents: DataFrame, keep_frac: float = 0.5, by: str = "source"
+) -> DataFrame:
+    """qf1 — the registered aggregate form of
+    :func:`quality_quantile_filter`: per group the learned cutpoint, total
+    docs, kept docs, and a kept-id checksum. One pass over the scored
+    corpus after the broadcast cutpoint join."""
+    from samsa_spark.operators.text import quality_score_col
+
+    cuts = F.broadcast(quality_quantile_cutpoints(documents, keep_frac, by))
+    scored = documents.select(
+        by, "doc_id", F.round(quality_score_col(), 3).alias("qscore")
+    )
+    kept = F.col("qscore") >= F.col("cutpoint")
+    return (
+        scored.join(cuts, by)
+        .groupBy(by)
+        .agg(
+            F.min("cutpoint").alias("cutpoint"),
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0).cast("bigint")).alias(
+                "kept_id_sum"
+            ),
+        )
+    )
+
+
+def _qf1_sql() -> str:
+    from samsa_spark.operators.text import QUALITY_SCORE_SQL, quality_base_sql
+
+    return f"""
+WITH b AS ({quality_base_sql("doc_id, source")}
+), s AS (
+  SELECT doc_id, source, round({QUALITY_SCORE_SQL}, 3) AS qscore FROM b
+), c AS (
+  SELECT source, round(quantile_cont(qscore, 0.5), 6) AS cutpoint
+  FROM s GROUP BY source
+)
+SELECT s.source AS source, min(cutpoint) AS cutpoint, count(*) AS n_docs,
+       CAST(sum(CASE WHEN qscore >= cutpoint THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN qscore >= cutpoint THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM s JOIN c USING (source) GROUP BY s.source
+"""
 
 
 _SM1_SQL = f"""

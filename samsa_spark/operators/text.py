@@ -57,6 +57,27 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_col() -> F.Column:
+    """The tx2 composite quality score as a reusable column expression over
+    a ``text`` column — qf1 (pipeline_ops) thresholds exactly this, so the
+    two operators can never drift apart. Row-wise double arithmetic only;
+    identical IEEE ops on both engines."""
+    toks = _toks()
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    spaces = n_chars - F.length(F.regexp_replace("text", " ", ""))
+    n_toks = F.size(toks)
+    stop = _stop_hits(toks, _STOP_EN)
+    alpha_ratio = alpha / n_chars
+    stop_ratio = stop / n_toks
+    mean_tok_len = (n_chars - spaces) / n_toks
+    return (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(mean_tok_len - F.lit(5.0)) / F.lit(10.0))
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """tx2 — quality scoring: alpha ratio, whitespace ratio, stopword ratio,
     mean token length, composite score. All row-wise double arithmetic —
@@ -72,11 +93,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     space_ratio = spaces / n_chars
     stop_ratio = stop / n_toks
     mean_tok_len = (n_chars - spaces) / n_toks
-    score = (
-        F.lit(0.4) * alpha_ratio
-        + F.lit(0.3) * stop_ratio
-        + F.lit(0.3) * (F.lit(1.0) - F.abs(mean_tok_len - F.lit(5.0)) / F.lit(10.0))
-    )
+    score = quality_score_col()
     return documents.select(
         "doc_id",
         alpha_ratio.alias("alpha_ratio"),
@@ -312,23 +329,35 @@ FROM documents
 
 _STOP_EN_SQL = "(" + ", ".join(f"'{w}'" for w in _STOP_EN) + ")"
 
-_TX2_SQL = f"""
-WITH b AS (
-  SELECT doc_id,
+# Shared DuckDB fragments for the tx2 score — qf1's oracle (pipeline_ops)
+# reuses these so the SQL twin can't drift from the Spark expression either.
+def quality_base_sql(cols: str = "doc_id") -> str:
+    """The per-doc component CTE body (n_chars/alpha/spaces/n_toks/stop)
+    with the caller's passthrough columns."""
+    return f"""
+  SELECT {cols},
          length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          length(text) - length(regexp_replace(text, ' ', '', 'g')) AS spaces,
          len(string_split(text, ' ')) AS n_toks,
          len(list_filter(string_split(text, ' '), t -> t IN {_STOP_EN_SQL})) AS stop
-  FROM documents
+  FROM documents"""
+
+
+QUALITY_SCORE_SQL = (
+    "0.4 * (alpha / n_chars) + 0.3 * (stop / n_toks)"
+    " + 0.3 * (1.0 - abs((n_chars - spaces) / n_toks - 5.0) / 10.0)"
+)
+
+_TX2_SQL = f"""
+WITH b AS ({quality_base_sql()}
 )
 SELECT doc_id,
        alpha / n_chars AS alpha_ratio,
        spaces / n_chars AS space_ratio,
        stop / n_toks AS stop_ratio,
        (n_chars - spaces) / n_toks AS mean_tok_len,
-       0.4 * (alpha / n_chars) + 0.3 * (stop / n_toks)
-         + 0.3 * (1.0 - abs((n_chars - spaces) / n_toks - 5.0) / 10.0) AS quality_score
+       {QUALITY_SCORE_SQL} AS quality_score
 FROM b
 """
 

@@ -314,6 +314,7 @@ _DEMOTED = (
     "ds2_curriculum_shards",          # sp1/sm2 anchor hash-deterministic ordering in-window; the curriculum tier overlay on ds1's shape is pytest-oracle-checked
     "sm3_mixture_expand",             # sm2 anchors temperature mixing in-window; the upsample/repeat expansion shares its rate core and is pytest-oracle-checked
     "pk3_pack_assignments",           # pk2 anchors hierarchical packing in-window; the per-doc (bin, offset) loader map shares its window and is pytest-oracle-checked
+    "h5_nation_revenue",              # h1 + sql1 + ro1 keep the join-aggregate revenue family in-window; slot goes to qf1 corpus-relative quality filtering
 )
 
 

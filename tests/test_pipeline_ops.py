@@ -17,6 +17,7 @@ PIPE_QUERIES = [
     "ck1_chunk_overlap",
     "lm1_unigram_logprob",
     "ds1_shuffle_shards",
+    "qf1_quality_quantile",
 ]
 
 
@@ -558,3 +559,72 @@ def test_pack_assignments_oracle_and_consistency_with_pk2(spark):
         # the previous bin pushes this bin's first doc to a later offset.)
         for a, b in zip(rows, rows[1:]):
             assert b.offset == a.offset + a.n_tokens, key
+
+
+def test_quality_quantile_filter_semantics(spark):
+    """qf1 on a planted two-source corpus: keeps exactly the top half of
+    each source by tx2 score (ties at the cutpoint kept), cutpoints are
+    per-source (a doc that survives in a junk-heavy source would fail in a
+    clean source), and the kept set is invariant under repartitioning."""
+    import pandas as pd
+
+    from samsa_spark.operators.pipeline_ops import quality_quantile_filter
+
+    good = "the quick brown fox is a good and fine text for the test today"
+    ok_ = "some plain words here with the usual mix of a few fillers now"
+    junk = "#### @@@@ !!!! 1234 %%%% ^^^^ &&&& **** ;;;; ::: ~~~ ```"
+    worse = "0000 1111 2222 3333 4444 5555 6666 7777 8888 9999 ++++ ===="
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                "source": ["a"] * 4 + ["b"] * 4,
+                # source a: two clean, two junk; source b: all junk-ish but
+                # with an internal ranking — per-source cutpoints must keep
+                # b's best two even though they'd fail a's cutpoint.
+                "text": [good, ok_, junk, worse, ok_, good, junk, worse],
+            }
+        )
+    )
+    kept = {r.doc_id for r in quality_quantile_filter(df, keep_frac=0.5).collect()}
+    assert kept == {1, 2, 5, 6}
+    again = {
+        r.doc_id
+        for r in quality_quantile_filter(df.repartition(7), keep_frac=0.5).collect()
+    }
+    assert again == kept
+    # ties at the cutpoint are kept: duplicate the cut-doc's text so the
+    # median lands ON a value shared by two docs -> both survive
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "source": ["a"] * 4,
+                "text": [good, ok_, ok_, junk],
+            }
+        )
+    )
+    kept2 = {r.doc_id for r in quality_quantile_filter(df2, keep_frac=0.5).collect()}
+    assert {2, 3} <= kept2 and 4 not in kept2
+
+
+def test_prep_pipeline_quality_quantile_stage(spark):
+    """pp1's opt-in qf1 stage: drops roughly the bottom half of each
+    source (>=50% kept by cutpoint-tie semantics, well under 100%), and
+    the missing-source contract raises the actionable error."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import prep_pipeline
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    base = prep_pipeline(docs).agg(F.sum("n_docs")).collect()[0][0]
+    staged = (
+        prep_pipeline(docs, quality_quantile_keep=0.5)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    assert 0.4 * base <= staged <= 0.9 * base, (staged, base)
+    with _pytest.raises(ValueError, match="source"):
+        prep_pipeline(docs.drop("source"), quality_quantile_keep=0.5)

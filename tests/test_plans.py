@@ -73,6 +73,16 @@ def test_equidepth_histogram_has_no_global_sort(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # cutpoint frame is broadcast
 
 
+def test_quality_quantile_no_window_broadcast_cutpoints(spark):
+    """qf1 must learn per-source cutpoints via a bounded-state aggregate
+    and broadcast them back — never a per-source percent_rank window
+    (each source = one reducer at 100 TB) and never a global sort."""
+    p = _plan(spark, "qf1_quality_quantile")
+    assert "Window" not in p
+    assert "Sort" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_no_partitionless_windows_anywhere(spark):
     """No registered query may sort the world through one reducer: a Window
     whose required distribution is SinglePartition shows up as

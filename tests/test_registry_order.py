@@ -29,6 +29,8 @@ MUST_BE_CHECKED = [
     "udtf1_ngram_counts",
     "js1_salted_join",
     "dd7_substring_spans",
+    "sm2_mixture_sample",
+    "qf1_quality_quantile",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -64,6 +66,7 @@ SIBLINGS = {
     "ds2_curriculum_shards": ["sp1_deterministic_split", "sm2_mixture_sample"],
     "sm3_mixture_expand": ["sm2_mixture_sample"],
     "pk3_pack_assignments": ["pk2_pack_chunked"],
+    "h5_nation_revenue": ["h1_pricing_summary", "sql1_revenue_by_segment"],
 }
 
 
