@@ -272,6 +272,54 @@ FROM events GROUP BY user_id
 _register("st3_streaming_custom_fold", _streaming_custom_fold, _ST3_SQL)
 
 
+def _streaming_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """st4 — the native streaming-dedup operator inside the gate: the
+    documents corpus replays as a multi-trigger file backlog, first
+    occurrence of each content sha passes (``dedup_stream(late=None)``,
+    unbounded RocksDB dedup state), the parquet sink accumulates the
+    emissions. Emitting only (sha, n_chars) — functions of the CONTENT —
+    makes the result independent of which duplicate wins the race, so the
+    exact oracle is just DISTINCT over the same projection."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.streaming.pipeline import dedup_stream
+    from samsa_spark.streaming.sources import file_stream
+
+    docs = tables.load(spark, sf, "documents").select(
+        F.sha2("text", 256).alias("sha"), F.length("text").alias("n_chars")
+    )
+    base = tempfile.mkdtemp(prefix="samsa-st4-")
+    src = os.path.join(base, "src")
+    docs.repartition(4).write.parquet(src)
+    out = os.path.join(base, "out")
+    dd = dedup_stream(file_stream(spark, src, docs.schema, max_files_per_trigger=2), ["sha"], late=None)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
+
+
+_ST4_SQL = """
+SELECT DISTINCT sha256(text) AS sha, length(text) AS n_chars FROM documents
+"""
+
+_register("st4_streaming_exact_dedup", _streaming_exact_dedup, _ST4_SQL)
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:
@@ -315,6 +363,7 @@ _DEMOTED = (
     "sm3_mixture_expand",             # sm2 anchors temperature mixing in-window; the upsample/repeat expansion shares its rate core and is pytest-oracle-checked
     "pk3_pack_assignments",           # pk2 anchors hierarchical packing in-window; the per-doc (bin, offset) loader map shares its window and is pytest-oracle-checked
     "h5_nation_revenue",              # h1 + sql1 + ro1 keep the join-aggregate revenue family in-window; slot goes to qf1 corpus-relative quality filtering
+    "st4_streaming_exact_dedup",      # st1/st2/st3 keep the streaming engine in-window and dd1 anchors exact dedup; the native dropDuplicates-state twin is pytest-oracle-checked
 )
 
 

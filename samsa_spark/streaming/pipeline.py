@@ -20,12 +20,30 @@ from pyspark.sql import DataFrame, SparkSession
 from samsa_spark.operators.state import compact_latest, upsert_merge
 
 
-def dedup_stream(stream_df: DataFrame, id_cols: Sequence[str], ts_us_col: str = "ts_us", late: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup: keep the first occurrence of each id. The
-    watermark bounds dedup state — ids older than the lateness horizon are
-    dropped from state, so memory is O(window), not O(stream). At 100 TB/day
-    this is the only viable exact-dedup shape.
+def dedup_stream(
+    stream_df: DataFrame,
+    id_cols: Sequence[str],
+    ts_us_col: str = "ts_us",
+    late: str | None = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each id.
+
+    With ``late`` set (the default), the watermark bounds dedup state — ids
+    older than the lateness horizon are dropped from state, so memory is
+    O(window), not O(stream). At 100 TB/day of EVENTS this is the only
+    viable shape (a replayed message id arrives near its original).
+
+    ``late=None`` is the CONTENT-dedup form (st4): plain ``dropDuplicates``
+    whose state is never evicted, because a duplicate document can arrive
+    arbitrarily late in a crawl — forgetting a content hash means re-
+    admitting its duplicates. State is O(distinct keys) in the RocksDB
+    store — key the stream on the content HASH (sha2), never the text, so
+    state rows stay fixed-width; this is the streaming twin of batch dd1,
+    trading dd1's full-corpus shuffle for a persistent keyed store (the
+    same trade the reference's K/V state makes, storage.py:228-253).
     """
+    if late is None:
+        return stream_df.dropDuplicates(list(id_cols))
     withtime = stream_df.withColumn("_event_time", F.timestamp_micros(F.col(ts_us_col)))
     return withtime.withWatermark("_event_time", late).dropDuplicatesWithinWatermark(
         list(id_cols)

@@ -67,6 +67,7 @@ SIBLINGS = {
     "sm3_mixture_expand": ["sm2_mixture_sample"],
     "pk3_pack_assignments": ["pk2_pack_chunked"],
     "h5_nation_revenue": ["h1_pricing_summary", "sql1_revenue_by_segment"],
+    "st4_streaming_exact_dedup": ["st1_streaming_state", "dd1_exact_dedup"],
 }
 
 

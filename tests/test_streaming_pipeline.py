@@ -218,3 +218,49 @@ def test_incremental_dedup_index_matches_batch_lsh(spark):
         for r in minhash_lsh_pairs(docs, min_est_jaccard=thr).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_st4_streaming_exact_dedup_oracle(spark):
+    """st4 (native dropDuplicates content-dedup over the multi-trigger
+    documents backlog) vs the DISTINCT oracle — the registered demoted-twin
+    check the driver doesn't run."""
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st4_streaming_exact_dedup", SF_SMALL)
+    assert ok, msg
+
+
+def test_unbounded_dedup_stream_dedups_across_batches(spark, staged):
+    """late=None content dedup: duplicates planted in SEPARATE files (so
+    they arrive in different micro-batches) still collapse to one emission
+    per content hash — the case watermark-bounded dedup state would miss
+    once the horizon passes."""
+    base, _ = staged
+    from samsa_spark.streaming.pipeline import dedup_stream
+    from samsa_spark.streaming.sources import file_stream
+
+    src_dir = os.path.join(base, "content-src")
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon", "gamma delta"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select(F.sha2("text", 256).alias("sha"), F.length("text").alias("n_chars"))
+    # one file per row -> one micro-batch per row with maxFilesPerTrigger=1
+    df.repartition(5).write.parquet(src_dir)
+    out_dir = os.path.join(base, "content-out")
+    q = (
+        dedup_stream(
+            file_stream(spark, src_dir, df.schema, max_files_per_trigger=1),
+            ["sha"],
+            late=None,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "content-chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3
+    assert got.select("sha").distinct().count() == 3
