@@ -171,6 +171,49 @@ def decontaminate(
     )
 
 
+def dedup_against(
+    documents: DataFrame,
+    reference: DataFrame | None = None,
+    ref_max_id: int = 50,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """dd10 — cross-corpus exact dedup: flag docs of a NEW snapshot whose
+    exact content already exists in a reference corpus — the incremental-
+    ingestion batch op (each crawl snapshot dedups against everything
+    already ingested; dd1 only dedups WITHIN one frame). st4 is the
+    streaming twin of this; dc1 the shingle-level analog.
+
+    ``reference``: the already-ingested (doc_id, text) frame — the
+    production form. When None, docs with doc_id < ``ref_max_id`` stand in
+    as the reference and the rest are scored (the self-contained oracle
+    form the registry runs).
+
+    Scale shape: the reference side reduces to DISTINCT content hashes —
+    fixed 32-byte rows, so a billion-doc reference is ~32 GB and usually a
+    persisted hash table, not a re-scan. ``broadcast_reference=True``
+    broadcasts it when it fits an executor; False falls back to a hash-
+    partitioned equi-join on the sha (dc1's fallback pattern — never a
+    cartesian). Text never crosses the join; both scans prune to the hash.
+    """
+    if reference is None:
+        reference = documents.where(F.col("doc_id") < ref_max_id)
+        documents = documents.where(F.col("doc_id") >= ref_max_id)
+    sha = F.sha2(F.col("text"), 256)
+    ref_sha = reference.select(sha.alias("content_sha")).distinct()
+    if broadcast_reference:
+        ref_sha = F.broadcast(ref_sha)
+    hits = ref_sha.withColumn("in_reference", F.lit(True))
+    return (
+        documents.select("doc_id", sha.alias("content_sha"))
+        .join(hits, "content_sha", "left")
+        .select(
+            "doc_id",
+            "content_sha",
+            F.coalesce("in_reference", F.lit(False)).alias("in_reference"),
+        )
+    )
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """64-permutation MinHash signatures via double hashing: two xxhash64
     evaluations per shingle, then the i-th permutation is the affine combo
@@ -732,7 +775,20 @@ def build_queries():
         "dd7_substring_spans": (q(substring_dup_spans), _DD7_SQL),
         "dd8_dominated_frac": (q(dominated_span_fraction), _DD8_SQL),
         "dd9_strip_spans": (q(strip_dominated_spans), _DD9_SQL),
+        "dd10_dedup_against": (q(dedup_against), _DD10_SQL),
     }
+
+
+_DD10_SQL = """
+WITH ref AS (
+  SELECT DISTINCT sha256(text) AS content_sha FROM documents WHERE doc_id < 50
+), new AS (
+  SELECT doc_id, sha256(text) AS content_sha FROM documents WHERE doc_id >= 50
+)
+SELECT new.doc_id, new.content_sha,
+       (ref.content_sha IS NOT NULL) AS in_reference
+FROM new LEFT JOIN ref USING (content_sha)
+"""
 
 
 # dd7/dd8 oracles group by the span STRING where Spark groups by its

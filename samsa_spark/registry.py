@@ -364,6 +364,7 @@ _DEMOTED = (
     "pk3_pack_assignments",           # pk2 anchors hierarchical packing in-window; the per-doc (bin, offset) loader map shares its window and is pytest-oracle-checked
     "h5_nation_revenue",              # h1 + sql1 + ro1 keep the join-aggregate revenue family in-window; slot goes to qf1 corpus-relative quality filtering
     "st4_streaming_exact_dedup",      # st1/st2/st3 keep the streaming engine in-window and dd1 anchors exact dedup; the native dropDuplicates-state twin is pytest-oracle-checked
+    "dd10_dedup_against",             # dd1 anchors exact dedup and dc1 the cross-corpus probe shape in-window; the snapshot-vs-reference hash join is pytest-oracle-checked
 )
 
 

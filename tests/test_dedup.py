@@ -441,3 +441,46 @@ def test_substring_family_matches_model_on_random_corpora(spark, texts, k):
             len(want_clean[d].split(" ")) if want_clean[d] else 0
         )
         assert got8[d].dup_tokens == n_dom, (d, k)
+
+
+def test_dd10_oracle_match(spark):
+    ok, msg = check_query(spark, "dd10_dedup_against", SF_SMALL)
+    assert ok, msg
+
+
+def test_dedup_against_planted_and_fallback(spark):
+    """dd10 production form: a snapshot with copies of reference docs gets
+    exactly those flagged; broadcast_reference=False must run the sha
+    equi-join as a shuffle join (never cartesian) with identical output."""
+    import pandas as pd
+
+    from samsa_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["seen before", "also seen"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": ["seen before", "brand new", "also seen", "fresh text"],
+            }
+        )
+    )
+    got = {r.doc_id: r.in_reference for r in dedup_against(new, reference=ref).collect()}
+    assert got == {10: True, 11: False, 12: True, 13: False}
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fb = dedup_against(new, reference=ref, broadcast_reference=False)
+        fallback = {r.doc_id: r.in_reference for r in fb.collect()}
+        plan = fb._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert fallback == got
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan

@@ -68,6 +68,7 @@ SIBLINGS = {
     "pk3_pack_assignments": ["pk2_pack_chunked"],
     "h5_nation_revenue": ["h1_pricing_summary", "sql1_revenue_by_segment"],
     "st4_streaming_exact_dedup": ["st1_streaming_state", "dd1_exact_dedup"],
+    "dd10_dedup_against": ["dd1_exact_dedup", "dc1_decontaminate"],
 }
 
 
