@@ -102,6 +102,12 @@ PIPELINE = [
     "dd7_substring_spans",
     "sm2_mixture_sample",
     "shards_roundtrip",
+    # late round 7 (first floors also BENCH_r07): corpus-relative quality
+    # filtering + snapshot-vs-reference dedup. st4 (streaming content
+    # dedup) is deliberately NOT here — its time is streaming-engine
+    # startup, already represented by st1/st3 in CANONICAL.
+    "qf1_quality_quantile",
+    "dd10_dedup_against",
 ]
 
 

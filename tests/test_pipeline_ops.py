@@ -628,3 +628,56 @@ def test_prep_pipeline_quality_quantile_stage(spark):
     assert 0.4 * base <= staged <= 0.9 * base, (staged, base)
     with _pytest.raises(ValueError, match="source"):
         prep_pipeline(docs.drop("source"), quality_quantile_keep=0.5)
+
+
+def test_quality_quantile_matches_model_on_random_corpora(spark):
+    """qf1 vs a pure-Python model of the exact same semantics (tx2 score
+    arithmetic in IEEE order, half-away 3-dp quantization, numpy linear
+    median, 6-dp cutpoint, >= compare) on randomized corpora — locks the
+    engine-vs-model agreement the fixed-testdata oracle can't probe."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from samsa_spark.operators.pipeline_ops import quality_quantile_filter
+    from samsa_spark.operators.text import _STOP_EN
+
+    rng = random.Random(7)
+    vocab = list(_STOP_EN)[:6] + ["fox", "data", "%%%", "123", "zq", "####", "run"]
+
+    def model_score(text: str) -> float:
+        n_chars = len(text)
+        alpha = sum(1 for c in text if c.isascii() and c.isalpha())
+        spaces = text.count(" ")
+        toks = text.split(" ")
+        stop = sum(1 for t in toks if t in _STOP_EN)
+        mtl = (n_chars - spaces) / len(toks)
+        s = 0.4 * (alpha / n_chars) + 0.3 * (stop / len(toks)) + 0.3 * (
+            1.0 - abs(mtl - 5.0) / 10.0
+        )
+        return float(np.floor(s * 1000 + 0.5) / 1000)  # half-away 3-dp
+
+    for trial in range(3):
+        rows = []
+        for i in range(90):
+            n = rng.randint(1, 12)
+            rows.append(
+                (
+                    i,
+                    f"s{rng.randint(0, 2)}",
+                    " ".join(rng.choice(vocab) for _ in range(n)),
+                )
+            )
+        pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        want = set()
+        for src, grp in pdf.groupby("source"):
+            qs = grp["text"].map(model_score)
+            cut = np.floor(np.percentile(qs.to_numpy(), 50) * 1e6 + 0.5) / 1e6
+            want |= set(grp.loc[qs >= cut, "doc_id"])
+        df = spark.createDataFrame(pdf)
+        got = {
+            r.doc_id
+            for r in quality_quantile_filter(df, keep_frac=0.5).collect()
+        }
+        assert got == want, f"trial {trial}: {sorted(got ^ want)}"
