@@ -167,6 +167,44 @@ def sweep_text(spark) -> None:
         df.unpersist()
 
 
+def sweep_quantile(spark) -> None:
+    """qf1/dd10 at 1x/10x corpus: qf1 is two scans + a bounded-state
+    percentile aggregate (3-dp quantization caps distinct values) + one
+    broadcast cutpoint join — must scale ~linearly; dd10 is one
+    distinct-hash aggregate over the reference + a broadcast equi-join —
+    linear in the snapshot with a fixed reference."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import dedup_against
+    from samsa_spark.operators.pipeline_ops import quality_quantile_report
+
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select(
+        "doc_id", "source", "text"
+    )
+    n_docs = docs.count()
+    quality_quantile_report(docs).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        if factor == 1:
+            df, n = docs, n_docs
+        else:
+            reps = spark.range(factor).select(F.col("id").alias("_r"))
+            df = docs.crossJoin(F.broadcast(reps)).select(
+                (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+                "source",
+                F.concat_ws(" ", "text", F.concat(F.lit("r"), F.col("_r"))).alias("text"),
+            )
+            n = n_docs * factor
+        df = df.localCheckpoint(eager=True)
+        _time(f"qf1_quality_quantile_x{factor}", lambda: quality_quantile_report(df), n)
+        _time(
+            f"dd10_dedup_against_x{factor}",
+            lambda: dedup_against(df, reference=docs),
+            n,
+        )
+        df.unpersist()
+
+
 def sweep_packing(spark) -> None:
     """pk1 (window per source — a handful of partitions) vs pk2 (window per
     (source, chunk)) as the corpus grows: the hierarchical form's advantage
@@ -580,6 +618,8 @@ def main() -> None:
         sweep_substring(spark)
     if what in ("skew", "all"):
         sweep_skew(spark)
+    if what in ("quantile", "all"):
+        sweep_quantile(spark)
     spark.stop()
 
 
