@@ -297,6 +297,55 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     return out.withColumn("avg_chars", F.col("total_chars") / F.col("n_docs"))
 
 
+def corpus_card(documents: DataFrame, rsd: float = 0.05, accuracy: int = 10_000) -> DataFrame:
+    """cs1 — the SKETCH-based per-source data card: the 100 TB form of
+    tx5/nt1. Exact distinct content counts need a full distinct shuffle and
+    exact percentiles an O(distinct-values) aggregation state (CLAUDE.md
+    note 24); at corpus scale both are replaced by mergeable constant-size
+    sketches in ONE partial/merge hash aggregate, no second shuffle:
+
+    - ``approx_distinct_contents``: HyperLogLog++ over the content sha
+      (``approx_count_distinct``, relative error ``rsd``) — the dedup-rate
+      estimate a crawl report shows before anyone pays for dd1.
+    - ``p50/p90/p99_tokens``: Greenwald-Khanna quantile summaries
+      (``percentile_approx``, 1/``accuracy`` rank error) over per-doc
+      token counts — the sequence-length profile that sizes packing bins.
+    - exact cheap aggregates beside them (n_docs, total_tokens).
+
+    Sketches are algorithm-specific, so there is no DuckDB twin (its HLL
+    and quantile sketches differ) — rows-only on the driver surface;
+    pytest bounds the estimates against the exact values (tests/
+    test_text.py), the dd3 pattern. Sketch merge is commutative, so the
+    HLL estimate is repartition-invariant; GK summaries may vary ±rank
+    error with partition layout — consumers must treat the percentiles as
+    estimates, never join keys.
+    """
+    toks_n = F.size(_toks())
+    pcts = F.percentile_approx(
+        toks_n, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(accuracy)
+    )
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks_n.cast("bigint")).alias("total_tokens"),
+            F.approx_count_distinct(F.sha2("text", 256), rsd).alias(
+                "approx_distinct_contents"
+            ),
+            pcts.alias("_p"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "approx_distinct_contents",
+            F.col("_p")[0].alias("p50_tokens"),
+            F.col("_p")[1].alias("p90_tokens"),
+            F.col("_p")[2].alias("p99_tokens"),
+        )
+    )
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -315,6 +364,10 @@ def build_queries():
         "tx5_corpus_stats": (q(corpus_stats), _TX5_SQL),
         "tx6_gopher_rules": (q(gopher_rules), _TX6_SQL),
         "tx7_pii_scrub": (q(pii_scrub), _TX7_SQL),
+        # sketch-based: HLL++/GK internals have no DuckDB twin -> rows-only,
+        # rank 2, outside the hash window like dd3; pytest bounds the
+        # estimates against exact values (tests/test_text.py).
+        "cs1_corpus_card": (q(corpus_card), None),
     }
 
 

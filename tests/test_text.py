@@ -98,3 +98,47 @@ def test_gopher_repetition_symbol_alpha_rules(spark, tmp_path):
 
     ok, msg = compare(out, run_oracle(_TX6_SQL, str(tmp_path / "docs")))
     assert ok, msg
+
+
+def test_corpus_card_estimates_bound_by_exact(spark):
+    """cs1's sketches vs the exact values they estimate: HLL distinct
+    within 3x the configured rsd, GK percentiles within rank tolerance of
+    the exact percentile neighborhood, exact columns exactly right — and
+    the HLL estimate invariant under repartitioning (mergeable sketch)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import corpus_card
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    card = {r.source: r for r in corpus_card(docs).collect()}
+    toks = F.size(F.split("text", " "))
+    exact = {
+        r.source: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks.cast("bigint")).alias("total_tokens"),
+            F.countDistinct(F.sha2("text", 256)).alias("nd"),
+            F.expr(
+                "percentile(size(split(text, ' ')), array(0.45, 0.5, 0.55,"
+                " 0.85, 0.9, 0.95, 0.97, 0.99, 1.0))"
+            ).alias("pcts"),
+        )
+        .collect()
+    }
+    assert set(card) == set(exact)
+    for src, c in card.items():
+        e = exact[src]
+        assert c.n_docs == e.n_docs
+        assert c.total_tokens == e.total_tokens
+        assert abs(c.approx_distinct_contents - e.nd) <= max(2, 0.15 * e.nd)
+        lo, mid, hi = e.pcts[0], e.pcts[1], e.pcts[2]
+        assert lo <= c.p50_tokens <= hi, (src, c.p50_tokens, (lo, mid, hi))
+        assert e.pcts[3] <= c.p90_tokens <= e.pcts[5]
+        assert e.pcts[6] <= c.p99_tokens <= e.pcts[8]
+    again = {
+        r.source: r.approx_distinct_contents
+        for r in corpus_card(docs.repartition(11)).collect()
+    }
+    assert again == {s: c.approx_distinct_contents for s, c in card.items()}
