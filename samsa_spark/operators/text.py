@@ -346,6 +346,50 @@ def corpus_card(documents: DataFrame, rsd: float = 0.05, accuracy: int = 10_000)
     )
 
 
+def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
+    """tx9 — zlib compression ratio per document: the classic cheap
+    repetition/boilerplate signal (highly repetitive or templated text
+    compresses far below ~0.4x; near-random text stays near 1.0x) used as
+    a quality gate alongside the Gopher rules (tx6 measures bigram/line
+    repetition structurally; the ratio catches long-range repetition those
+    miss).
+
+    Scale shape: one narrow Arrow-batched pandas-UDF projection — no
+    shuffle, no join; zlib runs in C per batch. The UDF is a CLOSURE
+    (CLAUDE.md note 4) and the level is pinned so the ratio is
+    deterministic. zlib output bytes are implementation-defined across
+    zlib builds in principle, which is why this is rows-only on the driver
+    surface (no DuckDB zlib); pytest checks EXACT parity with Python's
+    zlib on the same container (tests/test_text.py) plus the
+    planted-boilerplate discrimination the signal exists for.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _zlen_fn(texts):
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level)),
+            na_action="ignore",
+        )
+
+    _zlen = pandas_udf(LongType())(_zlen_fn)
+
+    raw_len = F.length(F.encode("text", "utf-8"))
+    return documents.select(
+        "doc_id",
+        raw_len.alias("raw_bytes"),
+        _zlen(F.col("text")).alias("zlib_bytes"),
+    ).withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("raw_bytes") > 0,
+            F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 6),
+        ).otherwise(F.lit(None).cast("double")),
+    )
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -368,6 +412,9 @@ def build_queries():
         # rank 2, outside the hash window like dd3; pytest bounds the
         # estimates against exact values (tests/test_text.py).
         "cs1_corpus_card": (q(corpus_card), None),
+        # zlib-backed: no DuckDB compression function -> rows-only; pytest
+        # checks exact parity with Python zlib + planted-doc discrimination.
+        "tx9_compression_signals": (q(compression_signals), None),
     }
 
 

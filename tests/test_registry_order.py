@@ -107,6 +107,7 @@ def test_rows_only_queries_remain_on_driver_surface():
         "sim5_ivf_kmeans_topk",
         "mm2_decoded_features",
         "cs1_corpus_card",
+        "tx9_compression_signals",
     } <= names
 
 
@@ -138,6 +139,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "pp2_prep_pipeline_fuzzy",  # dd3 stage inside -> same xxhash64 reason
         "sd1_semantic_dedup",  # k-means + UDF cosines; planted-corpus pytest oracle
         "cs1_corpus_card",  # HLL++/GK sketches; estimate-bound pytest oracle
+        "tx9_compression_signals",  # zlib bytes; exact-parity pytest vs Python zlib
     }, f"unexpected rows-only queries: {rows_only}"
 
 

@@ -142,3 +142,31 @@ def test_corpus_card_estimates_bound_by_exact(spark):
         for r in corpus_card(docs.repartition(11)).collect()
     }
     assert again == {s: c.approx_distinct_contents for s, c in card.items()}
+
+
+def test_compression_signals_exact_parity_and_discrimination(spark):
+    """tx9: zlib_bytes must equal Python zlib on the same strings (same C
+    zlib in this container), raw_bytes must be UTF-8 byte length (not char
+    count), and the ratio must discriminate a highly repetitive doc from a
+    high-entropy one."""
+    import zlib
+
+    import pandas as pd
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import compression_signals
+
+    docs = tables.load(spark, SF_SMALL, "documents").limit(50)
+    got = {r.doc_id: r for r in compression_signals(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        want = len(zlib.compress(row.text.encode("utf-8"), 6))
+        assert got[row.doc_id].zlib_bytes == want
+        assert got[row.doc_id].raw_bytes == len(row.text.encode("utf-8"))
+
+    rep = "copy paste boilerplate " * 200
+    rand = " ".join(f"w{i * 2654435761 % 999983}" for i in range(600))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [rep, rand]})
+    )
+    r = {x.doc_id: x.compression_ratio for x in compression_signals(df).collect()}
+    assert r[1] < 0.05 < 0.3 < r[2], r
