@@ -229,6 +229,65 @@ def distinct_aggregates(lineitem: DataFrame) -> DataFrame:
 # --- registry wiring -------------------------------------------------------
 
 
+def range_join_counts(events: DataFrame, window_us: int = 600_000_000) -> DataFrame:
+    """rj1 — KEYLESS interval join via time-binning: for each purchase
+    event, the number of click events by ANY user in the preceding
+    ``window_us``. With no equi key, Catalyst's only native plan for the
+    range predicate is BroadcastNestedLoopJoin — O(|purchases|·|clicks|),
+    the shape that dies first at volume. The binned rewrite assigns each
+    click to bucket ``ts div W`` and probes each purchase into buckets
+    {b-1, b} (a length-W window spans at most two W-buckets), turning the
+    plan into a partitioned equi-join on the bucket plus an exact residual
+    range filter — no row pairs outside adjacent buckets are ever formed.
+
+    As-of joins (as2) need a per-KEY order; this is the keyless analog
+    where binning, not cogrouping, is what bounds the pair space. Bucket
+    skew follows traffic spikes; AQE's skew-join split handles the hot
+    buckets (PLANS.md skew rules — never pre-salt an aggregate).
+    """
+    ev = events.select("event_id", "event_type", "ts_us")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts_us").alias("c_ts"),
+        F.expr(f"ts_us div {window_us}").alias("bucket"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("p_ts")
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"p_ts div {window_us}"),
+                F.expr(f"p_ts div {window_us} - 1"),
+            )
+        ),
+    )
+    counts = (
+        probes.join(clicks, "bucket")
+        .where((F.col("c_ts") <= F.col("p_ts")) & (F.col("c_ts") >= F.col("p_ts") - window_us))
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n_recent_clicks"))
+    )
+    return purchases.select("purchase_id", "p_ts").join(
+        counts, "purchase_id", "left"
+    ).select(
+        "purchase_id",
+        "p_ts",
+        F.coalesce("n_recent_clicks", F.lit(0)).alias("n_recent_clicks"),
+    )
+
+
+_RJ1_SQL = """
+WITH c AS (SELECT epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS p_ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.p_ts,
+       CAST(count(c.ts_us) AS BIGINT) AS n_recent_clicks
+FROM p LEFT JOIN c ON c.ts_us <= p.p_ts AND c.ts_us >= p.p_ts - 600000000
+GROUP BY p.purchase_id, p.p_ts
+"""
+
+
 def build_queries():
     def q(fn, *names, spread=()):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -248,6 +307,7 @@ def build_queries():
         "rg1_user_value_trends": (q(user_value_trends, "events"), _RG1_SQL),
         "as2_asof_cogrouped": (q(asof_join_cogrouped, "events", "orders"), _AS1_SQL),
         "gf1_gap_fill": (q(gap_fill, "events"), _GF1_SQL),
+        "rj1_range_join": (q(range_join_counts, "events"), _RJ1_SQL),
     }
 
 

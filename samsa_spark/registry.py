@@ -365,6 +365,7 @@ _DEMOTED = (
     "h5_nation_revenue",              # h1 + sql1 + ro1 keep the join-aggregate revenue family in-window; slot goes to qf1 corpus-relative quality filtering
     "st4_streaming_exact_dedup",      # st1/st2/st3 keep the streaming engine in-window and dd1 anchors exact dedup; the native dropDuplicates-state twin is pytest-oracle-checked
     "dd10_dedup_against",             # dd1 anchors exact dedup and dc1 the cross-corpus probe shape in-window; the snapshot-vs-reference hash join is pytest-oracle-checked
+    "rj1_range_join",                 # as2 anchors time-range joins in-window; the keyless binned interval join is pytest-oracle-checked (+ plan-asserted no-nested-loop)
 )
 
 

@@ -121,3 +121,53 @@ def test_gap_fill_matches_python_model_on_random_series(spark):
             for r in gap_fill(ev, bucket_us=B).collect()
         }
         assert got == want, f"trial {trial} diverged"
+
+
+def test_rj1_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "rj1_range_join", SF_SMALL)
+    assert ok, msg
+
+
+def test_range_join_counts_matches_naive_join(spark):
+    """The binned rewrite must agree with the naive inequality join on
+    constructed boundary cases: clicks exactly at p_ts, exactly at
+    p_ts - W, one past either edge, and clicks spanning bucket borders."""
+    import pandas as pd
+
+    from samsa_spark.operators.advanced import range_join_counts
+
+    W = 100
+    rows = []
+    # purchase at t=1000; clicks at 899 (out), 900 (in, = p-W), 950 (in,
+    # crosses bucket border 900..999 vs 1000), 1000 (in), 1001 (out)
+    rows.append((1, "purchase", 1000))
+    for i, t in enumerate((899, 900, 950, 1000, 1001)):
+        rows.append((10 + i, "click", t))
+    # purchase with no clicks in range
+    rows.append((2, "purchase", 5000))
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts_us"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.purchase_id: r.n_recent_clicks
+        for r in range_join_counts(df, window_us=W).collect()
+    }
+    assert got == {1: 3, 2: 0}
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    """The whole point of the binned rewrite: the physical plan must be a
+    partitioned/broadcast HASH equi-join on the bucket, never the
+    BroadcastNestedLoopJoin the raw range predicate forces."""
+    from samsa_spark import registry
+
+    df = registry.all_queries()["rj1_range_join"](spark, SF_SMALL)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    ), p

@@ -69,6 +69,7 @@ SIBLINGS = {
     "h5_nation_revenue": ["h1_pricing_summary", "sql1_revenue_by_segment"],
     "st4_streaming_exact_dedup": ["st1_streaming_state", "dd1_exact_dedup"],
     "dd10_dedup_against": ["dd1_exact_dedup", "dc1_decontaminate"],
+    "rj1_range_join": ["as2_asof_cogrouped", "ses1_sessionize"],
 }
 
 
