@@ -354,27 +354,29 @@ def test_full_prep_to_shards_integration(spark):
         "doc_id long, lang string, text string",
     )
     corpus_rows = [
-        (1, "en", words("d1")),                                  # survives
-        (2, "en", words("d2")),                                  # survives
-        (3, "en", words("d3")),                                  # survives
-        (4, "en", words("d4") + " alpha beta gamma tail"),       # decontaminated
-        (5, "en", words("d2")),                                  # exact dup of 2
-        (6, "en", words("d3").replace("d3tok20", "changedmid")), # fuzzy dup of 3
-        (7, "en", words("d7")),                                  # semantic dup of 1 (below)
-        (8, "en", "1234567890 " * 10),                           # quality-filtered
+        (1, "en", "web", words("d1")),                                  # survives
+        (2, "en", "web", words("d2")),                                  # survives
+        (3, "en", "web", words("d3")),                                  # survives
+        (4, "en", "web", words("d4") + " alpha beta gamma tail"),       # decontaminated
+        (5, "en", "web", words("d2")),                                  # exact dup of 2
+        (6, "en", "web", words("d3").replace("d3tok20", "changedmid")), # fuzzy dup of 3
+        (7, "en", "web", words("d7")),                                  # semantic dup of 1 (below)
+        (8, "en", "web", "1234567890 " * 10),                           # quality-filtered
         # 19-token prefix lifted verbatim from doc 1 + 10 unique tokens:
         # dominated fraction 19/29 >= 0.5 -> dropped by the substring stage
         # (doc 1, the corpus-first occurrence, is untouched).
-        (9, "en", " ".join(words("d1").split(" ")[:19])
+        (9, "en", "web", " ".join(words("d1").split(" ")[:19])
             + " " + " ".join(f"d9uniq{i}" for i in range(10))),
     ]
-    docs = spark.createDataFrame(corpus_rows, "doc_id long, lang string, text string")
+    docs = spark.createDataFrame(
+        corpus_rows, "doc_id long, lang string, source string, text string"
+    )
 
     rng = np.random.RandomState(3)
     base_vec = rng.randn(32)
     base_vec /= np.linalg.norm(base_vec)
     vecs = {}
-    for i, _, _ in corpus_rows:
+    for i, _, _, _ in corpus_rows:
         v = base_vec + rng.randn(32) * 0.01 if i in (1, 7) else rng.randn(32)
         vecs[i] = v / np.linalg.norm(v)
     emb = spark.createDataFrame(
@@ -390,6 +392,11 @@ def test_full_prep_to_shards_integration(spark):
     stats = prep_pipeline(
         docs,
         decontaminate_against=bench,
+        # corpus-relative quality stage wired in composition: keep_frac=1.0
+        # puts the cutpoint at the per-source MIN (ties kept), so the stage
+        # runs — source threads through, cutpoints broadcast — without
+        # perturbing the hand-modeled survivor set below.
+        quality_quantile_keep=1.0,
         substring_dedup_min_tokens=8,
         substring_max_dup_frac=0.5,
         fuzzy_min_est_jaccard=0.5,
