@@ -108,6 +108,11 @@ PIPELINE = [
     # startup, already represented by st1/st3 in CANONICAL.
     "qf1_quality_quantile",
     "dd10_dedup_against",
+    # latest round-7 ops: sketch data card (one hash agg), zlib quality
+    # signal (narrow pandas-UDF projection), keyless binned range join.
+    "cs1_corpus_card",
+    "tx9_compression_signals",
+    "rj1_range_join",
 ]
 
 

@@ -674,6 +674,103 @@ FROM t LEFT JOIN ka USING (doc_id)
 """
 
 
+def line_dedup(documents: DataFrame, min_count: int = 3) -> DataFrame:
+    """dd11 — STRUCTURAL line-level corpus dedup (the C4/CCNet/RefinedWeb
+    rule family): drop every line whose trimmed form occurs at least
+    ``min_count`` times across the corpus — navigation bars, cookie
+    banners, footers, license headers — and return the rebuilt documents
+    ``(doc_id, n_lines, n_dropped_lines, clean_text)``. This is the
+    *structural* sibling of dd7/dd8: those find duplicated TOKEN RANGES
+    irrespective of layout; this keys on the document's own line structure,
+    which is what the production crawl filters actually deploy (C4 dropped
+    repeated lines corpus-wide; CCNet dedups on paragraph hashes).
+    Empty/whitespace-only lines never participate in counting (they are
+    layout, not boilerplate) and are kept verbatim.
+
+    Scale shape: one posexplode (corpus line count — lighter than any
+    tokenizing op here), one algebraic hash aggregate on the line's sha256
+    (fixed 32-byte shuffle keys, never the line string — dd10's argument),
+    one equi-join back (the hot-line table is the boilerplate set, orders
+    of magnitude smaller than the corpus; AQE broadcasts it when it fits),
+    and a per-doc rebuild whose state is bounded by doc length (the dd9
+    array-algebra pattern). No global sort, no cartesian.
+
+    Degenerate on the synthetic gate corpus (single-line docs, all texts
+    distinct -> zero drops), where the oracle still pins the exact
+    split/reassemble roundtrip; the rule itself is oracle-checked on
+    planted multi-line corpora in tests/test_dedup.py.
+    """
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split("text", "\n", -1)).alias("pos", "line")
+    )
+    norm = F.trim(F.col("line"))
+    keyed = lines.withColumn("lk", F.when(norm != "", F.sha2(norm, 256)))
+    hot = (
+        keyed.where(F.col("lk").isNotNull())
+        .groupBy("lk")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("lk", F.lit(True).alias("_hot"))
+    )
+    marked = keyed.join(hot, "lk", "left")
+    dropped = F.coalesce(F.col("_hot"), F.lit(False))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(dropped.cast("int")).alias("n_dropped_lines"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos").alias("p"),
+                        F.when(~dropped, F.col("line")).alias("l"),
+                    )
+                )
+            ).alias("arr"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.col("n_dropped_lines").cast("bigint").alias("n_dropped_lines"),
+            F.array_join(
+                F.transform(
+                    F.filter("arr", lambda x: x["l"].isNotNull()),
+                    lambda x: x["l"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+
+
+_DD11_SQL = """
+WITH s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'line': ls[i]}
+                 for i in generate_series(1, len(ls))],
+                recursive := true)
+  FROM s
+),
+hot AS (
+  SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
+  GROUP BY trim(line) HAVING count(*) >= 3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN hot.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_lines,
+       coalesce(
+         string_agg(CASE WHEN hot.k IS NULL THEN line END, chr(10)
+                    ORDER BY pos),
+         '') AS clean_text
+FROM l LEFT JOIN hot ON trim(l.line) = hot.k
+GROUP BY doc_id
+"""
+
+
 def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int = 15) -> DataFrame:
     """dd6 — near-dup clustering: connected components over the Jaccard
     pair graph by iterative min-label propagation; every document gets a
@@ -776,6 +873,7 @@ def build_queries():
         "dd8_dominated_frac": (q(dominated_span_fraction), _DD8_SQL),
         "dd9_strip_spans": (q(strip_dominated_spans), _DD9_SQL),
         "dd10_dedup_against": (q(dedup_against), _DD10_SQL),
+        "dd11_line_dedup": (q(line_dedup), _DD11_SQL),
     }
 
 

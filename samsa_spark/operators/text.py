@@ -346,6 +346,85 @@ def corpus_card(documents: DataFrame, rsd: float = 0.05, accuracy: int = 10_000)
     )
 
 
+def classifier_score(documents: DataFrame, weights: DataFrame | None = None) -> DataFrame:
+    """cls1 — MODEL-BASED quality scoring: the linear-classifier filter
+    shape (fastText-style bag-of-words scorer — the FineWeb-Edu / DCLM
+    "classifier filter" stage) as first-class plumbing. Each whitespace
+    token contributes a weight; the document score is
+    ``sigmoid(mean(weight))`` and ``keep`` thresholds it at 0.5. Pass a
+    trained model as a ``(token, weight)`` DataFrame; with ``weights=None``
+    a DETERMINISTIC hash-derived stand-in model is used (weight = the
+    token's 24-bit sha256 prefix scaled to ``[-1, 1)``) — the container
+    ships no model artifacts (same stance as mm2's codec stub), but unlike
+    a random stub the stand-in is exactly reproducible in any engine, so
+    the full scoring plumbing sits in the exact-oracle gate.
+
+    Scale shape: explode -> per-doc hash aggregate (algebraic, map-side
+    partials) -> join back to keep token-less docs; the trained-weights
+    path adds one broadcast join against the vocabulary (vocabularies are
+    MBs — fastText quality models are ~1M buckets). Exactness: the
+    stand-in path aggregates the 24-bit integer weights with an exact
+    BIGINT sum (order-free; < 2^53 up to a million-token doc) and converts
+    to double once per doc, so cross-engine parity holds to the last bit
+    before the final documented round-to-6dp (CLAUDE.md note 6).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(_toks()).alias("tok")
+    ).where(F.col("tok") != "")
+    if weights is None:
+        # 6 hex chars of sha256 -> [0, 2^24): portable (DuckDB
+        # ('0x'||…)::BIGINT computes the identical integer).
+        h = F.conv(F.substring(F.sha2("tok", 256), 1, 6), 16, 10).cast("bigint")
+        agg = toks.groupBy("doc_id").agg(
+            F.count("*").alias("n_scored_tokens"), F.sum(h).alias("_hsum")
+        )
+        mean_w = F.col("_hsum") / F.col("n_scored_tokens") / F.lit(float(1 << 23)) - 1
+    else:
+        w = toks.join(F.broadcast(weights), toks.tok == weights.token, "left").select(
+            "doc_id", F.coalesce(weights.weight, F.lit(0.0)).alias("w")
+        )
+        agg = w.groupBy("doc_id").agg(
+            F.count("*").alias("n_scored_tokens"), F.sum("w").alias("_wsum")
+        )
+        mean_w = F.col("_wsum") / F.col("n_scored_tokens")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_w)), 6)
+    return (
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_scored_tokens", F.lit(0)).alias("n_scored_tokens"),
+            score.alias("clf_score"),
+            F.coalesce(score >= 0.5, F.lit(False)).alias("keep"),
+        )
+    )
+
+
+_CLS1_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_scored_tokens,
+         CAST(sum(('0x' || substr(sha256(tok), 1, 6))::BIGINT) AS BIGINT)
+           AS hsum
+  FROM t WHERE tok <> '' GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id, n_scored_tokens,
+         round(1 / (1 + exp(-(hsum / n_scored_tokens / 8388608.0 - 1))), 6)
+           AS clf_score
+  FROM s
+)
+SELECT d.doc_id,
+       coalesce(sc.n_scored_tokens, 0) AS n_scored_tokens,
+       sc.clf_score,
+       coalesce(sc.clf_score >= 0.5, false) AS keep
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
     """tx9 — zlib compression ratio per document: the classic cheap
     repetition/boilerplate signal (highly repetitive or templated text
@@ -408,6 +487,7 @@ def build_queries():
         "tx5_corpus_stats": (q(corpus_stats), _TX5_SQL),
         "tx6_gopher_rules": (q(gopher_rules), _TX6_SQL),
         "tx7_pii_scrub": (q(pii_scrub), _TX7_SQL),
+        "cls1_classifier_score": (q(classifier_score), _CLS1_SQL),
         # sketch-based: HLL++/GK internals have no DuckDB twin -> rows-only,
         # rank 2, outside the hash window like dd3; pytest bounds the
         # estimates against exact values (tests/test_text.py).

@@ -366,6 +366,8 @@ _DEMOTED = (
     "st4_streaming_exact_dedup",      # st1/st2/st3 keep the streaming engine in-window and dd1 anchors exact dedup; the native dropDuplicates-state twin is pytest-oracle-checked
     "dd10_dedup_against",             # dd1 anchors exact dedup and dc1 the cross-corpus probe shape in-window; the snapshot-vs-reference hash join is pytest-oracle-checked
     "rj1_range_join",                 # as2 anchors time-range joins in-window; the keyless binned interval join is pytest-oracle-checked (+ plan-asserted no-nested-loop)
+    "dd11_line_dedup",                # dd7 anchors corpus-duplicate removal in-window; the structural C4 line rule is pytest-oracle-checked on planted multi-line corpora (gate corpus is single-line)
+    "tx4_fingerprints",               # dd1's sha canonicalization keeps content hashing in-window and tx1/tx2 the per-row text transforms; the rolling-hash fingerprint battery is pytest-oracle-checked — slot goes to cls1 model-based quality scoring (a new family: classifier filtering)
 )
 
 

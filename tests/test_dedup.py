@@ -484,3 +484,77 @@ def test_dedup_against_planted_and_fallback(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_dd11_oracle_match(spark):
+    """Degenerate on the gate corpus (single-line docs, all distinct ->
+    zero drops) but still pins the exact split/reassemble roundtrip:
+    clean_text must hash-match the original text byte for byte."""
+    ok, msg = check_query(spark, "dd11_line_dedup", SF_SMALL)
+    assert ok, msg
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """The C4 rule on a planted multi-line corpus: a footer line occurring
+    3x (across trim-variants) is dropped everywhere; a 2x line is kept;
+    empty lines are layout and always survive."""
+    from samsa_spark.operators.dedup import line_dedup
+
+    footer = "copyright example corp all rights reserved"
+    rows = [
+        (0, "en", f"unique alpha text\n{footer}\n\nbody continues here"),
+        (1, "en", f"other beta words\n  {footer}  \ntwice-seen line"),
+        (2, "en", f"{footer}\ntwice-seen line\nfinal unique words"),
+        (3, "en", "totally clean document\nwith its own lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in line_dedup(df, min_count=3).collect()}
+    # footer dropped in all 3 (trim-normalized count = 3); "twice-seen
+    # line" (2x) kept; empty line in doc 0 kept; whitespace around doc 1's
+    # footer removed WITH the line.
+    assert got[0].clean_text == "unique alpha text\n\nbody continues here"
+    assert got[1].clean_text == "other beta words\ntwice-seen line"
+    assert got[2].clean_text == "twice-seen line\nfinal unique words"
+    assert got[3].clean_text == rows[3][2]
+    assert {d: (r.n_lines, r.n_dropped_lines) for d, r in got.items()} == {
+        0: (4, 1),
+        1: (3, 1),
+        2: (3, 1),
+        3: (2, 0),
+    }
+
+
+def test_line_dedup_duckdb_parity_on_multiline_corpus(spark):
+    """Run the registered _DD11_SQL oracle against the SAME planted
+    multi-line corpus in DuckDB (where the rule actually fires) and require
+    full value parity — the check the single-line gate corpus can't give."""
+    import duckdb
+    import pandas as pd
+
+    from samsa_spark.operators.dedup import _DD11_SQL, line_dedup
+    from tests.oracle import compare
+
+    boiler = "subscribe to our newsletter"
+    texts = {
+        0: f"{boiler}\nalpha body one\n\n{boiler}",
+        1: f"beta body two\n{boiler}\nrepeated pair line",
+        2: "repeated pair line\ngamma body three",
+        3: "",
+        4: f"   {boiler}\ndelta body four\n",
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "lang": "en", "text": list(texts.values())}
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = con.execute(_DD11_SQL).fetchdf()
+    df = spark.createDataFrame(pdf)
+    ok, msg = compare(line_dedup(df, min_count=3), oracle)
+    assert ok, msg
+    # and the rule itself: boiler occurs 4x (incl. within-doc repeat and
+    # trim variant) -> gone everywhere; the 2x pair line survives.
+    got = {r.doc_id: r.clean_text for r in line_dedup(df, min_count=3).collect()}
+    assert got[0] == "alpha body one\n"
+    assert got[1] == "beta body two\nrepeated pair line"
+    assert got[4] == "delta body four\n"
+    assert got[3] == ""

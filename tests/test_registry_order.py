@@ -70,6 +70,8 @@ SIBLINGS = {
     "st4_streaming_exact_dedup": ["st1_streaming_state", "dd1_exact_dedup"],
     "dd10_dedup_against": ["dd1_exact_dedup", "dc1_decontaminate"],
     "rj1_range_join": ["as2_asof_cogrouped", "ses1_sessionize"],
+    "dd11_line_dedup": ["dd7_substring_spans", "dd1_exact_dedup"],
+    "tx4_fingerprints": ["tx1_token_counts", "dd1_exact_dedup"],
 }
 
 

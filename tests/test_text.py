@@ -15,6 +15,7 @@ TX_QUERIES = [
     "tx5_corpus_stats",
     "tx6_gopher_rules",
     "tx7_pii_scrub",
+    "cls1_classifier_score",
 ]
 
 
@@ -170,3 +171,66 @@ def test_compression_signals_exact_parity_and_discrimination(spark):
     )
     r = {x.doc_id: x.compression_ratio for x in compression_signals(df).collect()}
     assert r[1] < 0.05 < 0.3 < r[2], r
+
+
+def test_classifier_score_trained_weights_path(spark):
+    """cls1 with a real (token, weight) model table: score must equal the
+    Python-computed sigmoid of the mean weight (OOV tokens contribute 0),
+    and the 0.5 threshold must separate good from bad docs."""
+    import math
+
+    import pandas as pd
+
+    from samsa_spark.operators.text import classifier_score
+
+    w = spark.createDataFrame(
+        pd.DataFrame({"token": ["good", "great", "bad"], "weight": [2.0, 3.0, -4.0]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "good great good",          # mean 7/3 -> keep
+                    "bad bad unseen",           # mean -8/3 -> drop
+                    "unseen tokens only here",  # mean 0 -> sigmoid .5 -> keep
+                    "",                         # token-less -> NULL score, drop
+                ],
+            }
+        )
+    )
+    got = {r.doc_id: r for r in classifier_score(docs, weights=w).collect()}
+
+    def sig(x):
+        return round(1 / (1 + math.exp(-x)), 6)
+
+    assert got[0].clf_score == sig(7 / 3) and got[0].keep
+    assert got[1].clf_score == sig(-8 / 3) and not got[1].keep
+    assert got[2].clf_score == sig(0.0) and got[2].keep
+    assert got[3].clf_score is None and not got[3].keep
+    assert got[3].n_scored_tokens == 0 and got[0].n_scored_tokens == 3
+
+
+def test_classifier_score_standin_matches_python_model(spark):
+    """The hash stand-in path recomputed in pure Python (hashlib sha256,
+    same 24-bit prefix scaling) must agree exactly after the 6dp round."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from samsa_spark.operators.text import classifier_score
+
+    texts = {0: "alpha beta gamma", 1: "one one one one", 2: "zz"}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {r.doc_id: r.clf_score for r in classifier_score(docs).collect()}
+    for d, t in texts.items():
+        toks = [x for x in t.split(" ") if x]
+        hs = [
+            int(hashlib.sha256(x.encode()).hexdigest()[:6], 16) for x in toks
+        ]
+        mean_w = sum(hs) / len(hs) / float(1 << 23) - 1
+        want = round(1 / (1 + math.exp(-mean_w)), 6)
+        assert got[d] == pytest.approx(want, abs=1e-9), (d, got[d], want)
