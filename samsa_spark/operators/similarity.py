@@ -776,6 +776,78 @@ def ivf_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 3) -> DataFrame
 # --- registry wiring -------------------------------------------------------
 
 
+def _rademacher_matrix(in_dim: int, out_dim: int, seed: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from pure integer arithmetic (the
+    sp1 Knuth-multiplicative idiom) — generated once in Python and embedded
+    as LITERALS in both the Spark plan and the DuckDB oracle, so there is no
+    cross-engine hash to keep in sync."""
+    return [
+        [
+            1 if ((i * out_dim + j + seed) * 2654435761 % 1_000_003) % 2 == 0 else -1
+            for j in range(out_dim)
+        ]
+        for i in range(in_dim)
+    ]
+
+
+RP_OUT_DIM = 16
+_RP_SEED = 7
+
+
+def random_projection(
+    embeddings: DataFrame, out_dim: int = RP_OUT_DIM, seed: int = _RP_SEED
+) -> DataFrame:
+    """rp1 — Johnson-Lindenstrauss dimensionality reduction by Rademacher
+    (±1) random projection: ``proj = emb @ S / sqrt(out_dim)`` with a
+    deterministic sign matrix. The standard pre-step before ANN indexing
+    or clustering when the embedding dimension (not the corpus size) is the
+    cost driver — a 64→16 projection cuts every downstream dot product,
+    centroid update, and index byte 4x while JL keeps pairwise geometry to
+    ~1/sqrt(out_dim) distortion (recall/distance-preservation measured in
+    tests/test_similarity.py).
+
+    Scale shape: one narrow Arrow-batched pandas-UDF projection (numpy
+    matmul per batch — the module's documented fast path), zero shuffles;
+    composes in front of save_index/sim5 unchanged since the output is just
+    a lower-dim embedding column. Values are rounded to 6dp (note 6) so the
+    exact DuckDB twin (same literal matrix, fold-order-independent after
+    rounding) can hash-match.
+
+    Like the sign matrix itself, ``in_dim`` is fixed by the model that
+    produced the embeddings; the matrix rows must match ``len(emb)``.
+    """
+    S = _rademacher_matrix(_DIM, out_dim, seed)
+
+    def _proj_fn(v: pd.Series) -> pd.Series:
+        M = np.array(S, dtype=np.float64)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        P = np.round(X @ M / np.sqrt(M.shape[1]), 6)
+        return pd.Series(list(P))
+
+    _proj = pandas_udf(ArrayType(DoubleType()))(_proj_fn)
+    return embeddings.select(
+        "vec_id", "label", _proj(F.col("embedding")).alias("proj")
+    )
+
+
+def _rp1_sql(out_dim: int = RP_OUT_DIM, seed: int = _RP_SEED) -> str:
+    m = _rademacher_matrix(_DIM, out_dim, seed)
+    lit = "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in m) + "]"
+    return f"""
+WITH s AS (SELECT {lit} AS m),
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT vec_id, label,
+       [round(list_sum([emb[i] * m[i][j]
+                        for i in generate_series(1, len(emb))])
+              / sqrt({out_dim}.0), 6)
+        for j in generate_series(1, {out_dim})] AS proj
+FROM v CROSS JOIN s
+"""
+
+
+_RP1_SQL = _rp1_sql()
+
+
 def build_queries():
     def q(fn, **kw):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -796,6 +868,7 @@ def build_queries():
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
+        "rp1_random_projection": (q(random_projection), _RP1_SQL),
         "qz2_quantized_topk": (q(quantized_topk), _QZ2_SQL),
         # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
         # ground truth is the planted-corpus recall suite

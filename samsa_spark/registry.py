@@ -368,6 +368,7 @@ _DEMOTED = (
     "rj1_range_join",                 # as2 anchors time-range joins in-window; the keyless binned interval join is pytest-oracle-checked (+ plan-asserted no-nested-loop)
     "dd11_line_dedup",                # dd7 anchors corpus-duplicate removal in-window; the structural C4 line rule is pytest-oracle-checked on planted multi-line corpora (gate corpus is single-line)
     "tx4_fingerprints",               # dd1's sha canonicalization keeps content hashing in-window and tx1/tx2 the per-row text transforms; the rolling-hash fingerprint battery is pytest-oracle-checked — slot goes to cls1 model-based quality scoring (a new family: classifier filtering)
+    "rp1_random_projection",          # vec1/sim1/sim4 anchor the embedding surface in-window; the JL Rademacher projection is pytest-oracle-checked (exact literal-matrix twin + distance-preservation/recall sweeps)
 )
 
 

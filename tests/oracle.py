@@ -41,10 +41,12 @@ def _norm_cell(v):
         return ("f", round(v, 9))
     if isinstance(v, (_dt.datetime, _dt.date)):
         return str(v)
-    if hasattr(v, "item"):  # numpy scalar
-        return _norm_cell(v.item())
+    # sequence check must precede the .item() scalar check: a numpy ARRAY
+    # also has .item (which throws for size > 1).
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm_cell(v.item())
     return v
 
 

@@ -72,6 +72,7 @@ SIBLINGS = {
     "rj1_range_join": ["as2_asof_cogrouped", "ses1_sessionize"],
     "dd11_line_dedup": ["dd7_substring_spans", "dd1_exact_dedup"],
     "tx4_fingerprints": ["tx1_token_counts", "dd1_exact_dedup"],
+    "rp1_random_projection": ["vec1_label_centroids", "sim1_cosine_topk"],
 }
 
 
