@@ -320,6 +320,84 @@ SELECT DISTINCT sha256(text) AS sha, length(text) AS n_chars FROM documents
 _register("st4_streaming_exact_dedup", _streaming_exact_dedup, _ST4_SQL)
 
 
+def _streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """st5 — the standard Structured Streaming form (event-time tumbling
+    windows + watermark, append mode) inside the exact gate: the events log
+    replays as a multi-trigger file backlog through
+    :func:`examples.windowed_change_counts`, and a SENTINEL row planted in
+    a strictly-later file (mtime-ordered — the file source processes oldest
+    first) advances the final watermark past every real window so append
+    mode emits them all. The watermark delay is sized past the full event
+    span, so no real event can be late regardless of arrival order — which
+    is what makes an exact oracle possible: emitted windows == the batch
+    tumbling aggregate, checked against DuckDB. Late-data *dropping* is
+    engine-timing-coupled and stays in pytest (the note-15 stance), where
+    tests/test_streaming_examples.py exercises partial emission.
+    """
+    import os
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.streaming.examples import windowed_change_counts
+    from samsa_spark.streaming.sources import file_stream
+
+    ev = tables.load(spark, sf, "events").select("ts_us", "user_id")
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    window_us = 3_600_000_000
+    delay_us = (hi - lo) + window_us
+    sentinel_ts = hi + delay_us + 2 * window_us
+
+    base = tempfile.mkdtemp(prefix="samsa-st5-")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    # The sentinel must be ingested last: the file source orders by
+    # modification time, so age the backlog files well behind it.
+    backdate = time.time() - 1000
+    for f in os.listdir(src):
+        os.utime(os.path.join(src, f), (backdate, backdate))
+    spark.createDataFrame([(sentinel_ts, -1)], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # No stream-side sentinel filter: a post-aggregate filter on a grouping
+    # column gets PUSHED BELOW the watermark node, which removes the
+    # sentinel from the event-time stats and the flush never happens
+    # (measured: 0 rows, no no-data batch). None is needed — the sentinel's
+    # own window never closes (nothing arrives after it), so append mode
+    # never emits it; the batch-side filter below is purely defensive.
+    win = windowed_change_counts(
+        file_stream(spark, src, ev.schema, max_files_per_trigger=2),
+        late=f"{delay_us} microseconds",
+    )
+    out = os.path.join(base, "out")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            win.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).where(F.col("user_id") != -1)
+
+
+_ST5_SQL = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+_register("st5_streaming_windowed_counts", _streaming_windowed_counts, _ST5_SQL)
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:
@@ -369,6 +447,7 @@ _DEMOTED = (
     "dd11_line_dedup",                # dd7 anchors corpus-duplicate removal in-window; the structural C4 line rule is pytest-oracle-checked on planted multi-line corpora (gate corpus is single-line)
     "tx4_fingerprints",               # dd1's sha canonicalization keeps content hashing in-window and tx1/tx2 the per-row text transforms; the rolling-hash fingerprint battery is pytest-oracle-checked — slot goes to cls1 model-based quality scoring (a new family: classifier filtering)
     "rp1_random_projection",          # vec1/sim1/sim4 anchor the embedding surface in-window; the JL Rademacher projection is pytest-oracle-checked (exact literal-matrix twin + distance-preservation/recall sweeps)
+    "st5_streaming_windowed_counts",  # st1/st2/st3 keep the streaming engine in-window; the watermark windowed-agg append path is pytest-oracle-checked (sentinel-flushed full emission == batch tumbling aggregate)
 )
 
 

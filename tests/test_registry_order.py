@@ -73,6 +73,7 @@ SIBLINGS = {
     "dd11_line_dedup": ["dd7_substring_spans", "dd1_exact_dedup"],
     "tx4_fingerprints": ["tx1_token_counts", "dd1_exact_dedup"],
     "rp1_random_projection": ["vec1_label_centroids", "sim1_cosine_topk"],
+    "st5_streaming_windowed_counts": ["st1_streaming_state", "st3_streaming_custom_fold"],
 }
 
 

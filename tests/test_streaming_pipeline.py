@@ -264,3 +264,13 @@ def test_unbounded_dedup_stream_dedups_across_batches(spark, staged):
     got = spark.read.parquet(out_dir)
     assert got.count() == 3
     assert got.select("sha").distinct().count() == 3
+
+
+def test_st5_streaming_windowed_counts_oracle(spark):
+    """st5: the watermark + tumbling-window append path, sentinel-flushed so
+    every real window closes — emitted rows must hash-match the batch
+    tumbling aggregate via the DuckDB oracle."""
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st5_streaming_windowed_counts", SF_SMALL)
+    assert ok, msg
