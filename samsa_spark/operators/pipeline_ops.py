@@ -362,6 +362,9 @@ def prep_pipeline(
     min_chars: int = 50,
     min_alpha_ratio: float = 0.5,
     train_pct: int = 80,
+    line_dedup_min_count: int | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_min_score: float = 0.5,
     quality_quantile_keep: float | None = None,
     substring_dedup_min_tokens: int | None = None,
     substring_max_dup_frac: float = 0.5,
@@ -373,8 +376,9 @@ def prep_pipeline(
     mixture_temperature: float | None = None,
     mixture_budget_frac: float = 0.5,
 ) -> DataFrame:
-    """pp1 — the end-to-end training-data prep shard: quality filter ->
-    [quantile filter ->] [decontaminate ->] exact dedup [-> substring dedup]
+    """pp1 — the end-to-end training-data prep shard: [line dedup ->]
+    quality filter -> [classifier filter ->] [quantile filter ->]
+    [decontaminate ->] exact dedup [-> substring dedup]
     [-> fuzzy dedup] [-> semantic dedup] [-> mixture sampling]
     -> deterministic split -> per-shard stats,
     composed from the same primitives the individual queries check (tx2's
@@ -395,6 +399,20 @@ def prep_pipeline(
     tokens as the target, applied as one semi-join on ids. Deterministic
     (hash-threshold, never rand()); checked by the sm2 oracle plus the
     staged-composition pytest.
+
+    ``line_dedup_min_count`` (opt-in) runs dd11's structural line rule
+    FIRST — before any quality scoring — because it rewrites the text
+    itself (corpus-repeated lines removed), and every downstream signal
+    (alpha ratio, content sha, shingles) must see the cleaned text; this
+    is where extraction-stage line filtering sits in production crawls
+    (C4/CCNet). One join against the rebuilt docs; fully-boilerplate docs
+    fall to the ``min_chars`` gate naturally.
+
+    ``classifier_weights`` (opt-in) inserts cls1's model-based filter
+    after the absolute quality gate: docs scoring under
+    ``classifier_min_score`` with the given (token, weight) model are
+    dropped via one semi-join on ids (the FineWeb-Edu / DCLM classifier
+    stage; the model table broadcast-joins against the token stream).
 
     ``quality_quantile_keep`` (opt-in) inserts qf1's corpus-relative
     quality stage right after the absolute filter: keep the top fraction of
@@ -440,6 +458,15 @@ def prep_pipeline(
     rows-only like the fuzzy stage (k-means + UDF cosines have no DuckDB
     twin; ground truth in tests/test_semantic_dedup.py).
     """
+    if line_dedup_min_count is not None:
+        from samsa_spark.operators.dedup import line_dedup
+
+        # Rewrite the text FIRST (see docstring): every downstream signal
+        # must see the line-cleaned corpus.
+        cleaned = line_dedup(documents, min_count=line_dedup_min_count).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        documents = documents.drop("text").join(cleaned, "doc_id")
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     quality = F.round(alpha / n_chars, 6)
@@ -458,6 +485,18 @@ def prep_pipeline(
     filtered = documents.select(
         "doc_id", *src_cols, "lang", "text", quality.alias("alpha_ratio")
     ).where((n_chars >= min_chars) & (F.col("alpha_ratio") >= min_alpha_ratio))
+    if classifier_weights is not None:
+        from samsa_spark.operators.text import classifier_score
+
+        # Model-based filter (cls1) right after the absolute gate — the
+        # trained-weights path broadcast-joins the vocabulary; semi-join on
+        # ids keeps the plan narrow.
+        scored = (
+            classifier_score(filtered, weights=classifier_weights)
+            .where(F.col("clf_score") >= classifier_min_score)
+            .select("doc_id")
+        )
+        filtered = filtered.join(scored, "doc_id", "left_semi")
     if quality_quantile_keep is not None:
         # Corpus-relative quality stage (qf1, FineWeb-style) right after the
         # absolute filter: cutpoints must reflect the corpus that passed the

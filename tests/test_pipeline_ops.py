@@ -688,3 +688,56 @@ def test_quality_quantile_matches_model_on_random_corpora(spark):
             for r in quality_quantile_filter(df, keep_frac=0.5).collect()
         }
         assert got == want, f"trial {trial}: {sorted(got ^ want)}"
+
+
+def test_prep_pipeline_line_dedup_and_classifier_stages(spark):
+    """The two round-7 opt-in stages compose: the line stage rewrites text
+    BEFORE anything else (so docs that differ only by corpus-repeated
+    boilerplate collapse in exact dedup), and the classifier stage drops
+    docs scoring under the threshold with the given model."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.pipeline_ops import prep_pipeline
+
+    body_a = "the quick brown fox jumps over the lazy dog " * 3
+    body_b = "pack my box with five dozen liquor jugs now " * 3
+    boiler = "subscribe to our newsletter today please"
+    rows = [
+        # docs 0/1: same body line (2x < min_count -> kept), different
+        # position of the shared boilerplate line (3x -> removed) -> the
+        # docs become identical only AFTER the line stage.
+        (0, "en", "web", f"{boiler}\n{body_a}"),
+        (1, "en", "web", f"{body_a}\n{boiler}"),
+        (2, "en", "web", f"{body_b}\n{boiler}\nunique trailing sentence here"),
+        # doc 3: spam tokens the classifier model scores down.
+        (3, "en", "web", "spam spam spam " + body_a + " extended"),
+        # doc 4: clean control.
+        (4, "en", "web", "a wholly distinct document body " * 4),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    )
+
+    base = prep_pipeline(docs)
+    n_base = sum(r.n_docs for r in base.collect())
+    assert n_base == 5  # all distinct without the line stage
+
+    lined = prep_pipeline(docs, line_dedup_min_count=3)
+    n_lined = sum(r.n_docs for r in lined.collect())
+    # boiler occurs 3x -> removed everywhere -> docs 0 and 1 become
+    # byte-identical and exact dedup collapses them.
+    assert n_lined == 4
+
+    w = spark.createDataFrame(
+        pd.DataFrame({"token": ["spam"], "weight": [-10.0]})
+    )
+    both = prep_pipeline(docs, line_dedup_min_count=3, classifier_weights=w)
+    n_both = sum(r.n_docs for r in both.collect())
+    assert n_both == 3  # doc 3's mean weight is deeply negative -> dropped
+
+    # token accounting must reflect the CLEANED text: the staged total must
+    # be strictly below the stage-free total for the same surviving docs.
+    t_base = sum(r.total_tokens for r in base.collect())
+    t_lined = sum(r.total_tokens for r in lined.collect())
+    assert t_lined < t_base
