@@ -398,6 +398,91 @@ FROM events GROUP BY 1, 2
 _register("st5_streaming_windowed_counts", _streaming_windowed_counts, _ST5_SQL)
 
 
+def _streaming_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
+    """st6 — STREAM-STREAM inner join inside the exact gate: the last big
+    Structured Streaming form (st1-st3 cover keyed state, st4 dedup state,
+    st5 windowed aggregation). Clicks and purchases replay as two
+    independent multi-trigger file backlogs; each purchase joins every
+    click by the same user in the preceding hour (the attribution shape —
+    the KEYED sibling of rj1's keyless bin join). Matches whose sides
+    arrive in different triggers must pair through the join state, which
+    is exactly what the multi-trigger replay exercises.
+
+    Exactness: an INNER stream-stream join with no watermark keeps both
+    sides' state unbounded and emits every match exactly once regardless
+    of trigger boundaries — so over a finite backlog the emitted set
+    equals the batch join, and the oracle is plain SQL. (Production runs
+    add watermarks to bound state — that EVICTION timing is engine-coupled
+    and stays out of exact oracles, the note-15 stance.)
+    """
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.streaming.sources import file_stream
+
+    window_us = 3_600_000_000
+    ev = tables.load(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("c_ts_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    base = tempfile.mkdtemp(prefix="samsa-st6-")
+    src_c = os.path.join(base, "clicks")
+    src_p = os.path.join(base, "purchases")
+    clicks.repartition(4).write.parquet(src_c)
+    purchases.repartition(4).write.parquet(src_p)
+
+    sc = file_stream(spark, src_c, clicks.schema, max_files_per_trigger=2)
+    sp = file_stream(spark, src_p, purchases.schema, max_files_per_trigger=2)
+    joined = sp.join(
+        sc,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("c_ts_us") <= F.col("p_ts_us"))
+        & (F.col("c_ts_us") >= F.col("p_ts_us") - window_us),
+        "inner",
+    ).select("purchase_id", "p_user_id", "p_ts_us", "click_id", "c_ts_us")
+
+    out = os.path.join(base, "out")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
+
+
+_ST6_SQL = """
+WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_ts_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+             epoch_us(ts) AS p_ts_us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.p_user_id, p.p_ts_us, c.click_id, c.c_ts_us
+FROM p JOIN c ON p.p_user_id = c.user_id
+             AND c.c_ts_us <= p.p_ts_us
+             AND c.c_ts_us >= p.p_ts_us - 3600000000
+"""
+
+_register("st6_streaming_attribution_join", _streaming_attribution_join, _ST6_SQL)
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:
@@ -448,6 +533,7 @@ _DEMOTED = (
     "tx4_fingerprints",               # dd1's sha canonicalization keeps content hashing in-window and tx1/tx2 the per-row text transforms; the rolling-hash fingerprint battery is pytest-oracle-checked — slot goes to cls1 model-based quality scoring (a new family: classifier filtering)
     "rp1_random_projection",          # vec1/sim1/sim4 anchor the embedding surface in-window; the JL Rademacher projection is pytest-oracle-checked (exact literal-matrix twin + distance-preservation/recall sweeps)
     "st5_streaming_windowed_counts",  # st1/st2/st3 keep the streaming engine in-window; the watermark windowed-agg append path is pytest-oracle-checked (sentinel-flushed full emission == batch tumbling aggregate)
+    "st6_streaming_attribution_join", # st1/st3 keep the streaming engine in-window and as2/rj1 the time-range joins; the stream-stream inner join is pytest-oracle-checked (multi-trigger emission == batch join)
 )
 
 

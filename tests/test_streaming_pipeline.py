@@ -274,3 +274,13 @@ def test_st5_streaming_windowed_counts_oracle(spark):
 
     ok, msg = check_query(spark, "st5_streaming_windowed_counts", SF_SMALL)
     assert ok, msg
+
+
+def test_st6_streaming_attribution_join_oracle(spark):
+    """st6: the stream-stream inner join over two multi-trigger backlogs
+    must emit exactly the batch join's match set (pairs whose sides arrive
+    in different triggers pair through the join state)."""
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st6_streaming_attribution_join", SF_SMALL)
+    assert ok, msg
