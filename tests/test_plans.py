@@ -139,3 +139,66 @@ def test_sm2_rate_table_broadcasts(spark):
     p = _plan(spark, "sm2_mixture_sample")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_dd11_line_count_partial_aggregate_no_cartesian(spark):
+    """dd11's corpus-wide line count must get map-side partials (algebraic
+    count on the line sha) and both the hot-line join back and the per-doc
+    rebuild must stay equi-join/hash-aggregate shapes — no nested loop, no
+    global sort."""
+    p = _plan(spark, "dd11_line_dedup")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the reassembly is a hash aggregate over (doc_id), not a window sort
+    assert "Window" not in p
+
+
+def test_cls1_standin_is_pure_aggregate_no_python(spark):
+    """cls1's stand-in path must be explode -> hash aggregate -> equi-join
+    with zero Python stages (the sha/conv/sigmoid algebra runs JVM-side)."""
+    p = _plan(spark, "cls1_classifier_score")
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_cls1_trained_weights_path_broadcasts_vocab(spark):
+    """The (token, weight) model table must reach the token stream as a
+    BroadcastHashJoin — a shuffle join against a MB-scale vocabulary would
+    re-shuffle the whole corpus."""
+    import pandas as pd
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import classifier_score
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    w = spark.createDataFrame(
+        pd.DataFrame({"token": ["the", "and"], "weight": [0.5, -0.5]})
+    )
+    df = classifier_score(docs, weights=w)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rp1_projection_single_narrow_stage(spark):
+    """rp1 must be one scan -> one Arrow projection: no Exchange at all
+    (the sign matrix is a plan literal, not a joined table)."""
+    p = _plan(spark, "rp1_random_projection")
+    assert "ArrowEvalPython" in p
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_rj1_binned_join_is_equi_join_not_nested_loop(spark):
+    """rj1 exists to avoid BroadcastNestedLoopJoin (Catalyst's only native
+    plan for a keyless range predicate); the binned rewrite must produce a
+    real equi-join on the bucket."""
+    p = _plan(spark, "rj1_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
