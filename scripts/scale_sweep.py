@@ -507,6 +507,57 @@ def sweep_substring(spark) -> None:
         df.unpersist()
 
 
+def sweep_linecls(spark) -> None:
+    """dd11/cls1 at 1x and 10x corpus. dd11 input is restructured into
+    ~10-token lines with one shared boilerplate line appended per doc (the
+    hot-line table grows with the line VOCABULARY while the drop set grows
+    ∝ N — the realistic crawl shape); cls1 runs on the raw corpus. Both
+    are explode -> algebraic hash aggregate (+ one join back), so rows/sec
+    should hold ~flat at 10x."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import line_dedup
+    from samsa_spark.operators.text import classifier_score
+
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    toks = F.split("text", " ")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.expr("(size(split(text, ' ')) - 1) div 10")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, "\n"), F.lit("\nsubscribe to our newsletter")
+        ).alias("text"),
+    )
+
+    def replicated(base, factor: int):
+        if factor == 1:
+            return base, n_docs
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.concat_ws(" ", "text", F.concat(F.lit("u"), F.col("_r"))).alias("text"),
+        )
+        return df, n_docs * factor
+
+    line_dedup(lined).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        for label, base, fn in (
+            ("dd11_line_dedup", lined, line_dedup),
+            ("cls1_classifier_score", docs, classifier_score),
+        ):
+            df, n = replicated(base, factor)
+            df = df.localCheckpoint(eager=True)
+            _time(f"{label}_x{factor}", lambda fn=fn, df=df: fn(df), n)
+            df.unpersist()
+
+
 def sweep_skew(spark) -> None:
     """Zipf-keyed log at 10M rows: vanilla vs salted forms of last-write
     compaction (d2 vs d2s) and of the fact-dim join (js1's shape), with the
@@ -620,6 +671,8 @@ def main() -> None:
         sweep_skew(spark)
     if what in ("quantile", "all"):
         sweep_quantile(spark)
+    if what in ("linecls", "all"):
+        sweep_linecls(spark)
     spark.stop()
 
 
