@@ -816,6 +816,85 @@ GROUP BY doc_id
 """
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """lm2 — CONDITIONAL bigram LM quality score: per-doc mean
+    ``ln P(w2 | w1)`` under the corpus's own bigram MLE (``c(w1 w2) /
+    c(w1 ·)``, the context count — so the conditional sums to 1 per
+    context and no smoothing is needed when scoring the same corpus the
+    model was counted on). One order up from lm1's unigram: sequence
+    structure now matters, so shuffled word salad scores low even when
+    every individual token is common — closer to the CCNet/KenLM
+    perplexity filter (Wenzek et al. 2020 §4.3) while staying
+    engine-portable. Docs with fewer than 2 tokens have no bigrams:
+    ``n_bigrams = 0`` and a NULL score (kept via the final left join).
+
+    Plan shape: adjacent pairs are pure array algebra (two slices zipped,
+    no window); the pair stream feeds one algebraic count per (w1, w2),
+    the context count is a second type-level aggregate OVER THE PAIR
+    COUNTS (bigram-type cardinality, not corpus cardinality), and scoring
+    joins the bigram model back broadcast — the same
+    vocab-is-tiny-next-to-corpus argument (and graceful shuffle-join
+    degradation) as lm1. Mean logprob rounds to 6 decimals (repo rule 6).
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = documents.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, "w1").select(
+        "w1", "w2", F.log(F.col("c2") / F.col("c1")).alias("lp")
+    )
+    scored = (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
+_LM2_SQL = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([{'w1': ls[i], 'w2': ls[i + 1]}
+                 for i in generate_series(1, len(ls) - 1)],
+                recursive := true)
+  FROM s
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1
+), sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln(c2.c2 / c1.c1)), 6) AS avg_logprob
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_logprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 _PP1_SQL = f"""
 WITH f AS (
   SELECT doc_id, lang, text, round(
@@ -868,6 +947,7 @@ def build_queries():
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
         "ck1_chunk_overlap": (q(chunk_overlap, "documents"), _CK1_SQL),
         "lm1_unigram_logprob": (q(unigram_logprob, "documents", spread=True), _LM1_SQL),
+        "lm2_bigram_logprob": (q(bigram_logprob, "documents", spread=True), _LM2_SQL),
         # fuzzy form: the dd3 MinHash stage rides xxhash64 (no DuckDB twin)
         # -> rows-only, rank 2, outside the hash window like dd3/sim5;
         # ground truth = planted-corpus equivalence in tests/test_pipeline_ops.py.

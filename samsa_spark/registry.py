@@ -534,6 +534,7 @@ _DEMOTED = (
     "rp1_random_projection",          # vec1/sim1/sim4 anchor the embedding surface in-window; the JL Rademacher projection is pytest-oracle-checked (exact literal-matrix twin + distance-preservation/recall sweeps)
     "st5_streaming_windowed_counts",  # st1/st2/st3 keep the streaming engine in-window; the watermark windowed-agg append path is pytest-oracle-checked (sentinel-flushed full emission == batch tumbling aggregate)
     "st6_streaming_attribution_join", # st1/st3 keep the streaming engine in-window and as2/rj1 the time-range joins; the stream-stream inner join is pytest-oracle-checked (multi-trigger emission == batch join)
+    "lm2_bigram_logprob",             # tf1 anchors the explode->vocab->score shape in-window (lm1's rationale); the conditional-bigram LM score is pytest-oracle-checked + order-sensitivity tested
 )
 
 

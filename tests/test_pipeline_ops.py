@@ -741,3 +741,34 @@ def test_prep_pipeline_line_dedup_and_classifier_stages(spark):
     t_base = sum(r.total_tokens for r in base.collect())
     t_lined = sum(r.total_tokens for r in lined.collect())
     assert t_lined < t_base
+
+
+def test_lm2_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "lm2_bigram_logprob", SF_SMALL)
+    assert ok, msg
+
+
+def test_lm2_is_order_sensitive_unlike_lm1(spark):
+    """The point of the bigram model: a doc that is a token-level shuffle
+    of common text scores LOWER than the original (unseen transitions),
+    while lm1's unigram score is identical for both by construction. Also:
+    a one-token doc gets n_bigrams=0 and a NULL score."""
+    import pandas as pd
+
+    from samsa_spark.operators.pipeline_ops import bigram_logprob, unigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    toks = fluent.split(" ")
+    shuffled = " ".join(
+        toks[i] for i in [7, 2, 9, 0, 12, 4, 1, 10, 3, 6, 5, 8, 11]
+    )
+    corpus = [(i, fluent) for i in range(8)] + [(100, shuffled), (200, "solo")]
+    docs = spark.createDataFrame(pd.DataFrame(corpus, columns=["doc_id", "text"]))
+
+    lm2 = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    lm1 = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert lm2[100].avg_logprob < lm2[0].avg_logprob, "shuffle must score lower"
+    assert lm1[100] == lm1[0], "unigram is order-blind by construction"
+    assert lm2[200].n_bigrams == 0 and lm2[200].avg_logprob is None

@@ -75,6 +75,7 @@ SIBLINGS = {
     "rp1_random_projection": ["vec1_label_centroids", "sim1_cosine_topk"],
     "st5_streaming_windowed_counts": ["st1_streaming_state", "st3_streaming_custom_fold"],
     "st6_streaming_attribution_join": ["st1_streaming_state", "as2_asof_cogrouped"],
+    "lm2_bigram_logprob": ["tf1_tfidf_top_terms"],
 }
 
 
