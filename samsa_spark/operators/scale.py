@@ -164,6 +164,55 @@ def vector_stats(embeddings: DataFrame) -> DataFrame:
 # --- registry wiring -------------------------------------------------------
 
 
+def key_skew_report(
+    df: DataFrame,
+    key: str = "user_id",
+    shuffle_partitions: int = 200,
+    top: int = 5,
+) -> DataFrame:
+    """sk1 — the skew DIAGNOSIS that precedes every salting decision: the
+    hottest ``top`` keys with each one's multiple of a reducer's fair
+    share (``rows * partitions / total``) and whether that multiple
+    clears the ~10x crossover where salting a shuffle join wins (PLANS.md
+    skew sweep; notes 18/21 — the ratio is partition-count-RELATIVE, so
+    ``shuffle_partitions`` is an explicit parameter, defaulting to the
+    vanilla 200, never silently read from the session).
+
+    One algebraic count per key + a top-k (TakeOrderedAndProject — no
+    global sort) + one broadcast of the single-row total. This is the
+    measuring pass `salted_join(check_skew=True)` runs inline, exposed as
+    a first-class report a user runs BEFORE pinning a production plan.
+    The ratio rounds to 6dp before the threshold so the advice column is
+    engine-exact.
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_t"))
+    ratio = F.round(F.col("n_rows") * F.lit(shuffle_partitions) / F.col("_t"), 6)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            ratio.alias("fair_share_ratio"),
+            (ratio >= 10.0).alias("salting_advised"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top)
+    )
+
+
+_SK1_SQL = """
+WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS _t FROM c)
+SELECT key, n_rows,
+       round(n_rows * 200 / _t, 6) AS fair_share_ratio,
+       round(n_rows * 200 / _t, 6) >= 10.0 AS salting_advised
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, key LIMIT 5
+"""
+
+
 def build_queries():
     def q(fn, name, spread=False):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -180,6 +229,7 @@ def build_queries():
     return {
         "d2s_salted_compaction": (q(compact_latest_salted, "events"), state_ops.ORACLE_SQL["d2_state_table"]),
         "js1_salted_join": (q2(salted_enrich_stats, "events", "customer"), _JS1_SQL),
+        "sk1_key_skew_report": (q(key_skew_report, "events"), _SK1_SQL),
         "pc1_percentiles": (q(value_percentiles, "lineitem", spread=True), _PC1_SQL),
         "hist1_doc_lengths": (q(doc_length_histogram, "documents"), _HIST1_SQL),
         "arr1_vector_stats": (q(vector_stats, "embeddings"), _ARR1_SQL),

@@ -76,6 +76,7 @@ SIBLINGS = {
     "st5_streaming_windowed_counts": ["st1_streaming_state", "st3_streaming_custom_fold"],
     "st6_streaming_attribution_join": ["st1_streaming_state", "as2_asof_cogrouped"],
     "lm2_bigram_logprob": ["tf1_tfidf_top_terms"],
+    "sk1_key_skew_report": ["js1_salted_join", "d2_state_table"],
 }
 
 

@@ -145,3 +145,28 @@ def test_semantic_cells_guard_and_autosize(spark):
         warnings.simplefilter("always")
         semantic_dup_pairs(df, cells=None, kmeans_iters=1).count()  # auto: 32 cells, no warn
     assert not any("N/10" in str(x.message) for x in w)
+
+
+def test_sk1_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "sk1_key_skew_report", SF_SMALL)
+    assert ok, msg
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    """A 60%-hot key at 200 partitions is ~120x fair share -> advised;
+    uniform keys are ~2x -> not advised (and at 8 partitions NO key can be
+    advised — the note-21 partition-count-relativity)."""
+    import pandas as pd
+
+    from samsa_spark.operators.scale import key_skew_report
+
+    rows = [(9, i) for i in range(600)] + [(i % 40, 10_000 + i) for i in range(400)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "event_id"]))
+    rep = {r.key: r for r in key_skew_report(df, shuffle_partitions=200).collect()}
+    assert rep[9].salting_advised and rep[9].n_rows == 610  # 600 + 400/40
+    assert all(not r.salting_advised for k, r in rep.items() if k != 9)
+    # partition-count-relative: at 8 partitions the max possible ratio is 8
+    rep8 = {r.key: r for r in key_skew_report(df, shuffle_partitions=8).collect()}
+    assert not any(r.salting_advised for r in rep8.values())
