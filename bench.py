@@ -113,6 +113,16 @@ PIPELINE = [
     "cs1_corpus_card",
     "tx9_compression_signals",
     "rj1_range_join",
+    # final round-7 batch ops (first floors BENCH_r07): line dedup,
+    # classifier scoring, bigram LM, JL projection, skew report. st5/st6
+    # are deliberately NOT here — streaming-engine startup dominates their
+    # time, already represented by st1/st3 in CANONICAL.
+    "dd11_line_dedup",
+    "cls1_classifier_score",
+    "lm2_bigram_logprob",
+    "rp1_random_projection",
+    "sk1_key_skew_report",
+    "tok1_bpe_pair_counts",
 ]
 
 

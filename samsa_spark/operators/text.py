@@ -425,6 +425,62 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def bpe_pair_counts(documents: DataFrame, top: int = 20) -> DataFrame:
+    """tok1 — the tokenizer-TRAINING primitive: corpus-weighted adjacent
+    character-pair counts, i.e. the statistic the first BPE merge
+    iteration maximizes (Sennrich et al. 2016). Returns the ``top`` pairs
+    as ``(left, right, pair_count)``, count-desc with a deterministic
+    (left, right) tie-break.
+
+    Scale shape — the part that matters at 100 TB: the ONLY
+    corpus-cardinality work is the word-frequency aggregate (one explode +
+    algebraic count). Pair extraction then runs over the word VOCABULARY
+    (type-level, millions of rows at web scale, not trillions), weighted
+    by the frequency — the standard BPE-training factorization. Pairs are
+    lm2's slice-zip array algebra; the final top-k is
+    TakeOrderedAndProject, no global sort.
+
+    Within-word pairs only (no cross-word merges), matching BPE's
+    word-boundary convention; multi-codepoint graphemes count per
+    codepoint (both engines split identically by codepoint).
+    """
+    words = documents.select(F.explode(_toks()).alias("w")).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    chars = F.split("w", "")
+    n = F.size(chars)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(chars, 1, n - 1).alias("l"), F.slice(chars, 2, n - 1).alias("r")
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left", "right")
+        .limit(top)
+    )
+
+
+_TOK1_SQL = """
+WITH w AS (
+  SELECT tok AS w, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+), p AS (
+  SELECT freq,
+         unnest([{'l': cs[i], 'r': cs[i + 1]}
+                 for i in generate_series(1, len(cs) - 1)],
+                recursive := true)
+  FROM (SELECT freq, string_split(w, '') AS cs FROM w)
+)
+SELECT l AS "left", r AS "right", CAST(sum(freq) AS BIGINT) AS pair_count
+FROM p GROUP BY l, r
+ORDER BY pair_count DESC, "left", "right" LIMIT 20
+"""
+
+
 def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
     """tx9 — zlib compression ratio per document: the classic cheap
     repetition/boilerplate signal (highly repetitive or templated text
@@ -488,6 +544,7 @@ def build_queries():
         "tx6_gopher_rules": (q(gopher_rules), _TX6_SQL),
         "tx7_pii_scrub": (q(pii_scrub), _TX7_SQL),
         "cls1_classifier_score": (q(classifier_score), _CLS1_SQL),
+        "tok1_bpe_pair_counts": (q(bpe_pair_counts), _TOK1_SQL),
         # sketch-based: HLL++/GK internals have no DuckDB twin -> rows-only,
         # rank 2, outside the hash window like dd3; pytest bounds the
         # estimates against exact values (tests/test_text.py).

@@ -536,6 +536,7 @@ _DEMOTED = (
     "st6_streaming_attribution_join", # st1/st3 keep the streaming engine in-window and as2/rj1 the time-range joins; the stream-stream inner join is pytest-oracle-checked (multi-trigger emission == batch join)
     "lm2_bigram_logprob",             # tf1 anchors the explode->vocab->score shape in-window (lm1's rationale); the conditional-bigram LM score is pytest-oracle-checked + order-sensitivity tested
     "sk1_key_skew_report",            # js1/d2s anchor skew handling in-window; the fair-share diagnosis report is pytest-oracle-checked (+ planted-skew advice test)
+    "tok1_bpe_pair_counts",           # udtf1/tf1 anchor the explode->count->rank text shapes in-window; the BPE pair statistic is pytest-oracle-checked (+ hand-computed planted-corpus test)
 )
 
 

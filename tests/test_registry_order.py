@@ -77,6 +77,7 @@ SIBLINGS = {
     "st6_streaming_attribution_join": ["st1_streaming_state", "as2_asof_cogrouped"],
     "lm2_bigram_logprob": ["tf1_tfidf_top_terms"],
     "sk1_key_skew_report": ["js1_salted_join", "d2_state_table"],
+    "tok1_bpe_pair_counts": ["udtf1_ngram_counts", "tf1_tfidf_top_terms"],
 }
 
 

@@ -234,3 +234,25 @@ def test_classifier_score_standin_matches_python_model(spark):
         mean_w = sum(hs) / len(hs) / float(1 << 23) - 1
         want = round(1 / (1 + math.exp(-mean_w)), 6)
         assert got[d] == pytest.approx(want, abs=1e-9), (d, got[d], want)
+
+
+def test_tok1_oracle_match(spark):
+    ok, msg = check_query(spark, "tok1_bpe_pair_counts", SF_SMALL)
+    assert ok, msg
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """The BPE statistic on a corpus small enough to count by hand:
+    pair counts are word-frequency-weighted, within-word only, and the
+    top pair is the one the first merge would pick."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import bpe_pair_counts
+
+    # "low" x3, "lower" x1  ->  ('l','o'): 4, ('o','w'): 4, ('w','e'): 1,
+    # ('e','r'): 1. Single-char words contribute nothing.
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["low low lower a", "low a a"]})
+    )
+    got = {(r["left"], r["right"]): r.pair_count for r in bpe_pair_counts(docs).collect()}
+    assert got == {("l", "o"): 4, ("o", "w"): 4, ("w", "e"): 1, ("e", "r"): 1}
