@@ -558,3 +558,56 @@ def test_line_dedup_duckdb_parity_on_multiline_corpus(spark):
     assert got[1] == "beta body two\nrepeated pair line"
     assert got[4] == "delta body four\n"
     assert got[3] == ""
+
+
+def _brute_line_dedup(texts: dict[int, str], min_count: int):
+    """Python model of dd11: count trimmed non-empty lines corpus-wide,
+    drop lines at/over min_count, rebuild."""
+    from collections import Counter
+
+    c = Counter()
+    for t in texts.values():
+        for line in t.split("\n"):
+            if line.strip():
+                c[line.strip()] += 1
+    out = {}
+    for d, t in texts.items():
+        lines = t.split("\n")
+        kept = [l for l in lines if not (l.strip() and c[l.strip()] >= min_count)]
+        out[d] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    return out
+
+
+# Lines drawn from a 4-word pool over 2-4-line docs: corpus-repeat
+# thresholds, trim variants, empty lines, and all-dropped docs all occur.
+_line_doc_strategy = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["alpha beta", "gamma delta", " alpha beta ", "", "epsilon zeta eta"]
+        ),
+        min_size=1,
+        max_size=4,
+    ).map("\n".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_line_doc_strategy, mc=st.integers(min_value=2, max_value=4))
+def test_line_dedup_matches_model_on_random_corpora(spark, texts, mc):
+    """dd11 must agree with the Python line-count model on random corpora
+    built from a tiny line pool (trim variants and empty lines included);
+    hypothesis shrinks any counterexample."""
+    from samsa_spark.operators.dedup import line_dedup
+
+    tx = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(d, "en", t) for d, t in tx.items()], "doc_id long, lang string, text string"
+    )
+    want = _brute_line_dedup(tx, mc)
+    got = {
+        r.doc_id: (r.n_lines, r.n_dropped_lines, r.clean_text)
+        for r in line_dedup(df, min_count=mc).collect()
+    }
+    assert got == want
