@@ -295,6 +295,55 @@ def frame_sample_stats(documents: DataFrame, every_k: int = SAMPLE_EVERY_K) -> D
     )
 
 
+def interleaved_pack(
+    documents: DataFrame,
+    budget_tokens: int = 512,
+    budget_media_bytes: int = 4096,
+) -> DataFrame:
+    """mm5 — INTERLEAVED multimodal sequence packing: assign docs (text
+    tokens + an opaque media payload each) to training-sequence bins under
+    a JOINT budget — a bin closes when EITHER the token slots or the media
+    bytes run out, which is how interleaved text+image batches are packed
+    (both context slots and vision-encoder capacity are finite). Same
+    greedy-by-doc-id, bin = cum-before div budget convention as pk1, with
+    the div taken as the max over both resources; media size is the
+    payload byte length from the :func:`as_media` model (column-pruned —
+    only ``octet_length`` reaches the scan, never the bytes).
+
+    One running-sum window per source + one follow-up aggregate, the pk1
+    shape exactly; at 100 TB compose with pk2's doc-chunk hierarchy the
+    same way (bins within fixed chunks -> parallelism = sources x chunks).
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = documents.select(
+        "source",
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.octet_length("text").alias("media_bytes"),
+    ).withColumn("ct", F.sum("n_tokens").over(w)).withColumn(
+        "cb", F.sum("media_bytes").over(w)
+    )
+    binned = cum.withColumn(
+        "bin",
+        F.greatest(
+            F.expr(f"(ct - n_tokens) div {budget_tokens}"),
+            F.expr(f"(cb - media_bytes) div {budget_media_bytes}"),
+        ),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.sum("media_bytes").alias("bin_media_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def build_queries():
     def q(fn):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -307,7 +356,31 @@ def build_queries():
         "mm2_decoded_features": (q(decoded_features), None),
         "mm3_resized_stats": (q(resized_stats), _MM3_SQL),
         "mm4_frame_sample_stats": (q(frame_sample_stats), _MM4_SQL),
+        "mm5_interleaved_pack": (q(interleaved_pack), _MM5_SQL),
     }
+
+
+_MM5_SQL = """
+WITH m AS (
+  SELECT source, doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         strlen(text) AS media_bytes
+  FROM documents
+), c AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS ct,
+         sum(media_bytes) OVER (PARTITION BY source ORDER BY doc_id) AS cb
+  FROM m
+)
+SELECT source,
+       CAST(greatest((ct - n_tokens) // 512, (cb - media_bytes) // 4096)
+            AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(sum(media_bytes) AS BIGINT) AS bin_media_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY source, bin
+"""
 
 
 # Constants interpolated (not hardcoded) so the registered query defaults and

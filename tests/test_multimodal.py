@@ -98,3 +98,47 @@ def test_mm2_stub_gate(spark):
     with pytest.raises(Exception) as ei:
         df.collect()
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_mm5_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "mm5_interleaved_pack", SF_SMALL)
+    assert ok, msg
+
+
+def test_interleaved_pack_dual_budget_boundaries(spark):
+    """Whichever budget binds first must close the bin: a token-heavy run
+    advances bins on tokens while bytes are slack, a byte-heavy run (long
+    unbroken words -> few tokens, many bytes) advances on bytes."""
+    import pandas as pd
+
+    from samsa_spark.operators.multimodal import interleaved_pack
+
+    token_heavy = " ".join("t" for _ in range(30))      # 30 tokens, 59 bytes
+    byte_heavy = "x" * 500                              # 1 token, 500 bytes
+    rows = [(i, "tok", token_heavy) for i in range(10)] + [
+        (100 + i, "byt", byte_heavy) for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    )
+    out = {
+        (r.source, r.bin): r
+        for r in interleaved_pack(
+            docs, budget_tokens=64, budget_media_bytes=1024
+        ).collect()
+    }
+    # tok source: 30 tokens/doc, 64-token budget -> bins advance every ~2-3
+    # docs on the TOKEN rule (bytes 59/doc never reach 1024 first).
+    tok_bins = sorted(b for s, b in out if s == "tok")
+    assert len(tok_bins) > 1
+    assert all(out[("tok", b)].bin_tokens <= 64 + 30 for b in tok_bins)
+    # byt source: 500 bytes/doc, 1024-byte budget -> bins advance every ~2-3
+    # docs on the BYTE rule (1 token/doc never reaches 64 first).
+    byt_bins = sorted(b for s, b in out if s == "byt")
+    assert len(byt_bins) > 1
+    assert all(out[("byt", b)].bin_media_bytes <= 1024 + 500 for b in byt_bins)
+    # conservation: every doc lands in exactly one bin
+    assert sum(r.n_docs for r in out.values()) == 20

@@ -78,6 +78,7 @@ SIBLINGS = {
     "lm2_bigram_logprob": ["tf1_tfidf_top_terms"],
     "sk1_key_skew_report": ["js1_salted_join", "d2_state_table"],
     "tok1_bpe_pair_counts": ["udtf1_ngram_counts", "tf1_tfidf_top_terms"],
+    "mm5_interleaved_pack": ["pk2_pack_chunked", "mm1_media_metadata"],
 }
 
 
