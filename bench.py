@@ -123,6 +123,7 @@ PIPELINE = [
     "rp1_random_projection",
     "sk1_key_skew_report",
     "tok1_bpe_pair_counts",
+    "mm5_interleaved_pack",
 ]
 
 

@@ -772,3 +772,48 @@ def test_lm2_is_order_sensitive_unlike_lm1(spark):
     assert lm2[100].avg_logprob < lm2[0].avg_logprob, "shuffle must score lower"
     assert lm1[100] == lm1[0], "unigram is order-blind by construction"
     assert lm2[200].n_bigrams == 0 and lm2[200].avg_logprob is None
+
+
+def test_prep_pipeline_all_stages_compose(spark):
+    """Every opt-in stage enabled AT ONCE — the interaction smoke no
+    single-stage test covers: line dedup -> quality filter -> classifier ->
+    quantile -> decontaminate -> exact dedup -> substring -> fuzzy ->
+    semantic -> mixture must run as one plan over the real corpus, be
+    deterministic across reruns, and keep no more docs than the stage-free
+    pipeline."""
+    import pandas as pd
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import prep_pipeline
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    bench = docs.where("doc_id < 5").select("doc_id", "lang", "text")
+    w = spark.createDataFrame(
+        pd.DataFrame({"token": ["the", "a"], "weight": [0.6, 0.4]})
+    )
+
+    kwargs = dict(
+        line_dedup_min_count=3,
+        classifier_weights=w,
+        classifier_min_score=0.4,
+        quality_quantile_keep=0.9,
+        decontaminate_against=bench,
+        substring_dedup_min_tokens=13,
+        fuzzy_min_est_jaccard=0.6,
+        semantic_dedup_embeddings=emb,
+        semantic_min_cos=0.45,
+        semantic_cells=4,
+        mixture_temperature=0.7,
+        mixture_budget_frac=0.8,
+    )
+    out1 = sorted(map(tuple, prep_pipeline(docs, **kwargs).collect()))
+    out2 = sorted(map(tuple, prep_pipeline(docs, **kwargs).collect()))
+    assert out1 == out2, "full stage stack must be deterministic"
+    cols = prep_pipeline(docs, **kwargs).columns
+    n_idx = cols.index("n_docs")
+    n_all = sum(r[n_idx] for r in out1)
+    n_base = sum(r.n_docs for r in prep_pipeline(docs).collect())
+    assert 0 < n_all <= n_base
+    # the decontaminated benchmark docs can never survive into the shards
+    assert n_all <= n_base - bench.count() + 1  # ±1: bench docs may fail base gates anyway
