@@ -674,7 +674,12 @@ FROM t LEFT JOIN ka USING (doc_id)
 """
 
 
-def line_dedup(documents: DataFrame, min_count: int = 3) -> DataFrame:
+# min_count interpolated into the oracle (not hardcoded) so the registered
+# default and the SQL threshold cannot drift apart (round-3 advice).
+LINE_DEDUP_MIN_COUNT = 3
+
+
+def line_dedup(documents: DataFrame, min_count: int = LINE_DEDUP_MIN_COUNT) -> DataFrame:
     """dd11 — STRUCTURAL line-level corpus dedup (the C4/CCNet/RefinedWeb
     rule family): drop every line whose trimmed form occurs at least
     ``min_count`` times across the corpus — navigation bars, cookie
@@ -756,7 +761,7 @@ l AS (
 ),
 hot AS (
   SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
-  GROUP BY trim(line) HAVING count(*) >= 3
+  GROUP BY trim(line) HAVING count(*) >= __MIN_COUNT__
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_lines,
@@ -768,7 +773,7 @@ SELECT doc_id,
          '') AS clean_text
 FROM l LEFT JOIN hot ON trim(l.line) = hot.k
 GROUP BY doc_id
-"""
+""".replace("__MIN_COUNT__", str(LINE_DEDUP_MIN_COUNT))
 
 
 def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int = 15) -> DataFrame:

@@ -352,7 +352,9 @@ def classifier_score(documents: DataFrame, weights: DataFrame | None = None) -> 
     "classifier filter" stage) as first-class plumbing. Each whitespace
     token contributes a weight; the document score is
     ``sigmoid(mean(weight))`` and ``keep`` thresholds it at 0.5. Pass a
-    trained model as a ``(token, weight)`` DataFrame; with ``weights=None``
+    trained model as a ``(token, weight)`` DataFrame — one row per token
+    (a duplicated token would duplicate matching rows and skew the mean);
+    with ``weights=None``
     a DETERMINISTIC hash-derived stand-in model is used (weight = the
     token's 24-bit sha256 prefix scaled to ``[-1, 1)``) — the container
     ships no model artifacts (same stance as mm2's codec stub), but unlike
