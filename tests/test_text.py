@@ -256,3 +256,35 @@ def test_bpe_pair_counts_hand_computed(spark):
     )
     got = {(r["left"], r["right"]): r.pair_count for r in bpe_pair_counts(docs).collect()}
     assert got == {("l", "o"): 4, ("o", "w"): 4, ("w", "e"): 1, ("e", "r"): 1}
+
+
+def test_text_ops_unicode_parity(spark):
+    """Cross-engine unicode contract on planted CJK/emoji/combining-mark
+    docs: tx1's four counts (codepoint length, UTF-8 bytes, whitespace
+    split, ASCII regex tokens) must match DuckDB exactly — the encodings
+    where engines classically diverge (UTF-16 code units vs codepoints vs
+    graphemes)."""
+    import duckdb
+    import pandas as pd
+
+    from samsa_spark.operators.text import _TX1_SQL, token_counts
+    from tests.oracle import compare
+
+    rows = [
+        (0, "汉字测试 四个 词"),                      # CJK, 3 ws-tokens
+        (1, "emoji 🙂 and 👍🏽 mixed"),               # astral-plane + modifier
+        (2, "café combining acute"),           # e + U+0301
+        (3, "tabs\tand  double  spaces"),
+        (4, "ascii only words here"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = con.execute(_TX1_SQL).fetchdf()
+    ok, msg = compare(token_counts(spark.createDataFrame(pdf)), oracle)
+    assert ok, msg
+    # spot-check the invariants the comparison relies on
+    got = {r.doc_id: r for r in token_counts(spark.createDataFrame(pdf)).collect()}
+    assert got[1].n_chars_computed == len(rows[1][1]), "codepoints, not code units"
+    assert got[1].n_bytes == len(rows[1][1].encode("utf-8"))
+    assert got[2].n_chars_computed == len("café combining acute")
