@@ -284,3 +284,84 @@ def test_st6_streaming_attribution_join_oracle(spark):
 
     ok, msg = check_query(spark, "st6_streaming_attribution_join", SF_SMALL)
     assert ok, msg
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """st6's join state across a crash: purchases all arrive before the
+    "crash"; half the clicks arrive after the restart from the same
+    checkpoint. Every cross-restart match must still emit EXACTLY once —
+    the final sink equals the batch join with no duplicates."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.streaming.sources import file_stream
+
+    W = 3_600_000_000
+    ev = tables.load(spark, SF_SMALL, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts_us").alias("c_ts_us")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    half = str(tmp_path / "clicks_half2")
+    thr = clicks.agg(F.max("click_id")).first()[0] // 2
+    os.makedirs(c_dir)
+    clicks.where(F.col("click_id") <= thr).repartition(3).write.mode("overwrite").parquet(c_dir)
+    clicks.where(F.col("click_id") > thr).repartition(3).write.parquet(half)
+    purchases.repartition(3).write.parquet(p_dir)
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def run():
+        sc = file_stream(spark, c_dir, clicks.schema, max_files_per_trigger=2)
+        sp = file_stream(spark, p_dir, purchases.schema, max_files_per_trigger=2)
+        joined = sp.join(
+            sc,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("c_ts_us") <= F.col("p_ts_us"))
+            & (F.col("c_ts_us") >= F.col("p_ts_us") - W),
+            "inner",
+        ).select("purchase_id", "p_user_id", "p_ts_us", "click_id", "c_ts_us")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    run()  # first run: all purchases, clicks half 1
+    for f in os.listdir(half):  # "crash"; late clicks arrive
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(half, f), os.path.join(c_dir, f"h2-{f}"))
+    run()  # restart from the same checkpoint
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            purchases.join(
+                clicks,
+                (purchases.p_user_id == clicks.user_id)
+                & (clicks.c_ts_us <= purchases.p_ts_us)
+                & (clicks.c_ts_us >= purchases.p_ts_us - W),
+            )
+            .select("purchase_id", "p_user_id", "p_ts_us", "click_id", "c_ts_us")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == len(set(got)), "restart must not duplicate matches"
