@@ -483,6 +483,51 @@ ORDER BY pair_count DESC, "left", "right" LIMIT 20
 """
 
 
+def corpus_card_partial(documents: DataFrame) -> DataFrame:
+    """Per-source PARTIAL data card whose distinct-content state is an
+    explicit Apache DataSketches HLL column (``hll_sketch_agg`` binary):
+    the mergeable half of cs2. At 100 TB the point is INCREMENTAL stats —
+    yesterday's cards persist as small parquet (one row per source, a
+    KB-scale sketch each) and today's batch produces its own partial;
+    :func:`merge_corpus_cards` combines them without re-reading a byte of
+    either corpus. cs1 answers "what does this corpus look like" in one
+    pass; cs2 answers it for a GROWING corpus with daily batches.
+    """
+    toks_n = F.size(_toks())
+    return documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks_n.cast("bigint")).alias("total_tokens"),
+        F.hll_sketch_agg(F.sha2("text", 256)).alias("content_sketch"),
+    )
+
+
+def merge_corpus_cards(*cards: DataFrame) -> DataFrame:
+    """cs2 — merge any number of partial cards (:func:`corpus_card_partial`)
+    into the card of the UNION corpus: counts add, HLL sketches union
+    (``hll_union_agg`` — set union is exact on the sketch, so the merged
+    estimate EQUALS the estimate a single pass over the union would give;
+    pytest locks that equality). One tiny aggregate over |sources| x
+    |batches| rows — never touches the corpora.
+    """
+    u = cards[0]
+    for c in cards[1:]:
+        u = u.unionByName(c)
+    return (
+        u.groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.hll_union_agg("content_sketch").alias("content_sketch"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.hll_sketch_estimate("content_sketch").alias("approx_distinct_contents"),
+        )
+    )
+
+
 def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
     """tx9 — zlib compression ratio per document: the classic cheap
     repetition/boilerplate signal (highly repetitive or templated text
@@ -554,7 +599,21 @@ def build_queries():
         # zlib-backed: no DuckDB compression function -> rows-only; pytest
         # checks exact parity with Python zlib + planted-doc discrimination.
         "tx9_compression_signals": (q(compression_signals), None),
+        # DataSketches HLL internals have no DuckDB twin -> rows-only;
+        # pytest locks merge(halves) == whole-corpus card exactly plus the
+        # estimate bound vs exact distincts (tests/test_text.py).
+        "cs2_mergeable_card": (_cs2_query, None),
     }
+
+
+def _cs2_query(spark: SparkSession, sf: str) -> DataFrame:
+    """The registered cs2 form: split the corpus into two batches, build a
+    partial card per batch, merge — exercising the incremental path the
+    operator exists for (a single-batch call would reduce to cs1)."""
+    docs = tables.load(spark, sf, "documents")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    return merge_corpus_cards(corpus_card_partial(half_a), corpus_card_partial(half_b))
 
 
 _TX1_SQL = rf"""

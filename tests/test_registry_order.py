@@ -146,6 +146,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "sim3_ann_topk_lsh",
         "sim5_ivf_kmeans_topk",
         "mm2_decoded_features",
+        "cs2_mergeable_card",  # DataSketches HLL binary -> same sketch reason as cs1
         "pp2_prep_pipeline_fuzzy",  # dd3 stage inside -> same xxhash64 reason
         "sd1_semantic_dedup",  # k-means + UDF cosines; planted-corpus pytest oracle
         "cs1_corpus_card",  # HLL++/GK sketches; estimate-bound pytest oracle

@@ -288,3 +288,41 @@ def test_text_ops_unicode_parity(spark):
     assert got[1].n_chars_computed == len(rows[1][1]), "codepoints, not code units"
     assert got[1].n_bytes == len(rows[1][1].encode("utf-8"))
     assert got[2].n_chars_computed == len("café combining acute")
+
+
+def test_cs2_mergeable_card_merge_equals_whole(spark):
+    """The incremental-stats contract: merging per-batch partial cards must
+    give EXACTLY the card of the union corpus (HLL set union is exact on
+    the sketch), three-way splits included, and the estimate must bound
+    the exact distinct count like cs1's."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import corpus_card_partial, merge_corpus_cards
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    whole = {
+        r.source: (r.n_docs, r.total_tokens, r.approx_distinct_contents)
+        for r in merge_corpus_cards(corpus_card_partial(docs)).collect()
+    }
+    thirds = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    merged = {
+        r.source: (r.n_docs, r.total_tokens, r.approx_distinct_contents)
+        for r in merge_corpus_cards(*[corpus_card_partial(t) for t in thirds]).collect()
+    }
+    assert merged == whole
+    exact = {
+        r.source: r.nd
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct(F.sha2("text", 256)).alias("nd"))
+        .collect()
+    }
+    for src, (_, _, est) in whole.items():
+        assert abs(est - exact[src]) <= max(2, 0.15 * exact[src])
+
+
+def test_cs2_rows_only_query_runs(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "cs2_mergeable_card", SF_SMALL)
+    assert ok, msg
