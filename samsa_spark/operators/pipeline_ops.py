@@ -462,11 +462,16 @@ def prep_pipeline(
         from samsa_spark.operators.dedup import line_dedup
 
         # Rewrite the text FIRST (see docstring): every downstream signal
-        # must see the line-cleaned corpus.
+        # must see the line-cleaned corpus. The rewrite is a shuffle+join
+        # subtree feeding EVERY downstream stage branch (each opt-in stage
+        # adds a semi/anti-join branch with no ReusedExchange across them,
+        # CLAUDE.md note 12) — materialize it once.
         cleaned = line_dedup(documents, min_count=line_dedup_min_count).select(
             "doc_id", F.col("clean_text").alias("text")
         )
-        documents = documents.drop("text").join(cleaned, "doc_id")
+        documents = (
+            documents.drop("text").join(cleaned, "doc_id").localCheckpoint(eager=False)
+        )
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     quality = F.round(alpha / n_chars, 6)
