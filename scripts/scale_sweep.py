@@ -424,6 +424,112 @@ def sweep_streaming(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def sweep_streamforms(spark) -> None:
+    """st5/st6 shapes at volume: the watermark windowed aggregate and the
+    stream-stream attribution join over the events log replicated to
+    100k/1M rows (distinct user spaces per replica -> match density stays
+    constant, state grows with keys), at 8 vs 32 shuffle partitions (one
+    state store per partition, note 14)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.streaming.sources import file_stream
+
+    W = 3_600_000_000
+    base = tables.load(spark, SF_DIR, "events").select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("user_id") + F.col("_r") * 1000).alias("user_id"),
+            (F.col("ts_us") + F.col("_r")).alias("ts_us"),
+            (F.col("event_id") + F.col("_r") * 100_000_000).alias("event_id"),
+            "event_type",
+        )
+        return df, n_base * factor
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    for factor in (1, 10):
+        df, n = replicated(factor)
+        lo, hi = df.agg(F.min("ts_us"), F.max("ts_us")).first()
+        delay_us = (hi - lo) + W
+        tmp = tempfile.mkdtemp(prefix="samsa-streamforms-")
+        src = os.path.join(tmp, "src")
+        df.repartition(16).write.parquet(src)
+        t0m = time.time() - 1000
+        for f in os.listdir(src):
+            os.utime(os.path.join(src, f), (t0m, t0m))
+        spark.createDataFrame(
+            [(-1, hi + delay_us + 2 * W, -1, "_flush")], df.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        clicks_dir = os.path.join(tmp, "clicks")
+        purch_dir = os.path.join(tmp, "purch")
+        df.where("event_type = 'click'").repartition(8).write.parquet(clicks_dir)
+        df.where("event_type = 'purchase'").repartition(8).write.parquet(purch_dir)
+        c_schema = spark.read.parquet(clicks_dir).schema
+
+        for parts in (8, 32):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                # windowed aggregate (st5 shape)
+                agg = (
+                    file_stream(spark, src, df.schema, max_files_per_trigger=8)
+                    .withColumn("evt", F.timestamp_micros(F.col("ts_us")))
+                    .withWatermark("evt", f"{delay_us} microseconds")
+                    .groupBy(F.window("evt", "1 hour"), "user_id")
+                    .agg(F.count("*").alias("n"))
+                )
+                out = os.path.join(tmp, f"out-agg-{parts}")
+                t0 = time.time()
+                q = (
+                    agg.writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", os.path.join(tmp, f"chk-a{parts}"))
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                dt = time.time() - t0
+                print(json.dumps({"measure": f"st5_windowed_x{factor}_p{parts}", "rows": n, "sec": round(dt, 2), "rows_per_sec": int(n / dt)}), flush=True)
+
+                # stream-stream join (st6 shape)
+                sc = file_stream(spark, clicks_dir, c_schema, max_files_per_trigger=4)
+                sp = file_stream(spark, purch_dir, c_schema, max_files_per_trigger=4)
+                joined = sp.alias("p").join(
+                    sc.alias("c"),
+                    (F.col("p.user_id") == F.col("c.user_id"))
+                    & (F.col("c.ts_us") <= F.col("p.ts_us"))
+                    & (F.col("c.ts_us") >= F.col("p.ts_us") - W),
+                    "inner",
+                )
+                out2 = os.path.join(tmp, f"out-join-{parts}")
+                t0 = time.time()
+                q = (
+                    joined.writeStream.format("parquet")
+                    .option("path", out2)
+                    .option("checkpointLocation", os.path.join(tmp, f"chk-j{parts}"))
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                dt = time.time() - t0
+                print(json.dumps({"measure": f"st6_join_x{factor}_p{parts}", "rows": n, "sec": round(dt, 2), "rows_per_sec": int(n / dt)}), flush=True)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def sweep_semdedup(spark) -> None:
     """sd1 SemDeDup at 1x/10x corpus with cells scaled ~N/150 (the
     SemDeDup sizing rule: fixed target cell size keeps the per-cell pairing
@@ -673,6 +779,8 @@ def main() -> None:
         sweep_quantile(spark)
     if what in ("linecls", "all"):
         sweep_linecls(spark)
+    if what in ("streamforms", "all"):
+        sweep_streamforms(spark)
     spark.stop()
 
 
