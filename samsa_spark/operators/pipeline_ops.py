@@ -95,6 +95,22 @@ def _key_hash(col: str):
 _KEY_HASH_SQL = "((xor({col} >> 31, {col}) & 2147483647) * 2654435761) % 1000003"
 
 
+def _sample_hash(col: str):
+    """The SAMPLING hash (sm1/sm2/sm3) — same masked-key mixing as
+    :func:`_key_hash` but a different odd multiplier (xxhash PRIME2), so
+    acceptance/ranking is INDEPENDENT of the train/test split. With one
+    shared hash they were nested events: a source accepted at rate
+    r <= train_pct/100 kept only low-hash docs, every one labeled
+    'train', and the test split came out empty after mixing (caught in
+    round-7 self-review; tests/test_pipeline_ops.py locks independence).
+    Product bound: (2^31-1) * 2246822519 < 2^63 — ANSI-safe."""
+    mixed = F.expr(f"(({col} >> 31) ^ {col}) & 2147483647")
+    return (mixed * F.lit(2246822519)) % F.lit(_SPLIT_MOD)
+
+
+_SAMPLE_HASH_SQL = "((xor({col} >> 31, {col}) & 2147483647) * 2246822519) % 1000003"
+
+
 def _split_expr(train_pct: int):
     """The canonical train/test assignment expression — ONE definition so
     sp1, pp1's stats, and write_shards' physical layout can never
@@ -1065,7 +1081,7 @@ def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
     row key — reproducible across engines, partitionings, and retries.
     Emits per-stratum sample membership counts plus extremes for audit.
     """
-    h = _key_hash("doc_id")
+    h = _sample_hash("doc_id")
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     picked = documents.select("doc_id", "lang").withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= per_lang
@@ -1116,7 +1132,7 @@ def _mixture_accept(d: DataFrame, temperature: float, budget_frac: float) -> Dat
     can never desynchronize (same rule as ``_split_expr``)."""
     rates = _mixture_rates(d, temperature, budget_frac)
     return d.join(F.broadcast(rates), "source").where(
-        _key_hash("doc_id") < F.floor(F.col("rate") * F.lit(float(_SPLIT_MOD)))
+        _sample_hash("doc_id") < F.floor(F.col("rate") * F.lit(float(_SPLIT_MOD)))
     )
 
 
@@ -1144,7 +1160,7 @@ def mixture_expand(
     n_copies = (
         F.floor("rate")
         + (
-            _key_hash("doc_id")
+            _sample_hash("doc_id")
             < F.floor((F.col("rate") - F.floor("rate")) * F.lit(float(_SPLIT_MOD)))
         ).cast("bigint")
     )
@@ -1178,7 +1194,7 @@ r AS (
 j AS (
   SELECT d.doc_id, d.source, d.n_tokens,
          CAST(floor(r.rate) AS BIGINT) +
-         CASE WHEN ({_KEY_HASH_SQL.format(col="doc_id")})
+         CASE WHEN ({_SAMPLE_HASH_SQL.format(col="doc_id")})
                    < floor((r.rate - floor(r.rate)) * 1000003.0)
               THEN 1 ELSE 0 END AS n_copies
   FROM d JOIN r USING (source)
@@ -1249,7 +1265,7 @@ r AS (
 a AS (
   SELECT d.source, r.rate, r.src_tokens, d.n_tokens
   FROM d JOIN r USING (source)
-  WHERE ({_KEY_HASH_SQL.format(col="doc_id")}) < floor(r.rate * 1000003.0)
+  WHERE ({_SAMPLE_HASH_SQL.format(col="doc_id")}) < floor(r.rate * 1000003.0)
 )
 SELECT source, rate, CAST(src_tokens AS BIGINT) AS src_tokens,
        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
@@ -1405,7 +1421,7 @@ _SM1_SQL = f"""
 WITH r AS (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
-                            ORDER BY {_KEY_HASH_SQL.format(col="doc_id")} ASC, doc_id ASC) AS rk
+                            ORDER BY {_SAMPLE_HASH_SQL.format(col="doc_id")} ASC, doc_id ASC) AS rk
   FROM documents
 )
 SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc, max(doc_id) AS max_doc,

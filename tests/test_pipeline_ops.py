@@ -817,3 +817,42 @@ def test_prep_pipeline_all_stages_compose(spark):
     assert 0 < n_all <= n_base
     # the decontaminated benchmark docs can never survive into the shards
     assert n_all <= n_base - bench.count() + 1  # ±1: bench docs may fail base gates anyway
+
+
+def test_sampling_hash_independent_of_split(spark):
+    """Regression (round-7 self-review): sampling and split previously
+    thresholded the SAME _key_hash, nesting the events — a source accepted
+    at rate <= 0.8 kept only low-hash docs, every one labeled 'train', and
+    mixture output had an EMPTY test split. With the independent sampling
+    hash, both splits appear among accepted docs at ~train_pct proportion,
+    and sm1's per-stratum sample likewise spans both splits."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.pipeline_ops import (
+        _key_hash,
+        _mixture_accept,
+        _sample_hash,
+        _split_expr,
+    )
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("web").alias("source"),
+        F.lit(100).alias("n_tokens"),
+    )
+    acc = _mixture_accept(docs, temperature=1.0, budget_frac=0.5).select(
+        "doc_id", _split_expr(80).alias("split")
+    )
+    frac = {r.split: r.c for r in acc.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    total = sum(frac.values())
+    assert 0.4 * 4000 < total < 0.6 * 4000, "rate ~0.5 sanity"
+    test_frac = frac.get("test", 0) / total
+    assert 0.12 < test_frac < 0.28, (
+        f"test fraction {test_frac:.3f} must track train_pct=80 — a "
+        "collapse toward 0 means sampling and split hashes re-correlated"
+    )
+    # and the two hashes genuinely differ row-by-row
+    diff = docs.where(
+        _key_hash("doc_id") != _sample_hash("doc_id")
+    ).count()
+    assert diff > 3900
