@@ -58,9 +58,13 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(col: str = "text") -> F.Column:
-    """Distinct k-token shingles (k=3) as strings; empty array for short docs."""
-    toks = F.split(F.col(col), " ")
+def _shingles(toks: F.Column) -> F.Column:
+    """Distinct k-token shingles (k=3) from a PRE-STAGED token array;
+    empty array for short docs. The caller must materialize the array
+    behind an RDD boundary first: a ``split(text)`` referenced inside the
+    transform() lambda re-evaluates per element (note 20 — three
+    element_at probes per shingle = 3 full re-splits per position,
+    measured ~7x on 1k-token docs for the identical span algebra)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - F.lit(SHINGLE_K - 1))
     make = F.transform(
@@ -73,8 +77,13 @@ def _shingles(col: str = "text") -> F.Column:
 
 
 def shingle_postings(documents: DataFrame) -> DataFrame:
-    """Exploded (doc_id, shingle) posting list."""
-    return documents.select("doc_id", F.explode(_shingles()).alias("sh"))
+    """Exploded (doc_id, shingle) posting list. The token array is staged
+    as its own column behind an RDD boundary so the shingle lambda reads
+    it instead of re-splitting the text per element (note 20)."""
+    pre = documents.select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).localCheckpoint(eager=False)
+    return pre.select("doc_id", F.explode(_shingles(F.col("_toks"))).alias("sh"))
 
 
 def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
@@ -407,13 +416,20 @@ def span_postings(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
     :func:`shingle_postings` (substring dedup needs every occurrence and its
     position; set-similarity needs neither). ``pos`` is 1-based; docs with
     fewer than ``k`` tokens emit nothing."""
-    toks = F.split("text", " ")
+    # Stage the token array behind an RDD boundary: referenced inside the
+    # transform() lambda, a raw split(text) re-evaluates per element
+    # (note 20) — O(doc_len^2) tokenization, measured 7x slower at 1k
+    # tokens/doc (round-7 self-review).
+    pre = documents.select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).localCheckpoint(eager=False)
+    toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - F.lit(k - 1))
     spans = F.when(
         n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     ).otherwise(F.array().cast("array<string>"))
-    return documents.select(
+    return pre.select(
         "doc_id", F.posexplode(spans).alias("_p0", "span")
     ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "span")
 
