@@ -551,6 +551,10 @@ def prep_pipeline(
         # shuffle-audited there; the dominated (not total) fraction keeps
         # the first copy of every template (greedy lowest-(doc,pos)
         # survives, the same convention as the fuzzy stage below).
+        # `kept` feeds the span postings, the per-doc token counts, AND
+        # the final anti-join — three branches, no ReusedExchange
+        # (note 12): materialize once.
+        kept = kept.localCheckpoint(eager=False)
         heavy = (
             dominated_span_fraction(kept, min_tokens=substring_dedup_min_tokens)
             .where(F.col("dup_frac") >= substring_max_dup_frac)
@@ -812,8 +816,12 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     lp = vocab.crossJoin(F.broadcast(tot)).select(
         "tok", F.log(F.col("c") / F.col("t")).alias("lp")
     )
+    # No broadcast HINT: a hint is mandatory and fails outright past the
+    # 8 GB broadcast limit; left to the optimizer, a within-threshold vocab
+    # auto-broadcasts and a beyond-threshold one degrades to the shuffle
+    # equi-join the docstring promises (round-7 review finding).
     return (
-        toks.join(F.broadcast(lp), "tok")
+        toks.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -873,8 +881,10 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     model = c2.join(c1, "w1").select(
         "w1", "w2", F.log(F.col("c2") / F.col("c1")).alias("lp")
     )
+    # Optimizer-decided join, not a broadcast hint — the bigram-TYPE table
+    # grows much faster than lm1's word vocab; see lm1's note.
     scored = (
-        bg.join(F.broadcast(model), ["w1", "w2"])
+        bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -1311,8 +1321,14 @@ def equidepth_histogram(documents: DataFrame, buckets: int = 4) -> DataFrame:
     )
 
 
+# Shared default so the registered query and the oracle's quantile weight
+# cannot drift apart (the LINE_DEDUP_MIN_COUNT rule); keep it binary-exact
+# (0.5/0.25 family) per the interpolation-parity argument below.
+QF1_KEEP_FRAC = 0.5
+
+
 def quality_quantile_cutpoints(
-    documents: DataFrame, keep_frac: float = 0.5, by: str = "source"
+    documents: DataFrame, keep_frac: float = QF1_KEEP_FRAC, by: str = "source"
 ) -> DataFrame:
     """Per-group score cutpoint at quantile ``1 - keep_frac`` of the
     3-decimal-QUANTIZED tx2 quality score. The quantization is the scale
@@ -1340,7 +1356,7 @@ def quality_quantile_cutpoints(
 
 
 def quality_quantile_filter(
-    documents: DataFrame, keep_frac: float = 0.5, by: str = "source"
+    documents: DataFrame, keep_frac: float = QF1_KEEP_FRAC, by: str = "source"
 ) -> DataFrame:
     """Corpus-relative quality filtering (the FineWeb-style prep stage,
     Penedo et al. 2024 §3): keep the top ``keep_frac`` of each ``by`` group
@@ -1371,7 +1387,7 @@ def quality_quantile_filter(
 
 
 def quality_quantile_report(
-    documents: DataFrame, keep_frac: float = 0.5, by: str = "source"
+    documents: DataFrame, keep_frac: float = QF1_KEEP_FRAC, by: str = "source"
 ) -> DataFrame:
     """qf1 — the registered aggregate form of
     :func:`quality_quantile_filter`: per group the learned cutpoint, total
@@ -1391,14 +1407,17 @@ def quality_quantile_report(
             F.min("cutpoint").alias("cutpoint"),
             F.count("*").alias("n_docs"),
             F.sum(kept.cast("bigint")).alias("n_kept"),
-            F.sum(F.when(kept, F.col("doc_id")).otherwise(0).cast("bigint")).alias(
-                "kept_id_sum"
-            ),
+            # checksum mod-reduced: raw 64-bit doc_ids sum past 2^63 at
+            # corpus scale and ANSI throws (note 2); the residue keeps the
+            # same drift-detection power.
+            F.sum(
+                F.when(kept, F.col("doc_id") % _SPLIT_MOD).otherwise(0).cast("bigint")
+            ).alias("kept_id_sum"),
         )
     )
 
 
-def _qf1_sql() -> str:
+def _qf1_sql(keep_frac: float = QF1_KEEP_FRAC) -> str:
     from samsa_spark.operators.text import QUALITY_SCORE_SQL, quality_base_sql
 
     return f"""
@@ -1406,13 +1425,13 @@ WITH b AS ({quality_base_sql("doc_id, source")}
 ), s AS (
   SELECT doc_id, source, round({QUALITY_SCORE_SQL}, 3) AS qscore FROM b
 ), c AS (
-  SELECT source, round(quantile_cont(qscore, 0.5), 6) AS cutpoint
+  SELECT source, round(quantile_cont(qscore, {1.0 - keep_frac!r}), 6) AS cutpoint
   FROM s GROUP BY source
 )
 SELECT s.source AS source, min(cutpoint) AS cutpoint, count(*) AS n_docs,
        CAST(sum(CASE WHEN qscore >= cutpoint THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(sum(CASE WHEN qscore >= cutpoint THEN doc_id ELSE 0 END) AS BIGINT)
-         AS kept_id_sum
+       CAST(sum(CASE WHEN qscore >= cutpoint THEN doc_id % {_SPLIT_MOD} ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
 FROM s JOIN c USING (source) GROUP BY s.source
 """
 

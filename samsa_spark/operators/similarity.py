@@ -428,6 +428,7 @@ def semantic_dup_pairs(
     cells: int | None = None,
     min_cos: float = 0.9,
     kmeans_iters: int = 4,
+    check_cells: bool = True,
 ) -> DataFrame:
     """sd1's candidate stage as its own surface — ``(src, dst, cos)`` pairs
     (src < dst) whose rounded cosine clears ``min_cos``, generated ONLY
@@ -444,7 +445,10 @@ def semantic_dup_pairs(
     if cells is None:
         n = base.count()
         cells = max(32, n // _SEMDEDUP_TARGET_CELL)
-    else:
+    elif check_cells:
+        # The sizing guard costs one count — pass check_cells=False for a
+        # pinned production cell count over an expensive lazy upstream
+        # (the count would execute the whole plan once more).
         import warnings
 
         n = base.count()
@@ -688,11 +692,20 @@ def append_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> Data
     newa = _nearest_cell(base, cents, "cell").localCheckpoint(eager=False)
     to_write = _with_int8_codes(newa, cast_to="tinyint") if quantized else newa
     to_write.write.mode("append").partitionBy("cell").parquet(f"{path}/assignments")
+    # Only the path-missing case (first append) may fall back to id 0: a
+    # TRANSIENT drift-read failure swallowed here would silently restart
+    # the monotone append_id sequence and make two different appends share
+    # an id (round-7 review finding). AnalysisException is the
+    # missing-path error; anything else propagates.
+    from pyspark.errors import AnalysisException
+
     try:
         prev = spark.read.parquet(f"{path}/drift")
-        next_id = prev.agg(F.max("append_id")).collect()[0][0] + 1
-    except Exception:
+    except AnalysisException:
         next_id = 0
+    else:
+        last = prev.agg(F.max("append_id")).collect()[0][0]
+        next_id = 0 if last is None else last + 1
     drift = (
         newa.join(F.broadcast(cents), "cell")
         .withColumn("ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6))
