@@ -95,3 +95,47 @@ def file_stream(spark: SparkSession, path: str, schema: StructType, max_files_pe
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Batch JSONL ingestion with corrupt-record QUARANTINE — the ingestion
+    contract a crawl pipeline needs: a malformed line must never abort the
+    job (FAILFAST) or silently vanish (DROPMALFORMED); it lands in a
+    quarantine frame carrying the raw line for triage while clean rows
+    flow on. Returns ``(good, quarantine)``.
+
+    Mechanics: PERMISSIVE mode parses what it can and fills
+    ``_corrupt_record`` with the raw text of unparseable lines; the split
+    is two filters over one cached parse (Spark requires the parsed frame
+    to be cached before filtering on the corrupt column — the parser
+    short-circuits otherwise and the filter sees only nulls). Scale shape:
+    one narrow scan, no shuffle; the quarantine side is tiny by
+    assumption, and both frames prune the corrupt column where unused.
+
+    One Spark JSON semantic to know: a line whose top level is an ARRAY is
+    exploded into one row per element (so ``[]`` contributes zero rows to
+    either frame) — line-count conservation holds only for object/scalar
+    lines. Feed object-per-line JSONL; array lines are a format smell.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        [*schema.fields, StructField("_corrupt_record", StringType())]
+    )
+    parsed = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark refuses (or short-circuits) direct filters on the corrupt
+        # column over raw JSON input; an RDD boundary materializes the
+        # parse so both filters see real values.
+        .localCheckpoint(eager=False)
+    )
+    good = parsed.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = parsed.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantine

@@ -70,3 +70,33 @@ def test_approx_sketches_close_to_exact(spark):
     ).collect()[0]
     assert abs(row.approx_nd - row.exact_nd) / row.exact_nd < 0.06
     assert abs(row.approx_med - row.exact_med) / row.exact_med < 0.02
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """Planted JSONL with malformed lines: clean rows parse fully, every
+    bad line lands in quarantine verbatim (never dropped, never fatal),
+    and good + quarantined counts conserve the input line count."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from samsa_spark.streaming.sources import read_jsonl
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',
+        '{"doc_id": 2, "text": "beta"}',
+        '{"doc_id": 3, "text": "gam',          # truncated mid-string
+        'not json at all',
+        '{"doc_id": 4, "text": "delta"}',
+        '{"doc_id": "five", "text": "eps"}',   # type mismatch on long field
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, quarantine = read_jsonl(spark, str(p), schema)
+    g = {r.doc_id: r.text for r in good.collect()}
+    q = sorted(r.raw_line for r in quarantine.collect())
+    assert g == {1: "alpha", 2: "beta", 4: "delta"}
+    assert len(q) == 3 and 'not json at all' in q
+    assert any(l.startswith('{"doc_id": "five"') for l in q)
+    assert good.count() + quarantine.count() == len(lines)
