@@ -171,3 +171,80 @@ def test_range_join_plan_is_equi_join_not_nested_loop(spark):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
         "ShuffledHashJoin" in p
     ), p
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rj_events = st.lists(
+    st.tuples(st.sampled_from(["click", "purchase"]), st.integers(0, 400)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=_rj_events, w=st.integers(min_value=1, max_value=120))
+def test_range_join_matches_model_on_random_events(spark, evs, w):
+    """rj1's binned rewrite vs the O(n^2) Python model on random event
+    streams and window widths — bucket-boundary alignment cases occur
+    constantly at these scales; hypothesis shrinks any counterexample."""
+    from samsa_spark.operators.advanced import range_join_counts
+
+    rows = [(i, t, ts) for i, (t, ts) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts_us long")
+    got = {
+        r.purchase_id: r.n_recent_clicks
+        for r in range_join_counts(df, window_us=w).collect()
+    }
+    clicks = [ts for i, (t, ts) in enumerate(evs) if t == "click"]
+    want = {
+        i: sum(1 for c in clicks if ts - w <= c <= ts)
+        for i, (t, ts) in enumerate(evs)
+        if t == "purchase"
+    }
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(1, 40), st.integers(1, 900)), min_size=1, max_size=25
+    ),
+    bt=st.integers(min_value=8, max_value=200),
+    bb=st.integers(min_value=64, max_value=2048),
+)
+def test_interleaved_pack_matches_model_on_random_docs(spark, docs, bt, bb):
+    """mm5's dual-budget bin rule vs the Python model on random token/byte
+    profiles and budgets: bin = max(cum-before div budget) over both
+    resources, per source in doc_id order."""
+    import pandas as pd
+
+    from samsa_spark.operators.multimodal import interleaved_pack
+
+    rows = [
+        (i, "s", " ".join("x" * b for _ in range(nt))[: nt * (b + 1) - 1])
+        for i, (nt, b) in enumerate(docs)
+    ]
+    # text built so n_tokens = nt and octet_length = nt*(b+1)-1 (ascii)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    got = {
+        (r.source, r.bin): (r.n_docs, r.bin_tokens, r.bin_media_bytes)
+        for r in interleaved_pack(
+            spark.createDataFrame(pdf), budget_tokens=bt, budget_media_bytes=bb
+        ).collect()
+    }
+    from collections import defaultdict
+
+    model = defaultdict(lambda: [0, 0, 0])
+    ct = cb = 0
+    for i, (nt, b) in enumerate(docs):
+        nb = nt * (b + 1) - 1
+        bin_ = max(ct // bt, cb // bb)
+        ct += nt
+        cb += nb
+        m = model[("s", bin_)]
+        m[0] += 1
+        m[1] += nt
+        m[2] += nb
+    assert got == {k: tuple(v) for k, v in model.items()}
