@@ -299,6 +299,7 @@ def interleaved_pack(
     documents: DataFrame,
     budget_tokens: int = 512,
     budget_media_bytes: int = 4096,
+    chunk_docs: int | None = None,
 ) -> DataFrame:
     """mm5 — INTERLEAVED multimodal sequence packing: assign docs (text
     tokens + an opaque media payload each) to training-sequence bins under
@@ -311,29 +312,40 @@ def interleaved_pack(
     only ``octet_length`` reaches the scan, never the bytes).
 
     One running-sum window per source + one follow-up aggregate, the pk1
-    shape exactly; at 100 TB compose with pk2's doc-chunk hierarchy the
-    same way (bins within fixed chunks -> parallelism = sources x chunks).
+    shape exactly; ``chunk_docs`` opts into pk2's doc-chunk hierarchy —
+    bins assigned within fixed doc-id chunks per source, bin ids
+    ``(chunk << 20) | bin-in-chunk``, parallelism = sources x chunks, the
+    same bounded-underfill-at-chunk-edges trade pk2 documents. That is
+    the 100 TB form; the global default stays the exact single-window
+    twin (pk1 : pk2 :: default : chunked).
     """
     from pyspark.sql import Window
 
     toks = F.size(F.split("text", " "))
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+    parts = ["source"] if chunk_docs is None else ["source", "chunk"]
+    w = Window.partitionBy(*parts).orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = documents.select(
+    cols = [
         "source",
         "doc_id",
         toks.alias("n_tokens"),
         F.octet_length("text").alias("media_bytes"),
-    ).withColumn("ct", F.sum("n_tokens").over(w)).withColumn(
-        "cb", F.sum("media_bytes").over(w)
+    ]
+    if chunk_docs is not None:
+        cols.append(F.expr(f"doc_id div {chunk_docs}").alias("chunk"))
+    cum = documents.select(*cols).withColumn(
+        "ct", F.sum("n_tokens").over(w)
+    ).withColumn("cb", F.sum("media_bytes").over(w))
+    local_bin = F.greatest(
+        F.expr(f"(ct - n_tokens) div {budget_tokens}"),
+        F.expr(f"(cb - media_bytes) div {budget_media_bytes}"),
     )
     binned = cum.withColumn(
         "bin",
-        F.greatest(
-            F.expr(f"(ct - n_tokens) div {budget_tokens}"),
-            F.expr(f"(cb - media_bytes) div {budget_media_bytes}"),
-        ),
+        local_bin
+        if chunk_docs is None
+        else F.shiftleft(F.col("chunk"), 20) + local_bin,
     )
     return binned.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),

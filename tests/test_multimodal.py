@@ -142,3 +142,33 @@ def test_interleaved_pack_dual_budget_boundaries(spark):
     assert all(out[("byt", b)].bin_media_bytes <= 1024 + 500 for b in byt_bins)
     # conservation: every doc lands in exactly one bin
     assert sum(r.n_docs for r in out.values()) == 20
+
+
+def test_interleaved_pack_chunked_hierarchy(spark):
+    """mm5's chunk_docs form: bins never span doc-id chunks, doc counts
+    conserve, and a chunk size larger than the corpus reduces exactly to
+    the global form (pk2's contract transposed)."""
+    import pandas as pd
+
+    from samsa_spark.operators.multimodal import interleaved_pack
+
+    rows = [(i, "s", " ".join("w" for _ in range(30))) for i in range(40)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    )
+    chunked = interleaved_pack(
+        docs, budget_tokens=64, budget_media_bytes=10_000, chunk_docs=10
+    ).collect()
+    assert sum(r.n_docs for r in chunked) == 40
+    for r in chunked:
+        chunk = r.bin >> 20
+        assert r.first_doc // 10 == chunk and r.last_doc // 10 == chunk, (
+            "bin spans a chunk boundary"
+        )
+    huge = interleaved_pack(
+        docs, budget_tokens=64, budget_media_bytes=10_000, chunk_docs=1_000_000
+    ).collect()
+    flat = interleaved_pack(docs, budget_tokens=64, budget_media_bytes=10_000).collect()
+    assert sorted((r.bin, r.n_docs, r.bin_tokens) for r in huge) == sorted(
+        (r.bin, r.n_docs, r.bin_tokens) for r in flat
+    )
