@@ -124,6 +124,11 @@ PIPELINE = [
     "sk1_key_skew_report",
     "tok1_bpe_pair_counts",
     "mm5_interleaved_pack",
+    # round-7 continuation (first floors BENCH_r07): heavy-hitter n-grams
+    # (sketch candidates + exact rescan, two corpus passes) and the
+    # mergeable frequent-items sketch card.
+    "hh1_heavy_ngrams",
+    "hh2_mergeable_topk",
 ]
 
 

@@ -659,7 +659,18 @@ def write_shards(
         .parquet(f"{path}/data")
     )
     back = spark.read.parquet(f"{path}/data")
-    manifest = (
+    manifest = _shard_manifest(back, part_cols)
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    return spark.read.parquet(f"{path}/manifest")
+
+
+def _shard_manifest(back: DataFrame, part_cols: list[str]) -> DataFrame:
+    """One manifest row per shard file — partition values, path, rows,
+    bytes, doc_id range — computed from the written files' ``_metadata``
+    (file_path/file_size ride the scan for free) with one hash aggregate;
+    never a driver-side listing loop. Shared by :func:`write_shards` and
+    :func:`compact_shards`."""
+    return (
         back.select(
             *part_cols,
             "doc_id",
@@ -674,7 +685,92 @@ def write_shards(
         )
         .select(*part_cols, "file", "n_rows", "n_bytes", "min_doc_id", "max_doc_id")
     )
-    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def compact_shards(
+    spark: SparkSession, path: str, target_bytes: int = 128 << 20
+) -> DataFrame:
+    """Incremental small-file compaction of a :func:`write_shards` layout —
+    the maintenance job every long-lived 100 TB corpus needs: repeated
+    appends/reruns leave partitions with many KB-scale files, and scan
+    parallelism degrades to file-listing + per-file open overhead.
+
+    Plan shape (the scale contract):
+
+    - WHICH partitions need work is decided from the MANIFEST alone (one
+      aggregate over file-count rows, then a driver-side collect of the
+      partition *metadata* tuples — never corpus data; same documented
+      exception class as the centroid matrix, PLANS.md rule 8). A
+      partition needs compaction when it holds more files than
+      ``ceil(bytes / target_bytes)`` — so the job is a no-op on an
+      already-compact layout (idempotence is the rerun safety).
+    - Only needing partitions are READ (the disjunction of partition-value
+      predicates prunes at the scan), staged via ``localCheckpoint`` —
+      the isolation a snapshotting table format gets for free; without it
+      the dynamic overwrite would race its own input scan — and rewritten
+      with ``partitionOverwriteMode=dynamic``, which replaces exactly the
+      partitions being written and leaves every other directory untouched.
+    - File sizing: one task per needing partition (hash repartition on the
+      partition columns) + ``maxRecordsPerFile`` derived from the
+      manifest's bytes/rows ratio, so output files land near
+      ``target_bytes`` without a second pass.
+    - The manifest is patched, not rebuilt: untouched partitions keep
+      their rows (checkpointed off the old manifest), compacted partitions
+      get fresh ``_metadata``-derived rows from a pruned scan.
+
+    Returns the updated manifest (as re-read from disk).
+    """
+    import math
+    from functools import reduce
+
+    manifest = spark.read.parquet(f"{path}/manifest")
+    part_cols = [c for c in ("split", "source") if c in manifest.columns]
+    stats = manifest.groupBy(*part_cols).agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_bytes").alias("t_bytes"),
+        F.sum("n_rows").alias("t_rows"),
+    )
+    need = [
+        r
+        for r in stats.collect()  # partition METADATA rows, not corpus data
+        if r.n_files > max(1, math.ceil(r.t_bytes / target_bytes))
+    ]
+    if not need:
+        return manifest
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            reduce(lambda a, b: a & b, [F.col(c) == r[c] for c in part_cols])
+            for r in need
+        ],
+    )
+    sel = spark.read.parquet(f"{path}/data").where(pred).localCheckpoint()
+    t_bytes = sum(r.t_bytes for r in need)
+    t_rows = sum(r.t_rows for r in need)
+    max_records = max(1, int(target_bytes * t_rows / max(t_bytes, 1)))
+    # keep the untouched partitions' manifest rows off the parquet source
+    # before overwriting it (self-overwrite guard), then patch.
+    kept = manifest.where(~pred).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            sel.repartition(len(need), *part_cols)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records)
+            .partitionBy(*part_cols)
+            .parquet(f"{path}/data")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # the shared FileStatusCache still lists the pre-overwrite files for
+    # this path — drop it or the fresh scan reads deleted parquet.
+    spark.catalog.refreshByPath(f"{path}/data")
+    fresh = _shard_manifest(spark.read.parquet(f"{path}/data").where(pred), part_cols)
+    kept.unionByName(fresh).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/manifest"
+    )
+    spark.catalog.refreshByPath(f"{path}/manifest")
     return spark.read.parquet(f"{path}/manifest")
 
 

@@ -483,6 +483,129 @@ ORDER BY pair_count DESC, "left", "right" LIMIT 20
 """
 
 
+def _ngram_frame(documents: DataFrame, n: int) -> DataFrame:
+    """One-column frame of all word ``n``-grams (space-joined, empty tokens
+    dropped) — the slice/arrays_zip algebra of tok1/lm2, no lambdas, so
+    the whole projection stays in codegen. Shared by hh1 and hh2."""
+    toks = F.filter(_toks(), lambda t: t != "")
+    m = F.size(toks)
+    slices = [F.slice(toks, i + 1, m - (n - 1)).alias(f"t{i}") for i in range(n)]
+    empty = F.array().cast(
+        "array<struct<" + ",".join(f"t{i}:string" for i in range(n)) + ">>"
+    )
+    zipped = F.when(m >= n, F.arrays_zip(*slices)).otherwise(empty)
+    return documents.select(F.explode(zipped).alias("g")).select(
+        F.concat_ws(" ", *[F.col(f"g.t{i}") for i in range(n)]).alias("gram")
+    )
+
+
+def heavy_ngrams(
+    documents: DataFrame,
+    n: int = 3,
+    min_count: int = 5,
+    max_candidates: int = 1024,
+    max_tracked: int = 1 << 16,
+) -> DataFrame:
+    """hh1 — EXACT support-threshold heavy hitters over the n-gram
+    keyspace: every word ``n``-gram occurring at least ``min_count`` times
+    corpus-wide, with its exact count. The boilerplate/contamination
+    detector that runs where the keyspace (distinct n-grams — billions at
+    web scale) dwarfs any vocabulary: a plain group-by would shuffle every
+    distinct n-gram.
+
+    Plan: two passes, neither of which shuffles the gram space.
+    Pass 1 builds a DataSketches frequent-items sketch (``approx_top_k``,
+    one mergeable aggregate — partials combine map-side, a KB-scale state
+    per partition) and explodes its top ``max_candidates`` items into a
+    broadcast candidate frame. Pass 2 rescans the corpus, semi-joins grams
+    against the broadcast candidates, and counts ONLY those — the exact
+    counts then apply the threshold. The only shuffle is over
+    ≤ ``max_candidates`` rows.
+
+    Exactness contract (why threshold, not top-k): the frequent-items
+    sketch guarantees no false NEGATIVES among items with true count above
+    its error bound (~N/``max_tracked``), so with
+    ``min_count > N/max_tracked`` every true heavy hitter is a candidate,
+    and the exact rescan removes the sketch's false positives/overcounts.
+    A top-k form would be tie-fragile at the k boundary (the sketch's
+    internal tie order is unspecified); the threshold form is
+    tie-INCLUSIVE, so candidate order cannot change membership. Returned
+    sorted (count desc, gram) for stable display only.
+
+    Caveats: if exactly ``max_candidates`` candidates survive the
+    threshold the candidate list may have truncated — raise
+    ``max_candidates`` (callers can detect via ``count() ==
+    max_candidates``). Sizing rule at 100 TB: ``max_tracked ≥
+    c·N/min_count`` for small c keeps the no-false-negative guarantee.
+    """
+    grams = _ngram_frame(documents, n)
+    cand = (
+        grams.agg(
+            F.expr(f"approx_top_k(gram, {max_candidates}, {max_tracked})").alias("tk")
+        )
+        .select(F.explode("tk").alias("c"))
+        .select(F.col("c.item").alias("gram"))
+    )
+    return (
+        grams.join(F.broadcast(cand), "gram")
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+    )
+
+
+_HH1_SQL = """
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+), g AS (
+  SELECT unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                 for i in generate_series(1, len(toks) - 2)]) AS gram
+  FROM t
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY gram HAVING count(*) >= 5
+ORDER BY n_occurrences DESC, gram
+"""
+
+
+def topk_sketch_partial(
+    documents: DataFrame, n: int = 3, max_tracked: int = 1 << 16
+) -> DataFrame:
+    """Accumulate half of hh2: one row holding a DataSketches
+    frequent-items sketch state (``approx_top_k_accumulate``) over this
+    batch's n-grams — the heavy-hitter sibling of cs2's HLL partials. At
+    100 TB the point is the same: yesterday's sketches persist as KB-scale
+    parquet and today's batch adds one aggregate over its own grams;
+    :func:`merge_topk_sketches` answers for the union corpus without
+    re-reading either."""
+    return _ngram_frame(documents, n).agg(
+        F.expr(f"approx_top_k_accumulate(gram, {max_tracked})").alias("topk_sketch")
+    )
+
+
+def merge_topk_sketches(
+    *parts: DataFrame, k: int = 20, max_tracked: int = 1 << 16
+) -> DataFrame:
+    """hh2 — combine any number of :func:`topk_sketch_partial` states
+    (``approx_top_k_combine`` — sketch merge, one tiny aggregate over
+    |batches| rows) and estimate the union corpus's top ``k`` n-grams.
+    While ``max_tracked`` exceeds the distinct-gram count the sketch never
+    evicts, so merged counts are EXACT and equal a single-pass sketch over
+    the union (pytest locks both); past that the standard frequent-items
+    bounds apply (count error ≤ ~N/max_tracked, no false negatives above
+    it). Rows-only on the driver surface: the boundary tie order at rank k
+    is sketch-internal, not SQL-reproducible."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.agg(F.expr(f"approx_top_k_combine(topk_sketch, {max_tracked})").alias("s"))
+        .select(F.explode(F.expr(f"approx_top_k_estimate(s, {k})")).alias("e"))
+        .select(F.col("e.item").alias("gram"), F.col("e.count").alias("est_count"))
+    )
+
+
 def corpus_card_partial(documents: DataFrame) -> DataFrame:
     """Per-source PARTIAL data card whose distinct-content state is an
     explicit Apache DataSketches HLL column (``hll_sketch_agg`` binary):
@@ -592,6 +715,7 @@ def build_queries():
         "tx7_pii_scrub": (q(pii_scrub), _TX7_SQL),
         "cls1_classifier_score": (q(classifier_score), _CLS1_SQL),
         "tok1_bpe_pair_counts": (q(bpe_pair_counts), _TOK1_SQL),
+        "hh1_heavy_ngrams": (q(heavy_ngrams), _HH1_SQL),
         # sketch-based: HLL++/GK internals have no DuckDB twin -> rows-only,
         # rank 2, outside the hash window like dd3; pytest bounds the
         # estimates against exact values (tests/test_text.py).
@@ -603,7 +727,24 @@ def build_queries():
         # pytest locks merge(halves) == whole-corpus card exactly plus the
         # estimate bound vs exact distincts (tests/test_text.py).
         "cs2_mergeable_card": (_cs2_query, None),
+        # frequent-items sketch boundary tie order is sketch-internal ->
+        # rows-only; pytest locks merge(halves) == single-pass sketch ==
+        # exact counts while max_tracked exceeds the distinct-gram count
+        # (tests/test_text.py), plus a planted-skew eviction test.
+        "hh2_mergeable_topk": (_hh2_query, None),
     }
+
+
+def _hh2_query(spark: SparkSession, sf: str) -> DataFrame:
+    """The registered hh2 form: accumulate a frequent-items sketch per
+    corpus half, combine, estimate — the incremental path the operator
+    exists for (a single-batch call would reduce to hh1's pass 1)."""
+    docs = tables.load(spark, sf, "documents")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    return merge_topk_sketches(
+        topk_sketch_partial(half_a), topk_sketch_partial(half_b)
+    )
 
 
 def _cs2_query(spark: SparkSession, sf: str) -> DataFrame:

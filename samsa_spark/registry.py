@@ -538,6 +538,7 @@ _DEMOTED = (
     "sk1_key_skew_report",            # js1/d2s anchor skew handling in-window; the fair-share diagnosis report is pytest-oracle-checked (+ planted-skew advice test)
     "tok1_bpe_pair_counts",           # udtf1/tf1 anchor the explode->count->rank text shapes in-window; the BPE pair statistic is pytest-oracle-checked (+ hand-computed planted-corpus test)
     "mm5_interleaved_pack",           # pk2 anchors packing and mm1/mm3 the media surface in-window; the joint token+media-byte bin rule is pytest-oracle-checked (+ dual-budget boundary test)
+    "hh1_heavy_ngrams",               # tok1/tf1 anchor the explode->count text shapes in-window; the sketch-candidates+exact-rescan heavy-hitter form is pytest-oracle-checked (+ planted-skew coverage test)
 )
 
 

@@ -202,3 +202,15 @@ def test_rj1_binned_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_hh1_candidates_broadcast_no_gram_space_shuffle_join(spark):
+    """hh1's exact rescan must semi-join grams against BROADCAST sketch
+    candidates (a sort-merge join would shuffle the full gram space — the
+    thing the operator exists to avoid), and the only aggregates are the
+    sketch build and the candidate-bounded exact count."""
+    p = _plan(spark, "hh1_heavy_ngrams")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "approx_top_k" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

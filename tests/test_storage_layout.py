@@ -113,3 +113,98 @@ def test_write_shards_roundtrip_manifest_and_pruning(spark):
     assert via_helper.count() == n_train
     one_source = read_shards(spark, base, split="train", source="wiki")
     assert "wiki" in _formatted_plan(one_source)
+
+
+def test_compact_shards_merges_small_files_and_preserves_rest(spark):
+    """compact_shards: fragment ONE split into tiny files, compact — the
+    fragmented split collapses to target-sized files, the untouched split's
+    files are byte-identical, the data roundtrips exactly, the patched
+    manifest matches the files on disk, pruning still works, and a second
+    call is a no-op (idempotence)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        _shard_manifest,
+        compact_shards,
+        read_shards,
+        write_shards,
+    )
+
+    base = tempfile.mkdtemp(prefix="samsa-compact-")
+    docs = tables.load(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    write_shards(docs, base)
+    want = sorted(tuple(r) for r in docs.collect())
+
+    # Fragment the train split only (dynamic overwrite replaces just it),
+    # then refresh the manifest to match the fragmented layout.
+    data_path = os.path.join(base, "data")
+    train = spark.read.parquet(data_path).where(F.col("split") == "train")
+    train = train.localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            train.repartition(1, "split")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 5)
+            .partitionBy("split")
+            .parquet(data_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(data_path)
+    _shard_manifest(back, ["split"]).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "manifest")
+    )
+    m0 = spark.read.parquet(os.path.join(base, "manifest")).collect()
+    test_files_before = {(r.file, r.n_bytes) for r in m0 if r.split == "test"}
+    n_train_files_before = sum(1 for r in m0 if r.split == "train")
+    assert n_train_files_before > 10, "fixture failed to fragment"
+
+    m1 = compact_shards(spark, base, target_bytes=1 << 30).collect()
+    assert sum(1 for r in m1 if r.split == "train") == 1, "train not compacted"
+    assert {(r.file, r.n_bytes) for r in m1 if r.split == "test"} == test_files_before, (
+        "untouched split's files changed"
+    )
+    got = sorted(tuple(r) for r in read_shards(spark, base).select(*docs.columns).collect())
+    assert got == want, "compaction lost or altered rows"
+    # patched manifest matches the files actually on disk
+    disk = sorted(
+        tuple(r)
+        for r in _shard_manifest(spark.read.parquet(data_path), ["split"]).collect()
+    )
+    assert sorted(tuple(r) for r in m1) == disk
+    # pruning survives compaction
+    plan = _formatted_plan(read_shards(spark, base, split="train"))
+    assert "PartitionFilters" in plan and "train" in plan
+    # idempotence: nothing left to do, file set unchanged
+    m2 = compact_shards(spark, base, target_bytes=1 << 30).collect()
+    assert {(r.file, r.n_bytes) for r in m2} == {(r.file, r.n_bytes) for r in m1}
+
+
+def test_compact_shards_respects_target_bytes(spark):
+    """With a small target, compaction must still reduce the file count but
+    keep files near the target (maxRecordsPerFile derived from the
+    manifest's bytes/rows ratio) rather than collapsing to one giant file."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import compact_shards, write_shards
+
+    base = tempfile.mkdtemp(prefix="samsa-compact2-")
+    docs = tables.load(spark, SF_SMALL, "documents").select("doc_id", "text", "source")
+    write_shards(docs, base, max_records_per_file=5)
+    m0 = spark.read.parquet(os.path.join(base, "manifest")).collect()
+    t = {}
+    for r in m0:
+        t[r.split] = t.get(r.split, 0) + r.n_bytes
+    target = max(t.values()) // 3  # aim for ~3 files in the big split
+    m1 = compact_shards(spark, base, target_bytes=int(target)).collect()
+    by_split = {}
+    for r in m1:
+        by_split.setdefault(r.split, []).append(r)
+    before = {s: 0 for s in by_split}
+    for r in m0:
+        before[r.split] += 1
+    for s, rows in by_split.items():
+        assert len(rows) < before[s], f"split {s} not reduced"
+    assert sum(r.n_rows for r in m1) == docs.count()

@@ -326,3 +326,141 @@ def test_cs2_rows_only_query_runs(spark):
 
     ok, msg = check_query(spark, "cs2_mergeable_card", SF_SMALL)
     assert ok, msg
+
+
+def test_hh1_oracle_match(spark):
+    ok, msg = check_query(spark, "hh1_heavy_ngrams", SF_SMALL)
+    assert ok, msg
+
+
+def test_hh1_planted_skew_hand_computed(spark):
+    """Threshold heavy hitters on a corpus with known counts: the planted
+    boilerplate trigram must surface with its exact count; everything under
+    the threshold must not, including items the sketch tracked as
+    candidates (the exact-rescan false-positive removal)."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import heavy_ngrams
+
+    boiler = "all rights reserved"
+    rows = [(i, f"doc {i} body {boiler}") for i in range(30)]
+    rows += [(100 + i, f"unique text number {i} here") for i in range(10)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r.gram: r.n_occurrences
+        for r in heavy_ngrams(docs, n=3, min_count=25).collect()
+    }
+    # "body all rights" and "all rights reserved" occur 30x; nothing else
+    # reaches 25 ("doc <i> body" is unique per doc).
+    assert got == {"body all rights": 30, "all rights reserved": 30}
+
+
+def test_hh1_candidate_coverage_under_eviction(spark):
+    """The no-false-negative contract with a sketch FAR smaller than the
+    keyspace: 500 distinct background grams against max_tracked=64 still
+    must surface the planted heavy hitter exactly — eviction can only
+    inflate sketch counts, never drop a true heavy above the error bound."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import heavy_ngrams
+
+    rows = [(i, "spark eats boilerplate fast") for i in range(200)]
+    rows += [(1000 + i, f"filler {i} noise {i * 7} pad {i * 13}") for i in range(500)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r.gram: r.n_occurrences
+        for r in heavy_ngrams(
+            docs, n=3, min_count=150, max_candidates=32, max_tracked=64
+        ).collect()
+    }
+    assert got == {"spark eats boilerplate": 200, "eats boilerplate fast": 200}
+
+
+def test_hh2_merge_equals_single_pass_and_exact(spark):
+    """While max_tracked exceeds the distinct-gram count the sketch never
+    evicts: combine(thirds) must EQUAL a single-pass sketch over the whole
+    corpus, and both must equal exact group-by counts."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import (
+        _ngram_frame,
+        merge_topk_sketches,
+        topk_sketch_partial,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    whole = {
+        r.gram: r.est_count
+        for r in merge_topk_sketches(topk_sketch_partial(docs), k=10).collect()
+    }
+    thirds = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    merged = {
+        r.gram: r.est_count
+        for r in merge_topk_sketches(
+            *[topk_sketch_partial(t) for t in thirds], k=10
+        ).collect()
+    }
+    assert merged == whole
+    exact = {
+        r.gram: r.n
+        for r in _ngram_frame(docs, 3)
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(40)
+        .collect()
+    }
+    for gram, est in whole.items():
+        assert exact[gram] == est, (gram, est, exact.get(gram))
+
+
+def test_hh2_rows_only_query_runs(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "hh2_mergeable_topk", SF_SMALL)
+    assert ok, msg
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# Tiny alphabet + short docs: gram collisions, threshold boundaries, and
+# sub-n docs occur constantly; hypothesis shrinks any counterexample.
+_hh_doc_strategy = st.lists(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=_hh_doc_strategy,
+    n=st.integers(min_value=2, max_value=3),
+    min_count=st.integers(min_value=1, max_value=4),
+)
+def test_hh1_matches_brute_force_on_random_corpora(spark, texts, n, min_count):
+    """hh1 (sketch candidates + exact rescan) must equal the brute-force
+    n-gram count model for every corpus/threshold, including min_count=1
+    (every gram is a heavy hitter — the candidate list must cover them
+    all) and empty-gram corpora."""
+    from collections import Counter
+
+    from samsa_spark.operators.text import heavy_ngrams
+
+    want = Counter()
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        for i in range(len(toks) - n + 1):
+            want[" ".join(toks[i : i + n])] += 1
+    want = {g: c for g, c in want.items() if c >= min_count}
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.gram: r.n_occurrences
+        for r in heavy_ngrams(df, n=n, min_count=min_count).collect()
+    }
+    assert got == want
