@@ -125,10 +125,12 @@ PIPELINE = [
     "tok1_bpe_pair_counts",
     "mm5_interleaved_pack",
     # round-7 continuation (first floors BENCH_r07): heavy-hitter n-grams
-    # (sketch candidates + exact rescan, two corpus passes) and the
-    # mergeable frequent-items sketch card.
+    # (sketch candidates + exact rescan, two corpus passes), the mergeable
+    # frequent-items sketch card, and the iterative BPE training loop
+    # (one corpus aggregate + 8 vocabulary-level iterations).
     "hh1_heavy_ngrams",
     "hh2_mergeable_topk",
+    "tok2_bpe_train",
 ]
 
 

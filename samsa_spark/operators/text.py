@@ -483,6 +483,149 @@ ORDER BY pair_count DESC, "left", "right" LIMIT 20
 """
 
 
+def _merge_pair_col(sym: str, left: str, right: str) -> F.Column:
+    """Greedy left-to-right replacement of adjacent (left, right) symbols
+    with their concatenation — one BPE merge applied to a symbol array,
+    as a pure ``aggregate`` fold (no Python). A merged token never
+    re-merges within the same pass ("aaa" + (a,a) -> [aa, a]), matching
+    the reference algorithm's non-overlapping scan. ``left``/``right``
+    are per-iteration literals, so nothing row-level is re-evaluated
+    inside the lambda (note 20)."""
+    return F.aggregate(
+        sym,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, s: F.when(
+            (acc.prev == F.lit(left)) & (s == F.lit(right)),
+            F.struct(
+                F.concat(acc.out, F.array(F.lit(left + right))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.when(
+                acc.prev.isNull(), F.struct(acc.out.alias("out"), s.alias("prev"))
+            ).otherwise(
+                F.struct(F.concat(acc.out, F.array(acc.prev)).alias("out"), s.alias("prev"))
+            )
+        ),
+        lambda acc: F.when(acc.prev.isNull(), acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.prev))
+        ),
+    )
+
+
+def train_bpe_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """tok2 — learn the first ``n_merges`` BPE merges (Sennrich et al.
+    2016), completing tok1's single-iteration statistic into the full
+    training loop. Returns ``(merge_rank, left, right, pair_count)`` in
+    learned order.
+
+    Scale shape (the BPE-training factorization): the CORPUS is touched
+    exactly once — one explode + word-frequency aggregate. Every
+    iteration after that runs over the word VOCABULARY (type-level,
+    millions of rows at web scale, not trillions of tokens): one
+    slice-zip pair count weighted by frequency, one argmax (a 1-row
+    ``limit(1)`` collect — a per-iteration scalar to the driver, the same
+    documented exception class as sim5's centroid matrix), then the merge
+    applied as a vocabulary-wide column fold. The vocabulary is
+    ``localCheckpoint``'d per iteration (sim5's pattern) so lineage stays
+    flat across iterations.
+
+    Deterministic: the argmax tie-breaks on (count desc, left, right),
+    and the merge fold is order-independent across rows — repartitioning
+    cannot change the learned sequence (pytest-locked). Rows-only on the
+    driver surface: the loop is iterative (DuckDB's recursive CTEs cannot
+    re-aggregate per step); ground truth is an independent pure-Python
+    trainer in pytest.
+    """
+    spark = documents.sparkSession
+    words = documents.select(F.explode(_toks()).alias("w")).where(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select("freq", F.split("w", "").alias("sym"))
+        .localCheckpoint()
+    )
+    n = F.size("sym")
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice("sym", 1, n - 1).alias("l"), F.slice("sym", 2, n - 1).alias("r")
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            vocab.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0].l, best[0].r, int(best[0].c)
+        merges.append((rank, l, r, c))
+        vocab = vocab.withColumn("sym", _merge_pair_col("sym", l, r)).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+def apply_bpe(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Encode documents with a learned merge list (:func:`train_bpe_merges`
+    order): per word, start from characters and apply each merge greedily
+    left-to-right in rank order — the reference BPE encoder. Returns
+    ``(doc_id, tokens, n_tokens)``.
+
+    Scale shape: one narrow Arrow-batched pandas-UDF projection (the
+    tokenizer-apply step is inherently per-document Python/library work —
+    the same stance as mm2's decode); the merge list is a closure
+    constant, and a per-batch word cache collapses repeated types, so the
+    cost is ~O(distinct words per batch x merges). No shuffle, no join.
+    The UDF is a closure (note 4)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+
+    def _encode_fn(texts):
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w):
+            got = cache.get(w)
+            if got is None:
+                sym = list(w)
+                for a, b in merge_list:
+                    out, prev = [], None
+                    for s in sym:
+                        if prev == a and s == b:
+                            out.append(a + b)
+                            prev = None
+                        else:
+                            if prev is not None:
+                                out.append(prev)
+                            prev = s
+                    if prev is not None:
+                        out.append(prev)
+                    sym = out
+                got = cache[w] = sym
+            return got
+
+        return texts.map(
+            lambda t: [s for w in t.split(" ") if w for s in enc_word(w)],
+            na_action="ignore",
+        )
+
+    _encode = pandas_udf(ArrayType(StringType()))(_encode_fn)
+    return documents.select(
+        "doc_id", _encode(F.col("text")).alias("tokens")
+    ).withColumn("n_tokens", F.size("tokens"))
+
+
 def _ngram_frame(documents: DataFrame, n: int) -> DataFrame:
     """One-column frame of all word ``n``-grams (space-joined, empty tokens
     dropped) — the slice/arrays_zip algebra of tok1/lm2, no lambdas, so
@@ -732,6 +875,10 @@ def build_queries():
         # exact counts while max_tracked exceeds the distinct-gram count
         # (tests/test_text.py), plus a planted-skew eviction test.
         "hh2_mergeable_topk": (_hh2_query, None),
+        # iterative (argmax + re-aggregate per step) -> no DuckDB twin;
+        # ground truth is an independent pure-Python BPE trainer in pytest
+        # plus determinism-under-repartition and tok1-first-merge checks.
+        "tok2_bpe_train": (q(train_bpe_merges), None),
     }
 
 

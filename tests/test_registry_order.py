@@ -152,6 +152,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "cs1_corpus_card",  # HLL++/GK sketches; estimate-bound pytest oracle
         "tx9_compression_signals",  # zlib bytes; exact-parity pytest vs Python zlib
         "hh2_mergeable_topk",  # frequent-items sketch boundary ties; exact-equality pytest while max_tracked > distinct grams
+        "tok2_bpe_train",  # iterative argmax loop; pure-Python trainer ground truth in pytest
     }, f"unexpected rows-only queries: {rows_only}"
 
 

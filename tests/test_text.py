@@ -464,3 +464,136 @@ def test_hh1_matches_brute_force_on_random_corpora(spark, texts, n, min_count):
         for r in heavy_ngrams(df, n=n, min_count=min_count).collect()
     }
     assert got == want
+
+
+def _py_bpe_train(word_freqs: dict[str, int], n_merges: int):
+    """Independent reference BPE trainer (Sennrich et al. 2016): count
+    adjacent symbol pairs weighted by word frequency, merge the argmax
+    (ties: lexicographic), repeat."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, sym in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w, sym in vocab.items():
+            out, prev = [], None
+            for s in sym:
+                if prev == a and s == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_tok2_matches_python_reference_trainer(spark):
+    """The learned merge sequence (order, pairs, and counts) must equal the
+    independent pure-Python trainer on the classic BPE corpus — including
+    merges of already-merged symbols (multi-char pairs)."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import train_bpe_merges
+
+    texts = ["low low low lower lower", "newest newest widest low", "new new newest"]
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    want, _ = _py_bpe_train(wf, 8)
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in train_bpe_merges(docs, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    assert any(len(a) > 1 or len(b) > 1 for a, b, _ in got), (
+        "fixture too small: no multi-char merge exercised"
+    )
+
+
+def test_tok2_deterministic_under_repartition(spark):
+    import pandas as pd
+
+    from samsa_spark.operators.text import train_bpe_merges
+
+    texts = ["spark spark sharded shard", "shard spark sharded streams"]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": texts}))
+    a = [tuple(r) for r in train_bpe_merges(docs, n_merges=6).orderBy("merge_rank").collect()]
+    b = [
+        tuple(r)
+        for r in train_bpe_merges(docs.repartition(7), n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert a == b and len(a) == 6
+
+
+def test_tok2_first_merge_equals_tok1_top_pair(spark):
+    """tok1 is tok2's first iteration by construction: the top tok1 pair
+    must be the rank-0 learned merge on the gate corpus."""
+    from samsa_spark import tables
+    from samsa_spark.operators.text import bpe_pair_counts, train_bpe_merges
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    top = bpe_pair_counts(docs, top=1).collect()[0]
+    first = train_bpe_merges(docs, n_merges=1).collect()[0]
+    assert (first.left, first.right, first.pair_count) == (
+        top["left"],
+        top["right"],
+        top.pair_count,
+    )
+
+
+def test_apply_bpe_encodes_like_reference(spark):
+    """apply_bpe must reproduce the reference encoder on every word (the
+    trained vocab IS the reference encoding of the training words), and
+    token concatenation must round-trip the input characters."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import apply_bpe, train_bpe_merges
+
+    texts = ["low low low lower lower", "newest newest widest low", "new new newest"]
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    merges_ref, vocab_ref = _py_bpe_train(wf, 8)
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in apply_bpe(docs, [(a, b) for a, b, _ in merges_ref]).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [s for w in t.split(" ") if w for s in vocab_ref[w]]
+        assert got[i][0] == want, (i, got[i][0], want)
+        assert got[i][1] == len(want)
+        assert "".join(got[i][0]) == t.replace(" ", "")
+
+
+def test_tok2_rows_only_query_runs(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "tok2_bpe_train", SF_SMALL)
+    assert ok, msg
