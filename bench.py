@@ -131,6 +131,10 @@ PIPELINE = [
     "hh1_heavy_ngrams",
     "hh2_mergeable_topk",
     "tok2_bpe_train",
+    # product-analytics family: ordered funnel (user_id-keyed aggregate
+    # chain) and the cohort retention matrix.
+    "fu1_funnel_stages",
+    "co1_cohort_retention",
 ]
 
 

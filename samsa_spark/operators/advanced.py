@@ -288,6 +288,137 @@ GROUP BY p.purchase_id, p.p_ts
 """
 
 
+def funnel_stages(
+    events: DataFrame, stages: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """fu1 — ordered funnel analysis (the match_recognize stand-in every
+    product-analytics engine grows): per user, the FIRST stage-1 event,
+    the first stage-2 event STRICTLY AFTER it, the first stage-3 event
+    strictly after that, and the stage depth reached. An out-of-order
+    event (a click before any view) does not count — only the earliest
+    valid chain does.
+
+    Plan shape: a chain of conditional min-aggregates, each joined to the
+    previous stage's per-user timestamp — every groupBy and every join
+    keys on ``user_id``, so the whole funnel is ONE hash-partitioning
+    family (AQE reuses the exchange; on a user_id-bucketed layout no
+    shuffle at all). No windows, no per-user event sorting, no broadcast
+    of user-cardinality sides; per-stage frames carry one row per user.
+    At 100 TB this is 3 co-partitioned aggregates over a filtered scan —
+    the event payload never moves unfiltered.
+    """
+    s1, s2, s3 = stages
+    ev = events.select("user_id", "event_type", "ts_us")
+    t1 = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1_us"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .where(F.col("ts_us") > F.col("t1_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2_us"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .where(F.col("ts_us") > F.col("t2_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3_us"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1_us",
+            "t2_us",
+            "t3_us",
+            F.when(F.col("t3_us").isNotNull(), 3)
+            .when(F.col("t2_us").isNotNull(), 2)
+            .when(F.col("t1_us").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("reached"),
+        )
+    )
+
+
+_FU1_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+t1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(ts_us) AS t2_us FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1),
+t3 AS (SELECT e.user_id, min(ts_us) AS t3_us FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1)
+SELECT u.user_id, t1_us, t2_us, t3_us,
+       CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                 WHEN t2_us IS NOT NULL THEN 2
+                 WHEN t1_us IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS reached
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """co1 — cohort retention matrix: users grouped by first-activity week
+    (the cohort), counted by how many distinct weeks after signup they
+    were active — ``(cohort_week, week_offset, n_users)``. The standard
+    engagement report next to fu1's conversion funnel.
+
+    Plan shape: first-week per user is one hash aggregate; the join back
+    and the (user, offset) dedup both key on ``user_id`` (same
+    partitioning family as fu1 — at scale one exchange, reused); the
+    final matrix aggregate runs over |users| x |active weeks| rows
+    (bounded: a year is 53 offsets per user, NOT event-cardinality). Week
+    ids are integer-divided epoch-µs — no timezone/calendar dependence on
+    either engine (the repo's ts_us rule, CLAUDE.md note 1)."""
+    ev = events.select("user_id", (F.col("ts_us") - F.col("ts_us") % _WEEK_US).alias("week_us"))
+    first = ev.groupBy("user_id").agg(F.min("week_us").alias("cohort_week_us"))
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week_us",
+            ((F.col("week_us") - F.col("cohort_week_us")) / _WEEK_US)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_week_us", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_CO1_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(ts) % {_WEEK_US} AS week_us
+  FROM events
+), f AS (
+  SELECT user_id, min(week_us) AS cohort_week_us FROM e GROUP BY 1
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week_us,
+         CAST((e.week_us - f.cohort_week_us) // {_WEEK_US} AS INT) AS week_offset
+  FROM e JOIN f USING (user_id)
+)
+SELECT cohort_week_us, week_offset, count(*) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
 def build_queries():
     def q(fn, *names, spread=()):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -308,6 +439,8 @@ def build_queries():
         "as2_asof_cogrouped": (q(asof_join_cogrouped, "events", "orders"), _AS1_SQL),
         "gf1_gap_fill": (q(gap_fill, "events"), _GF1_SQL),
         "rj1_range_join": (q(range_join_counts, "events"), _RJ1_SQL),
+        "fu1_funnel_stages": (q(funnel_stages, "events"), _FU1_SQL),
+        "co1_cohort_retention": (q(cohort_retention, "events"), _CO1_SQL),
     }
 
 

@@ -539,6 +539,8 @@ _DEMOTED = (
     "tok1_bpe_pair_counts",           # udtf1/tf1 anchor the explode->count->rank text shapes in-window; the BPE pair statistic is pytest-oracle-checked (+ hand-computed planted-corpus test)
     "mm5_interleaved_pack",           # pk2 anchors packing and mm1/mm3 the media surface in-window; the joint token+media-byte bin rule is pytest-oracle-checked (+ dual-budget boundary test)
     "hh1_heavy_ngrams",               # tok1/tf1 anchor the explode->count text shapes in-window; the sketch-candidates+exact-rescan heavy-hitter form is pytest-oracle-checked (+ planted-skew coverage test)
+    "fu1_funnel_stages",              # ses1/d10 anchor per-user event-sequence shapes in-window; the ordered-funnel conditional-min chain is pytest-oracle-checked (+ hand-computed out-of-order test)
+    "co1_cohort_retention",           # ses1/pv1 anchor per-user time-bucket aggregation in-window; the cohort matrix shares their co-partitioned shape and is pytest-oracle-checked
 )
 
 

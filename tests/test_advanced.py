@@ -14,6 +14,8 @@ ADV_QUERIES = [
     "pv1_pivot_event_counts",
     "da1_distinct_aggregates",
     "gf1_gap_fill",
+    "fu1_funnel_stages",
+    "co1_cohort_retention",
 ]
 
 
@@ -248,3 +250,61 @@ def test_interleaved_pack_matches_model_on_random_docs(spark, docs, bt, bb):
         m[1] += nt
         m[2] += nb
     assert got == {k: tuple(v) for k, v in model.items()}
+
+
+def test_fu1_funnel_ordering_hand_computed(spark):
+    """The strictly-after chain on a corpus built by hand: clicks BEFORE
+    the first view must not count; the first valid click gates which
+    purchases count; users stall at the deepest stage they legitimately
+    reached."""
+    import pandas as pd
+
+    from samsa_spark.operators.advanced import funnel_stages
+
+    #            user  type        ts_us
+    rows = [
+        (1, "click", 10),      # before any view -> ignored
+        (1, "view", 20),
+        (1, "click", 30),      # first valid click
+        (1, "purchase", 25),   # before the valid click -> ignored
+        (1, "purchase", 40),   # counts
+        (2, "view", 100),      # never clicks
+        (2, "purchase", 150),  # purchase without click -> stalls at 1
+        (3, "error", 5),       # never views -> reached 0
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts_us"])
+    )
+    got = {r.user_id: (r.t1_us, r.t2_us, r.t3_us, r.reached) for r in funnel_stages(ev).collect()}
+    assert got == {
+        1: (20, 30, 40, 3),
+        2: (100, None, None, 1),
+        3: (None, None, None, 0),
+    }
+
+
+def test_co1_cohort_offsets_hand_computed(spark):
+    """Cohort weeks and offsets on synthetic µs timestamps: users cohort at
+    their first week bucket; repeat activity in one week counts once."""
+    import pandas as pd
+
+    from samsa_spark.operators.advanced import _WEEK_US, cohort_retention
+
+    w = _WEEK_US
+    rows = [
+        (1, 0), (1, 10), (1, w + 5), (1, 3 * w),        # offsets 0,1,3
+        (2, w), (2, w + 1), (2, 2 * w),                 # cohort w; offsets 0,1
+        (3, 3 * w + 2),                                 # cohort 3w; offset 0
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts_us"])
+    )
+    got = {
+        (r.cohort_week_us, r.week_offset): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        (0, 0): 1, (0, 1): 1, (0, 3): 1,
+        (w, 0): 1, (w, 1): 1,
+        (3 * w, 0): 1,
+    }

@@ -214,3 +214,22 @@ def test_hh1_candidates_broadcast_no_gram_space_shuffle_join(spark):
     assert "SortMergeJoin" not in p
     assert "approx_top_k" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_fu1_funnel_is_one_partitioning_family_no_window(spark):
+    """fu1's conditional-min chain must stay hash aggregates + equi-joins
+    keyed on user_id — no Window (no per-user sort), no nested loop, and
+    every exchange partitions on user_id only."""
+    p = _plan(spark, "fu1_funnel_stages")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    import re
+
+    for part in re.findall(r"Exchange hashpartitioning\(([^,]+),", p):
+        assert "user_id" in part, f"non-user_id exchange: {part}"
+
+
+def test_co1_cohort_no_window_no_event_cardinality_sort(spark):
+    p = _plan(spark, "co1_cohort_retention")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
