@@ -135,6 +135,8 @@ PIPELINE = [
     # chain) and the cohort retention matrix.
     "fu1_funnel_stages",
     "co1_cohort_retention",
+    # theta-sketch pairwise source overlap (one aggregate + tiny pair algebra)
+    "cs3_corpus_overlap",
 ]
 
 

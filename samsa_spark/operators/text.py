@@ -749,6 +749,12 @@ def merge_topk_sketches(
     )
 
 
+# KLL sketch size: rank error ~1.65/sqrt(k) (~1.1% at 200). Small enough
+# to ride the partial-card rows, large enough that gate-scale corpora
+# (n < k per source) are stored EXACTLY (no compaction).
+_KLL_K = 200
+
+
 def corpus_card_partial(documents: DataFrame) -> DataFrame:
     """Per-source PARTIAL data card whose distinct-content state is an
     explicit Apache DataSketches HLL column (``hll_sketch_agg`` binary):
@@ -764,6 +770,12 @@ def corpus_card_partial(documents: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(toks_n.cast("bigint")).alias("total_tokens"),
         F.hll_sketch_agg(F.sha2("text", 256)).alias("content_sketch"),
+        # DataSketches KLL over per-doc token counts: the mergeable
+        # quantile state GK (cs1) lacks — merged cards carry length
+        # percentiles of the UNION corpus.
+        F.expr(f"kll_sketch_agg_bigint(CAST(size(split(text, ' ')) AS BIGINT), {_KLL_K})").alias(
+            "tokens_sketch"
+        ),
     )
 
 
@@ -772,8 +784,12 @@ def merge_corpus_cards(*cards: DataFrame) -> DataFrame:
     into the card of the UNION corpus: counts add, HLL sketches union
     (``hll_union_agg`` — set union is exact on the sketch, so the merged
     estimate EQUALS the estimate a single pass over the union would give;
-    pytest locks that equality). One tiny aggregate over |sources| x
-    |batches| rows — never touches the corpora.
+    pytest locks that equality) and KLL token-count sketches merge into
+    union-corpus length percentiles (rank error ~1.65/sqrt(k); exact
+    while per-source n < k, estimate-bounded past that — KLL compaction
+    is randomized, so quantiles get BOUND tests, never equality). One
+    tiny aggregate over |sources| x |batches| rows — never touches the
+    corpora.
     """
     u = cards[0]
     for c in cards[1:]:
@@ -784,12 +800,63 @@ def merge_corpus_cards(*cards: DataFrame) -> DataFrame:
             F.sum("n_docs").alias("n_docs"),
             F.sum("total_tokens").alias("total_tokens"),
             F.hll_union_agg("content_sketch").alias("content_sketch"),
+            F.expr("kll_merge_agg_bigint(tokens_sketch)").alias("tokens_sketch"),
         )
         .select(
             "source",
             "n_docs",
             "total_tokens",
             F.hll_sketch_estimate("content_sketch").alias("approx_distinct_contents"),
+            F.expr("kll_sketch_get_quantile_bigint(tokens_sketch, 0.5)").alias(
+                "approx_p50_tokens"
+            ),
+            F.expr("kll_sketch_get_quantile_bigint(tokens_sketch, 0.95)").alias(
+                "approx_p95_tokens"
+            ),
+        )
+    )
+
+
+def corpus_overlap(documents: DataFrame) -> DataFrame:
+    """cs3 — pairwise estimated distinct-content overlap between sources
+    via DataSketches THETA sketches: for every source pair, the estimated
+    distinct contents in common, in each side only, in the union, and the
+    Jaccard — WITHOUT any cross-corpus join. The pre-dedup diagnostic at
+    100 TB: "how much does crawl A overlap crawl B" answered from one
+    scan before committing to exact dedup (dd10/dc1 are the exact forms
+    this triages for).
+
+    Plan: one hash aggregate builds a KB-scale theta sketch per source
+    (mergeable, partials combine map-side); the pair algebra
+    (``theta_intersection``/``theta_union``/``theta_difference``) runs on
+    the |sources|-row frame — the crossJoin is against a BROADCAST
+    source-cardinality frame (the repo's tiny-frame crossJoin class),
+    never corpus rows. Theta sketches are deterministic (k minimum
+    hashes), so results are repartition-invariant and EXACT below the
+    sketch's nominal entries (pytest locks exact parity there); past it,
+    standard theta relative-error bounds apply. Rows-only on the driver
+    surface (sketch internals have no DuckDB twin)."""
+    sk = documents.groupBy("source").agg(
+        F.expr("theta_sketch_agg(sha2(text, 256))").alias("th")
+    )
+    x, y = sk.alias("x"), sk.alias("y")
+    inter = F.expr("theta_sketch_estimate(theta_intersection(x.th, y.th))")
+    uni = F.expr("theta_sketch_estimate(theta_union(x.th, y.th))")
+    return (
+        x.crossJoin(F.broadcast(y))
+        .where(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            F.round(inter, 1).alias("est_common"),
+            F.round(
+                F.expr("theta_sketch_estimate(theta_difference(x.th, y.th))"), 1
+            ).alias("est_a_only"),
+            F.round(
+                F.expr("theta_sketch_estimate(theta_difference(y.th, x.th))"), 1
+            ).alias("est_b_only"),
+            F.round(uni, 1).alias("est_union"),
+            F.round(inter / uni, 6).alias("est_jaccard"),
         )
     )
 
@@ -879,6 +946,10 @@ def build_queries():
         # ground truth is an independent pure-Python BPE trainer in pytest
         # plus determinism-under-repartition and tok1-first-merge checks.
         "tok2_bpe_train": (q(train_bpe_merges), None),
+        # theta-sketch set algebra has no DuckDB twin -> rows-only; pytest
+        # locks exact parity below nominal entries (planted overlapping
+        # sources) and repartition-invariance.
+        "cs3_corpus_overlap": (q(corpus_overlap), None),
     }
 
 

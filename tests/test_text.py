@@ -597,3 +597,84 @@ def test_tok2_rows_only_query_runs(spark):
 
     ok, msg = check_query(spark, "tok2_bpe_train", SF_SMALL)
     assert ok, msg
+
+
+def test_cs3_overlap_exact_on_planted_sources(spark):
+    """Theta-sketch set algebra is EXACT below the sketch's nominal
+    entries: planted sources with known shared/unique contents must give
+    exact intersection/difference/union/Jaccard, invariant under
+    repartitioning (theta keeps the k minimum hashes — deterministic)."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import corpus_overlap
+
+    rows = []
+    for i in range(30):
+        rows.append((len(rows), f"shared {i}", "a"))
+        rows.append((len(rows), f"shared {i}", "b"))  # 30 common contents
+    for i in range(20):
+        rows.append((len(rows), f"only a {i}", "a"))
+    for i in range(10):
+        rows.append((len(rows), f"only b {i}", "b"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    for d in (docs, docs.repartition(7)):
+        got = corpus_overlap(d).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.source_a, r.source_b) == ("a", "b")
+        assert (r.est_common, r.est_a_only, r.est_b_only, r.est_union) == (
+            30.0,
+            20.0,
+            10.0,
+            60.0,
+        )
+        assert r.est_jaccard == 0.5
+
+
+def test_cs3_rows_only_query_runs(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "cs3_corpus_overlap", SF_SMALL)
+    assert ok, msg
+
+
+def test_cs2_merged_quantiles_bound_exact(spark):
+    """The KLL half of the mergeable card: at gate scale (n per source <
+    k) the sketch stores values exactly, so merged p50/p95 must land on
+    actual per-source token counts inside the exact inter-quantile
+    neighborhood, and merge(thirds) must agree with the whole-corpus
+    card."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import corpus_card_partial, merge_corpus_cards
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    whole = {
+        r.source: (r.approx_p50_tokens, r.approx_p95_tokens)
+        for r in merge_corpus_cards(corpus_card_partial(docs)).collect()
+    }
+    thirds = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    merged = {
+        r.source: (r.approx_p50_tokens, r.approx_p95_tokens)
+        for r in merge_corpus_cards(*[corpus_card_partial(t) for t in thirds]).collect()
+    }
+    assert merged == whole
+    exact = {
+        s: sorted(v)
+        for s, v in (
+            docs.select("source", F.size(F.split("text", " ")).alias("n"))
+            .groupBy("source")
+            .agg(F.collect_list("n").alias("ns"))
+            .rdd.map(lambda r: (r.source, list(r.ns)))
+            .collect()
+        )
+    }
+    for s, (p50, p95) in whole.items():
+        ns = exact[s]
+        lo50, hi50 = ns[int(0.35 * len(ns))], ns[min(int(0.65 * len(ns)), len(ns) - 1)]
+        assert lo50 <= p50 <= hi50, (s, p50, lo50, hi50)
+        lo95 = ns[int(0.85 * len(ns))]
+        assert lo95 <= p95 <= ns[-1], (s, p95, lo95, ns[-1])
