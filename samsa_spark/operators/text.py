@@ -648,6 +648,7 @@ def heavy_ngrams(
     min_count: int = 5,
     max_candidates: int = 1024,
     max_tracked: int = 1 << 16,
+    sketch: bool = True,
 ) -> DataFrame:
     """hh1 — EXACT support-threshold heavy hitters over the n-gram
     keyspace: every word ``n``-gram occurring at least ``min_count`` times
@@ -680,8 +681,27 @@ def heavy_ngrams(
     ``max_candidates`` (callers can detect via ``count() ==
     max_candidates``). Sizing rule at 100 TB: ``max_tracked ≥
     c·N/min_count`` for small c keeps the no-false-negative guarantee.
+
+    WHEN to use which plan (measured — PLANS.md heavy sweep):
+    ``sketch=False`` runs the plain partial-agg group-by (identical
+    output), and at ≤ ~300k distinct grams it wins 4-6x — map-side
+    partials already collapse the heavy keys and the distinct-tail
+    shuffle is cheap, while a saturated frequent-items sketch pays
+    purge churn per update. The sketch path is for the regime Spark
+    can't shuffle/spill comfortably: billions of distinct grams
+    (bounded per-partition memory, candidate-bounded shuffle) — and for
+    incremental accumulation, where hh2's mergeable partials have no
+    group-by equivalent. The same crossover logic as salting
+    (CLAUDE.md note 18): don't pay the clever plan below its regime.
     """
     grams = _ngram_frame(documents, n)
+    if not sketch:
+        return (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("n_occurrences"))
+            .where(F.col("n_occurrences") >= min_count)
+            .orderBy(F.col("n_occurrences").desc(), "gram")
+        )
     cand = (
         grams.agg(
             F.expr(f"approx_top_k(gram, {max_candidates}, {max_tracked})").alias("tk")

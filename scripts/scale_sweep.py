@@ -752,6 +752,54 @@ def sweep_skew(spark) -> None:
         ev.unpersist()
 
 
+def sweep_heavy(spark) -> None:
+    """hh1 vs the naive full-gram group-by at 1x and 10x corpus: replicas
+    multiply heavy-gram counts ~10x while unique per-replica noise tokens
+    grow the distinct-gram keyspace — both axes a web crawl grows on.
+    Also times cs3's theta overlap at both sizes (one sketch aggregate —
+    should track scan cost)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import corpus_overlap, heavy_ngrams
+
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select(
+        "doc_id", "text", "source"
+    )
+    n_docs = docs.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return docs, n_docs
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            # interior grams repeat across replicas (heavies x factor);
+            # the appended noise tokens mint ~4 unique grams per replica
+            # (keyspace grows ~linearly too)
+            F.concat_ws(
+                " ",
+                "text",
+                F.concat(F.lit("n"), F.col("doc_id")),
+                F.concat(F.lit("m"), F.col("_r")),
+                F.concat(F.lit("q"), F.col("doc_id") + F.col("_r")),
+            ).alias("text"),
+            "source",
+        )
+        return df, n_docs * factor
+
+    heavy_ngrams(docs).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        _time(f"hh1_sketch_rescan_x{factor}", lambda: heavy_ngrams(df), n)
+        _time(
+            f"hh1_plain_groupby_x{factor}", lambda: heavy_ngrams(df, sketch=False), n
+        )
+        _time(f"cs3_corpus_overlap_x{factor}", lambda: corpus_overlap(df), n)
+        df.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -781,6 +829,8 @@ def main() -> None:
         sweep_linecls(spark)
     if what in ("streamforms", "all"):
         sweep_streamforms(spark)
+    if what in ("heavy", "all"):
+        sweep_heavy(spark)
     spark.stop()
 
 

@@ -678,3 +678,16 @@ def test_cs2_merged_quantiles_bound_exact(spark):
         assert lo50 <= p50 <= hi50, (s, p50, lo50, hi50)
         lo95 = ns[int(0.85 * len(ns))]
         assert lo95 <= p95 <= ns[-1], (s, p95, lo95, ns[-1])
+
+
+def test_hh1_sketch_and_groupby_forms_agree(spark):
+    """The two hh1 plans (sketch-candidates+rescan vs plain partial-agg
+    group-by) are the same operator — identical output on the gate corpus
+    (the PLANS.md heavy sweep picks between them by keyspace regime)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.text import heavy_ngrams
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    a = {(r.gram, r.n_occurrences) for r in heavy_ngrams(docs).collect()}
+    b = {(r.gram, r.n_occurrences) for r in heavy_ngrams(docs, sketch=False).collect()}
+    assert a == b and a
