@@ -687,6 +687,81 @@ def _shard_manifest(back: DataFrame, part_cols: list[str]) -> DataFrame:
     )
 
 
+def append_shards(
+    documents: DataFrame,
+    path: str,
+    train_pct: int = 80,
+    max_records_per_file: int = 100_000,
+) -> DataFrame:
+    """Append a new batch to an existing :func:`write_shards` layout — the
+    daily-ingest path of a long-lived corpus (write → APPEND → compact →
+    read). The batch gets the same deterministic doc_id-hash split as the
+    original write (a doc appended today lands in the same split it would
+    have landed in on day one), files are added with parquet append
+    (existing files are immutable — never rewritten), and the manifest is
+    patched: prior rows are kept verbatim, fresh ``_metadata``-derived
+    rows are added for exactly the new files (anti-join on file path).
+
+    Partition columns (split-only vs split+source) are detected from the
+    existing manifest, so the append cannot fork the layout shape.
+    Duplicate doc_ids across batches are NOT resolved here — run
+    :func:`~samsa_spark.operators.dedup.dedup_against` on the batch first
+    (the incremental-prep recipe, tests/test_storage_layout.py). Returns
+    the updated manifest.
+    """
+    spark = documents.sparkSession
+    manifest = spark.read.parquet(f"{path}/manifest")
+    part_cols = [c for c in ("split", "source") if c in manifest.columns]
+    kept = manifest.localCheckpoint()  # off the parquet source pre-overwrite
+    (
+        documents.withColumn("split", _split_expr(train_pct))
+        .write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*part_cols)
+        .parquet(f"{path}/data")
+    )
+    spark.catalog.refreshByPath(f"{path}/data")
+    fresh = _shard_manifest(spark.read.parquet(f"{path}/data"), part_cols)
+    new_rows = fresh.join(kept.select("file"), "file", "left_anti")
+    kept.unionByName(new_rows.select(*kept.columns)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/manifest")
+    spark.catalog.refreshByPath(f"{path}/manifest")
+    return spark.read.parquet(f"{path}/manifest")
+
+
+def validate_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Consistency check a loader runs before trusting a shard layout:
+    re-derive the manifest from the files on disk and diff it against the
+    stored one. Returns a frame of discrepancies (empty == consistent):
+    ``(file, problem)`` where problem is ``missing_on_disk`` (manifest row
+    with no file), ``unlisted_file`` (file with no manifest row), or
+    ``stat_mismatch`` (rows/bytes/id-range drifted — e.g. a partial
+    overwrite). One pruned scan + two tiny joins over manifest-cardinality
+    rows."""
+    manifest = spark.read.parquet(f"{path}/manifest")
+    part_cols = [c for c in ("split", "source") if c in manifest.columns]
+    disk = _shard_manifest(spark.read.parquet(f"{path}/data"), part_cols)
+    stat_cols = ["n_rows", "n_bytes", "min_doc_id", "max_doc_id"]
+    m = manifest.select("file", *stat_cols)
+    d = disk.select("file", *stat_cols)
+    missing = m.join(d.select("file"), "file", "left_anti").select(
+        "file", F.lit("missing_on_disk").alias("problem")
+    )
+    unlisted = d.join(m.select("file"), "file", "left_anti").select(
+        "file", F.lit("unlisted_file").alias("problem")
+    )
+    drift = (
+        m.alias("m")
+        .join(d.alias("d"), "file")
+        .where(
+            " OR ".join(f"m.{c} <> d.{c}" for c in stat_cols)
+        )
+        .select("file", F.lit("stat_mismatch").alias("problem"))
+    )
+    return missing.unionByName(unlisted).unionByName(drift)
+
+
 def compact_shards(
     spark: SparkSession, path: str, target_bytes: int = 128 << 20
 ) -> DataFrame:

@@ -208,3 +208,104 @@ def test_compact_shards_respects_target_bytes(spark):
     for s, rows in by_split.items():
         assert len(rows) < before[s], f"split {s} not reduced"
     assert sum(r.n_rows for r in m1) == docs.count()
+
+
+def test_append_shards_adds_batch_without_touching_existing(spark):
+    """append_shards: existing files byte-identical, batch rows land in
+    the same deterministic split they'd get on day one, the patched
+    manifest matches disk (validate_shards empty), and reads see the
+    union."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        _split_expr,
+        append_shards,
+        read_shards,
+        validate_shards,
+        write_shards,
+    )
+
+    base = tempfile.mkdtemp(prefix="samsa-append-")
+    docs = tables.load(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    day1 = docs.where(F.col("doc_id") % 2 == 0)
+    day2 = docs.where(F.col("doc_id") % 2 == 1)
+    write_shards(day1, base)
+    m0 = {(r.file, r.n_bytes) for r in spark.read.parquet(base + "/manifest").collect()}
+
+    m1 = append_shards(day2, base)
+    m1_rows = m1.collect()
+    assert {(r.file, r.n_bytes) for r in m1_rows} > m0, "old rows must be kept verbatim"
+    assert all((r.file, r.n_bytes) in {(x.file, x.n_bytes) for x in m1_rows} for r in spark.read.parquet(base + "/manifest").collect())
+
+    got = sorted(tuple(r) for r in read_shards(spark, base).select(*docs.columns).collect())
+    assert got == sorted(tuple(r) for r in docs.collect())
+    # split assignment identical to a from-scratch write
+    want_split = {
+        r.doc_id: r.split
+        for r in docs.withColumn("split", _split_expr(80)).collect()
+    }
+    back = spark.read.parquet(base + "/data")
+    assert {r.doc_id: r.split for r in back.select("doc_id", "split").collect()} == want_split
+    assert validate_shards(spark, base).count() == 0
+
+
+def test_validate_shards_flags_every_problem_class(spark):
+    import shutil
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import validate_shards, write_shards
+
+    base = tempfile.mkdtemp(prefix="samsa-validate-")
+    docs = tables.load(spark, SF_SMALL, "documents").select("doc_id", "text", "source")
+    write_shards(docs, base, max_records_per_file=100)
+    assert validate_shards(spark, base).count() == 0
+
+    # unlisted_file: copy a data file under a new name
+    import glob as g
+
+    f = g.glob(os.path.join(base, "data", "split=train", "*.parquet"))[0]
+    shutil.copy(f, f.replace(".parquet", "-rogue.parquet"))
+    # missing_on_disk: delete a test-split file
+    f2 = g.glob(os.path.join(base, "data", "split=test", "*.parquet"))[0]
+    os.remove(f2)
+    spark.catalog.refreshByPath(os.path.join(base, "data"))
+    probs = {r.problem for r in validate_shards(spark, base).collect()}
+    assert probs == {"unlisted_file", "missing_on_disk"}
+
+
+def test_incremental_prep_recipe_lifecycle(spark):
+    """The daily-batch composition the shard layout exists for: day-1
+    write; day-2 batch deduped against day-1 contents, appended; compact;
+    validate clean; epoch read sees exactly the distinct union."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import dedup_against
+    from samsa_spark.operators.pipeline_ops import (
+        append_shards,
+        compact_shards,
+        read_shards,
+        validate_shards,
+        write_shards,
+    )
+
+    base = tempfile.mkdtemp(prefix="samsa-incr-")
+    docs = tables.load(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    day1 = docs.where(F.col("doc_id") % 3 == 0)
+    # day-2 batch: new docs + exact re-crawls of day-1 content
+    dup = day1.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    day2 = docs.where(F.col("doc_id") % 3 == 1).unionByName(dup)
+
+    write_shards(day1, base)
+    flags = dedup_against(day2, read_shards(spark, base))
+    fresh = day2.join(
+        flags.where(~F.col("in_reference")).select("doc_id"), "doc_id"
+    )
+    assert fresh.count() == day2.count() - 20, "re-crawled contents must drop"
+    append_shards(fresh, base)
+    compact_shards(spark, base, target_bytes=1 << 30)
+    assert validate_shards(spark, base).count() == 0
+    texts = {r.text for r in read_shards(spark, base).collect()}
+    want = {r.text for r in day1.collect()} | {r.text for r in day2.collect()}
+    assert texts == want
