@@ -721,9 +721,26 @@ def append_shards(
         .parquet(f"{path}/data")
     )
     spark.catalog.refreshByPath(f"{path}/data")
-    fresh = _shard_manifest(spark.read.parquet(f"{path}/data"), part_cols)
-    new_rows = fresh.join(kept.select("file"), "file", "left_anti")
-    kept.unionByName(new_rows.select(*kept.columns)).coalesce(1).write.mode(
+    # Stats must come from the NEW files only — re-deriving the whole
+    # manifest would rescan the corpus on every daily append. Step 1 lists
+    # file paths (a metadata-column distinct: tasks read footers, no data
+    # columns) and anti-joins against the kept manifest; the collected
+    # list is file PATHS (manifest-cardinality metadata, the documented
+    # driver-side exception class). Step 2 reads exactly those files
+    # (basePath keeps the partition columns) for the stats aggregate.
+    listing = (
+        spark.read.parquet(f"{path}/data")
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+    )
+    new_files = [
+        r.file for r in listing.join(kept.select("file"), "file", "left_anti").collect()
+    ]
+    if not new_files:  # empty batch: nothing written, manifest unchanged
+        return spark.read.parquet(f"{path}/manifest")
+    back_new = spark.read.option("basePath", f"{path}/data").parquet(*new_files)
+    fresh = _shard_manifest(back_new, part_cols)
+    kept.unionByName(fresh.select(*kept.columns)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/manifest")
     spark.catalog.refreshByPath(f"{path}/manifest")
@@ -737,8 +754,9 @@ def validate_shards(spark: SparkSession, path: str) -> DataFrame:
     ``(file, problem)`` where problem is ``missing_on_disk`` (manifest row
     with no file), ``unlisted_file`` (file with no manifest row), or
     ``stat_mismatch`` (rows/bytes/id-range drifted — e.g. a partial
-    overwrite). One pruned scan + two tiny joins over manifest-cardinality
-    rows."""
+    overwrite). Cost: one full doc_id-column scan (stat verification is
+    inherently a re-read) + joins over manifest-cardinality rows; run it
+    on the schedule compaction runs, not per read."""
     manifest = spark.read.parquet(f"{path}/manifest")
     part_cols = [c for c in ("split", "source") if c in manifest.columns]
     disk = _shard_manifest(spark.read.parquet(f"{path}/data"), part_cols)
