@@ -642,10 +642,14 @@ def _ngram_frame(documents: DataFrame, n: int) -> DataFrame:
     )
 
 
+# shared by the hh1 default and its oracle SQL so the twin cannot drift
+_HH1_MIN_COUNT = 5
+
+
 def heavy_ngrams(
     documents: DataFrame,
     n: int = 3,
-    min_count: int = 5,
+    min_count: int = _HH1_MIN_COUNT,
     max_candidates: int = 1024,
     max_tracked: int = 1 << 16,
     sketch: bool = True,
@@ -727,9 +731,9 @@ WITH t AS (
   FROM t
 )
 SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
-FROM g GROUP BY gram HAVING count(*) >= 5
+FROM g GROUP BY gram HAVING count(*) >= {min_count}
 ORDER BY n_occurrences DESC, gram
-"""
+""".format(min_count=_HH1_MIN_COUNT)
 
 
 def topk_sketch_partial(
