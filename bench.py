@@ -137,6 +137,8 @@ PIPELINE = [
     "co1_cohort_retention",
     # theta-sketch pairwise source overlap (one aggregate + tiny pair algebra)
     "cs3_corpus_overlap",
+    # time-based split: bounded-state discrete quantile + broadcast cutpoint
+    "sp2_temporal_split",
 ]
 
 

@@ -136,6 +136,63 @@ def deterministic_split(documents: DataFrame, train_pct: int = 80) -> DataFrame:
     )
 
 
+# hour quantization bounds the percentile_disc state (note 24: exact
+# quantile state is O(distinct values)); the fraction is shared with the
+# sp2 oracle so the twin cannot drift.
+_SP2_HOUR_US = 3_600_000_000
+_SP2_TRAIN_FRAC = 0.8
+
+
+def temporal_split(
+    events: DataFrame, train_frac: float = _SP2_TRAIN_FRAC
+) -> DataFrame:
+    """sp2 — TIME-based train/test split: train is everything up to the
+    ``train_frac`` discrete quantile of the (hour-quantized) event time,
+    test is strictly after. The forecasting-correct split sp1's hash form
+    cannot give: evaluating on events later than anything trained on —
+    a doc_id-hash split would leak future rows into train.
+
+    Determinism contract: ``percentile_disc`` returns an ACTUAL data
+    value (SQL-standard smallest value with cume_dist >= frac) — no
+    interpolation, so the cutpoint is bit-identical across engines
+    (DuckDB ``quantile_disc``), unlike continuous quantiles whose
+    interpolated doubles can flip a boundary row (note 24). Hour
+    quantization caps the aggregate's O(distinct) state (~720 values
+    per month of data) and makes the boundary tie-INCLUSIVE: the whole
+    cut hour lands in train.
+
+    Plan: one bounded-state aggregate -> broadcast 1-row cutpoint (the
+    qf1 pattern) -> scan-local tag. Two scans; compose over a
+    localCheckpoint when upstream is expensive (note 12)."""
+    hour = F.col("ts_us") - F.col("ts_us") % _SP2_HOUR_US
+    ev = events.select("event_id", "ts_us", hour.alias("hour_us"))
+    cut = ev.agg(
+        F.expr(
+            f"CAST(percentile_disc({train_frac}) WITHIN GROUP (ORDER BY hour_us)"
+            " AS BIGINT)"
+        ).alias("cut_hour_us")
+    )
+    return ev.crossJoin(F.broadcast(cut)).select(
+        "event_id",
+        "ts_us",
+        F.when(F.col("hour_us") <= F.col("cut_hour_us"), "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_SP2_SQL = f"""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - epoch_us(ts) % {_SP2_HOUR_US} AS hour_us
+  FROM events
+), c AS (SELECT quantile_disc(hour_us, {_SP2_TRAIN_FRAC}) AS cut FROM e)
+SELECT event_id, ts_us,
+       CASE WHEN hour_us <= c.cut THEN 'train' ELSE 'test' END AS split
+FROM e, c
+"""
+
+
 def shuffle_shards(documents: DataFrame, n_shards: int = 8, seed: int = 1) -> DataFrame:
     """ds1 — deterministic epoch shuffle: assign each doc to a shard by a
     SEEDED key hash and give it a stable pseudo-random sequence inside the
@@ -1154,6 +1211,7 @@ def build_queries():
         "vec1_label_centroids": (q(label_centroids, "embeddings"), _VEC1_SQL),
         "tf1_tfidf_top_terms": (q(tfidf_top_terms, "documents", spread=True), _TF1_SQL),
         "sp1_deterministic_split": (q(deterministic_split, "documents"), _SP1_SQL),
+        "sp2_temporal_split": (q(temporal_split, "events"), _SP2_SQL),
         "pk1_pack_sequences": (q(pack_sequences, "documents"), _PK1_SQL),
         "pk2_pack_chunked": (q(pack_sequences_chunked, "documents"), _PK2_SQL),
         "pk3_pack_assignments": (q(pack_assignments, "documents"), _PK3_SQL),

@@ -541,6 +541,7 @@ _DEMOTED = (
     "hh1_heavy_ngrams",               # tok1/tf1 anchor the explode->count text shapes in-window; the sketch-candidates+exact-rescan heavy-hitter form is pytest-oracle-checked (+ planted-skew coverage test)
     "fu1_funnel_stages",              # ses1/d10 anchor per-user event-sequence shapes in-window; the ordered-funnel conditional-min chain is pytest-oracle-checked (+ hand-computed out-of-order test)
     "co1_cohort_retention",           # ses1/pv1 anchor per-user time-bucket aggregation in-window; the cohort matrix shares their co-partitioned shape and is pytest-oracle-checked
+    "sp2_temporal_split",             # sp1 anchors deterministic splits and qf1 the quantile-cutpoint shape in-window; the time-based split is pytest-oracle-checked (+ boundary tie test)
 )
 
 

@@ -308,3 +308,80 @@ def test_co1_cohort_offsets_hand_computed(spark):
         (w, 0): 1, (w, 1): 1,
         (3 * w, 0): 1,
     }
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_fu_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),                      # user
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=50),                     # ts_us
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=_fu_events)
+def test_fu1_matches_python_model_on_random_events(spark, evs):
+    """fu1 vs the brute-force chain model on random event sets — ties on
+    ts between stages, repeated events, and absent stages occur constantly
+    (strictly-after uses >, so equal timestamps never chain)."""
+    import pandas as pd
+
+    from samsa_spark.operators.advanced import funnel_stages
+
+    df = spark.createDataFrame(
+        pd.DataFrame(evs, columns=["user_id", "event_type", "ts_us"])
+    )
+    got = {
+        r.user_id: (r.t1_us, r.t2_us, r.t3_us, r.reached)
+        for r in funnel_stages(df).collect()
+    }
+
+    want = {}
+    for u in {e[0] for e in evs}:
+        mine = [(t, ts) for uu, t, ts in evs if uu == u]
+        t1 = min((ts for t, ts in mine if t == "view"), default=None)
+        t2 = (
+            min((ts for t, ts in mine if t == "click" and ts > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((ts for t, ts in mine if t == "purchase" and ts > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        reached = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        want[u] = (t1, t2, t3, reached)
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=st.lists(st.tuples(st.integers(1, 4), st.integers(0, 10)), min_size=1, max_size=40))
+def test_co1_matches_python_model_on_random_events(spark, evs):
+    """co1 vs the brute-force cohort model: ts values are scaled into week
+    buckets so multi-week activity and single-week repeats both occur."""
+    import pandas as pd
+
+    from samsa_spark.operators.advanced import _WEEK_US, cohort_retention
+
+    rows = [(u, w * _WEEK_US + (u * 37 % _WEEK_US)) for u, w in evs]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts_us"]))
+    got = {
+        (r.cohort_week_us, r.week_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+
+    first = {}
+    for u, w in evs:
+        first[u] = min(first.get(u, w), w)
+    pairs = {(u, first[u] * _WEEK_US, w - first[u]) for u, w in evs}
+    want = {}
+    for _, cw, off in pairs:
+        want[(cw, off)] = want.get((cw, off), 0) + 1
+    assert got == want

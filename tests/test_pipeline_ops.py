@@ -856,3 +856,55 @@ def test_sampling_hash_independent_of_split(spark):
         _key_hash("doc_id") != _sample_hash("doc_id")
     ).count()
     assert diff > 3900
+
+
+def test_sp2_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "sp2_temporal_split", SF_SMALL)
+    assert ok, msg
+
+
+def test_sp2_boundary_hour_is_tie_inclusive(spark):
+    """The discrete cutpoint is an actual hour value and the whole cut
+    hour lands in train: events in the cut hour -> train, the next hour ->
+    test, and the train fraction is >= train_frac."""
+    import pandas as pd
+
+    from samsa_spark.operators.pipeline_ops import _SP2_HOUR_US, temporal_split
+
+    H = _SP2_HOUR_US
+    # 10 hours, one event each + one extra event inside hour 7
+    rows = [(i, i * H + 7) for i in range(10)] + [(100, 7 * H + 123)]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["event_id", "ts_us"]))
+    got = {r.event_id: r.split for r in temporal_split(ev, train_frac=0.8).collect()}
+    # 11 events over hours 0..9; the smallest hour with cume_dist >= 0.8
+    # is hour 7 (9/11 = 0.818): hours <= 7 -> train (cut hour inclusive),
+    # hours 8 and 9 -> test.
+    assert got[100] == "train" and got[7] == "train"
+    assert got[8] == "test" and got[9] == "test"
+    n_train = sum(1 for s in got.values() if s == "train")
+    assert n_train / len(got) >= 0.8
+
+
+def test_sp2_no_future_leakage(spark):
+    """Every train timestamp must precede every test timestamp — the
+    property the operator exists for, checked on the gate corpus."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import temporal_split
+    from tests.conftest import SF_SMALL
+
+    ev = tables.load(spark, SF_SMALL, "events")
+    sp = temporal_split(ev)
+    agg = {
+        r.split: (r.lo, r.hi, r.n)
+        for r in sp.groupBy("split")
+        .agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert agg["train"][1] < agg["test"][0], "future leaked into train"
+    total = agg["train"][2] + agg["test"][2]
+    assert agg["train"][2] / total >= 0.8
