@@ -729,6 +729,41 @@ def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def index_report(spark: SparkSession, path: str) -> DataFrame:
+    """Health report for a saved IVF index — the check an operator runs
+    before trusting (or after appending to) an index: one row with
+    ``n_vectors``, ``n_cells`` (centroids), ``n_occupied_cells``,
+    ``n_empty_cells``, ``max_cell``, ``mean_cell`` (over occupied cells,
+    2 dp), and ``balance`` (max/mean, 2 dp — the probe-cost skew: a query
+    probing a cell pays that cell's size, so balance ~1 means uniform
+    probe latency and balance >> 1 means hot cells dominate; past ~4-5
+    rebuild with more iters or more cells, or check append drift).
+
+    Cost: one hash aggregate over the cell PARTITION COLUMN of the
+    assignments layout (vec_id is counted, embeddings never read) + the
+    k-row centroid frame. Quantized layouts need no special-casing —
+    the report never touches vector payloads."""
+    cents, assign = load_index(spark, path)
+    per_cell = assign.groupBy("cell").agg(F.count("*").alias("n"))
+    stats = per_cell.agg(
+        F.sum("n").alias("n_vectors"),
+        F.count("*").alias("n_occupied_cells"),
+        F.max("n").alias("max_cell"),
+        F.round(F.avg("n"), 2).alias("mean_cell"),
+        F.round(F.max("n") / F.avg("n"), 2).alias("balance"),
+    )
+    k = cents.select(F.count("*").alias("n_cells"))
+    return stats.crossJoin(F.broadcast(k)).select(
+        "n_vectors",
+        "n_cells",
+        "n_occupied_cells",
+        (F.col("n_cells") - F.col("n_occupied_cells")).alias("n_empty_cells"),
+        "max_cell",
+        "mean_cell",
+        "balance",
+    )
+
+
 def ivf_topk_prebuilt(
     spark: SparkSession, path: str, n_probes: int = 20, k: int = 3
 ) -> DataFrame:

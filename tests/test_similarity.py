@@ -383,3 +383,33 @@ def test_random_projection_keeps_near_dups_separable(spark):
     M = np.array(_rademacher_matrix(64, 16, 7), dtype=np.float64)
     want = np.round(base[0] @ M / 4.0, 6)
     assert np.allclose(got[0], want, atol=1e-9)
+
+
+def test_index_report_counts_and_balance(spark, tmp_path):
+    """index_report on a freshly built index: totals reconcile with the
+    corpus, occupied+empty == centroid count, and balance == max/mean of
+    the actual per-cell sizes; identical on a quantized layout (the
+    report never reads vectors)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import index_report, load_index, save_index
+    from tests.conftest import SF_SMALL
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    for quantize in (False, True):
+        path = str(tmp_path / f"ivf-{quantize}")
+        save_index(emb, path, cells=8, quantize=quantize)
+        r = index_report(spark, path).collect()[0]
+        assert r.n_vectors == n
+        assert r.n_cells == 8
+        assert r.n_occupied_cells + r.n_empty_cells == 8
+        sizes = [
+            x.n
+            for x in load_index(spark, path)[1]
+            .groupBy("cell")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        ]
+        assert r.max_cell == max(sizes)
+        assert abs(r.balance - max(sizes) / (sum(sizes) / len(sizes))) < 0.01
