@@ -289,14 +289,14 @@ GROUP BY p.purchase_id, p.p_ts
 
 
 def funnel_stages(
-    events: DataFrame, stages: tuple[str, str, str] = ("view", "click", "purchase")
+    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
 ) -> DataFrame:
     """fu1 — ordered funnel analysis (the match_recognize stand-in every
     product-analytics engine grows): per user, the FIRST stage-1 event,
-    the first stage-2 event STRICTLY AFTER it, the first stage-3 event
-    strictly after that, and the stage depth reached. An out-of-order
-    event (a click before any view) does not count — only the earliest
-    valid chain does.
+    then for each later stage the first event STRICTLY AFTER the previous
+    stage's timestamp, plus the stage depth reached — for any number of
+    stages (columns ``t1_us..tn_us``). An out-of-order event (a click
+    before any view) does not count — only the earliest valid chain does.
 
     Plan shape: a chain of conditional min-aggregates, each joined to the
     previous stage's per-user timestamp — every groupBy and every join
@@ -307,44 +307,26 @@ def funnel_stages(
     At 100 TB this is 3 co-partitioned aggregates over a filtered scan —
     the event payload never moves unfiltered.
     """
-    s1, s2, s3 = stages
     ev = events.select("user_id", "event_type", "ts_us")
-    t1 = (
-        ev.where(F.col("event_type") == s1)
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1_us"))
-    )
-    t2 = (
-        ev.where(F.col("event_type") == s2)
-        .join(t1, "user_id")
-        .where(F.col("ts_us") > F.col("t1_us"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t2_us"))
-    )
-    t3 = (
-        ev.where(F.col("event_type") == s3)
-        .join(t2, "user_id")
-        .where(F.col("ts_us") > F.col("t2_us"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t3_us"))
-    )
-    users = ev.select("user_id").distinct()
-    return (
-        users.join(t1, "user_id", "left")
-        .join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
-        .select(
-            "user_id",
-            "t1_us",
-            "t2_us",
-            "t3_us",
-            F.when(F.col("t3_us").isNotNull(), 3)
-            .when(F.col("t2_us").isNotNull(), 2)
-            .when(F.col("t1_us").isNotNull(), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("reached"),
-        )
+    stage_frames = []
+    prev = None
+    for i, s in enumerate(stages, start=1):
+        f = ev.where(F.col("event_type") == s)
+        if prev is not None:
+            f = f.join(prev, "user_id").where(F.col("ts_us") > F.col(f"t{i - 1}_us"))
+        prev = f.groupBy("user_id").agg(F.min("ts_us").alias(f"t{i}_us"))
+        stage_frames.append(prev)
+    out = ev.select("user_id").distinct()
+    for t in stage_frames:
+        out = out.join(t, "user_id", "left")
+    # built ascending so the DEEPEST stage's when() ends up outermost
+    reached = F.lit(0)
+    for i in range(1, len(stages) + 1):
+        reached = F.when(F.col(f"t{i}_us").isNotNull(), i).otherwise(reached)
+    return out.select(
+        "user_id",
+        *[f"t{i}_us" for i in range(1, len(stages) + 1)],
+        reached.cast("int").alias("reached"),
     )
 
 

@@ -385,3 +385,26 @@ def test_co1_matches_python_model_on_random_events(spark, evs):
     for _, cw, off in pairs:
         want[(cw, off)] = want.get((cw, off), 0) + 1
     assert got == want
+
+
+def test_fu1_four_stage_funnel(spark):
+    """The generalized n-stage chain: a 4-stage funnel chains strictly
+    after through all stages and stalls wherever the chain breaks."""
+    import pandas as pd
+
+    from samsa_spark.operators.advanced import funnel_stages
+
+    rows = [
+        (1, "view", 1), (1, "click", 2), (1, "signup", 3), (1, "purchase", 4),
+        (2, "view", 1), (2, "click", 2), (2, "purchase", 1),  # purchase too early
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts_us"])
+    )
+    got = {
+        r.user_id: (r.t1_us, r.t2_us, r.t3_us, r.t4_us, r.reached)
+        for r in funnel_stages(
+            ev, stages=("view", "click", "signup", "purchase")
+        ).collect()
+    }
+    assert got == {1: (1, 2, 3, 4, 4), 2: (1, 2, None, None, 2)}
