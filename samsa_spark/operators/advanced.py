@@ -289,7 +289,9 @@ GROUP BY p.purchase_id, p.p_ts
 
 
 def funnel_stages(
-    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    within_us: int | None = None,
 ) -> DataFrame:
     """fu1 — ordered funnel analysis (the match_recognize stand-in every
     product-analytics engine grows): per user, the FIRST stage-1 event,
@@ -313,7 +315,13 @@ def funnel_stages(
     for i, s in enumerate(stages, start=1):
         f = ev.where(F.col("event_type") == s)
         if prev is not None:
-            f = f.join(prev, "user_id").where(F.col("ts_us") > F.col(f"t{i - 1}_us"))
+            cond = F.col("ts_us") > F.col(f"t{i - 1}_us")
+            if within_us is not None:
+                # conversion window: the next stage must land within
+                # within_us of the previous one (greedy earliest-chain —
+                # the standard funnel-window semantics)
+                cond = cond & (F.col("ts_us") <= F.col(f"t{i - 1}_us") + within_us)
+            f = f.join(prev, "user_id").where(cond)
         prev = f.groupBy("user_id").agg(F.min("ts_us").alias(f"t{i}_us"))
         stage_frames.append(prev)
     out = ev.select("user_id").distinct()

@@ -642,49 +642,54 @@ def _ngram_frame(documents: DataFrame, n: int) -> DataFrame:
     )
 
 
-# shared by the hh1 default and its oracle SQL so the twin cannot drift
-_HH1_MIN_COUNT = 5
+# shared by the hh1 default and its oracle SQL so the twin cannot drift:
+# heavy = count * _HH1_SUPPORT_DENOM >= total grams (support 1/5000,
+# integer-exact on both engines)
+_HH1_SUPPORT_DENOM = 5000
 
 
 def heavy_ngrams(
     documents: DataFrame,
     n: int = 3,
-    min_count: int = _HH1_MIN_COUNT,
-    max_candidates: int = 1024,
+    min_count: int | None = None,
+    support_denom: int = _HH1_SUPPORT_DENOM,
+    max_candidates: int | None = None,
     max_tracked: int = 1 << 16,
     sketch: bool = True,
 ) -> DataFrame:
-    """hh1 — EXACT support-threshold heavy hitters over the n-gram
-    keyspace: every word ``n``-gram occurring at least ``min_count`` times
-    corpus-wide, with its exact count. The boilerplate/contamination
-    detector that runs where the keyspace (distinct n-grams — billions at
-    web scale) dwarfs any vocabulary: a plain group-by would shuffle every
-    distinct n-gram.
+    """hh1 — EXACT heavy hitters over the n-gram keyspace: every word
+    ``n``-gram whose corpus-wide count clears the SUPPORT threshold
+    ``count * support_denom >= total_grams`` (i.e. frequency ≥
+    1/support_denom of the corpus — integer arithmetic, so both engines
+    agree bit-for-bit), with its exact count. The
+    boilerplate/contamination detector that runs where the keyspace
+    (distinct n-grams — billions at web scale) dwarfs any vocabulary.
+    Pass ``min_count`` for an ABSOLUTE threshold instead (diagnostics on
+    a known corpus size); the support form is the default because an
+    absolute cutoff silently changes meaning as the corpus grows — the
+    defect the sf0.1 deep check caught: 26k grams cleared min_count=5
+    and overflowed any candidate cap.
 
     Plan: two passes, neither of which shuffles the gram space.
     Pass 1 builds a DataSketches frequent-items sketch (``approx_top_k``,
-    one mergeable aggregate — partials combine map-side, a KB-scale state
-    per partition) and explodes its top ``max_candidates`` items into a
-    broadcast candidate frame. Pass 2 rescans the corpus, semi-joins grams
-    against the broadcast candidates, and counts ONLY those — the exact
-    counts then apply the threshold. The only shuffle is over
-    ≤ ``max_candidates`` rows.
+    one mergeable aggregate — partials combine map-side, KB-scale state)
+    plus the total gram count, and explodes the top candidates into a
+    broadcast frame. Pass 2 rescans, semi-joins grams against the
+    broadcast candidates, and takes EXACT counts; the support threshold
+    is applied to those. The only shuffle is over candidate rows.
 
-    Exactness contract (why threshold, not top-k): the frequent-items
-    sketch guarantees no false NEGATIVES among items with true count above
-    its error bound (~N/``max_tracked``), so with
-    ``min_count > N/max_tracked`` every true heavy hitter is a candidate,
-    and the exact rescan removes the sketch's false positives/overcounts.
-    A top-k form would be tie-fragile at the k boundary (the sketch's
-    internal tie order is unspecified); the threshold form is
-    tie-INCLUSIVE, so candidate order cannot change membership. Returned
-    sorted (count desc, gram) for stable display only.
-
-    Caveats: if exactly ``max_candidates`` candidates survive the
-    threshold the candidate list may have truncated — raise
-    ``max_candidates`` (callers can detect via ``count() ==
-    max_candidates``). Sizing rule at 100 TB: ``max_tracked ≥
-    c·N/min_count`` for small c keeps the no-false-negative guarantee.
+    Why this is structurally exact (support form): (a) coverage — the
+    sketch has no false negatives above its error bound ~N/max_tracked,
+    and support N/support_denom exceeds it whenever ``max_tracked >
+    support_denom`` (13x margin at the defaults); (b) no truncation — by
+    pigeonhole AT MOST ``support_denom`` grams can clear frequency
+    1/support_denom, and ``max_candidates`` defaults to exactly
+    ``support_denom``, so the candidate list can never cut a qualifying
+    gram. With an absolute ``min_count`` neither bound is automatic:
+    size ``max_candidates``/``max_tracked`` yourself and treat a result
+    of exactly max_candidates rows as possible truncation. Threshold
+    (tie-inclusive), not top-k: the sketch's internal tie order at a k
+    boundary is unspecified; membership here cannot depend on it.
 
     WHEN to use which plan (measured — PLANS.md heavy sweep):
     ``sketch=False`` runs the plain partial-agg group-by (identical
@@ -699,25 +704,34 @@ def heavy_ngrams(
     (CLAUDE.md note 18): don't pay the clever plan below its regime.
     """
     grams = _ngram_frame(documents, n)
+    if min_count is not None:
+        thresh = F.col("n_occurrences") >= min_count
+    else:
+        thresh = F.col("n_occurrences") * support_denom >= F.col("total_grams")
+    if max_candidates is None:
+        max_candidates = support_denom  # pigeonhole: enough for any corpus
     if not sketch:
+        counts = grams.groupBy("gram").agg(F.count("*").alias("n_occurrences"))
+        total = counts.agg(F.sum("n_occurrences").alias("total_grams"))
         return (
-            grams.groupBy("gram")
-            .agg(F.count("*").alias("n_occurrences"))
-            .where(F.col("n_occurrences") >= min_count)
+            counts.crossJoin(F.broadcast(total))
+            .where(thresh)
+            .select("gram", "n_occurrences")
             .orderBy(F.col("n_occurrences").desc(), "gram")
         )
-    cand = (
-        grams.agg(
-            F.expr(f"approx_top_k(gram, {max_candidates}, {max_tracked})").alias("tk")
-        )
-        .select(F.explode("tk").alias("c"))
-        .select(F.col("c.item").alias("gram"))
+    pass1 = grams.agg(
+        F.expr(f"approx_top_k(gram, {max_candidates}, {max_tracked})").alias("tk"),
+        F.count("*").alias("total_grams"),
+    )
+    cand = pass1.select(F.explode("tk").alias("c"), "total_grams").select(
+        F.col("c.item").alias("gram"), "total_grams"
     )
     return (
         grams.join(F.broadcast(cand), "gram")
-        .groupBy("gram")
+        .groupBy("gram", "total_grams")
         .agg(F.count("*").alias("n_occurrences"))
-        .where(F.col("n_occurrences") >= min_count)
+        .where(thresh)
+        .select("gram", "n_occurrences")
         .orderBy(F.col("n_occurrences").desc(), "gram")
     )
 
@@ -729,11 +743,12 @@ WITH t AS (
   SELECT unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
                  for i in generate_series(1, len(toks) - 2)]) AS gram
   FROM t
-)
+), tot AS (SELECT count(*) AS total_grams FROM g)
 SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
-FROM g GROUP BY gram HAVING count(*) >= {min_count}
+FROM g, tot GROUP BY gram, total_grams
+HAVING count(*) * {denom} >= total_grams
 ORDER BY n_occurrences DESC, gram
-""".format(min_count=_HH1_MIN_COUNT)
+""".format(denom=_HH1_SUPPORT_DENOM)
 
 
 def topk_sketch_partial(

@@ -408,3 +408,25 @@ def test_fu1_four_stage_funnel(spark):
         ).collect()
     }
     assert got == {1: (1, 2, 3, 4, 4), 2: (1, 2, None, None, 2)}
+
+
+def test_fu1_conversion_window(spark):
+    """within_us bounds each hop: a click 100us after the view converts
+    under a 100us window, 101us does not; the chain stalls rather than
+    reaching for a later in-window event that doesn't exist."""
+    import pandas as pd
+
+    from samsa_spark.operators.advanced import funnel_stages
+
+    rows = [
+        (1, "view", 0), (1, "click", 100), (1, "purchase", 150),
+        (2, "view", 0), (2, "click", 101),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts_us"])
+    )
+    got = {
+        r.user_id: (r.t1_us, r.t2_us, r.t3_us, r.reached)
+        for r in funnel_stages(ev, within_us=100).collect()
+    }
+    assert got == {1: (0, 100, 150, 3), 2: (0, None, None, 1)}
