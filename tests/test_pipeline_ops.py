@@ -908,3 +908,33 @@ def test_sp2_no_future_leakage(spark):
     assert agg["train"][1] < agg["test"][0], "future leaked into train"
     total = agg["train"][2] + agg["test"][2]
     assert agg["train"][2] / total >= 0.8
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    hours=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    frac_pct=st.integers(min_value=1, max_value=99),
+)
+def test_sp2_matches_python_percentile_disc_model(spark, hours, frac_pct):
+    """sp2 vs the SQL-standard percentile_disc definition implemented
+    independently in Python: cut = smallest hour whose cume_dist >= frac;
+    every event at or before the cut hour is train. Duplicate hours and
+    extreme fractions occur constantly."""
+    import pandas as pd
+
+    from samsa_spark.operators.pipeline_ops import _SP2_HOUR_US, temporal_split
+
+    frac = frac_pct / 100.0
+    rows = [(i, h * _SP2_HOUR_US + (i % 97)) for i, h in enumerate(hours)]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["event_id", "ts_us"]))
+    got = {r.event_id: r.split for r in temporal_split(ev, train_frac=frac).collect()}
+
+    hs = sorted(hours)
+    n = len(hs)
+    cut = next(h for i, h in enumerate(hs, start=1) if i / n >= frac)
+    want = {i: ("train" if h <= cut else "test") for i, (h) in enumerate(hours)}
+    assert got == want

@@ -309,3 +309,31 @@ def test_incremental_prep_recipe_lifecycle(spark):
     texts = {r.text for r in read_shards(spark, base).collect()}
     want = {r.text for r in day1.collect()} | {r.text for r in day2.collect()}
     assert texts == want
+
+
+def test_funnel_on_bucketed_events_has_no_exchange(spark):
+    """The PLANS.md claim behind fu1's design: on a user_id-bucketed
+    layout the whole funnel chain (three conditional-min aggregates +
+    their joins) runs WITHOUT any shuffle exchange — every aggregate and
+    join keys on the bucketing column."""
+    from samsa_spark import tables
+    from samsa_spark.operators.advanced import funnel_stages
+
+    wh = tempfile.mkdtemp(prefix="samsa-funnel-b-")
+    ev = tables.load(spark, SF_SMALL, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    ev.write.mode("overwrite").option("path", os.path.join(wh, "ev_fb")).bucketBy(
+        8, "user_id"
+    ).sortBy("user_id").saveAsTable("ev_fb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fun = funnel_stages(spark.table("ev_fb"))
+        plan = _formatted_plan(fun)
+        assert "Exchange hashpartitioning" not in plan, "bucketed funnel shuffles"
+        # and it still computes the same answer as the parquet path
+        want = {tuple(r) for r in funnel_stages(ev).collect()}
+        got = {tuple(r) for r in fun.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
