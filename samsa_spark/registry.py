@@ -483,6 +483,98 @@ FROM p JOIN c ON p.p_user_id = c.user_id
 _register("st6_streaming_attribution_join", _streaming_attribution_join, _ST6_SQL)
 
 
+def _streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """st7 — the last native stateful form: ``session_window`` aggregation
+    (dynamic-gap event-time sessions) in append mode, inside the exact
+    gate. The events log replays as a multi-trigger backlog; sessions
+    close when the watermark passes their end, and st5's sentinel
+    machinery (a strictly-later file advancing the final watermark past
+    every real session, delay sized past the whole event span so arrival
+    order cannot drop data) flushes them all — so the emitted set equals
+    the batch sessionization, and the oracle is ses1's gap logic
+    aggregated to (start, end=last+gap, count). Spark merges events
+    exactly ``gap`` apart (inclusive boundary — probed), which is
+    precisely ses1's split-on-strictly-greater rule, so the two
+    formulations agree on every input. No stream-side sentinel filter
+    (note 25: a post-agg filter on a grouping column kills the
+    watermark flush); the sentinel's own session never closes, and the
+    batch-side filter below is defensive."""
+    import os
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.streaming.sources import file_stream
+
+    gap_us = 1_800_000_000
+    ev = tables.load(spark, sf, "events").select("ts_us", "user_id")
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    delay_us = (hi - lo) + gap_us
+    sentinel_ts = hi + delay_us + 2 * gap_us
+
+    base = tempfile.mkdtemp(prefix="samsa-st7-")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    backdate = time.time() - 1000
+    for f in os.listdir(src):
+        os.utime(os.path.join(src, f), (backdate, backdate))
+    spark.createDataFrame([(sentinel_ts, -1)], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = file_stream(spark, src, ev.schema, max_files_per_trigger=2)
+    win = (
+        stream.withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", f"{delay_us} microseconds")
+        .groupBy(F.session_window("ts", f"{gap_us} microseconds").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_close_us"),
+            "n_events",
+        )
+    )
+    out = os.path.join(base, "out")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            win.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).where(F.col("user_id") != -1)
+
+
+_ST7_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM o
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       max(ts_us) + 1800000000 AS session_close_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+_register("st7_streaming_sessions", _streaming_session_windows, _ST7_SQL)
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:
@@ -542,6 +634,7 @@ _DEMOTED = (
     "fu1_funnel_stages",              # ses1/d10 anchor per-user event-sequence shapes in-window; the ordered-funnel conditional-min chain is pytest-oracle-checked (+ hand-computed out-of-order test)
     "co1_cohort_retention",           # ses1/pv1 anchor per-user time-bucket aggregation in-window; the cohort matrix shares their co-partitioned shape and is pytest-oracle-checked
     "sp2_temporal_split",             # sp1 anchors deterministic splits and qf1 the quantile-cutpoint shape in-window; the time-based split is pytest-oracle-checked (+ boundary tie test)
+    "st7_streaming_sessions",         # st1/st3 keep the streaming engine in-window and ses1 anchors sessionization; the native session_window append path is pytest-oracle-checked (sentinel-flushed emission == batch gap sessionization)
 )
 
 

@@ -222,3 +222,14 @@ def test_enrich_stream_matches_batch_d9(spark):
     }
     assert got == want and len(got) > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_st7_streaming_sessions_oracle(spark):
+    """The native session_window append path: sentinel-flushed emission
+    over the multi-trigger backlog equals the batch gap sessionization
+    (checked against the DuckDB twin at sf0.001)."""
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st7_streaming_sessions", SF_SMALL)
+    assert ok, msg
