@@ -139,6 +139,8 @@ PIPELINE = [
     "cs3_corpus_overlap",
     # time-based split: bounded-state discrete quantile + broadcast cutpoint
     "sp2_temporal_split",
+    # PCA fit (one moment-partial pass) + projection
+    "rp2_pca_projection",
 ]
 
 

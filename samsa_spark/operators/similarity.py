@@ -878,6 +878,100 @@ def random_projection(
     )
 
 
+def pca_components(
+    embeddings: DataFrame, out_dim: int = RP_OUT_DIM
+) -> tuple[list[float], list[list[float]]]:
+    """Fit the rp2 PCA basis: returns ``(mean, W)`` where W is d x out_dim
+    with orthonormal columns (top eigenvectors of the covariance,
+    eigenvalue-descending, sign-normalized so each column's
+    largest-magnitude entry is positive).
+
+    Scale shape: ONE pass — a ``mapInPandas`` closure emits per-batch
+    moment partials (count, sum vector, flattened X^T X; a few KB each),
+    which reduce through a (dim-index, value) hash aggregate — d + d^2
+    groups, never corpus rows. The d x d covariance then comes to the
+    driver for the eigendecomposition (numpy ``eigh`` on a 64x64 matrix —
+    the centroid-matrix exception class, PLANS.md rule 8). Corpus vectors
+    never leave the executors."""
+    import numpy as np
+
+    d_col = embeddings.select(F.size("embedding").alias("d")).first()
+    d = int(d_col.d)
+
+    def _moments(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            X = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            yield _pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = embeddings.select("embedding").mapInPandas(
+        _moments, schema="n long, s array<double>, ss array<double>"
+    )
+    # element-wise reduction of the partials: (index, value) hash aggregate
+    # over d + d*d groups — partial-count-cardinality input, never corpus
+    reduced = (
+        parts.select(
+            "n", F.posexplode(F.concat("s", "ss")).alias("idx", "val")
+        )
+        .groupBy("idx")
+        .agg(F.sum("val").alias("v"), F.sum("n").alias("nn"))
+        .collect()
+    )
+    # every idx row carries the same total n (sum over all partials)
+    n = int(reduced[0].nn)
+    flat = [0.0] * (d + d * d)
+    for r in reduced:
+        flat[r.idx] = r.v
+    s = np.array(flat[:d])
+    ss = np.array(flat[d:]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:out_dim]
+    W = vecs[:, order]
+    # sign convention: largest-|.| entry of each column positive
+    for j in range(W.shape[1]):
+        k = int(np.abs(W[:, j]).argmax())
+        if W[k, j] < 0:
+            W[:, j] = -W[:, j]
+    return mean.tolist(), W.tolist()
+
+
+def pca_projection(embeddings: DataFrame, out_dim: int = RP_OUT_DIM) -> DataFrame:
+    """rp2 — DATA-DRIVEN dimensionality reduction: project onto the top
+    ``out_dim`` principal components of the corpus (centered), the
+    variance-optimal complement to rp1's data-oblivious JL projection —
+    same 4x cut to every downstream dot product and index byte, but the
+    retained variance is maximal for the dimension. Fit is
+    :func:`pca_components` (one corpus pass); application is the same
+    narrow Arrow-batched matmul as rp1 with (mean, W) baked in as closure
+    literals. Rows-only on the driver surface: the basis depends on
+    float-sum partial order in the last ulp, so cross-engine hashing is
+    not meaningful — pytest locks orthonormality, eigenvalue ordering,
+    agreement with numpy PCA to 1e-6, and repartition stability."""
+    mean, W = pca_components(embeddings, out_dim)
+
+    def _proj_fn(v: pd.Series) -> pd.Series:
+        M = np.array(W, dtype=np.float64)
+        mu = np.array(mean, dtype=np.float64)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        P = np.round((X - mu) @ M, 6)
+        return pd.Series(list(P))
+
+    _proj = pandas_udf(ArrayType(DoubleType()))(_proj_fn)
+    return embeddings.select(
+        "vec_id", "label", _proj(F.col("embedding")).alias("proj")
+    )
+
+
 def _rp1_sql(out_dim: int = RP_OUT_DIM, seed: int = _RP_SEED) -> str:
     m = _rademacher_matrix(_DIM, out_dim, seed)
     lit = "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in m) + "]"
@@ -917,6 +1011,10 @@ def build_queries():
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
         "rp1_random_projection": (q(random_projection), _RP1_SQL),
+        # PCA basis depends on float-sum partial order in the last ulp ->
+        # rows-only; pytest locks orthonormality, eigenvalue ordering,
+        # 1e-6 agreement with numpy PCA, and repartition stability.
+        "rp2_pca_projection": (q(pca_projection), None),
         "qz2_quantized_topk": (q(quantized_topk), _QZ2_SQL),
         # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
         # ground truth is the planted-corpus recall suite

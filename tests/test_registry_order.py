@@ -154,6 +154,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "hh2_mergeable_topk",  # frequent-items sketch boundary ties; exact-equality pytest while max_tracked > distinct grams
         "tok2_bpe_train",  # iterative argmax loop; pure-Python trainer ground truth in pytest
         "cs3_corpus_overlap",  # theta-sketch set algebra; exact-below-nominal-entries pytest
+        "rp2_pca_projection",  # eigenbasis last-ulp float-order dependent; numpy-agreement pytest
     }, f"unexpected rows-only queries: {rows_only}"
 
 

@@ -413,3 +413,56 @@ def test_index_report_counts_and_balance(spark, tmp_path):
         ]
         assert r.max_cell == max(sizes)
         assert abs(r.balance - max(sizes) / (sum(sizes) / len(sizes))) < 0.01
+
+
+def test_rp2_pca_matches_numpy_and_is_stable(spark):
+    """rp2's distributed moment-partial fit must agree with plain numpy
+    PCA on the collected corpus to 1e-6 (same covariance, same sign
+    convention), the basis must be orthonormal with descending projected
+    variance, and repartitioning must not move the projection by more
+    than float-sum noise."""
+    import numpy as np
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import pca_components, pca_projection
+    from tests.conftest import SF_SMALL
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    mean, W = pca_components(emb, out_dim=8)
+    W = np.array(W)
+    assert W.shape[1] == 8
+    assert np.allclose(W.T @ W, np.eye(8), atol=1e-9), "columns not orthonormal"
+
+    X = np.stack([r.embedding for r in emb.select("embedding").collect()]).astype(
+        np.float64
+    )
+    mu = X.mean(axis=0)
+    assert np.allclose(mu, mean, atol=1e-9)
+    cov = (X.T @ X) / len(X) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:8]
+    Wnp = vecs[:, order]
+    for j in range(8):
+        k = int(np.abs(Wnp[:, j]).argmax())
+        if Wnp[k, j] < 0:
+            Wnp[:, j] = -Wnp[:, j]
+    assert np.allclose(W, Wnp, atol=1e-6), "distributed fit diverged from numpy"
+
+    proj = {r.vec_id: np.array(r.proj) for r in pca_projection(emb, out_dim=8).collect()}
+    var = np.stack(list(proj.values())).var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7)), "variance not descending"
+
+    again = {
+        r.vec_id: np.array(r.proj)
+        for r in pca_projection(emb.repartition(7), out_dim=8).collect()
+    }
+    worst = max(float(np.abs(proj[k] - again[k]).max()) for k in proj)
+    assert worst <= 1e-5, f"repartition moved projections by {worst}"
+
+
+def test_rp2_rows_only_query_runs(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "rp2_pca_projection", SF_SMALL)
+    assert ok, msg
