@@ -691,3 +691,100 @@ def test_hh1_sketch_and_groupby_forms_agree(spark):
     a = {(r.gram, r.n_occurrences) for r in heavy_ngrams(docs).collect()}
     b = {(r.gram, r.n_occurrences) for r in heavy_ngrams(docs, sketch=False).collect()}
     assert a == b and a
+
+
+def test_sketch_partials_roundtrip_parquet(spark, tmp_path):
+    """The incremental claim behind cs2/hh2 — 'yesterday's partials
+    persist as small parquet' — requires the binary sketch columns to
+    survive a parquet write/read and still merge: merged(from-disk
+    halves) must equal merged(in-memory halves) for both the HLL card
+    and the frequent-items top-k."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import (
+        corpus_card_partial,
+        merge_corpus_cards,
+        merge_topk_sketches,
+        topk_sketch_partial,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+
+    pa, pb = str(tmp_path / "card_a"), str(tmp_path / "card_b")
+    corpus_card_partial(half_a).write.parquet(pa)
+    corpus_card_partial(half_b).write.parquet(pb)
+    from_disk = {
+        tuple(r)
+        for r in merge_corpus_cards(
+            spark.read.parquet(pa), spark.read.parquet(pb)
+        ).collect()
+    }
+    in_mem = {
+        tuple(r)
+        for r in merge_corpus_cards(
+            corpus_card_partial(half_a), corpus_card_partial(half_b)
+        ).collect()
+    }
+    assert from_disk == in_mem and from_disk
+
+    ta, tb = str(tmp_path / "topk_a"), str(tmp_path / "topk_b")
+    topk_sketch_partial(half_a).write.parquet(ta)
+    topk_sketch_partial(half_b).write.parquet(tb)
+    disk_topk = {
+        (r.gram, r.est_count)
+        for r in merge_topk_sketches(
+            spark.read.parquet(ta), spark.read.parquet(tb), k=10
+        ).collect()
+    }
+    mem_topk = {
+        (r.gram, r.est_count)
+        for r in merge_topk_sketches(
+            topk_sketch_partial(half_a), topk_sketch_partial(half_b), k=10
+        ).collect()
+    }
+    assert disk_topk == mem_topk and disk_topk
+
+
+from hypothesis import HealthCheck as _HC2  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(_HC2))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.lists(st.sampled_from("abc"), min_size=1, max_size=5).map("".join),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_tok2_matches_reference_on_random_corpora(spark, texts, n_merges):
+    """tok2 vs the independent Python trainer on random small-alphabet
+    corpora: merge ties, single-char words, and early exhaustion (fewer
+    pairs than n_merges) occur constantly; hypothesis shrinks any
+    counterexample."""
+    from tests.test_text import _py_bpe_train
+
+    from samsa_spark.operators.text import train_bpe_merges
+
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    want, _ = _py_bpe_train(wf, n_merges)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in train_bpe_merges(df, n_merges=n_merges).orderBy("merge_rank").collect()
+    ]
+    assert got == want
