@@ -800,6 +800,44 @@ def sweep_heavy(spark) -> None:
         df.unpersist()
 
 
+def sweep_funnel(spark) -> None:
+    """fu1/co1/sp2 at 100k/1M/10M events (the `events` replication: key
+    cardinality AND per-key history both grow): all three are
+    user_id-keyed aggregate chains or bounded-state aggregates, so
+    rows/sec should hold ~flat across 100x."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.advanced import cohort_retention, funnel_stages
+    from samsa_spark.operators.pipeline_ops import temporal_split
+
+    base = tables.load(spark, SF_DIR, "events").select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("user_id") + F.col("_r") * 1000).alias("user_id"),
+            (F.col("ts_us") + F.col("_r")).alias("ts_us"),
+            (F.col("event_id") + F.col("_r") * 100_000_000).alias("event_id"),
+            "event_type",
+        )
+        return df, n_base * factor
+
+    funnel_stages(base).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10, 100):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        _time(f"fu1_funnel_x{factor}", lambda: funnel_stages(df), n)
+        _time(f"co1_cohort_x{factor}", lambda: cohort_retention(df), n)
+        _time(f"sp2_temporal_split_x{factor}", lambda: temporal_split(df), n)
+        df.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -831,6 +869,8 @@ def main() -> None:
         sweep_streamforms(spark)
     if what in ("heavy", "all"):
         sweep_heavy(spark)
+    if what in ("funnel", "all"):
+        sweep_funnel(spark)
     spark.stop()
 
 
