@@ -357,6 +357,63 @@ LEFT JOIN t2 USING (user_id)
 LEFT JOIN t3 USING (user_id)
 """
 
+def funnel_report(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    within_us: int | None = None,
+) -> DataFrame:
+    """fu2 — the report form of :func:`funnel_stages`: one row per stage
+    with the users reaching it, conversion from the previous stage, and
+    conversion from the top (6-dp rounded, note 6). The per-user stage
+    table collapses through one tiny aggregate (n_stages counters via
+    conditional counts), so the report adds no shuffle beyond fu1's own
+    user_id family — |stages| rows out."""
+    fun = funnel_stages(events, stages=stages, within_us=within_us)
+    counts = fun.agg(
+        F.count("*").alias("n_users"),
+        *[
+            F.count(F.when(F.col("reached") >= i, 1)).alias(f"r{i}")
+            for i in range(1, len(stages) + 1)
+        ],
+    )
+    rows = None
+    for i, s in enumerate(stages, start=1):
+        prev = F.col("n_users") if i == 1 else F.col(f"r{i - 1}")
+        one = counts.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"r{i}").alias("n_users_reached"),
+            F.round(F.col(f"r{i}") / prev, 6).alias("conv_from_prev"),
+            F.round(F.col(f"r{i}") / F.col("n_users"), 6).alias("conv_from_start"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+_FU2_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+t1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(ts_us) AS t2_us FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1),
+t3 AS (SELECT e.user_id, min(ts_us) AS t3_us FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1),
+c AS (SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+             (SELECT count(*) FROM t1) AS r1,
+             (SELECT count(*) FROM t2) AS r2,
+             (SELECT count(*) FROM t3) AS r3)
+SELECT 1 AS stage_idx, 'view' AS stage, CAST(r1 AS BIGINT) AS n_users_reached,
+       round(r1 / CAST(n_users AS DOUBLE), 6) AS conv_from_prev,
+       round(r1 / CAST(n_users AS DOUBLE), 6) AS conv_from_start FROM c
+UNION ALL
+SELECT 2, 'click', CAST(r2 AS BIGINT),
+       round(r2 / CAST(r1 AS DOUBLE), 6), round(r2 / CAST(n_users AS DOUBLE), 6) FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(r3 AS BIGINT),
+       round(r3 / CAST(r2 AS DOUBLE), 6), round(r3 / CAST(n_users AS DOUBLE), 6) FROM c
+"""
+
+
 _WEEK_US = 7 * 86_400_000_000
 
 
@@ -430,6 +487,7 @@ def build_queries():
         "gf1_gap_fill": (q(gap_fill, "events"), _GF1_SQL),
         "rj1_range_join": (q(range_join_counts, "events"), _RJ1_SQL),
         "fu1_funnel_stages": (q(funnel_stages, "events"), _FU1_SQL),
+        "fu2_funnel_report": (q(funnel_report, "events"), _FU2_SQL),
         "co1_cohort_retention": (q(cohort_retention, "events"), _CO1_SQL),
     }
 

@@ -635,6 +635,7 @@ _DEMOTED = (
     "co1_cohort_retention",           # ses1/pv1 anchor per-user time-bucket aggregation in-window; the cohort matrix shares their co-partitioned shape and is pytest-oracle-checked
     "sp2_temporal_split",             # sp1 anchors deterministic splits and qf1 the quantile-cutpoint shape in-window; the time-based split is pytest-oracle-checked (+ boundary tie test)
     "st7_streaming_sessions",         # st1/st3 keep the streaming engine in-window and ses1 anchors sessionization; the native session_window append path is pytest-oracle-checked (sentinel-flushed emission == batch gap sessionization)
+    "fu2_funnel_report",              # fu1 anchors the funnel family (itself demoted behind ses1/d10); the per-stage conversion report collapses fu1's output through one tiny aggregate and is pytest-oracle-checked
 )
 
 

@@ -430,3 +430,26 @@ def test_fu1_conversion_window(spark):
         for r in funnel_stages(ev, within_us=100).collect()
     }
     assert got == {1: (0, 100, 150, 3), 2: (0, None, None, 1)}
+
+
+def test_fu2_oracle_match(spark):
+    ok, msg = check_query(spark, "fu2_funnel_report", SF_SMALL)
+    assert ok, msg
+
+
+def test_fu2_report_consistent_with_fu1(spark):
+    """The report must be exactly fu1's per-user table collapsed: reached
+    counts and rate ratios recomputed from fu1 row-by-row."""
+    from samsa_spark import tables
+    from samsa_spark.operators.advanced import funnel_report, funnel_stages
+
+    ev = tables.load(spark, SF_SMALL, "events")
+    fun = funnel_stages(ev).collect()
+    n = len(fun)
+    r = [sum(1 for x in fun if x.reached >= i) for i in (1, 2, 3)]
+    got = {x.stage_idx: x for x in funnel_report(ev).collect()}
+    prev = [n, r[0], r[1]]
+    for i in (1, 2, 3):
+        assert got[i].n_users_reached == r[i - 1]
+        assert got[i].conv_from_prev == round(r[i - 1] / prev[i - 1], 6)
+        assert got[i].conv_from_start == round(r[i - 1] / n, 6)
