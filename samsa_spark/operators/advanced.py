@@ -366,8 +366,12 @@ def funnel_report(
     with the users reaching it, conversion from the previous stage, and
     conversion from the top (6-dp rounded, note 6). The per-user stage
     table collapses through one tiny aggregate (n_stages counters via
-    conditional counts), so the report adds no shuffle beyond fu1's own
-    user_id family — |stages| rows out."""
+    conditional counts), MATERIALIZED before fanning out into per-stage
+    rows: Spark gives no ReusedExchange across aggregate branches (note
+    12), so without the localCheckpoint the whole fu1 join/aggregate
+    cascade would re-execute once per stage. A stage with zero users
+    yields NULL conversions (try_divide), matching DuckDB's
+    divide-by-zero → NULL — |stages| rows out."""
     fun = funnel_stages(events, stages=stages, within_us=within_us)
     counts = fun.agg(
         F.count("*").alias("n_users"),
@@ -375,7 +379,7 @@ def funnel_report(
             F.count(F.when(F.col("reached") >= i, 1)).alias(f"r{i}")
             for i in range(1, len(stages) + 1)
         ],
-    )
+    ).localCheckpoint()
     rows = None
     for i, s in enumerate(stages, start=1):
         prev = F.col("n_users") if i == 1 else F.col(f"r{i - 1}")
@@ -383,8 +387,10 @@ def funnel_report(
             F.lit(i).alias("stage_idx"),
             F.lit(s).alias("stage"),
             F.col(f"r{i}").alias("n_users_reached"),
-            F.round(F.col(f"r{i}") / prev, 6).alias("conv_from_prev"),
-            F.round(F.col(f"r{i}") / F.col("n_users"), 6).alias("conv_from_start"),
+            F.round(F.try_divide(F.col(f"r{i}"), prev), 6).alias("conv_from_prev"),
+            F.round(F.try_divide(F.col(f"r{i}"), F.col("n_users")), 6).alias(
+                "conv_from_start"
+            ),
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows

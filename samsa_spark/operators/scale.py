@@ -71,28 +71,49 @@ def salted_join(
     runtime guard: one extra key-count aggregate over the fact side, and a
     warning when the hottest key holds LESS than ~10x a reducer's fair
     share — the measured regime where salting is a wash-or-loss (AQE alone
-    suffices) and the replicated dim shuffle is pure overhead. Opt-in
-    because the measuring aggregate is itself a pass over the facts: use
-    it while tuning, drop it from the pinned production plan.
+    suffices) and the replicated dim shuffle is pure overhead. The reducer
+    count is MEASURED, not read from conf: the guard's aggregate shuffles
+    on the same key as the join itself, so its post-AQE coalesced
+    partition count IS the effective reducer count a plain join would get
+    — AQE coalescing can shrink ``spark.sql.shuffle.partitions``
+    arbitrarily, and the ~10x crossover is partition-count-relative
+    (CLAUDE.md note 21; the max attainable ratio equals the partition
+    count, so below 11 effective reducers the crossover is structurally
+    unreachable and the guard says so instead of pretending to assess
+    it). Opt-in because the measuring aggregate is itself a pass over the
+    facts: use it while tuning, drop it from the pinned production plan.
     """
     if check_skew:
         import warnings
 
-        parts = int(facts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        stats = (
-            facts.groupBy(key)
-            .count()
-            .agg(F.max("count").alias("hot"), F.sum("count").alias("n"))
-            .collect()[0]
-        )
+        # localCheckpoint materializes the aggregate under AQE, so
+        # getNumPartitions returns the FINAL (post-coalescing) reducer
+        # count and the stats pass below is a cheap re-read, not a rerun.
+        counts = facts.groupBy(key).count().localCheckpoint()
+        parts = counts.rdd.getNumPartitions()
+        stats = counts.agg(
+            F.max("count").alias("hot"), F.sum("count").alias("n")
+        ).collect()[0]
         fair = stats["n"] / max(parts, 1)
-        if stats["hot"] < 10 * fair:
+        ratio = stats["hot"] / fair
+        if parts <= 10:
+            warnings.warn(
+                f"salted_join: only {parts} effective (post-AQE) reducers — "
+                "the ~10x fair-share crossover is unreachable below 11 "
+                f"partitions (max ratio = partition count; hottest {key!r} "
+                f"is at {ratio:.1f}x). This session cannot assess whether "
+                "salting wins at production partition counts — re-check with "
+                "a production-like spark.sql.shuffle.partitions "
+                "(PLANS.md skew sweep; CLAUDE.md note 21).",
+                stacklevel=2,
+            )
+        elif ratio < 10:
             warnings.warn(
                 f"salted_join: hottest {key!r} holds {stats['hot']} of "
-                f"{stats['n']} rows (~{stats['hot'] / fair:.1f}x a reducer's "
-                f"fair share across {parts} partitions) — below the ~10x "
-                "crossover where salting wins (PLANS.md skew sweep). A plain "
-                "join with AQE skew handling is the better plan here.",
+                f"{stats['n']} rows (~{ratio:.1f}x a reducer's fair share "
+                f"across {parts} effective post-AQE partitions) — below the "
+                "~10x crossover where salting wins (PLANS.md skew sweep). A "
+                "plain join with AQE skew handling is the better plan here.",
                 stacklevel=2,
             )
     salted_f = facts.withColumn(

@@ -501,7 +501,13 @@ def quantization_report(embeddings: DataFrame) -> DataFrame:
     return e.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
         F.round(
-            F.avg(F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.lit(64.0)), 6
+            F.avg(
+                F.try_divide(
+                    F.aggregate("errs", F.lit(0.0), lambda a, x: a + x),
+                    F.size("errs"),
+                )
+            ),
+            6,
         ).alias("avg_abs_err"),
         F.round(F.max(F.array_max("errs")), 6).alias("max_abs_err"),
         F.round(F.avg("scale"), 6).alias("avg_scale"),
@@ -518,11 +524,11 @@ s AS (
 ), e AS (
   SELECT label, scale,
          [abs(emb[i] - round(emb[i] / scale) * scale)
-          for i in generate_series(1, 64)] AS errs
+          for i in generate_series(1, len(emb))] AS errs
   FROM s
 )
 SELECT label, count(*) AS n_vecs,
-       round(avg(list_sum(errs) / 64.0), 6) AS avg_abs_err,
+       round(avg(list_sum(errs) / len(errs)), 6) AS avg_abs_err,
        round(max(list_max(errs)), 6) AS max_abs_err,
        round(avg(scale), 6) AS avg_scale
 FROM e GROUP BY label
@@ -1029,7 +1035,7 @@ _SIM4_SQL = """
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
 pe AS (
   SELECT label, i AS pos, round(avg(emb[i]), 6) AS a
-  FROM v CROSS JOIN generate_series(1, 64) AS t(i)
+  FROM (SELECT label, emb, unnest(generate_series(1, len(emb))) AS i FROM v)
   GROUP BY label, i
 ),
 c AS (SELECT label, list(a ORDER BY pos) AS cent FROM pe GROUP BY label),
@@ -1080,7 +1086,7 @@ a0 AS (
 asg0 AS (SELECT vec_id, emb, cell FROM a0 WHERE crank = 1),
 pe AS (
   SELECT cell, i AS pos, round(avg(emb[i]), 6) AS c
-  FROM asg0 CROSS JOIN generate_series(1, 64) AS t(i)
+  FROM (SELECT cell, emb, unnest(generate_series(1, len(emb))) AS i FROM asg0)
   GROUP BY cell, i
 ),
 m AS (SELECT cell, list(c ORDER BY pos) AS cent FROM pe GROUP BY cell),

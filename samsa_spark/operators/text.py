@@ -679,13 +679,19 @@ def heavy_ngrams(
     is applied to those. The only shuffle is over candidate rows.
 
     Why this is structurally exact (support form): (a) coverage — the
-    sketch has no false negatives above its error bound ~N/max_tracked,
-    and support N/support_denom exceeds it whenever ``max_tracked >
-    support_denom`` (13x margin at the defaults); (b) no truncation — by
-    pigeonhole AT MOST ``support_denom`` grams can clear frequency
-    1/support_denom, and ``max_candidates`` defaults to exactly
-    ``support_denom``, so the candidate list can never cut a qualifying
-    gram. With an absolute ``min_count`` neither bound is automatic:
+    DataSketches frequent-items sketch has no false negatives above its
+    error bound ~3.5N/max_tracked (~N/18.7k at the 2^16 default), and
+    support N/support_denom exceeds it whenever ``max_tracked >
+    3.5 * support_denom`` (~3.7x margin at the defaults); (b) no
+    truncation — ``approx_top_k`` ranks by ESTIMATE, so the candidate
+    list must hold every item whose estimate can reach a qualifying
+    gram's: such items have true frequency ≥ 1/support_denom −
+    3.5/max_tracked, and by pigeonhole at most the reciprocal of that
+    (~6.8k at the defaults) exist. ``max_candidates`` defaults to
+    ``2 * support_denom``, which covers that bound whenever
+    ``max_tracked ≥ 7 * support_denom`` (defaults: 13.1x) — candidates
+    are broadcast-cheap KB-scale rows, so the headroom is free. With an
+    absolute ``min_count`` neither bound is automatic:
     size ``max_candidates``/``max_tracked`` yourself and treat a result
     of exactly max_candidates rows as possible truncation. Threshold
     (tie-inclusive), not top-k: the sketch's internal tie order at a k
@@ -709,7 +715,12 @@ def heavy_ngrams(
     else:
         thresh = F.col("n_occurrences") * support_denom >= F.col("total_grams")
     if max_candidates is None:
-        max_candidates = support_denom  # pigeonhole: enough for any corpus
+        # 2x the pigeonhole count of possibly-qualifying grams: items that
+        # can out-rank a qualifying gram in the ESTIMATE order have true
+        # frequency >= 1/denom - 3.5/max_tracked, at most ~1/(1/denom -
+        # 3.5/max_tracked) of them exist, and 2*denom covers that whenever
+        # max_tracked >= 7*denom (defaults: 13.1x). See docstring.
+        max_candidates = 2 * support_denom
     if not sketch:
         counts = grams.groupBy("gram").agg(F.count("*").alias("n_occurrences"))
         total = counts.agg(F.sum("n_occurrences").alias("total_grams"))

@@ -630,12 +630,12 @@ _DEMOTED = (
     "sk1_key_skew_report",            # js1/d2s anchor skew handling in-window; the fair-share diagnosis report is pytest-oracle-checked (+ planted-skew advice test)
     "tok1_bpe_pair_counts",           # udtf1/tf1 anchor the explode->count->rank text shapes in-window; the BPE pair statistic is pytest-oracle-checked (+ hand-computed planted-corpus test)
     "mm5_interleaved_pack",           # pk2 anchors packing and mm1/mm3 the media surface in-window; the joint token+media-byte bin rule is pytest-oracle-checked (+ dual-budget boundary test)
-    "hh1_heavy_ngrams",               # tok1/tf1 anchor the explode->count text shapes in-window; the sketch-candidates+exact-rescan heavy-hitter form is pytest-oracle-checked (+ planted-skew coverage test)
-    "fu1_funnel_stages",              # ses1/d10 anchor per-user event-sequence shapes in-window; the ordered-funnel conditional-min chain is pytest-oracle-checked (+ hand-computed out-of-order test)
+    "sim6_ivf_kmeans1_topk",          # sim4 anchors the IVF cell-probe top-k shape in-window (sim6 is literally _SIM4_SQL with one Lloyd step swapped in); the fixed-1-iteration k-means path stays pytest-oracle-checked — slot went to hh1 heavy n-grams (round-8 rotation: the hardest new sketch+rescan operator behind the driver's own gate)
+    "mm4_frame_sample_stats",         # mm1/mm3 keep the media metadata+resize surface in-window; the frame-sampling stats twin shares their decode-stub plumbing and is pytest-oracle-checked — slot went to fu1 funnel stages (round-8 rotation)
     "co1_cohort_retention",           # ses1/pv1 anchor per-user time-bucket aggregation in-window; the cohort matrix shares their co-partitioned shape and is pytest-oracle-checked
     "sp2_temporal_split",             # sp1 anchors deterministic splits and qf1 the quantile-cutpoint shape in-window; the time-based split is pytest-oracle-checked (+ boundary tie test)
     "st7_streaming_sessions",         # st1/st3 keep the streaming engine in-window and ses1 anchors sessionization; the native session_window append path is pytest-oracle-checked (sentinel-flushed emission == batch gap sessionization)
-    "fu2_funnel_report",              # fu1 anchors the funnel family (itself demoted behind ses1/d10); the per-stage conversion report collapses fu1's output through one tiny aggregate and is pytest-oracle-checked
+    "fu2_funnel_report",              # fu1 anchors the funnel family in-window (promoted round 8); the per-stage conversion report collapses fu1's output through one tiny aggregate and is pytest-oracle-checked
 )
 
 

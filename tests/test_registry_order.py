@@ -19,10 +19,8 @@ MUST_BE_CHECKED = [
     "sim1_cosine_topk",
     "sim2_embedding_near_dups",
     "sim4_ivf_topk",
-    "sim6_ivf_kmeans1_topk",
     "mm1_media_metadata",
     "mm3_resized_stats",
-    "mm4_frame_sample_stats",
     "pp1_prep_pipeline",
     "pk2_pack_chunked",
     "sql1_revenue_by_segment",
@@ -31,6 +29,9 @@ MUST_BE_CHECKED = [
     "dd7_substring_spans",
     "sm2_mixture_sample",
     "qf1_quality_quantile",
+    # round-8 rotation: the hardest round-7 operators behind the driver gate
+    "hh1_heavy_ngrams",
+    "fu1_funnel_stages",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -79,6 +80,9 @@ SIBLINGS = {
     "sk1_key_skew_report": ["js1_salted_join", "d2_state_table"],
     "tok1_bpe_pair_counts": ["udtf1_ngram_counts", "tf1_tfidf_top_terms"],
     "mm5_interleaved_pack": ["pk2_pack_chunked", "mm1_media_metadata"],
+    # round-8 rotation: demoted to make room for hh1/fu1
+    "sim6_ivf_kmeans1_topk": ["sim4_ivf_topk"],
+    "mm4_frame_sample_stats": ["mm1_media_metadata", "mm3_resized_stats"],
 }
 
 

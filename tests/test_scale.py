@@ -78,18 +78,21 @@ def test_salted_join_bounds_hot_key_partitions(spark):
 def test_salted_join_skew_guard(spark):
     """check_skew warns on a uniform key distribution (salting is overhead
     there — PLANS.md crossover), stays silent on a genuinely hot key, and
-    never changes the result either way."""
+    never changes the result either way. The reducer count is MEASURED
+    post-AQE (note 21: the ~10x crossover is partition-count-relative and
+    AQE coalescing shrinks the configured count arbitrarily) — so the
+    200-partition scenarios pin coalescing off to get a production-like
+    effective count, and a third scenario shows the low-count advice."""
     import warnings
 
     import pyspark.sql.functions as F
 
     from samsa_spark.operators.scale import salted_join
 
-    # The crossover is defined against the shuffle's reducer count — pin a
-    # production-like 200 (at the test session's 8, no single key can ever
-    # reach 10x fair share, so the guard would always fire).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_co = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         dim = spark.createDataFrame(
             [(k, f"d{k}") for k in range(100)], "user_id long, attr string"
@@ -102,7 +105,9 @@ def test_salted_join_skew_guard(spark):
             warnings.simplefilter("always")
             out = salted_join(uniform, dim, "user_id", check_skew=True)
             n = out.count()
-        assert any("crossover" in str(x.message) for x in w), "uniform keys must warn"
+        assert any("below the ~10x crossover" in str(x.message) for x in w), (
+            "uniform keys must warn"
+        )
         assert n == 800
 
         # one key holds 95% of rows: 760 = 190x the fair share -> silent
@@ -116,8 +121,22 @@ def test_salted_join_skew_guard(spark):
             n = out.count()
         assert not any("crossover" in str(x.message) for x in w), "hot key must not warn"
         assert n == 800
+
+        # few effective reducers (note 21): even the genuinely hot key can't
+        # reach 10x when max ratio = partition count — the guard must say the
+        # session can't assess the crossover, not pretend to measure it.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = salted_join(hot, dim, "user_id", check_skew=True)
+            n = out.count()
+        assert any("cannot assess" in str(x.message) for x in w), (
+            "low partition count must flag unreachable crossover"
+        )
+        assert n == 800
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_co)
 
 
 def test_semantic_cells_guard_and_autosize(spark):
