@@ -28,7 +28,10 @@ Three sections:
 - PIPELINE — added round 7: the round-6/7 data-pipeline operators (gap
   fill, epoch shuffle, quantized search, SemDeDup, substring dedup,
   mixture sampling, shard write/read roundtrip) under the same floor
-  protocol; first floors recorded in BENCH_r07.
+  protocol; first floors recorded in BENCH_r07; membership frozen there.
+- EXTRAS — operators added after round 7 (so every frozen section total
+  stays comparable to its first recorded floor); same floor protocol,
+  each member's first floor recorded the round it lands.
 """
 
 from __future__ import annotations
@@ -143,6 +146,17 @@ PIPELINE = [
     "rp2_pca_projection",
 ]
 
+# PIPELINE membership is frozen at its round-7 roster so pipeline_value_floor
+# stays comparable to its first recorded floor (BENCH_r07, the BASELINE.md
+# rule). Operators added in later rounds land HERE; each carries its own
+# first floor from the round it appears (per-query floors in BENCH_DETAIL).
+EXTRAS = [
+    # round 8: the day-2 incremental recipe as one unit (write day-1 ->
+    # dd10 dedup day-2 against it -> append -> compact -> validate ->
+    # epoch read), floor-guarding the manifest-patch no-rescan claim.
+    "incremental_prep",
+]
+
 
 def _shards_roundtrip(spark, sf_dir):
     """write_shards -> read_shards_shuffled over the documents table: the
@@ -160,6 +174,44 @@ def _shards_roundtrip(spark, sf_dir):
     return read_shards_shuffled(spark, path, split="train", seed=1)
 
 
+def _incremental_prep(spark, sf_dir):
+    """The day-2 ingestion recipe, timed as ONE unit: day-1 write_shards;
+    day-2 batch deduped against the shard contents (dd10); append (manifest
+    patched from _metadata footers only — no rescan of existing files);
+    compact; validate clean; epoch-shuffled read returned for the harness
+    to materialize. Mirrors tests/test_storage_layout.py's lifecycle test
+    at bench scale."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import dedup_against
+    from samsa_spark.operators.pipeline_ops import (
+        append_shards,
+        compact_shards,
+        read_shards,
+        read_shards_shuffled,
+        validate_shards,
+        write_shards,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    day1 = docs.where(F.col("doc_id") % 3 == 0)
+    day2 = docs.where(F.col("doc_id") % 3 == 1)
+    base = tempfile.mkdtemp(prefix="samsa-bench-incr-")
+    write_shards(day1, base)
+    flags = dedup_against(day2, read_shards(spark, base))
+    fresh = day2.join(flags.where(~F.col("in_reference")).select("doc_id"), "doc_id")
+    append_shards(fresh, base)
+    compact_shards(spark, base, target_bytes=1 << 30)
+    if validate_shards(spark, base).count() != 0:
+        raise AssertionError("incremental_prep produced an inconsistent layout")
+    return read_shards_shuffled(spark, base, split="train", seed=1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from samsa_spark import registry
@@ -168,6 +220,7 @@ def main() -> None:
     spark = get_spark("samsa-spark-bench")
     qs = dict(registry.all_queries())  # bench covers pruned twins (h3) too
     qs["shards_roundtrip"] = _shards_roundtrip
+    qs["incremental_prep"] = _incremental_prep
     # Warm both execution paths before timing: JVM/codegen (flagship) and
     # the Python worker pool (an Arrow pandas-UDF query) — steady-state
     # throughput is what the headline measures, not process spin-up.
@@ -198,6 +251,7 @@ def main() -> None:
     timings, floor = run_section(HEADLINE)
     canon, canon_floor = run_section(CANONICAL)
     pipe, pipe_floor = run_section(PIPELINE)
+    extras, extras_floor = run_section(EXTRAS)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -222,6 +276,8 @@ def main() -> None:
         "canonical_value": round(sum(canon.values()), 3),
         "pipeline_value_floor": round(sum(pipe_floor.values()), 3),
         "pipeline_value": round(sum(pipe.values()), 3),
+        "extras_value_floor": round(sum(extras_floor.values()), 3),
+        "extras_value": round(sum(extras.values()), 3),
         "detail": "BENCH_DETAIL.json",
     }
     detail = dict(
@@ -231,6 +287,8 @@ def main() -> None:
         canonical_queries=canon,
         pipeline_queries_floor=pipe_floor,
         pipeline_queries=pipe,
+        extras_queries_floor=extras_floor,
+        extras_queries=extras,
         protocol=(
             "value/queries = single pass (rounds-1/2 protocol, legacy"
             " section); *_floor = per-query min of 2 same-session passes for"

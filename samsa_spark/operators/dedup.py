@@ -458,6 +458,18 @@ def substring_dup_spans(documents: DataFrame, min_tokens: int = SPAN_K) -> DataF
     Within-doc repeats count (a span occurring twice in ONE doc is
     boilerplate too, matching the corpus-wide occurrence count).
 
+    DETECTION FLOOR (the one place this family is strictly weaker than
+    Lee et al.'s suffix-array form): duplicated runs are detected only
+    when they contain at least ``min_tokens`` WHOLE tokens, aligned to
+    whitespace-token boundaries. A duplicate shorter than k tokens, or
+    one whose ends fall mid-token, is invisible — the suffix-array form
+    catches arbitrary byte-level spans. What IS caught is witnessed by
+    the planted-boilerplate tests (tests/test_dedup.py dd7 suite): any
+    >=k-token repeated run, across or within documents, at any position.
+    Choose ``min_tokens`` per corpus (Lee et al. use 50 BPE tokens; the
+    default here is 8 whitespace tokens — roughly the same character
+    span on English text).
+
     Scale shape: the posting table is one row per token position (corpus
     token count — the same cardinality every tokenizing op here shuffles);
     the occurrence count groups on a 64-bit span hash (never the string —

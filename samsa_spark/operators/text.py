@@ -483,40 +483,60 @@ ORDER BY pair_count DESC, "left", "right" LIMIT 20
 """
 
 
-def _merge_pair_col(sym: str, left: str, right: str) -> F.Column:
+def _merge_pairs_col(sym: str, pairs: list[tuple[str, str]]) -> F.Column:
     """Greedy left-to-right replacement of adjacent (left, right) symbols
-    with their concatenation — one BPE merge applied to a symbol array,
-    as a pure ``aggregate`` fold (no Python). A merged token never
-    re-merges within the same pass ("aaa" + (a,a) -> [aa, a]), matching
-    the reference algorithm's non-overlapping scan. ``left``/``right``
-    are per-iteration literals, so nothing row-level is re-evaluated
-    inside the lambda (note 20)."""
+    with their concatenation — one or more SYMBOL-DISJOINT BPE merges
+    applied to a symbol array in a single pure ``aggregate`` fold (no
+    Python). A merged token never re-merges within the same pass
+    ("aaa" + (a,a) -> [aa, a]), matching the reference algorithm's
+    non-overlapping scan; because the pairs share no symbol (and none
+    consumes another's freshly created concat — the batch selector
+    guarantees both), applying them in one fold equals applying each as
+    its own full pass over the same input, in any order. ``pairs`` are
+    per-iteration literals, so nothing row-level is re-evaluated inside
+    the lambda (note 20)."""
+
+    def step(acc, s):
+        hit = None
+        for left, right in pairs:
+            cond = (acc.prev == F.lit(left)) & (s == F.lit(right))
+            merged = F.struct(
+                F.concat(acc.out, F.array(F.lit(left + right))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            )
+            hit = F.when(cond, merged) if hit is None else hit.when(cond, merged)
+        return hit.otherwise(
+            F.when(
+                acc.prev.isNull(), F.struct(acc.out.alias("out"), s.alias("prev"))
+            ).otherwise(
+                F.struct(
+                    F.concat(acc.out, F.array(acc.prev)).alias("out"), s.alias("prev")
+                )
+            )
+        )
+
     return F.aggregate(
         sym,
         F.struct(
             F.array().cast("array<string>").alias("out"),
             F.lit(None).cast("string").alias("prev"),
         ),
-        lambda acc, s: F.when(
-            (acc.prev == F.lit(left)) & (s == F.lit(right)),
-            F.struct(
-                F.concat(acc.out, F.array(F.lit(left + right))).alias("out"),
-                F.lit(None).cast("string").alias("prev"),
-            ),
-        ).otherwise(
-            F.when(
-                acc.prev.isNull(), F.struct(acc.out.alias("out"), s.alias("prev"))
-            ).otherwise(
-                F.struct(F.concat(acc.out, F.array(acc.prev)).alias("out"), s.alias("prev"))
-            )
-        ),
+        step,
         lambda acc: F.when(acc.prev.isNull(), acc.out).otherwise(
             F.concat(acc.out, F.array(acc.prev))
         ),
     )
 
 
-def train_bpe_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+def _merge_pair_col(sym: str, left: str, right: str) -> F.Column:
+    """Single-merge form of :func:`_merge_pairs_col` (kept for callers and
+    tests that apply one merge at a time)."""
+    return _merge_pairs_col(sym, [(left, right)])
+
+
+def train_bpe_merges(
+    documents: DataFrame, n_merges: int = 8, batch: int = 1
+) -> DataFrame:
     """tok2 — learn the first ``n_merges`` BPE merges (Sennrich et al.
     2016), completing tok1's single-iteration statistic into the full
     training loop. Returns ``(merge_rank, left, right, pair_count)`` in
@@ -526,19 +546,33 @@ def train_bpe_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     exactly once — one explode + word-frequency aggregate. Every
     iteration after that runs over the word VOCABULARY (type-level,
     millions of rows at web scale, not trillions of tokens): one
-    slice-zip pair count weighted by frequency, one argmax (a 1-row
-    ``limit(1)`` collect — a per-iteration scalar to the driver, the same
-    documented exception class as sim5's centroid matrix), then the merge
-    applied as a vocabulary-wide column fold. The vocabulary is
-    ``localCheckpoint``'d per iteration (sim5's pattern) so lineage stays
-    flat across iterations.
+    slice-zip pair count weighted by frequency, one bounded top-k collect
+    (a per-pass KB-scale scalar to the driver, the same documented
+    exception class as sim5's centroid matrix), then the pass's merges
+    applied as ONE vocabulary-wide column fold. The vocabulary is
+    ``localCheckpoint``'d per pass (sim5's pattern) so lineage stays flat.
 
-    Deterministic: the argmax tie-breaks on (count desc, left, right),
-    and the merge fold is order-independent across rows — repartitioning
-    cannot change the learned sequence (pytest-locked). Rows-only on the
-    driver surface: the loop is iterative (DuckDB's recursive CTEs cannot
-    re-aggregate per step); ground truth is an independent pure-Python
-    trainer in pytest.
+    ``batch`` is the driver-round-trip lever for realistic vocabularies:
+    ``batch=1`` is EXACT sequential BPE (argmax, apply, recount — the
+    pure-Python ground-truth trainer in pytest). ``batch=M`` is standard
+    batched BPE: each pass takes the top merges from one count table,
+    greedily in (count desc, left, right) order, keeping only pairs that
+    are SYMBOL-DISJOINT from every pair already chosen this pass (no
+    shared left/right, and neither symbol equals an already-chosen pair's
+    concat — interacting pairs wait for the next pass, where the recount
+    sees the merged symbols). Driver-coordinated jobs then scale as
+    ~n_merges/M instead of n_merges — a 30k-merge production run drops
+    from ~60k sequential jobs to ~2k×(2) at M=16 (measured in
+    scripts/scale_sweep.py). The learned table can differ from strict
+    sequential order only where a merge would have created a pair hotter
+    than the batch's next pick — the documented batched-BPE trade.
+
+    Deterministic at any ``batch``: selection tie-breaks on (count desc,
+    left, right), and the merge fold is order-independent across rows —
+    repartitioning cannot change the learned sequence (pytest-locked).
+    Rows-only on the driver surface: the loop is iterative (DuckDB's
+    recursive CTEs cannot re-aggregate per step); ground truth is an
+    independent pure-Python trainer in pytest (sequential and batched).
     """
     spark = documents.sparkSession
     words = documents.select(F.explode(_toks()).alias("w")).where(F.col("w") != "")
@@ -556,20 +590,36 @@ def train_bpe_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        # Over-fetch so the disjointness filter can still fill the batch on
+        # clustered count tables; leftovers just wait for the next pass.
+        top = (
             vocab.select("freq", F.explode(pairs).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), "l", "r")
-            .limit(1)
+            .limit(4 * want + 8)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        l, r, c = best[0].l, best[0].r, int(best[0].c)
-        merges.append((rank, l, r, c))
-        vocab = vocab.withColumn("sym", _merge_pair_col("sym", l, r)).localCheckpoint()
+        used: set[str] = set()
+        new_syms: set[str] = set()
+        chosen: list[tuple[str, str, int]] = []
+        for row in top:
+            if len(chosen) == want:
+                break
+            if {row.l, row.r} & (used | new_syms):
+                continue
+            used.update((row.l, row.r))
+            new_syms.add(row.l + row.r)
+            chosen.append((row.l, row.r, int(row.c)))
+        for left, right, c in chosen:
+            merges.append((len(merges), left, right, c))
+        vocab = vocab.withColumn(
+            "sym", _merge_pairs_col("sym", [(left, right) for left, right, _ in chosen])
+        ).localCheckpoint()
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint"
     )

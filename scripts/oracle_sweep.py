@@ -5,16 +5,23 @@ thresholds/caps that pass at the checked scales (pytest sf0.001, driver
 sf0.01) but silently change meaning as data grows. hh1's candidate-cap
 overflow at sf0.1 was caught exactly this way.
 
-Usage:  python scripts/oracle_sweep.py [sf_dir] [window|demoted|all]
+Usage:
+    python scripts/oracle_sweep.py [sf_dir] [window|demoted|all]
+    python scripts/oracle_sweep.py --round N
 
-Defaults to /root/testdata/sf0.1 and "all". Prints one line per query
-and a final SUMMARY line; exit code 1 if anything failed. Run it once
-per round at sf0.1 (one Spark job at a time — CLAUDE.md note 16).
+The first form prints one line per query and a SUMMARY line for one scale
+(defaults /root/testdata/sf0.1, "all"); exit code 1 if anything failed.
+The second form is the ROUND-CLOSE artifact (round-7 verdict item 2): it
+sweeps the full oracle surface at sf0.001, sf0.01 AND sf0.1 in one
+session and writes per-query pass/fail to ORACLE_SWEEP_r{NN}.json beside
+CORRECTNESS_r{NN}.json — any multi-scale divergence fails the round.
+Run one Spark job at a time either way (CLAUDE.md note 16).
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import sys
 from pathlib import Path
 
@@ -22,28 +29,30 @@ _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 sys.path.insert(0, str(_REPO / "tests"))
 
+SCALES = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    which = sys.argv[2] if len(sys.argv) > 2 else "all"
 
+def _connect(sf_dir: str):
     import duckdb
-    from pyspark.sql import SparkSession
 
-    from oracle import compare
-    from samsa_spark import registry
-
-    spark = SparkSession.builder.master("local[16]").appName("oracle-sweep").getOrCreate()
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         con.execute(
             f"CREATE VIEW {p.split('/')[-1].removesuffix('.parquet')}"
             f" AS SELECT * FROM '{p}'"
         )
+    return con
 
+
+def sweep(spark, sf_dir: str, which: str = "all", verbose: bool = True) -> dict[str, bool]:
+    from oracle import compare
+
+    from samsa_spark import registry
+
+    con = _connect(sf_dir)
     aq, ao = registry.all_queries(), registry.all_oracle_sql()
     window = set(list(registry.queries())[:50])
-    bad = []
+    results: dict[str, bool] = {}
     for name, fn in aq.items():
         sql = ao.get(name)
         if sql is None:
@@ -57,9 +66,40 @@ def main() -> int:
             ok, msg = compare(fn(spark, sf_dir), con.execute(sql).fetchdf())
         except Exception as ex:  # noqa: BLE001 — a sweep must not stop at query 3
             ok, msg = False, f"EXC {type(ex).__name__}: {ex}"
-        print(name, "OK" if ok else f"FAIL {msg}", flush=True)
-        if not ok:
-            bad.append(name)
+        if verbose:
+            print(name, "OK" if ok else f"FAIL {msg}", flush=True)
+        results[name] = ok
+    return results
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--round":
+        n = int(sys.argv[2])
+        spark = (
+            SparkSession.builder.master("local[16]").appName("oracle-sweep").getOrCreate()
+        )
+        out: dict[str, object] = {}
+        failed: list[str] = []
+        for sf_dir in SCALES:
+            label = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+            print(f"=== {label} ===", flush=True)
+            res = sweep(spark, sf_dir, "all")
+            out[label] = res
+            failed.extend(f"{label}:{q}" for q, ok in res.items() if not ok)
+        out["failed"] = failed
+        path = _REPO / f"ORACLE_SWEEP_r{n:02d}.json"
+        path.write_text(json.dumps(out, indent=1) + "\n")
+        print(f"SUMMARY wrote {path} failed={failed}", flush=True)
+        spark.stop()
+        return 1 if failed else 0
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    spark = SparkSession.builder.master("local[16]").appName("oracle-sweep").getOrCreate()
+    results = sweep(spark, sf_dir, which)
+    bad = [q for q, ok in results.items() if not ok]
     print(f"SUMMARY sf_dir={sf_dir} which={which} failed={bad}", flush=True)
     spark.stop()
     return 1 if bad else 0

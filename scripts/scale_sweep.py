@@ -32,7 +32,11 @@ def _spark():
 
     return get_spark(
         "scale-sweep",
-        extra_conf={"spark.driver.memory": "24g"},
+        # retainedJobs must exceed any sweep's total job count or the
+        # statusTracker-based job counting (sweep_bpe) silently floors at
+        # the retention limit (default 1000 — it truncated the first
+        # batch=1 measurement to 905).
+        extra_conf={"spark.driver.memory": "24g", "spark.ui.retainedJobs": "100000"},
     )
 
 
@@ -838,6 +842,53 @@ def sweep_funnel(spark) -> None:
         df.unpersist()
 
 
+def sweep_bpe(spark) -> None:
+    """tok2 batched-merge sweep: driver-coordinated jobs must scale as
+    ~n_merges/batch, making realistic vocabulary sizes (30k merges)
+    feasible. The gate corpus has a 31-word vocabulary (exhausts after a
+    handful of merges), so the sweep builds its own deterministic
+    20k-word corpus; the measure is Spark JOB COUNT per learned merge
+    (the driver-round-trip bottleneck), with wall time for context."""
+    import numpy as np
+
+    from samsa_spark.operators.text import train_bpe_merges
+
+    rng = np.random.RandomState(42)
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+    words = [
+        "".join(rng.choice(letters, rng.randint(4, 12))) for _ in range(20_000)
+    ]
+    probs = 1.0 / np.arange(1, len(words) + 1)
+    probs /= probs.sum()
+    docs = [
+        (i, " ".join(words[j] for j in rng.choice(len(words), 80, p=probs)))
+        for i in range(2_000)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").localCheckpoint()
+    sc = spark.sparkContext
+    n_merges = 1000
+    for batch in (16, 1):
+        group = f"bpe-batch{batch}"
+        sc.setJobGroup(group, "tok2 batched-merge sweep")
+        t0 = time.time()
+        got = train_bpe_merges(df, n_merges=n_merges, batch=batch).collect()
+        dt = time.time() - t0
+        sc.setJobGroup("bpe-idle", "")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        print(
+            json.dumps(
+                {
+                    "measure": f"tok2_train_batch{batch}",
+                    "n_merges": len(got),
+                    "sec": round(dt, 2),
+                    "spark_jobs": jobs,
+                    "jobs_per_merge": round(jobs / max(len(got), 1), 3),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -871,6 +922,8 @@ def main() -> None:
         sweep_heavy(spark)
     if what in ("funnel", "all"):
         sweep_funnel(spark)
+    if what in ("bpe", "all"):
+        sweep_bpe(spark)
     spark.stop()
 
 

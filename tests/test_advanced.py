@@ -453,3 +453,24 @@ def test_fu2_report_consistent_with_fu1(spark):
         assert got[i].n_users_reached == r[i - 1]
         assert got[i].conv_from_prev == round(r[i - 1] / prev[i - 1], 6)
         assert got[i].conv_from_start == round(r[i - 1] / n, 6)
+
+
+def test_fu2_zero_user_stage_reports_null_not_error(spark):
+    """A stage name absent from the corpus (zero users) must yield NULL
+    conversions downstream of it — under ANSI mode a plain division would
+    throw DIVIDE_BY_ZERO; DuckDB's x/0 is NULL, so NULL is also the
+    oracle-parity answer."""
+    from samsa_spark import tables
+    from samsa_spark.operators.advanced import funnel_report
+
+    ev = tables.load(spark, SF_SMALL, "events")
+    got = {
+        x.stage_idx: x
+        for x in funnel_report(ev, stages=("view", "no_such_event", "purchase")).collect()
+    }
+    assert got[1].n_users_reached > 0 and got[1].conv_from_prev is not None
+    assert got[2].n_users_reached == 0 and got[2].conv_from_prev == 0.0
+    # stage 3 divides by stage 2's zero -> NULL, not an ANSI error
+    assert got[3].n_users_reached == 0
+    assert got[3].conv_from_prev is None
+    assert got[3].conv_from_start == 0.0

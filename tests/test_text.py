@@ -562,6 +562,113 @@ def test_tok2_first_merge_equals_tok1_top_pair(spark):
     )
 
 
+def _py_bpe_train_batched(word_freqs: dict[str, int], n_merges: int, batch: int):
+    """Independent reference for BATCHED BPE with train_bpe_merges's exact
+    selection rule: per pass, sort the count table by (count desc, left,
+    right), consider only the first 4*want+8 rows (the Spark collect
+    bound), greedily keep symbol-disjoint pairs (no shared left/right and
+    neither symbol equal to an already-chosen pair's concat), apply them
+    all to the pass-start vocab, recount."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        counts: dict[tuple[str, str], int] = {}
+        for w, sym in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * want + 8]
+        used: set[str] = set()
+        new_syms: set[str] = set()
+        chosen = []
+        for (a, b), c in top:
+            if len(chosen) == want:
+                break
+            if {a, b} & (used | new_syms):
+                continue
+            used.update((a, b))
+            new_syms.add(a + b)
+            chosen.append((a, b, c))
+        merges.extend(chosen)
+        pair_set = {(a, b): a + b for a, b, _ in chosen}
+        for w, sym in vocab.items():
+            out, prev = [], None
+            for s in sym:
+                if prev is not None and (prev, s) in pair_set:
+                    out.append(pair_set[(prev, s)])
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_tok2_batched_matches_python_batched_trainer(spark):
+    """batch=M must equal the independent batched Python trainer (same
+    selection rule) — and batch=1 must stay byte-identical to the strict
+    sequential trainer, the exactness contract of the default."""
+    import pandas as pd
+
+    from samsa_spark.operators.text import train_bpe_merges
+
+    texts = ["low low low lower lower", "newest newest widest low", "new new newest"]
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for m in (3, 8):
+        want, _ = _py_bpe_train_batched(wf, 8, m)
+        got = [
+            (r.left, r.right, r.pair_count)
+            for r in train_bpe_merges(docs, n_merges=8, batch=m)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want, (m, got, want)
+    # M=1 == strict sequential (the batched trainer degenerates to it too)
+    seq, _ = _py_bpe_train(wf, 8)
+    got1 = [
+        (r.left, r.right, r.pair_count)
+        for r in train_bpe_merges(docs, n_merges=8, batch=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got1 == seq
+
+
+def test_tok2_batched_deterministic_under_repartition(spark):
+    import pandas as pd
+
+    from samsa_spark.operators.text import train_bpe_merges
+
+    texts = ["spark spark sharded shard", "shard spark sharded streams"]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": texts}))
+    a = [
+        tuple(r)
+        for r in train_bpe_merges(docs, n_merges=6, batch=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    b = [
+        tuple(r)
+        for r in train_bpe_merges(docs.repartition(7), n_merges=6, batch=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert a == b and len(a) == 6
+
+
 def test_apply_bpe_encodes_like_reference(spark):
     """apply_bpe must reproduce the reference encoder on every word (the
     trained vocab IS the reference encoding of the training words), and
@@ -786,5 +893,46 @@ def test_tok2_matches_reference_on_random_corpora(spark, texts, n_merges):
     got = [
         (r.left, r.right, r.pair_count)
         for r in train_bpe_merges(df, n_merges=n_merges).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(_HC2))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.lists(st.sampled_from("abc"), min_size=1, max_size=5).map("".join),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+    batch=st.integers(min_value=2, max_value=4),
+)
+def test_tok2_batched_matches_reference_on_random_corpora(spark, texts, n_merges, batch):
+    """Batched tok2 vs the batched Python model on random small-alphabet
+    corpora — disjointness skips, pass-boundary interactions, and early
+    exhaustion all occur; hypothesis shrinks any divergence."""
+    from tests.test_text import _py_bpe_train_batched
+
+    from samsa_spark.operators.text import train_bpe_merges
+
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    want, _ = _py_bpe_train_batched(wf, n_merges, batch)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in train_bpe_merges(df, n_merges=n_merges, batch=batch)
+        .orderBy("merge_rank")
+        .collect()
     ]
     assert got == want
