@@ -155,6 +155,9 @@ EXTRAS = [
     # dd10 dedup day-2 against it -> append -> compact -> validate ->
     # epoch read), floor-guarding the manifest-patch no-rescan claim.
     "incremental_prep",
+    # round 8: product-quantization ADC search (codebook train + encode +
+    # distance-table query as one unit).
+    "qz3_pq_topk",
 ]
 
 

@@ -630,6 +630,277 @@ SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """
 
 
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): m subspaces x k centroids each. 4x16 on the
+# 64-dim fixtures = 4 bytes/vector (16x smaller than the int8 SQ8 codes,
+# 64x smaller than float32) — the compression regime an embedding store
+# actually runs at 100 TB, where even int8 corpora don't fit hot storage.
+PQ_M = 4
+PQ_K = 16
+
+
+def _l2sq(a, b) -> F.Column:
+    """Squared L2 between two array columns as one left-to-right fold —
+    single deterministic expression per row (no shuffle-order float
+    summation, the rp2 lesson)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subspaces(df: DataFrame, vec_col: str, m: int) -> DataFrame:
+    """Explode a vector frame into per-subspace slices: one row per
+    (original row, s) with ``sv`` = the s-th of ``m`` equal slices. The
+    slice bounds derive from size(vec) at runtime — no hardcoded
+    dimension (the qz2-oracle lesson)."""
+    return df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    ).select(
+        *df.columns,
+        "s",
+        F.expr(
+            f"slice({vec_col}, s * (size({vec_col}) div {m}) + 1,"
+            f" size({vec_col}) div {m})"
+        ).alias("sv"),
+    )
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """Per-subspace PQ codebooks ``(s, cid, cv)`` from ONE deterministic
+    Lloyd step per subspace — sim6's exact-oracle recipe (hash-ranked
+    seeds → rounded-L2 argmin assignment with ties to the smallest id →
+    6-dp-rounded per-dimension means, empty cells keeping their seed
+    slice), so training, encoding and search all sit in the DuckDB hash
+    gate. ``cid`` is the seed's rank (contiguous 0..k-1), which is what
+    lets the ADC query index a distance table by ``s*k + cid``.
+
+    Scale shape: seeds are a bounded top-k; the assignment is corpus x k
+    against a BROADCAST seed table with the argmin as one min_by hash
+    aggregate (never a window over N x k rows); means are skinny
+    (s, cid, pos) rows with map-side partials. Nothing wider than
+    m x k x (d/m) doubles (the codebook itself) ever reaches the driver.
+    """
+    base = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    h = F.expr("((vec_id >> 31) ^ vec_id) & 2147483647") * F.lit(2654435761) % F.lit(
+        1_000_003
+    )
+    from pyspark.sql import Window
+
+    seeds = (
+        base.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy(h.asc(), F.col("vec_id").asc())) - 1,
+        )
+        .select("cid", "emb")
+    )
+    seed_subs = (
+        _pq_subspaces(seeds, "emb", m)
+        .select("s", "cid", F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    subs = _pq_subspaces(base, "emb", m).select("vec_id", "s", "sv")
+    scored = subs.join(F.broadcast(seed_subs), "s").withColumn(
+        "d2", F.round(_l2sq("sv", "cv"), 6)
+    )
+    asg = scored.groupBy("vec_id", "s").agg(
+        F.min_by(F.struct("cid", "sv"), F.struct("d2", "cid")).alias("_b")
+    ).select("s", F.col("_b.cid").alias("cid"), F.col("_b.sv").alias("sv"))
+    pe = asg.select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+    agg = pe.groupBy("s", "cid", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    means = agg.groupBy("s", "cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cv")
+    )
+    return (
+        seed_subs.alias("sd")
+        .join(means.alias("mn"), ["s", "cid"], "left")
+        .select("s", "cid", F.coalesce(F.col("mn.cv"), F.col("sd.cv")).alias("cv"))
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, m: int = PQ_M
+) -> DataFrame:
+    """``(vec_id, codes)``: each vector reduced to ``m`` small-int codes —
+    the nearest codebook centroid per subspace (rounded L2, ties to the
+    smallest cid), codes ordered by subspace. The stored corpus form:
+    m bytes/vector at k <= 256."""
+    base = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    subs = _pq_subspaces(base, "emb", m).select("vec_id", "s", "sv")
+    scored = subs.join(F.broadcast(codebooks), "s").withColumn(
+        "d2", F.round(_l2sq("sv", "cv"), 6)
+    )
+    codes_long = scored.groupBy("vec_id", "s").agg(
+        F.min_by(F.col("cid"), F.struct("d2", "cid")).alias("code")
+    )
+    return codes_long.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("s", "code"))), lambda x: x["code"]
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_probes: int = 20,
+    k: int = 5,
+    m: int = PQ_M,
+    n_cents: int = PQ_K,
+) -> DataFrame:
+    """qz3 — PQ asymmetric-distance top-k (Jégou et al. 2011): codebooks
+    trained by :func:`pq_codebooks`, corpus reduced to m-byte codes by
+    :func:`pq_encode`, and each query ranked by ADC — the query stays full
+    precision, a per-query distance TABLE to all m x k centroids is
+    precomputed, and a corpus vector's approximate distance is m table
+    lookups summed. Returns ``(q_id, vec_id, adc_dist, rank)``.
+
+    Plan shape (the reason PQ exists at 100 TB): the corpus side of the
+    query moves ONLY the code arrays — the probe side (n_probes rows, each
+    carrying an m*k-double distance table built against the broadcast
+    codebook) broadcasts, the per-pair distance is m array lookups + a
+    fixed-order fold in one projection (no shuffle, no float-sum order
+    dependence), and the only exchange is the per-query top-k window.
+    Exact DuckDB twin: every stage is rounded deterministic arithmetic
+    (seeds/assignment/means from sim6's recipe; ADC sums m 6-dp-rounded
+    subspace distances in subspace order on both engines).
+
+    Recall honesty: 4x16 codes are a COARSE 4-byte sketch of a 64-dim
+    vector — ranking quality vs exact search is asserted on clustered
+    corpora in tests (planted-structure recall), not claimed for
+    near-orthogonal noise, and production dials m/k up with dimension.
+    """
+    cb = pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
+    codes = pq_encode(embeddings, cb, m=m)
+    base = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    probes = base.where(F.col("vec_id") < n_probes)
+    psubs = _pq_subspaces(probes, "emb", m).select(
+        F.col("vec_id").alias("q_id"), "s", "sv"
+    )
+    dt = psubs.join(F.broadcast(cb), "s").select(
+        "q_id",
+        (F.col("s") * n_cents + F.col("cid")).alias("pos"),
+        F.round(_l2sq("sv", "cv"), 6).alias("d2"),
+    )
+    ptab = F.broadcast(
+        dt.groupBy("q_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "d2"))), lambda x: x["d2"]
+            ).alias("dtab")
+        )
+    )
+    scored = codes.join(ptab, F.col("q_id") != F.col("vec_id")).withColumn(
+        "adc_dist",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "codes", lambda c, i: F.element_at("dtab", i * n_cents + c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+# qz3's DuckDB twin mirrors the Spark stages 1:1: sim6's hash-ranked seeds
+# (cid = seed rank, contiguous), one rounded-L2 Lloyd step per subspace,
+# re-assignment to the trained codebooks, and ADC as the s-ordered sum of
+# the m per-subspace rounded distances (list(d2 ORDER BY s) -> list_sum:
+# fixed order, matching Spark's fold).
+_QZ3_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+h AS (
+  SELECT vec_id, emb,
+         row_number() OVER (
+           ORDER BY ((xor(vec_id >> 31, vec_id) & 2147483647) * 2654435761) % 1000003 ASC,
+                    vec_id ASC) AS rk
+  FROM v
+),
+seeds AS (SELECT rk - 1 AS cid, emb FROM h WHERE rk <= 16),
+sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+sseeds AS (
+  SELECT s, cid,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS cv
+  FROM seeds CROSS JOIN sp
+),
+subs AS (
+  SELECT vec_id, s,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS sv
+  FROM v CROSS JOIN sp
+),
+a0 AS (
+  SELECT subs.vec_id, subs.s, subs.sv, ss.cid,
+         row_number() OVER (
+           PARTITION BY subs.vec_id, subs.s
+           ORDER BY round(list_sum([(subs.sv[i] - ss.cv[i]) * (subs.sv[i] - ss.cv[i])
+                                    for i in generate_series(1, len(subs.sv))]), 6) ASC,
+                    ss.cid ASC) AS crank
+  FROM subs JOIN sseeds ss USING (s)
+),
+asg AS (SELECT vec_id, s, sv, cid FROM a0 WHERE crank = 1),
+pe AS (
+  SELECT s, cid, i AS pos, round(avg(sv[i]), 6) AS c
+  FROM (SELECT s, cid, sv, unnest(generate_series(1, len(sv))) AS i FROM asg)
+  GROUP BY s, cid, i
+),
+mn AS (SELECT s, cid, list(c ORDER BY pos) AS cv FROM pe GROUP BY s, cid),
+cents AS (
+  SELECT ss.s, ss.cid, coalesce(mn.cv, ss.cv) AS cv
+  FROM sseeds ss LEFT JOIN mn USING (s, cid)
+),
+c0 AS (
+  SELECT subs.vec_id, subs.s, c.cid,
+         row_number() OVER (
+           PARTITION BY subs.vec_id, subs.s
+           ORDER BY round(list_sum([(subs.sv[i] - c.cv[i]) * (subs.sv[i] - c.cv[i])
+                                    for i in generate_series(1, len(subs.sv))]), 6) ASC,
+                    c.cid ASC) AS crank
+  FROM subs JOIN cents c USING (s)
+),
+codes AS (SELECT vec_id, s, cid AS code FROM c0 WHERE crank = 1),
+p AS (SELECT vec_id AS q_id, s, sv FROM subs WHERE vec_id < 20),
+dt AS (
+  SELECT p.q_id, p.s, c.cid,
+         round(list_sum([(p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i])
+                         for i in generate_series(1, len(p.sv))]), 6) AS d2
+  FROM p JOIN cents c USING (s)
+),
+adc AS (
+  SELECT dt.q_id, cd.vec_id,
+         round(list_sum(list(dt.d2 ORDER BY dt.s)), 6) AS adc_dist
+  FROM codes cd
+  JOIN dt ON dt.s = cd.s AND dt.cid = cd.code AND dt.q_id <> cd.vec_id
+  GROUP BY dt.q_id, cd.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT q_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def save_index(
     embeddings: DataFrame,
     path: str,
@@ -1022,6 +1293,7 @@ def build_queries():
         # 1e-6 agreement with numpy PCA, and repartition stability.
         "rp2_pca_projection": (q(pca_projection), None),
         "qz2_quantized_topk": (q(quantized_topk), _QZ2_SQL),
+        "qz3_pq_topk": (q(pq_topk), _QZ3_SQL),
         # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
         # ground truth is the planted-corpus recall suite
         # (tests/test_semantic_dedup.py). min_cos=0.3 on the near-orthogonal

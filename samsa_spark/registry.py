@@ -636,6 +636,7 @@ _DEMOTED = (
     "sp2_temporal_split",             # sp1 anchors deterministic splits and qf1 the quantile-cutpoint shape in-window; the time-based split is pytest-oracle-checked (+ boundary tie test)
     "st7_streaming_sessions",         # st1/st3 keep the streaming engine in-window and ses1 anchors sessionization; the native session_window append path is pytest-oracle-checked (sentinel-flushed emission == batch gap sessionization)
     "fu2_funnel_report",              # fu1 anchors the funnel family in-window (promoted round 8); the per-stage conversion report collapses fu1's output through one tiny aggregate and is pytest-oracle-checked
+    "qz3_pq_topk",                    # sim1/sim4 anchor probe-broadcast top-k and vec1 the embedding surface in-window; the PQ ADC search (codebooks via sim6's exact one-Lloyd-step recipe) is pytest-oracle-checked + planted-structure recall-tested
 )
 
 

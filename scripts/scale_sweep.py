@@ -889,6 +889,67 @@ def sweep_bpe(spark) -> None:
         )
 
 
+def sweep_shards(spark) -> None:
+    """Shard-append scale sweep: the manifest-patch design claims a daily
+    append costs ~batch size + a footer-only file listing, NOT a corpus
+    rescan. Evidence: append a FIXED 5k-doc batch into day-1 layouts built
+    from 1x and 10x corpora — append time must stay ~flat (the 10x layout
+    has 10x the rows; only its file count grows the footer listing), and
+    compact_shards on an already-compact layout must be a near-free no-op
+    at both scales."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        append_shards,
+        compact_shards,
+        validate_shards,
+        write_shards,
+    )
+
+    docs = tables.load(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_base = docs.count()
+    batch = docs.limit(5_000).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000_000
+    ).localCheckpoint()
+    n_batch = batch.count()
+
+    for factor in (1, 10):
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        day1 = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+        base = tempfile.mkdtemp(prefix=f"samsa-shardsweep-{factor}x-")
+        write_shards(day1, base, max_records_per_file=20_000)
+        t0 = time.time()
+        append_shards(batch, base, max_records_per_file=20_000)
+        t_append = time.time() - t0
+        t0 = time.time()
+        compact_shards(spark, base, target_bytes=1 << 30)
+        t_compact = time.time() - t0
+        n_bad = validate_shards(spark, base).count()
+        print(
+            json.dumps(
+                {
+                    "measure": f"shard_append_{factor}x",
+                    "corpus_rows": n_base * factor,
+                    "batch_rows": n_batch,
+                    "append_sec": round(t_append, 2),
+                    "compact_noop_sec": round(t_compact, 2),
+                    "validate_problems": n_bad,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -924,6 +985,8 @@ def main() -> None:
         sweep_funnel(spark)
     if what in ("bpe", "all"):
         sweep_bpe(spark)
+    if what in ("shards", "all"):
+        sweep_shards(spark)
     spark.stop()
 
 

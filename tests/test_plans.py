@@ -233,3 +233,19 @@ def test_co1_cohort_no_window_no_event_cardinality_sort(spark):
     p = _plan(spark, "co1_cohort_retention")
     assert "Window" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_qz3_adc_probe_side_broadcasts_no_cartesian(spark):
+    """qz3's ADC query: the probe distance tables and every codebook join
+    are BROADCAST (the corpus side of the scored join moves only the
+    m-code arrays; the probe x corpus pairing is sim1's broadcast pattern,
+    never an unhinted CartesianProduct), and no global sort appears — the
+    per-query ranking is a partitioned window."""
+    p = _plan(spark, "qz3_pq_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    # the only Sort allowed is inside the per-q_id window (partitioned)
+    import re
+
+    for m in re.finditer(r"Sort \[(.*?)\]", p):
+        assert "adc_dist" in m.group(1) or "q_id" in m.group(1) or "pos" in m.group(1) or "s" in m.group(1)

@@ -83,6 +83,8 @@ SIBLINGS = {
     # round-8 rotation: demoted to make room for hh1/fu1
     "sim6_ivf_kmeans1_topk": ["sim4_ivf_topk"],
     "mm4_frame_sample_stats": ["mm1_media_metadata", "mm3_resized_stats"],
+    # round-8 addition, born demoted (the window was already full)
+    "qz3_pq_topk": ["sim1_cosine_topk", "sim4_ivf_topk"],
 }
 
 

@@ -466,3 +466,82 @@ def test_rp2_rows_only_query_runs(spark):
 
     ok, msg = check_query(spark, "rp2_pca_projection", SF_SMALL)
     assert ok, msg
+
+
+def test_qz3_oracle_match(spark):
+    ok, msg = check_query(spark, "qz3_pq_topk", SF_SMALL)
+    assert ok, msg
+
+
+def _clustered_embeddings(spark, n_clusters=10, per_cluster=30, dim=64, noise=0.05):
+    """Planted-structure corpus: well-separated cluster centers + small
+    noise — the regime PQ codes are meaningful in (a 4-byte code cannot
+    rank near-orthogonal noise, and the docstring says so)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, dim) * 3.0
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = i % n_clusters
+        v = centers[c] + rng.randn(dim) * noise
+        rows.append((i, [float(x) for x in v]))
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    return spark.createDataFrame(rows, schema), n_clusters
+
+
+def test_qz3_recall_on_planted_clusters(spark):
+    """On a clustered corpus, ADC top-5 must be dominated by same-cluster
+    neighbors (vec_id % n_clusters encodes the cluster) — the structure a
+    4-byte PQ code exists to preserve."""
+    from samsa_spark.operators.similarity import pq_topk
+
+    emb, n_clusters = _clustered_embeddings(spark)
+    got = pq_topk(emb, n_probes=20, k=5).collect()
+    assert {r.q_id for r in got} == set(range(20))
+    same = [1 if r.vec_id % n_clusters == r.q_id % n_clusters else 0 for r in got]
+    frac = sum(same) / len(same)
+    assert frac >= 0.9, f"same-cluster fraction {frac} (random would be ~0.1)"
+
+
+def test_qz3_deterministic_under_repartition(spark):
+    """Seeds, assignment, means, codes and ADC ranks are all hash/rounding
+    deterministic — repartitioning the corpus cannot move a single row."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import pq_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    a = {tuple(r) for r in pq_topk(emb).collect()}
+    b = {tuple(r) for r in pq_topk(emb.repartition(7)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_qz3_codes_shape_and_compression(spark):
+    """Every vector reduces to exactly m codes in [0, k) — the 4-byte
+    stored form the ADC query scans."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    cb = pq_codebooks(emb)
+    cb_rows = cb.collect()
+    assert len(cb_rows) == PQ_M * PQ_K
+    assert all(len(r.cv) == 64 // PQ_M for r in cb_rows)
+    codes = pq_encode(emb, cb).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
