@@ -12,7 +12,7 @@ is spelled per function (regex dialect, split semantics, codepoint fns).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from samsa_spark import tables
 
@@ -1005,6 +1005,149 @@ def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
     )
 
 
+# BM25 constants (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+# Framework: BM25 and Beyond"). k1+1 and 1-b are pre-folded so the Spark
+# expression and the DuckDB twin share one literal arithmetic sequence.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    documents: DataFrame,
+    probe_max_id: int = 20,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """bm1 — BM25 full-text retrieval: each probe document's distinct
+    tokens act as a keyword query against the rest of the corpus; returns
+    the top-``k`` corpus docs per query as ``(q_id, doc_id, score, rank)``.
+    The retrieval primitive a curation pipeline runs for retrieval-based
+    decontamination, targeted data selection, and eval-neighbor audits.
+
+    Scoring is textbook Okapi BM25 with the Lucene non-negative idf:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, term weight
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``, each distinct
+    query term counted once. Per-term contributions round to 6 dp and sum
+    as DECIMAL(22,6) (repo rule 6) so shuffle-order float summation and
+    libm-vs-Java ``ln`` ulps cannot flip a rank; ties break on doc_id.
+
+    Scale shape: the corpus is touched once to build the posting list
+    (tf per (doc_id, term) — one hash aggregate over the exploded token
+    stream); doc lengths and document frequencies are second-order
+    aggregates OF that posting list, never a re-scan. Query terms are a
+    probe-set-bounded frame: they broadcast into the vocabulary join (df)
+    and the resulting per-(q_id, term) idf table — thousands of rows —
+    broadcasts into the posting-list join, so the corpus side moves only
+    matching (doc_id, term, tf) rows and the only wide exchanges are the
+    per-doc score aggregate and the per-query top-k window. No cartesian
+    anywhere; corpus text is pruned after tokenization. At true web scale
+    the broadcast degrades to a shuffle equi-join on the term (lm1's
+    argument) with cost one posting-list shuffle.
+    """
+    corpus = documents.where(F.col("doc_id") >= probe_max_id)
+    probes = documents.where(F.col("doc_id") < probe_max_id)
+    toks = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # dl/df derive from the posting list (sum/count of tf rows), not a
+    # corpus re-scan; stats is the 1-row broadcast scalar.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.sum("dl").cast("double").alias("sdl"), F.count("*").alias("nd")
+    )
+    qt = (
+        probes.select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    qidf = (
+        df_.join(F.broadcast(qt), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            "tok",
+            F.log(
+                F.lit(1.0)
+                + (F.col("nd") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+            "sdl",
+            "nd",
+        )
+    )
+    kk1 = float(k1)
+    contrib = F.round(
+        F.col("idf")
+        * (F.col("tf") * F.lit(kk1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(kk1)
+            * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") * F.col("nd") / F.col("sdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(qidf), "tok")
+        .join(dl, "doc_id")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(contrib.cast("decimal(22,6)")).cast("double").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "doc_id", "score", "rank")
+    )
+
+
+# The twin mirrors the Spark stages 1:1 — posting list, dl/df as aggregates
+# of it, Lucene idf, the identical literal arithmetic sequence (constants
+# pre-folded the same way), 6-dp-rounded contributions summed as
+# DECIMAL(22,6). avgdl enters as dl*nd/sdl with sdl already DOUBLE, so both
+# engines run the same float ops left-to-right.
+_BM1_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) AS sdl, count(*) AS nd FROM dl),
+qt AS (
+  SELECT DISTINCT q_id, tok FROM (
+    SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 20
+  )
+),
+qidf AS (
+  SELECT q_id, qt.tok,
+         ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf,
+         sdl, nd
+  FROM qt JOIN df USING (tok) CROSS JOIN stats
+),
+scored AS (
+  SELECT q_id, tf.doc_id,
+         CAST(sum(CAST(round(
+           idf * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl.dl * nd / sdl)), 6)
+           AS DECIMAL(22,6))) AS DOUBLE) AS score
+  FROM tf
+  JOIN qidf USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY q_id, tf.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -1026,6 +1169,7 @@ def build_queries():
         "cls1_classifier_score": (q(classifier_score), _CLS1_SQL),
         "tok1_bpe_pair_counts": (q(bpe_pair_counts), _TOK1_SQL),
         "hh1_heavy_ngrams": (q(heavy_ngrams), _HH1_SQL),
+        "bm1_bm25_topk": (q(bm25_topk), _BM1_SQL),
         # sketch-based: HLL++/GK internals have no DuckDB twin -> rows-only,
         # rank 2, outside the hash window like dd3; pytest bounds the
         # estimates against exact values (tests/test_text.py).

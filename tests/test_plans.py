@@ -132,6 +132,15 @@ def test_dd9_rewrite_single_id_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_bm1_posting_join_hash_only_with_partial_tf(spark):
+    """bm1's corpus cost must be the posting-list hash aggregate (map-side
+    partial tf) and hash equi-joins; the only non-equi node allowed is the
+    1-row stats scalar broadcast — never a cartesian over postings."""
+    p = _plan(spark, "bm1_bm25_topk")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
 def test_sm2_rate_table_broadcasts(spark):
     """sm2's source-level rate table must reach the corpus as a broadcast
     hash join (sources are a handful); the only nested-loop is the

@@ -85,6 +85,7 @@ SIBLINGS = {
     "mm4_frame_sample_stats": ["mm1_media_metadata", "mm3_resized_stats"],
     # round-8 addition, born demoted (the window was already full)
     "qz3_pq_topk": ["sim1_cosine_topk", "sim4_ivf_topk"],
+    "bm1_bm25_topk": ["tf1_tfidf_top_terms", "sim1_cosine_topk"],
 }
 
 

@@ -16,6 +16,7 @@ TX_QUERIES = [
     "tx6_gopher_rules",
     "tx7_pii_scrub",
     "cls1_classifier_score",
+    "bm1_bm25_topk",
 ]
 
 
@@ -59,6 +60,27 @@ def test_pii_scrub_injected_corpus(spark, tmp_path):
 
     ok, msg = compare(out, run_oracle(_TX7_SQL, str(tmp_path / "docs")))
     assert ok, msg
+
+
+def test_bm25_planted_relevance(spark):
+    """Behavioral lock beyond the registered oracle: rare shared terms
+    dominate (idf), and a long doc with the same matches ranks below the
+    tight one (length normalization) — the two properties that make BM25
+    BM25 and not raw term counting."""
+    from samsa_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "zyxq wvut common"),  # the probe/query doc
+        (25, "zyxq wvut common filler filler"),  # both rare terms, short
+        (26, "zyxq common filler filler filler"),  # one rare term, short
+        (27, "common filler filler filler filler"),  # common term only
+        (28, "zyxq wvut common " + " ".join(["pad"] * 40)),  # both, long
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, probe_max_id=20, k=4).collect()
+    assert {r.q_id for r in out} == {0}
+    order = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [25, 28, 26, 27]
 
 
 def test_gopher_repetition_symbol_alpha_rules(spark, tmp_path):
