@@ -901,6 +901,115 @@ SELECT q_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <=
 """
 
 
+def diversity_sample(
+    embeddings: DataFrame,
+    cells: int = 32,
+    per_cell: int = 8,
+    farthest: bool = False,
+) -> DataFrame:
+    """dv1 — cluster-balanced diversity sampling (the DCLM/SemDeDup-family
+    selection pass): quantize the corpus into ``cells`` k-means cells and
+    keep at most ``per_cell`` vectors from each, so every region of
+    embedding space lands in the sample regardless of how skewed the corpus
+    density is — the budget a hash/uniform sample would spend almost
+    entirely on the dominant mode. Returns the selected rows as
+    ``(vec_id, cell, ccos, cell_rank)``.
+
+    ``farthest=False`` (default) keeps the vectors NEAREST their centroid —
+    prototype selection (clean, representative examples). ``farthest=True``
+    inverts the order — boundary/outlier selection (the hard-example mining
+    regime). Both are deterministic: rounded-cosine order with vec_id
+    tie-break.
+
+    Cells come from :func:`kmeans_centroids` with sim6's exact-oracle
+    recipe (hash-ranked seeds, ONE Lloyd step, 6-dp-rounded means) so the
+    whole pass sits in the DuckDB hash gate; a production run dials
+    ``iters`` up through the same code path (sim5's argument).
+
+    Scale shape: assignment is one streamed corpus x cells score against
+    the BROADCAST centroid table collapsed by a min_by hash aggregate
+    (never a window over N x cells); the per-cell top-k is a window over
+    the skinny (vec_id, cell, ccos) assignment rows — ~24 bytes/row, cell
+    partitions bounded by the quantizer (cells ~ sqrt(N) keeps each
+    partition ~sqrt(N) rows), and AQE splits any skewed cell. The
+    embedding column is pruned before the window shuffle.
+    """
+    base = embeddings.select("vec_id", "embedding")
+    cents = kmeans_centroids(embeddings, k=cells, iters=1, round_cents=6)
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6)
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cell", "ccos"),
+                F.struct((-F.col("ccos")).alias("nc"), F.col("cell").alias("c")),
+            ).alias("_b")
+        )
+        .select("vec_id", F.col("_b.cell").alias("cell"), F.col("_b.ccos").alias("ccos"))
+    )
+    from pyspark.sql import Window
+
+    order = F.asc("ccos") if farthest else F.desc("ccos")
+    w = Window.partitionBy("cell").orderBy(order, F.asc("vec_id"))
+    return (
+        assign.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= per_cell)
+        .select("vec_id", "cell", "ccos", "cell_rank")
+    )
+
+
+# dv1's twin reuses _SIM6_SQL's quantizer stages verbatim (hash-ranked
+# seeds, one Lloyd step, rounded means), keeps the winning cell's rounded
+# cosine, and ranks within cells nearest-first with vec_id tie-break.
+_DV1_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+h AS (
+  SELECT vec_id, emb,
+         row_number() OVER (
+           ORDER BY ((xor(vec_id >> 31, vec_id) & 2147483647) * 2654435761) % 1000003 ASC,
+                    vec_id ASC) AS rk
+  FROM v
+),
+seeds AS (SELECT vec_id AS cell, emb AS cent FROM h WHERE rk <= 32),
+a0 AS (
+  SELECT v.vec_id, v.emb, s.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(s.cent, v.emb), 6) DESC,
+                                     s.cell ASC) AS crank
+  FROM v CROSS JOIN seeds s
+),
+asg0 AS (SELECT vec_id, emb, cell FROM a0 WHERE crank = 1),
+pe AS (
+  SELECT cell, i AS pos, round(avg(emb[i]), 6) AS c
+  FROM (SELECT cell, emb, unnest(generate_series(1, len(emb))) AS i FROM asg0)
+  GROUP BY cell, i
+),
+m AS (SELECT cell, list(c ORDER BY pos) AS cent FROM pe GROUP BY cell),
+cents AS (
+  SELECT s.cell, coalesce(m.cent, s.cent) AS cent
+  FROM seeds s LEFT JOIN m USING (cell)
+),
+sc AS (
+  SELECT v.vec_id, c.cell,
+         round(list_cosine_similarity(c.cent, v.emb), 6) AS ccos,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(c.cent, v.emb), 6) DESC,
+                                     c.cell ASC) AS crank
+  FROM v CROSS JOIN cents c
+),
+asg AS (SELECT vec_id, cell, ccos FROM sc WHERE crank = 1),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cell
+                               ORDER BY ccos DESC, vec_id ASC) AS cell_rank
+  FROM asg
+)
+SELECT vec_id, cell, ccos, CAST(cell_rank AS BIGINT) AS cell_rank
+FROM r WHERE cell_rank <= 8
+"""
+
+
 def save_index(
     embeddings: DataFrame,
     path: str,
@@ -1294,6 +1403,7 @@ def build_queries():
         "rp2_pca_projection": (q(pca_projection), None),
         "qz2_quantized_topk": (q(quantized_topk), _QZ2_SQL),
         "qz3_pq_topk": (q(pq_topk), _QZ3_SQL),
+        "dv1_diversity_sample": (q(diversity_sample), _DV1_SQL),
         # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
         # ground truth is the planted-corpus recall suite
         # (tests/test_semantic_dedup.py). min_cos=0.3 on the near-orthogonal

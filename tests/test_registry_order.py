@@ -86,6 +86,7 @@ SIBLINGS = {
     # round-8 addition, born demoted (the window was already full)
     "qz3_pq_topk": ["sim1_cosine_topk", "sim4_ivf_topk"],
     "bm1_bm25_topk": ["tf1_tfidf_top_terms", "sim1_cosine_topk"],
+    "dv1_diversity_sample": ["sim4_ivf_topk", "sim1_cosine_topk"],
 }
 
 

@@ -545,3 +545,83 @@ def test_qz3_codes_shape_and_compression(spark):
     for r in codes:
         assert len(r.codes) == PQ_M
         assert all(0 <= c < PQ_K for c in r.codes)
+
+
+def test_dv1_oracle_match(spark):
+    ok, msg = check_query(spark, "dv1_diversity_sample", SF_SMALL)
+    assert ok, msg
+
+
+def test_dv1_balanced_coverage_on_skewed_corpus(spark):
+    """The operator's reason to exist: on a density-skewed corpus (one
+    dominant mode + small minority clusters) the per-cell budget keeps the
+    minority regions in the sample, where a uniform sample of the same size
+    would spend nearly its whole budget on the dominant mode. Also locks
+    the cap (<= per_cell rows per cell) and prototype order (rank 1 is the
+    cell's highest centroid cosine)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    centers = rng.randn(5, dim) * 4.0
+    rows = []
+    i = 0
+    # cluster 0 dominates: 400 of 440 vectors
+    for c, n in [(0, 400), (1, 10), (2, 10), (3, 10), (4, 10)]:
+        for _ in range(n):
+            v = centers[c] + rng.randn(dim) * 0.05
+            rows.append((i, [float(x) for x in v], c))
+            i += 1
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", LongType()),
+        ]
+    )
+    emb = spark.createDataFrame([(a, b) for a, b, _ in rows], schema[:2])
+    truth = {a: c for a, _, c in rows}
+
+    from samsa_spark.operators.similarity import diversity_sample
+
+    got = diversity_sample(emb, cells=8, per_cell=4).collect()
+    by_cell: dict = {}
+    for r in got:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert all(len(v) <= 4 for v in by_cell.values())
+    assert all(
+        [x.ccos for x in sorted(v, key=lambda y: y.cell_rank)]
+        == sorted([x.ccos for x in v], reverse=True)
+        for v in by_cell.values()
+    )
+    # every true minority cluster survives into the sample
+    sampled_clusters = {truth[r.vec_id] for r in got}
+    assert sampled_clusters == {0, 1, 2, 3, 4}
+    # and the dominant mode cannot eat the budget: it is 91% of the corpus
+    # but at most its cells' share of the sample
+    frac0 = sum(1 for r in got if truth[r.vec_id] == 0) / len(got)
+    assert frac0 < 0.75, f"dominant-mode sample fraction {frac0}"
+
+
+def test_dv1_farthest_inverts_selection(spark):
+    """farthest=True is the boundary/hard-example regime: per cell it must
+    pick the LOWEST centroid cosines, so within any shared cell its picks
+    score <= the prototype picks."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import diversity_sample
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    near = diversity_sample(emb, per_cell=3).collect()
+    far = diversity_sample(emb, per_cell=3, farthest=True).collect()
+    near_min = {}
+    for r in near:
+        near_min[r.cell] = min(near_min.get(r.cell, 1e9), r.ccos)
+    for r in far:
+        if r.cell in near_min:
+            assert r.ccos <= near_min[r.cell] + 1e-9
