@@ -1197,6 +1197,114 @@ FROM s GROUP BY split, lang
 """
 
 
+IS1_TARGET_SOURCE = "src0"
+IS1_KEEP_FRAC = 0.5
+
+
+def importance_resample(
+    documents: DataFrame,
+    target_source: str = IS1_TARGET_SOURCE,
+    keep_frac: float = IS1_KEEP_FRAC,
+) -> DataFrame:
+    """is1 — DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", with the
+    paper's hashed-n-gram features swapped for the engine-portable unigram
+    LM lm1 already uses): score every pool document by its mean token
+    log-ratio ``ln p_target(tok) - ln p_pool(tok)`` and keep the top
+    ``keep_frac`` — raw-corpus docs that LOOK like the target domain get
+    selected. Target = docs from ``target_source``; pool = the rest.
+    Returns ``(doc_id, n_tokens, weight, kept)`` for the pool.
+
+    Both LMs are Laplace-smoothed over the SHARED vocabulary
+    (``(c + 1)/(T + V)``) so pool tokens unseen in the target stay finite
+    and the ratio is defined everywhere. The selection cutpoint is
+    ``percentile_disc`` over the 3-dp-QUANTIZED weight — bounded aggregate
+    state (note 24) and an actual data value, so no interpolation can flip
+    a boundary doc; the comparison runs on the same quantized value.
+
+    Scale shape: exactly lm1's — two type-level vocab aggregates (map-side
+    partials collapse the token stream to vocabulary cardinality), a 1-row
+    scalar frame (V, T_target, T_pool) broadcast, the per-token log-ratio
+    table joined back on the term (auto-broadcast while vocab-sized, lm1's
+    shuffle-degradation argument past that), one per-doc aggregate, one
+    bounded-state cutpoint broadcast back. The corpus is never re-scanned
+    per stage and no cartesian exists anywhere.
+    """
+    toks = documents.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    is_t = F.col("source") == target_source
+    vt = toks.where(is_t).groupBy("tok").agg(F.count("*").alias("ct"))
+    pool_toks = toks.where(~is_t).select("doc_id", "tok")
+    vr = pool_toks.groupBy("tok").agg(F.count("*").alias("cr"))
+    scal = toks.agg(
+        F.countDistinct("tok").cast("double").alias("v"),
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("double").alias("tt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("double").alias("tr"),
+    )
+    lr = (
+        vr.join(vt, "tok", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "tok",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("tt") + F.col("v")))
+                - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.col("v")))
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        pool_toks.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lw"), 6).alias("weight"),
+        )
+    )
+    qw = F.round(F.col("weight"), 3)
+    cut = scored.agg(
+        F.expr(
+            f"percentile_disc({1.0 - keep_frac!r}) WITHIN GROUP"
+            " (ORDER BY round(weight, 3))"
+        ).alias("c")
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id", "n_tokens", "weight", (qw >= F.col("c")).alias("kept")
+    )
+
+
+_IS1_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+scal AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v,
+         CAST(sum(CASE WHEN source = '{IS1_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS DOUBLE) AS tt,
+         CAST(sum(CASE WHEN source <> '{IS1_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS DOUBLE) AS tr
+  FROM toks
+),
+vt AS (SELECT tok, count(*) AS ct FROM toks
+       WHERE source = '{IS1_TARGET_SOURCE}' GROUP BY tok),
+vr AS (SELECT tok, count(*) AS cr FROM toks
+       WHERE source <> '{IS1_TARGET_SOURCE}' GROUP BY tok),
+lr AS (
+  SELECT vr.tok,
+         ln((coalesce(ct, 0) + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v)) AS lw
+  FROM vr LEFT JOIN vt USING (tok) CROSS JOIN scal
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens, round(avg(lw), 6) AS weight
+  FROM (SELECT doc_id, tok FROM toks WHERE source <> '{IS1_TARGET_SOURCE}') p
+  JOIN lr USING (tok)
+  GROUP BY doc_id
+),
+cut AS (SELECT quantile_disc(round(weight, 3), {1.0 - IS1_KEEP_FRAC!r}) AS c
+        FROM scored)
+SELECT doc_id, n_tokens, weight, (round(weight, 3) >= c) AS kept
+FROM scored CROSS JOIN cut
+"""
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -1226,6 +1334,7 @@ def build_queries():
         "ck1_chunk_overlap": (q(chunk_overlap, "documents"), _CK1_SQL),
         "lm1_unigram_logprob": (q(unigram_logprob, "documents", spread=True), _LM1_SQL),
         "lm2_bigram_logprob": (q(bigram_logprob, "documents", spread=True), _LM2_SQL),
+        "is1_importance_resample": (q(importance_resample, "documents", spread=True), _IS1_SQL),
         # fuzzy form: the dd3 MinHash stage rides xxhash64 (no DuckDB twin)
         # -> rows-only, rank 2, outside the hash window like dd3/sim5;
         # ground truth = planted-corpus equivalence in tests/test_pipeline_ops.py.

@@ -938,3 +938,38 @@ def test_sp2_matches_python_percentile_disc_model(spark, hours, frac_pct):
     cut = next(h for i, h in enumerate(hs, start=1) if i / n >= frac)
     want = {i: ("train" if h <= cut else "test") for i, (h) in enumerate(hours)}
     assert got == want
+
+
+def test_is1_oracle_match(spark):
+    ok, msg = check_query(spark, "is1_importance_resample", SF_SMALL)
+    assert ok, msg
+
+
+def test_is1_selects_target_lookalike_docs(spark):
+    """The operator's point (DSIR): pool docs written in the target
+    domain's vocabulary must outweigh and outselect pool docs that share
+    nothing with it — and the keep fraction is honored on the quantized
+    weight grid."""
+    from samsa_spark.operators.pipeline_ops import importance_resample
+
+    target_words = "alpha beta gamma delta epsilon"
+    other_words = "rock paper scissors lizard spock"
+    rows = []
+    for i in range(10):  # the target domain corpus
+        rows.append((i, target_words, "tgt"))
+    for i in range(10, 20):  # pool docs that look like the target
+        rows.append((i, target_words + " zeta", "pool"))
+    for i in range(20, 30):  # pool docs that look nothing like it
+        rows.append((i, other_words, "pool"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # keep_frac=0.25 places the percentile_disc cutpoint INSIDE the
+    # lookalike group's (tied) weight, so tie-inclusion keeps exactly the
+    # lookalike docs — with 0.5 the cut would land on the unrelated group's
+    # weight and ties would keep everything (discrete-quantile semantics).
+    out = importance_resample(docs, target_source="tgt", keep_frac=0.25).collect()
+    assert {r.doc_id for r in out} == set(range(10, 30))
+    lookalike = [r for r in out if r.doc_id < 20]
+    unrelated = [r for r in out if r.doc_id >= 20]
+    assert min(r.weight for r in lookalike) > max(r.weight for r in unrelated)
+    assert all(r.kept for r in lookalike)
+    assert not any(r.kept for r in unrelated)
