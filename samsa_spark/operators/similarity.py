@@ -901,6 +901,211 @@ SELECT q_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <=
 """
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_probes: int = 20,
+    k: int = 5,
+    cells: int = 32,
+    m: int = PQ_M,
+    n_cents: int = PQ_K,
+) -> DataFrame:
+    """qz4 — IVF-PQ: the composed production ANN layout (Jégou et al.
+    2011 §IV; what FAISS ``IVFx,PQy`` ships). The coarse quantizer
+    (sim6's one-Lloyd-step cosine cells) prunes the corpus to each
+    query's ``IVF_NPROBE`` nearest cells, and PQ ADC (qz3) ranks ONLY
+    those candidates — compute proportional to the probed fraction, on
+    codes ``m`` bytes wide. Returns ``(q_id, vec_id, adc_dist, rank)``.
+
+    This is the non-residual variant: codes quantize the raw vectors
+    (one shared codebook), not the per-cell residuals — one encode pass,
+    cells and codes trainable independently, and every stage stays in
+    the exact DuckDB gate. Residual PQ (subtract the coarse centroid
+    before encoding) recovers more precision per byte at the cost of a
+    per-cell code space; the plumbing here is unchanged if
+    :func:`pq_encode` is fed residuals.
+
+    Scale shape: the corpus-side query input is ``(vec_id, cell,
+    codes)`` — m bytes + 2 ids per vector; the probe side (cells ranked
+    by rounded cosine against the BROADCAST coarse table, ADC distance
+    tables against the BROADCAST codebook) is n_probes rows and
+    broadcasts into the candidate equi-join ON THE CELL, so a 1000-cell
+    layout scans ~``IVF_NPROBE/cells`` of the corpus per query instead
+    of all of it (qz3's one structural weakness at scale). Stored as
+    parquet partitioned by cell (save_index's layout), the cell filter
+    becomes partition pruning. The only wide exchange is the per-query
+    top-k window over candidates.
+    """
+    base = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    cents = kmeans_centroids(embeddings, k=cells, iters=1, round_cents=6)
+    assign = _nearest_cell(
+        embeddings.select("vec_id", "embedding"), cents, "cell"
+    ).select("vec_id", "cell")
+    cb = pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
+    codes = pq_encode(embeddings, cb, m=m).join(assign, "vec_id")
+    probes = base.where(F.col("vec_id") < n_probes)
+    from pyspark.sql import Window
+
+    probe_scored = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(_cos_sim_udf()("cent", "emb"), 6)
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probe_cells = F.broadcast(
+        probe_scored.withColumn("crank", F.row_number().over(wp))
+        .where(F.col("crank") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    psubs = _pq_subspaces(probes, "emb", m).select(
+        F.col("vec_id").alias("q_id"), "s", "sv"
+    )
+    dt = psubs.join(F.broadcast(cb), "s").select(
+        "q_id",
+        (F.col("s") * n_cents + F.col("cid")).alias("pos"),
+        F.round(_l2sq("sv", "cv"), 6).alias("d2"),
+    )
+    ptab = F.broadcast(
+        dt.groupBy("q_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "d2"))), lambda x: x["d2"]
+            ).alias("dtab")
+        )
+    )
+    cand = (
+        codes.join(probe_cells, "cell")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .join(ptab, "q_id")
+    )
+    scored = cand.withColumn(
+        "adc_dist",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "codes", lambda c, i: F.element_at("dtab", i * n_cents + c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+# qz4's twin = _SIM6_SQL's coarse stages (32 cosine cells, one Lloyd step)
+# + _QZ3_SQL's PQ stages (16-centroid codebooks per subspace, codes, ADC),
+# with the ADC join additionally restricted to each query's IVF_NPROBE
+# nearest cells.
+_QZ4_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+h AS (
+  SELECT vec_id, emb,
+         row_number() OVER (
+           ORDER BY ((xor(vec_id >> 31, vec_id) & 2147483647) * 2654435761) % 1000003 ASC,
+                    vec_id ASC) AS rk
+  FROM v
+),
+cseeds AS (SELECT vec_id AS cell, emb AS cent FROM h WHERE rk <= 32),
+ca0 AS (
+  SELECT v.vec_id, v.emb, s.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(s.cent, v.emb), 6) DESC,
+                                     s.cell ASC) AS crank
+  FROM v CROSS JOIN cseeds s
+),
+casg0 AS (SELECT vec_id, emb, cell FROM ca0 WHERE crank = 1),
+cpe AS (
+  SELECT cell, i AS pos, round(avg(emb[i]), 6) AS c
+  FROM (SELECT cell, emb, unnest(generate_series(1, len(emb))) AS i FROM casg0)
+  GROUP BY cell, i
+),
+cm AS (SELECT cell, list(c ORDER BY pos) AS cent FROM cpe GROUP BY cell),
+ccents AS (
+  SELECT s.cell, coalesce(cm.cent, s.cent) AS cent
+  FROM cseeds s LEFT JOIN cm USING (cell)
+),
+csc AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(c.cent, v.emb), 6) DESC,
+                                     c.cell ASC) AS crank
+  FROM v CROSS JOIN ccents c
+),
+casg AS (SELECT vec_id, cell FROM csc WHERE crank = 1),
+pcells AS (SELECT vec_id AS q_id, cell FROM csc WHERE vec_id < 20 AND crank <= 2),
+seeds AS (SELECT rk - 1 AS cid, emb FROM h WHERE rk <= 16),
+sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+sseeds AS (
+  SELECT s, cid,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS cv
+  FROM seeds CROSS JOIN sp
+),
+subs AS (
+  SELECT vec_id, s,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS sv
+  FROM v CROSS JOIN sp
+),
+a0 AS (
+  SELECT subs.vec_id, subs.s, subs.sv, ss.cid,
+         row_number() OVER (
+           PARTITION BY subs.vec_id, subs.s
+           ORDER BY round(list_sum([(subs.sv[i] - ss.cv[i]) * (subs.sv[i] - ss.cv[i])
+                                    for i in generate_series(1, len(subs.sv))]), 6) ASC,
+                    ss.cid ASC) AS crank
+  FROM subs JOIN sseeds ss USING (s)
+),
+asg AS (SELECT vec_id, s, sv, cid FROM a0 WHERE crank = 1),
+pe AS (
+  SELECT s, cid, i AS pos, round(avg(sv[i]), 6) AS c
+  FROM (SELECT s, cid, sv, unnest(generate_series(1, len(sv))) AS i FROM asg)
+  GROUP BY s, cid, i
+),
+mn AS (SELECT s, cid, list(c ORDER BY pos) AS cv FROM pe GROUP BY s, cid),
+cents AS (
+  SELECT ss.s, ss.cid, coalesce(mn.cv, ss.cv) AS cv
+  FROM sseeds ss LEFT JOIN mn USING (s, cid)
+),
+c0 AS (
+  SELECT subs.vec_id, subs.s, c.cid,
+         row_number() OVER (
+           PARTITION BY subs.vec_id, subs.s
+           ORDER BY round(list_sum([(subs.sv[i] - c.cv[i]) * (subs.sv[i] - c.cv[i])
+                                    for i in generate_series(1, len(subs.sv))]), 6) ASC,
+                    c.cid ASC) AS crank
+  FROM subs JOIN cents c USING (s)
+),
+codes AS (SELECT vec_id, s, cid AS code FROM c0 WHERE crank = 1),
+p AS (SELECT vec_id AS q_id, s, sv FROM subs WHERE vec_id < 20),
+dt AS (
+  SELECT p.q_id, p.s, c.cid,
+         round(list_sum([(p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i])
+                         for i in generate_series(1, len(p.sv))]), 6) AS d2
+  FROM p JOIN cents c USING (s)
+),
+adc AS (
+  SELECT dt.q_id, cd.vec_id,
+         round(list_sum(list(dt.d2 ORDER BY dt.s)), 6) AS adc_dist
+  FROM codes cd
+  JOIN casg ON casg.vec_id = cd.vec_id
+  JOIN pcells pc ON pc.cell = casg.cell
+  JOIN dt ON dt.s = cd.s AND dt.cid = cd.code
+         AND dt.q_id = pc.q_id AND dt.q_id <> cd.vec_id
+  GROUP BY dt.q_id, cd.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT q_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def diversity_sample(
     embeddings: DataFrame,
     cells: int = 32,
@@ -1404,6 +1609,7 @@ def build_queries():
         "qz2_quantized_topk": (q(quantized_topk), _QZ2_SQL),
         "qz3_pq_topk": (q(pq_topk), _QZ3_SQL),
         "dv1_diversity_sample": (q(diversity_sample), _DV1_SQL),
+        "qz4_ivf_pq_topk": (q(ivf_pq_topk), _QZ4_SQL),
         # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
         # ground truth is the planted-corpus recall suite
         # (tests/test_semantic_dedup.py). min_cos=0.3 on the near-orthogonal

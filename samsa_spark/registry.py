@@ -640,6 +640,7 @@ _DEMOTED = (
     "bm1_bm25_topk",                  # tf1 anchors the explode->posting-list->score text-retrieval shape in-window and sim1 the probe-broadcast top-k; the BM25 keyword search is pytest-oracle-checked (exact DECIMAL-summed twin + planted-relevance test)
     "dv1_diversity_sample",           # sim4 anchors the cell-quantize shape in-window (dv1 reuses sim6's exact quantizer stages); the cluster-balanced selection is pytest-oracle-checked + planted-imbalance coverage-tested
     "is1_importance_resample",        # tf1/qf1 anchor the vocab-aggregate + broadcast-cutpoint shapes in-window (is1 composes lm1's LM with sp2's percentile_disc rule); the DSIR-style selection is pytest-oracle-checked + planted-domain-affinity tested
+    "qz4_ivf_pq_topk",                # sim4 anchors cell-probe pruning and qz3's in-window siblings the ADC shape; the composed IVF-PQ layout is pytest-oracle-checked + pruning/recall-tested
 )
 
 

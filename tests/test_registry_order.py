@@ -88,6 +88,7 @@ SIBLINGS = {
     "bm1_bm25_topk": ["tf1_tfidf_top_terms", "sim1_cosine_topk"],
     "dv1_diversity_sample": ["sim4_ivf_topk", "sim1_cosine_topk"],
     "is1_importance_resample": ["tf1_tfidf_top_terms", "qf1_quality_quantile"],
+    "qz4_ivf_pq_topk": ["sim4_ivf_topk", "sim1_cosine_topk"],
 }
 
 

@@ -625,3 +625,70 @@ def test_dv1_farthest_inverts_selection(spark):
     for r in far:
         if r.cell in near_min:
             assert r.ccos <= near_min[r.cell] + 1e-9
+
+
+def test_qz4_oracle_match(spark):
+    ok, msg = check_query(spark, "qz4_ivf_pq_topk", SF_SMALL)
+    assert ok, msg
+
+
+def test_qz4_candidates_come_only_from_probed_cells(spark):
+    """The composition's point: every returned neighbor must sit in one of
+    its query's IVF_NPROBE nearest coarse cells — the pruning that makes
+    ADC scan ~nprobe/cells of the corpus instead of all of it."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        IVF_NPROBE,
+        _cos_sim_udf,
+        _nearest_cell,
+        ivf_pq_topk,
+        kmeans_centroids,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    got = ivf_pq_topk(emb).collect()
+    assert len(got) > 0 and {r.q_id for r in got} == set(range(20))
+
+    cents = kmeans_centroids(emb, k=32, iters=1, round_cents=6)
+    assign = {
+        r.vec_id: r.cell
+        for r in _nearest_cell(emb.select("vec_id", "embedding"), cents, "cell").collect()
+    }
+    probe_scored = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id") < 20)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6))
+        .collect()
+    )
+    by_q: dict = {}
+    for r in probe_scored:
+        by_q.setdefault(r.vec_id, []).append((-r.ccos, r.cell))
+    probed = {q: {c for _, c in sorted(v)[:IVF_NPROBE]} for q, v in by_q.items()}
+    for r in got:
+        assert assign[r.vec_id] in probed[r.q_id], (r.q_id, r.vec_id)
+
+
+def test_qz4_recall_on_planted_clusters(spark):
+    """With well-separated planted clusters the probed cells contain the
+    query's own cluster, so IVF pruning must not cost same-cluster
+    recall vs unpruned ADC."""
+    from samsa_spark.operators.similarity import ivf_pq_topk
+
+    emb, n_clusters = _clustered_embeddings(spark)
+    got = ivf_pq_topk(emb, n_probes=20, k=5, cells=16).collect()
+    same = [1 if r.vec_id % n_clusters == r.q_id % n_clusters else 0 for r in got]
+    frac = sum(same) / len(same)
+    assert frac >= 0.9, f"same-cluster fraction {frac} (random would be ~0.1)"
+
+
+def test_qz4_deterministic_under_repartition(spark):
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import ivf_pq_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    a = {tuple(r) for r in ivf_pq_topk(emb).collect()}
+    b = {tuple(r) for r in ivf_pq_topk(emb.repartition(7)).collect()}
+    assert a == b and len(a) > 0
