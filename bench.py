@@ -158,6 +158,12 @@ EXTRAS = [
     # round 8: product-quantization ADC search (codebook train + encode +
     # distance-table query as one unit).
     "qz3_pq_topk",
+    # round 8 (second batch): BM25 retrieval, cluster-balanced diversity
+    # sampling, DSIR importance resampling, composed IVF-PQ search.
+    "bm1_bm25_topk",
+    "dv1_diversity_sample",
+    "is1_importance_resample",
+    "qz4_ivf_pq_topk",
 ]
 
 

@@ -950,6 +950,83 @@ def sweep_shards(spark) -> None:
         )
 
 
+def sweep_ivfpq(spark) -> None:
+    """qz3 (unpruned ADC: every query scans every code) vs qz4 (IVF-PQ:
+    ADC only inside each query's probed cells) as the corpus grows — the
+    evidence for qz4's 'compute scales with the probed fraction' claim.
+    Both share codebook training and encoding cost; the delta is the
+    candidate set the ADC fold actually touches. Cells scale ~sqrt(N)
+    (the production rule) so the probed fraction shrinks as N grows."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    base = tables.load(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            "label",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(_r % 64 AS INT) "
+                "THEN x + CAST(0.01 * _r AS FLOAT) ELSE x END)"
+            ).alias("embedding"),
+        )
+        return df, n_base * factor
+
+    pq_topk(base).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10, 50):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        cells = min(64, max(8, int(n ** 0.5 // 8) * 8))
+        _time(f"qz3_pq_x{factor}", lambda: pq_topk(df), n)
+        _time(f"qz4_ivfpq_x{factor}", lambda: ivf_pq_topk(df, cells=cells), n)
+        df.unpersist()
+
+
+def sweep_bm25(spark) -> None:
+    """bm1 as the corpus grows 10x/50x with a FIXED probe set: cost should
+    track the posting-list build (one explode + hash aggregate over corpus
+    tokens), not the query fan-out — the scored join moves only rows whose
+    term matches a query term."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import bm25_topk
+
+    base = tables.load(spark, SF_DIR, "documents", spread=True)
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            # suffix one replica-specific token so replicas are distinct
+            # docs with slightly shifted length norms
+            F.concat_ws(" ", "text", F.concat(F.lit("rep"), F.col("_r"))).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        return df, n_base * factor
+
+    bm25_topk(base).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10, 50):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        _time(f"bm1_bm25_x{factor}", lambda: bm25_topk(df), n)
+        df.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -987,6 +1064,10 @@ def main() -> None:
         sweep_bpe(spark)
     if what in ("shards", "all"):
         sweep_shards(spark)
+    if what in ("ivfpq", "all"):
+        sweep_ivfpq(spark)
+    if what in ("bm25", "all"):
+        sweep_bm25(spark)
     spark.stop()
 
 
