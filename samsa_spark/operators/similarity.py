@@ -1106,6 +1106,156 @@ SELECT q_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <=
 """
 
 
+RRF_K = 60
+
+
+def rrf_fusion(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    probe_max_id: int = 20,
+    k_each: int = 10,
+    k: int = 5,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """rrf1 — hybrid retrieval by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009): fuse BM25 lexical ranks (bm1) with dense
+    cosine ranks over the SAME corpus split into
+    ``score(d) = 1/(rrf_k + lex_rank) + 1/(rrf_k + dense_rank)`` (absent
+    system contributes 0) and return the top-``k`` per query. The
+    standard first-stage retriever of a modern curation/RAG pipeline —
+    lexical catches exact rare-term matches dense misses, dense catches
+    paraphrases lexical misses, and RRF needs no score calibration
+    because it only consumes RANKS.
+
+    The fixtures align doc_id and vec_id, so document i's text feeds the
+    lexical system and its embedding the dense system; probes are ids
+    < ``probe_max_id`` and the corpus is everything else (both systems
+    see identical candidate sets by construction).
+
+    Determinism/parity: both input rank lists are already exact-oracled
+    (bm1, sim1's shape); the fusion is a fixed-order two-term double sum
+    rounded to 6 dp before ranking, ties on id. Scale shape: each system
+    emits only n_probes x k_each rows, so the full-outer fusion join and
+    the final top-k window run on probe-bounded frames — the corpus-side
+    cost is exactly the two systems' own (already floor-guarded) plans.
+    """
+    from samsa_spark.operators.text import bm25_topk
+
+    lex = bm25_topk(documents, probe_max_id=probe_max_id, k=k_each).select(
+        "q_id", F.col("doc_id").alias("id"), F.col("rank").alias("lex_rank")
+    )
+    base = embeddings.select("vec_id", "embedding")
+    probes = F.broadcast(
+        base.where(F.col("vec_id") < probe_max_id).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    dscored = (
+        base.where(F.col("vec_id") >= probe_max_id)
+        .crossJoin(probes)
+        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+        .select("q_id", F.col("vec_id").alias("id"), "cos")
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    dense = (
+        dscored.withColumn("drank", F.row_number().over(wd))
+        .where(F.col("drank") <= k_each)
+        .select("q_id", "id", F.col("drank").alias("dense_rank"))
+    )
+    fused = lex.join(dense, ["q_id", "id"], "full_outer").select(
+        "q_id",
+        "id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.col("lex_rank") + F.lit(rrf_k)), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.col("dense_rank") + F.lit(rrf_k)), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "id", "rrf_score", "rank")
+    )
+
+
+# rrf1's twin inlines bm1's posting-list stages (k_each=10 deep) and
+# sim1's brute-force cosine over the same >= 20 corpus split, then fuses
+# with the identical fixed-order 1/(60+rank) sum.
+_RRF1_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) AS sdl, count(*) AS nd FROM dl),
+qt AS (
+  SELECT DISTINCT q_id, tok FROM (
+    SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 20
+  )
+),
+qidf AS (
+  SELECT q_id, qt.tok,
+         ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf,
+         sdl, nd
+  FROM qt JOIN df USING (tok) CROSS JOIN stats
+),
+bscored AS (
+  SELECT q_id, tf.doc_id,
+         CAST(sum(CAST(round(
+           idf * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl.dl * nd / sdl)), 6)
+           AS DECIMAL(22,6))) AS DOUBLE) AS score
+  FROM tf
+  JOIN qidf USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY q_id, tf.doc_id
+),
+lex AS (
+  SELECT q_id, id, lex_rank FROM (
+    SELECT q_id, doc_id AS id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, doc_id ASC) AS lex_rank
+    FROM bscored
+  ) WHERE lex_rank <= 10
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 20),
+ds AS (
+  SELECT p.q_id, v.vec_id AS id,
+         round(list_cosine_similarity(p.q_emb, v.emb), 6) AS cos
+  FROM p JOIN v ON v.vec_id >= 20
+),
+dense AS (
+  SELECT q_id, id, dense_rank FROM (
+    SELECT q_id, id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, id ASC) AS dense_rank
+    FROM ds
+  ) WHERE dense_rank <= 10
+),
+fused AS (
+  SELECT coalesce(l.q_id, d.q_id) AS q_id, coalesce(l.id, d.id) AS id,
+         round(coalesce(1.0 / (l.lex_rank + 60), 0.0)
+             + coalesce(1.0 / (d.dense_rank + 60), 0.0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.q_id = d.q_id AND l.id = d.id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY rrf_score DESC, id ASC) AS rank
+  FROM fused
+)
+SELECT q_id, id, rrf_score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def diversity_sample(
     embeddings: DataFrame,
     cells: int = 32,
@@ -1610,6 +1760,13 @@ def build_queries():
         "qz3_pq_topk": (q(pq_topk), _QZ3_SQL),
         "dv1_diversity_sample": (q(diversity_sample), _DV1_SQL),
         "qz4_ivf_pq_topk": (q(ivf_pq_topk), _QZ4_SQL),
+        "rrf1_hybrid_fusion": (
+            lambda spark, sf: rrf_fusion(
+                tables.load(spark, sf, "documents"),
+                tables.load(spark, sf, "embeddings"),
+            ),
+            _RRF1_SQL,
+        ),
         # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
         # ground truth is the planted-corpus recall suite
         # (tests/test_semantic_dedup.py). min_cos=0.3 on the near-orthogonal

@@ -1148,6 +1148,115 @@ SELECT q_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """
 
 
+# PMI support threshold, RELATIVE (CLAUDE.md note 29: absolute count
+# floors silently change meaning as the corpus grows): a bigram is a
+# candidate iff c2 * PMI_SUPPORT_DENOM >= B (integer-exact on both
+# engines). Pigeonhole bounds the candidate set at PMI_SUPPORT_DENOM
+# pairs no matter how large the corpus is.
+PMI_SUPPORT_DENOM = 20_000
+
+
+def pmi_collocations(
+    documents: DataFrame, k: int = 20, support_denom: int = PMI_SUPPORT_DENOM
+) -> DataFrame:
+    """pmi1 — collocation mining by pointwise mutual information (Church &
+    Hanks 1990): the corpus's top-``k`` adjacent word pairs by
+    ``PMI = ln( P(w1,w2) / (P(w1) P(w2)) )``, restricted to pairs whose
+    count clears the RELATIVE support floor ``c2 * support_denom >= B``.
+    The phrase-discovery pass a tokenizer/vocab pipeline runs to decide
+    which multi-word units deserve fusing, and a light-weight corpus-drift
+    probe (top collocations shifting = domain mix shifting).
+
+    Determinism/parity: PMI is computed as divisions-first double algebra
+    (``(c2/B) / ((c1/T) * (c1'/T))`` — no integer product that could
+    overflow under ANSI at corpus scale), rounded to 6 dp BEFORE ranking
+    (repo rule 6), ties broken on (w1, w2).
+
+    Scale shape: bigram/unigram counts are algebraic hash aggregates with
+    map-side partials (type-level cardinality crosses the shuffle, not the
+    corpus); the support filter runs BEFORE the unigram joins, so only the
+    pigeonhole-bounded candidate set (<= support_denom rows) joins back to
+    the vocab and the global rank window sorts a bounded frame — the same
+    sketch-free variant of hh1's candidate argument.
+    """
+    toks_arr = F.split("text", " ")
+    n = F.size(toks_arr)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks_arr, 1, n - 1).alias("w1"),
+            F.slice(toks_arr, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = documents.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    tok = documents.select(F.explode(toks_arr).alias("w"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    totb = bg.agg(F.count("*").alias("b"))
+    c1 = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tott = tok.agg(F.count("*").alias("t"))
+    cand = c2.crossJoin(F.broadcast(totb)).where(
+        F.col("c2") * F.lit(support_denom) >= F.col("b")
+    )
+    scored = (
+        cand.join(c1.select(F.col("w").alias("w1"), F.col("c").alias("cw1")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("cw2")), "w2")
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("b"))
+                    / ((F.col("cw1") / F.col("t")) * (F.col("cw2") / F.col("t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("w1", "w2", "pair_count", "pmi", "rank")
+    )
+
+
+_PMI1_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) >= 2)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+totb AS (SELECT count(*) AS b FROM bg),
+tok AS (SELECT unnest(ws) AS w FROM toks),
+c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tott AS (SELECT count(*) AS t FROM tok),
+cand AS (
+  SELECT c2.w1, c2.w2, c2.c2, b FROM c2 CROSS JOIN totb
+  WHERE c2.c2 * {PMI_SUPPORT_DENOM} >= b
+),
+scored AS (
+  SELECT cand.w1, cand.w2, cand.c2 AS pair_count,
+         round(ln((cand.c2 / b) / ((u1.c / t) * (u2.c / t))), 6) AS pmi
+  FROM cand
+  JOIN c1 u1 ON u1.w = cand.w1
+  JOIN c1 u2 ON u2.w = cand.w2
+  CROSS JOIN tott
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+  FROM scored
+)
+SELECT w1, w2, pair_count, pmi, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20
+"""
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -1170,6 +1279,7 @@ def build_queries():
         "tok1_bpe_pair_counts": (q(bpe_pair_counts), _TOK1_SQL),
         "hh1_heavy_ngrams": (q(heavy_ngrams), _HH1_SQL),
         "bm1_bm25_topk": (q(bm25_topk), _BM1_SQL),
+        "pmi1_collocations": (q(pmi_collocations), _PMI1_SQL),
         # sketch-based: HLL++/GK internals have no DuckDB twin -> rows-only,
         # rank 2, outside the hash window like dd3; pytest bounds the
         # estimates against exact values (tests/test_text.py).

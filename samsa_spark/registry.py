@@ -641,6 +641,8 @@ _DEMOTED = (
     "dv1_diversity_sample",           # sim4 anchors the cell-quantize shape in-window (dv1 reuses sim6's exact quantizer stages); the cluster-balanced selection is pytest-oracle-checked + planted-imbalance coverage-tested
     "is1_importance_resample",        # tf1/qf1 anchor the vocab-aggregate + broadcast-cutpoint shapes in-window (is1 composes lm1's LM with sp2's percentile_disc rule); the DSIR-style selection is pytest-oracle-checked + planted-domain-affinity tested
     "qz4_ivf_pq_topk",                # sim4 anchors cell-probe pruning and qz3's in-window siblings the ADC shape; the composed IVF-PQ layout is pytest-oracle-checked + pruning/recall-tested
+    "pmi1_collocations",              # tf1/tok1 anchor the explode->count->rank collocation shapes in-window; the PMI miner (relative support floor, note 29) is pytest-oracle-checked + planted-collocation tested
+    "rrf1_hybrid_fusion",             # sim1 (dense) and bm1's in-window siblings (lexical) anchor both fused systems; the RRF hybrid retriever is pytest-oracle-checked + union/containment tested
 )
 
 

@@ -89,6 +89,8 @@ SIBLINGS = {
     "dv1_diversity_sample": ["sim4_ivf_topk", "sim1_cosine_topk"],
     "is1_importance_resample": ["tf1_tfidf_top_terms", "qf1_quality_quantile"],
     "qz4_ivf_pq_topk": ["sim4_ivf_topk", "sim1_cosine_topk"],
+    "pmi1_collocations": ["tf1_tfidf_top_terms", "udtf1_ngram_counts"],
+    "rrf1_hybrid_fusion": ["sim1_cosine_topk", "tf1_tfidf_top_terms"],
 }
 
 

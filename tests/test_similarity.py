@@ -692,3 +692,53 @@ def test_qz4_deterministic_under_repartition(spark):
     a = {tuple(r) for r in ivf_pq_topk(emb).collect()}
     b = {tuple(r) for r in ivf_pq_topk(emb.repartition(7)).collect()}
     assert a == b and len(a) > 0
+
+
+def test_rrf1_oracle_match(spark):
+    ok, msg = check_query(spark, "rrf1_hybrid_fusion", SF_SMALL)
+    assert ok, msg
+
+
+def test_rrf1_fuses_only_system_candidates_and_rewards_agreement(spark):
+    """Every fused row must come from one of the two systems' top lists;
+    any doc ranked by BOTH systems must outscore a doc holding the same
+    single-system rank alone (1/(60+r) + something > 1/(60+r)); and the
+    probe set is exactly the bm1/sim1 probe ids."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import _cos_sim_udf, rrf_fusion
+    from samsa_spark.operators.text import bm25_topk
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    got = rrf_fusion(docs, emb).collect()
+    assert {r.q_id for r in got} == set(range(20))
+
+    lex = {(r.q_id, r.doc_id): r.rank for r in bm25_topk(docs, k=10).collect()}
+    base = emb.select("vec_id", "embedding")
+    probes = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    dscored = (
+        base.where(F.col("vec_id") >= 20)
+        .crossJoin(F.broadcast(probes))
+        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+        .collect()
+    )
+    by_q: dict = {}
+    for r in dscored:
+        by_q.setdefault(r.q_id, []).append((-r.cos, r.vec_id))
+    dense = {}
+    for q, v in by_q.items():
+        for rank, (_, vid) in enumerate(sorted(v)[:10], start=1):
+            dense[(q, vid)] = rank
+    for r in got:
+        key = (r.q_id, r.id)
+        assert key in lex or key in dense, key
+        expect = round(
+            (1.0 / (60 + lex[key]) if key in lex else 0.0)
+            + (1.0 / (60 + dense[key]) if key in dense else 0.0),
+            6,
+        )
+        assert abs(r.rrf_score - expect) < 1e-9, (key, r.rrf_score, expect)

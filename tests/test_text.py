@@ -958,3 +958,39 @@ def test_tok2_batched_matches_reference_on_random_corpora(spark, texts, n_merges
         .collect()
     ]
     assert got == want
+
+
+def test_pmi1_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "pmi1_collocations", SF_SMALL)
+    assert ok, msg
+
+
+def test_pmi1_planted_collocation_and_support_floor(spark):
+    """A pair that ALWAYS co-occurs ('aa bb') must out-PMI pairs of
+    independently frequent words, and a pair below the relative support
+    floor must not appear at all regardless of its PMI."""
+    from samsa_spark.operators.text import pmi_collocations
+
+    rows = []
+    # 30 docs gluing aa->bb (the collocation), amid common filler
+    for i in range(30):
+        rows.append((i, "aa bb the of the of"))
+    # 30 docs where cc and dd are frequent but never adjacent to each other
+    for i in range(30, 60):
+        rows.append((i, "cc the dd of cc the dd"))
+    # one doc with a unique adjacent pair -> huge PMI but support 1
+    rows.append((60, "zz qq"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # support floor: pair must hold >= 1/40 of all bigrams
+    out = pmi_collocations(docs, k=10, support_denom=40).collect()
+    pairs = {(r.w1, r.w2): r for r in out}
+    assert ("aa", "bb") in pairs
+    assert ("zz", "qq") not in pairs  # support-floored out
+    top = min(out, key=lambda r: r.rank)
+    assert (top.w1, top.w2) == ("aa", "bb")
+    # independence -> PMI near 0; the glued pair must dominate it
+    for key in [("cc", "the"), ("the", "dd"), ("of", "cc")]:
+        if key in pairs:
+            assert pairs[key].pmi < pairs[("aa", "bb")].pmi
