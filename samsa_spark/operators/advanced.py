@@ -472,6 +472,79 @@ FROM a GROUP BY 1, 2
 """
 
 
+AN1_Z_THRESHOLD = 3.0
+
+
+def value_outliers(events: DataFrame, z_threshold: float = AN1_Z_THRESHOLD) -> DataFrame:
+    """an1 — per-key outlier detection: events whose value sits
+    ``z_threshold`` sample standard deviations from THEIR OWN user's mean
+    — the data-quality tripwire a pipeline runs over any numeric stream
+    (corrupt ingests, unit mix-ups, abuse spikes) before the stream feeds
+    training statistics. Returns the flagged rows
+    ``(event_id, user_id, value, z)``.
+
+    Determinism/parity: per-user moments are DECIMAL sums of the
+    2-dp-quantized value (exact, order-free — repo rule 6's sum form), the
+    variance is one fixed textual formula over those exact sums
+    ``(s2/n - (s1/n)^2) * n/(n-1)`` evaluated identically on both
+    engines, and z rounds to 6 dp before thresholding. Users need n >= 2
+    and positive variance (both guards ANSI-safe: no x/0, no sqrt(<0)).
+
+    Scale shape: one algebraic hash aggregate to key-level cardinality
+    (map-side partials; never a window over the raw stream), the skinny
+    per-user (mean, var) table equi-joined back — the d8/d9 partitioning
+    family, auto-broadcast while key-level is small. Output is
+    tail-bounded by construction (|z| >= 3 is ~0.3% of a normal stream).
+    """
+    qv = F.round("value", 2).cast("decimal(18,2)")
+    e = events.select("event_id", "user_id", "value", qv.alias("qv"))
+    st = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("qv").cast("double").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") / F.col("n") - mean * mean) * F.col("n") / (F.col("n") - 1)
+    stats = st.where(F.col("n") >= 2).select(
+        "user_id", mean.alias("mean"), var.alias("var")
+    )
+    z = F.round(
+        (F.col("qv").cast("double") - F.col("mean")) / F.sqrt(F.col("var")), 6
+    )
+    return (
+        e.join(stats, "user_id")
+        .where(F.col("var") > 0)
+        .select("event_id", "user_id", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) >= z_threshold)
+    )
+
+
+_AN1_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value, 2) AS DECIMAL(18,2)) AS qv
+  FROM events
+),
+st AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(qv) AS DOUBLE) AS s1,
+         CAST(sum(qv * qv) AS DOUBLE) AS s2
+  FROM e GROUP BY user_id
+),
+stats AS (
+  SELECT user_id,
+         s1 / n AS mean,
+         (s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1) AS var
+  FROM st WHERE n >= 2
+)
+SELECT event_id, e.user_id, value,
+       round((CAST(qv AS DOUBLE) - mean) / sqrt(var), 6) AS z
+FROM e JOIN stats ON e.user_id = stats.user_id
+WHERE var > 0
+  AND abs(round((CAST(qv AS DOUBLE) - mean) / sqrt(var), 6)) >= 3.0
+"""
+
+
 def build_queries():
     def q(fn, *names, spread=()):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -495,6 +568,7 @@ def build_queries():
         "fu1_funnel_stages": (q(funnel_stages, "events"), _FU1_SQL),
         "fu2_funnel_report": (q(funnel_report, "events"), _FU2_SQL),
         "co1_cohort_retention": (q(cohort_retention, "events"), _CO1_SQL),
+        "an1_value_outliers": (q(value_outliers, "events"), _AN1_SQL),
     }
 
 

@@ -474,3 +474,37 @@ def test_fu2_zero_user_stage_reports_null_not_error(spark):
     assert got[3].n_users_reached == 0
     assert got[3].conv_from_prev is None
     assert got[3].conv_from_start == 0.0
+
+
+def test_an1_oracle_match(spark):
+    from tests.oracle import check_query
+    from tests.conftest import SF_SMALL
+
+    ok, msg = check_query(spark, "an1_value_outliers", SF_SMALL)
+    assert ok, msg
+
+
+def test_an1_planted_outlier_and_guards(spark):
+    """A planted spike must be flagged with the right z; tight-variance
+    users flag nothing; single-event and constant-value users must be
+    silently skipped (the ANSI x/0 and sqrt(<0) guards), not crash."""
+    from samsa_spark.operators.advanced import value_outliers
+
+    rows = []
+    # user 1: 20 values at 100 +- 1, one spike at 200
+    for i in range(20):
+        rows.append((i, 1, 100.0 + (1.0 if i % 2 else -1.0)))
+    rows.append((20, 1, 200.0))
+    # user 2: constant values -> var 0 -> no rows, no crash
+    for i in range(21, 26):
+        rows.append((i, 2, 50.0))
+    # user 3: single event -> n < 2 -> skipped
+    rows.append((26, 3, 1e9))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = value_outliers(ev).collect()
+    assert [r.event_id for r in got] == [20]
+    import statistics
+
+    vals = [100.0 + (1.0 if i % 2 else -1.0) for i in range(20)] + [200.0]
+    want = round((200.0 - statistics.mean(vals)) / statistics.stdev(vals), 6)
+    assert abs(got[0].z - want) < 1e-6

@@ -91,6 +91,7 @@ SIBLINGS = {
     "qz4_ivf_pq_topk": ["sim4_ivf_topk", "sim1_cosine_topk"],
     "pmi1_collocations": ["tf1_tfidf_top_terms", "udtf1_ngram_counts"],
     "rrf1_hybrid_fusion": ["sim1_cosine_topk", "tf1_tfidf_top_terms"],
+    "an1_value_outliers": ["d8_key_stats", "da1_distinct_aggregates"],
 }
 
 
