@@ -569,6 +569,7 @@ def build_queries():
         "fu2_funnel_report": (q(funnel_report, "events"), _FU2_SQL),
         "co1_cohort_retention": (q(cohort_retention, "events"), _CO1_SQL),
         "an1_value_outliers": (q(value_outliers, "events"), _AN1_SQL),
+        "as3_asof_forward": (q(asof_next_event, "events"), _AS3_SQL),
     }
 
 
@@ -661,7 +662,9 @@ FROM events GROUP BY user_id
 """
 
 
-def asof_join_cogrouped(events: DataFrame, orders: DataFrame) -> DataFrame:
+def asof_join_cogrouped(
+    events: DataFrame, orders: DataFrame, direction: str = "backward"
+) -> DataFrame:
     """as2 — the CANONICAL as-of join (bench + recommended API): cogrouped
     applyInPandas merge-as-of. Both sides are co-partitioned by the key, and
     each key's pair of Arrow batches is merged with pandas ``merge_asof``
@@ -670,8 +673,26 @@ def asof_join_cogrouped(events: DataFrame, orders: DataFrame) -> DataFrame:
     ALL prior orders before reducing. Same semantics and oracle as as1
     (backward match, ties to the largest order key), which survives as the
     SQL-shaped cross-check.
+
+    ``direction="forward"`` is as3 — pandas merge_asof's other half: each
+    event matched to the NEXT order at or after its time, ties to the
+    smallest order key, output columns ``next_orderkey/next_totalprice``
+    (the time-to-next-purchase / label-lookahead form; a lookahead join
+    is also the standard way to build supervised next-action labels
+    without leaking the past). Identical cogroup plan — only the in-batch
+    merge direction and sort order change.
     """
     import pandas as pd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    fwd = direction == "forward"
+    prefix = "next" if fwd else "last"
+    out_cols = ["event_id", "user_id", "ts_us", f"{prefix}_orderkey", f"{prefix}_totalprice"]
+    schema = (
+        "event_id long, user_id long, ts_us long,"
+        f" {prefix}_orderkey long, {prefix}_totalprice double"
+    )
 
     ev = events.where(F.col("user_id") < 50).select(
         "event_id", "user_id", "ts_us", F.col("ts").alias("ev_ts")
@@ -687,36 +708,124 @@ def asof_join_cogrouped(events: DataFrame, orders: DataFrame) -> DataFrame:
 
     def merge(ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(ev_pdf) == 0 or len(od_pdf) == 0:
-            return pd.DataFrame(
-                columns=["event_id", "user_id", "ts_us", "last_orderkey", "last_totalprice"]
-            )
+            return pd.DataFrame(columns=out_cols)
         left = ev_pdf.sort_values("ev_ts", kind="mergesort")
-        # sort right by (date, orderkey): merge_asof takes the LAST row at or
-        # before the key, which then matches as1's max_by(date, orderkey).
+        # backward: right asc by (date, orderkey) — merge_asof takes the
+        # LAST row at or before the key = max_by(date, orderkey).
+        # forward: same asc sort — merge_asof takes the FIRST row at or
+        # after the key = min_by(date, orderkey).
         right = od_pdf.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
         m = pd.merge_asof(
-            left, right, left_on="ev_ts", right_on="o_orderdate", direction="backward"
+            left, right, left_on="ev_ts", right_on="o_orderdate", direction=direction
         )
         m = m.dropna(subset=["o_orderkey"])
         if len(m) == 0:
-            return pd.DataFrame(
-                columns=["event_id", "user_id", "ts_us", "last_orderkey", "last_totalprice"]
-            )
+            return pd.DataFrame(columns=out_cols)
         return pd.DataFrame(
             {
                 "event_id": m["event_id"].astype("int64"),
                 "user_id": m["user_id_x"].astype("int64"),
                 "ts_us": m["ts_us"].astype("int64"),
-                "last_orderkey": m["o_orderkey"].astype("int64"),
-                "last_totalprice": m["o_totalprice"].astype("float64"),
+                f"{prefix}_orderkey": m["o_orderkey"].astype("int64"),
+                f"{prefix}_totalprice": m["o_totalprice"].astype("float64"),
             }
         )
 
     return (
         ev.groupBy("user_id")
         .cogroup(od.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )
+
+
+def asof_next_event(
+    events: DataFrame, to_type: str = "purchase", max_user: int = 50
+) -> DataFrame:
+    """as3 — FORWARD as-of on the event stream: each non-``to_type`` event
+    matched to the user's next ``to_type`` event at or after it (strictly
+    by (ts_us, event_id) order), with the gap in microseconds — the
+    time-to-conversion / label-lookahead join. A lookahead join is also
+    how supervised next-action labels are built without leaking the past:
+    the label row is strictly later than everything in the feature row.
+    Returns ``(event_id, user_id, ts_us, next_event_id, next_ts_us,
+    gap_us)``; events with no later ``to_type`` drop out (inner as-of).
+
+    Same cogrouped merge_asof machinery as as2 (co-partitioned by user,
+    linear two-pointer merge per Arrow batch, right side semi-join pruned)
+    with ``direction="forward"`` — ties at equal timestamps resolve to the
+    smallest event_id (note 1's canonical event order), mirrored by the
+    oracle's ``ORDER BY ts_us ASC, event_id ASC`` row_number. Users are
+    bounded to < ``max_user`` so the oracle's quadratic join stays small
+    (the as1/as2 convention).
+    """
+    import pandas as pd
+
+    base = events.where(F.col("user_id") < max_user)
+    left = base.where(F.col("event_type") != to_type).select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = base.where(F.col("event_type") == to_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    # No as2-style semi-join prune here: on a SELF-join the two sides
+    # already share the key universe (a right-only key is a user whose
+    # events are ALL of to_type — rare, and each costs one empty-group
+    # Python call, not a foreign table's worth of them), and Spark's
+    # ambiguous-self-join analyzer rejects the prune's shared-lineage
+    # join in every aliasing formulation.
+    out_cols = ["event_id", "user_id", "ts_us", "next_event_id", "next_ts_us", "gap_us"]
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(l_pdf) == 0 or len(r_pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        lf = l_pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        rt = r_pdf.sort_values(["p_ts_us", "p_event_id"], kind="mergesort")
+        m = pd.merge_asof(
+            lf, rt, left_on="ts_us", right_on="p_ts_us", direction="forward"
+        )
+        m = m.dropna(subset=["p_event_id"])
+        if len(m) == 0:
+            return pd.DataFrame(columns=out_cols)
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id_x"].astype("int64"),
+                "ts_us": m["ts_us"].astype("int64"),
+                "next_event_id": m["p_event_id"].astype("int64"),
+                "next_ts_us": m["p_ts_us"].astype("int64"),
+                "gap_us": (m["p_ts_us"] - m["ts_us"]).astype("int64"),
+            }
+        )
+
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
         .applyInPandas(
             merge,
-            "event_id long, user_id long, ts_us long, last_orderkey long, last_totalprice double",
+            "event_id long, user_id long, ts_us long, next_event_id long,"
+            " next_ts_us long, gap_us long",
         )
     )
+
+
+_AS3_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE user_id < 50
+), l AS (
+  SELECT event_id, user_id, ts_us FROM e WHERE event_type <> 'purchase'
+), p AS (
+  SELECT user_id, event_id AS p_event_id, ts_us AS p_ts_us
+  FROM e WHERE event_type = 'purchase'
+), j AS (
+  SELECT l.event_id, l.user_id, l.ts_us, p.p_event_id, p.p_ts_us,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY p.p_ts_us ASC, p.p_event_id ASC) AS rn
+  FROM l JOIN p ON p.user_id = l.user_id AND p.p_ts_us >= l.ts_us
+)
+SELECT event_id, user_id, ts_us, p_event_id AS next_event_id,
+       p_ts_us AS next_ts_us, p_ts_us - ts_us AS gap_us
+FROM j WHERE rn = 1
+"""

@@ -644,6 +644,7 @@ _DEMOTED = (
     "pmi1_collocations",              # tf1/tok1 anchor the explode->count->rank collocation shapes in-window; the PMI miner (relative support floor, note 29) is pytest-oracle-checked + planted-collocation tested
     "rrf1_hybrid_fusion",             # sim1 (dense) and bm1's in-window siblings (lexical) anchor both fused systems; the RRF hybrid retriever is pytest-oracle-checked + union/containment tested
     "an1_value_outliers",             # d8 anchors per-key moment aggregation in-window; the z-score outlier tripwire (exact decimal moments, fixed-formula variance) is pytest-oracle-checked + planted-outlier tested
+    "as3_asof_forward",               # as2 anchors the cogrouped merge-asof in-window; the forward/lookahead direction shares its exact cogroup plan and is pytest-oracle-checked (min_by twin)
 )
 
 

@@ -508,3 +508,74 @@ def test_an1_planted_outlier_and_guards(spark):
     vals = [100.0 + (1.0 if i % 2 else -1.0) for i in range(20)] + [200.0]
     want = round((200.0 - statistics.mean(vals)) / statistics.stdev(vals), 6)
     assert abs(got[0].z - want) < 1e-6
+
+
+def test_as3_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "as3_asof_forward", SF_SMALL)
+    assert ok, msg
+
+
+def test_as3_forward_semantics_planted(spark):
+    """Forward as-of: each event takes the NEXT purchase at-or-after its
+    time (at-or-equal included, ties to the smallest event_id), events
+    after the last purchase drop out, gap arithmetic exact."""
+    from samsa_spark.operators.advanced import asof_next_event
+
+    rows = [
+        # (event_id, ts_us, user_id, event_type)
+        (1, 100, 7, "view"),
+        (2, 150, 7, "purchase"),
+        (3, 150, 7, "view"),      # equal-time: matches purchase at 150
+        (4, 200, 7, "purchase"),
+        (5, 300, 7, "view"),      # after last purchase -> dropped
+        (6, 100, 8, "view"),      # other user: own purchase only
+        (7, 500, 8, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, t, ty) for (e, t, u, ty) in rows],
+        "event_id long, user_id long, ts_us long, event_type string",
+    )
+    got = {r.event_id: r for r in asof_next_event(ev).collect()}
+    assert set(got) == {1, 3, 6}
+    assert got[1].next_event_id == 2 and got[1].gap_us == 50
+    assert got[3].next_event_id == 2 and got[3].gap_us == 0
+    assert got[6].next_event_id == 7 and got[6].gap_us == 400
+
+
+def test_as2_forward_direction_api(spark):
+    """asof_join_cogrouped(direction='forward') — pandas-parity lookahead
+    on a synthetic orders frame where forward matches exist (the fixture
+    orders all PRECEDE the fixture events, so the registered as3 uses the
+    event-stream self form instead)."""
+    import datetime
+
+    import pytest
+
+    from samsa_spark.operators.advanced import asof_join_cogrouped
+
+    def ts(day):
+        return datetime.datetime(2024, 1, day)
+
+    ev = spark.createDataFrame(
+        [(1, 3, 3_000_000, ts(3)), (2, 3, 10_000_000, ts(10))],
+        "event_id long, user_id long, ts_us long, ts timestamp",
+    )
+    od = spark.createDataFrame(
+        [
+            (3, 101, ts(5), 50.0),   # after event 1 -> its match
+            (3, 102, ts(5), 60.0),   # same date, larger key -> not chosen
+            (3, 103, ts(1), 70.0),   # before both events
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    got = {r.event_id: r for r in asof_join_cogrouped(ev, od, direction="forward").collect()}
+    assert got[1].next_orderkey == 101 and got[1].next_totalprice == 50.0
+    assert 2 not in got  # no order at/after Jan 10
+    back = {r.event_id: r for r in asof_join_cogrouped(ev, od).collect()}
+    assert back[1].last_orderkey == 103  # backward still the old semantics
+    assert back[2].last_orderkey == 102  # ties to the LARGEST key backward
+    with pytest.raises(ValueError):
+        asof_join_cogrouped(ev, od, direction="nearest")

@@ -92,6 +92,7 @@ SIBLINGS = {
     "pmi1_collocations": ["tf1_tfidf_top_terms", "udtf1_ngram_counts"],
     "rrf1_hybrid_fusion": ["sim1_cosine_topk", "tf1_tfidf_top_terms"],
     "an1_value_outliers": ["d8_key_stats", "da1_distinct_aggregates"],
+    "as3_asof_forward": ["as2_asof_cogrouped"],
 }
 
 
