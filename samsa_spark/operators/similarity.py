@@ -755,6 +755,8 @@ def pq_topk(
     k: int = 5,
     m: int = PQ_M,
     n_cents: int = PQ_K,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """qz3 — PQ asymmetric-distance top-k (Jégou et al. 2011): codebooks
     trained by :func:`pq_codebooks`, corpus reduced to m-byte codes by
@@ -778,8 +780,15 @@ def pq_topk(
     corpora in tests (planted-structure recall), not claimed for
     near-orthogonal noise, and production dials m/k up with dimension.
     """
-    cb = pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
-    codes = pq_encode(embeddings, cb, m=m)
+    # Prebuilt artifacts (build-once/query-many, the ivf_topk_prebuilt
+    # split): pass codebooks+codes to pay only the probe-side work.
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
+    )
+    if codes is None:
+        codes = pq_encode(embeddings, cb, m=m)
     base = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
@@ -908,6 +917,10 @@ def ivf_pq_topk(
     cells: int = 32,
     m: int = PQ_M,
     n_cents: int = PQ_K,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """qz4 — IVF-PQ: the composed production ANN layout (Jégou et al.
     2011 §IV; what FAISS ``IVFx,PQy`` ships). The coarse quantizer
@@ -934,16 +947,41 @@ def ivf_pq_topk(
     parquet partitioned by cell (save_index's layout), the cell filter
     becomes partition pruning. The only wide exchange is the per-query
     top-k window over candidates.
+
+    Measured honesty (PLANS.md ivfpq sweep): END-TO-END this call is
+    SLOWER than plain qz3 — the coarse train+assign (an extra N x cells
+    pass) exceeds what pruning recovers when the index is rebuilt per
+    call. The pruning wins on the QUERY side of a PREBUILT index: pass
+    ``codebooks/codes/centroids/assignments`` and the query-only cost is
+    2x qz3's at 100k vectors and flat in corpus size. Build once on
+    ingest, query forever — the actual production regime.
     """
     base = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    cents = kmeans_centroids(embeddings, k=cells, iters=1, round_cents=6)
-    assign = _nearest_cell(
-        embeddings.select("vec_id", "embedding"), cents, "cell"
-    ).select("vec_id", "cell")
-    cb = pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
-    codes = pq_encode(embeddings, cb, m=m).join(assign, "vec_id")
+    # Prebuilt artifacts (build-once/query-many): pass centroids +
+    # assignments + codebooks + codes and the call pays only the
+    # probe-side work — the form save_index-style persistence would serve.
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, k=cells, iters=1, round_cents=6)
+    )
+    assign = (
+        assignments
+        if assignments is not None
+        else _nearest_cell(
+            embeddings.select("vec_id", "embedding"), cents, "cell"
+        ).select("vec_id", "cell")
+    )
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
+    )
+    if codes is None:
+        codes = pq_encode(embeddings, cb, m=m)
+    codes = codes.join(assign, "vec_id")
     probes = base.where(F.col("vec_id") < n_probes)
     from pyspark.sql import Window
 

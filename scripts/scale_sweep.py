@@ -979,13 +979,46 @@ def sweep_ivfpq(spark) -> None:
         )
         return df, n_base * factor
 
+    from samsa_spark.operators.similarity import (
+        _nearest_cell,
+        kmeans_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+
     pq_topk(base).write.mode("overwrite").format("noop").save()  # warm
     for factor in (1, 10, 50):
         df, n = replicated(factor)
         df = df.localCheckpoint(eager=True)
         cells = min(64, max(8, int(n ** 0.5 // 8) * 8))
+        # end-to-end (train + encode + assign + query in one call)
         _time(f"qz3_pq_x{factor}", lambda: pq_topk(df), n)
         _time(f"qz4_ivfpq_x{factor}", lambda: ivf_pq_topk(df, cells=cells), n)
+        # build-once/query-many split: the pruning claim is about QUERY
+        # cost against a prebuilt index — the end-to-end numbers are
+        # dominated by the shared train/encode/assign build.
+        t0 = time.time()
+        cb = pq_codebooks(df).localCheckpoint(eager=True)
+        codes = pq_encode(df, cb).localCheckpoint(eager=True)
+        cents = kmeans_centroids(df, k=cells, iters=1, round_cents=6)
+        asg = _nearest_cell(
+            df.select("vec_id", "embedding"), cents, "cell"
+        ).select("vec_id", "cell").localCheckpoint(eager=True)
+        print(json.dumps({"measure": f"qz4_build_x{factor}", "rows": n,
+                          "sec": round(time.time() - t0, 2)}), flush=True)
+        _time(
+            f"qz3_query_only_x{factor}",
+            lambda: pq_topk(df, codebooks=cb, codes=codes),
+            n,
+        )
+        _time(
+            f"qz4_query_only_x{factor}",
+            lambda: ivf_pq_topk(
+                df, cells=cells, codebooks=cb, codes=codes,
+                centroids=cents, assignments=asg,
+            ),
+            n,
+        )
         df.unpersist()
 
 

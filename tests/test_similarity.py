@@ -742,3 +742,39 @@ def test_rrf1_fuses_only_system_candidates_and_rewards_agreement(spark):
             6,
         )
         assert abs(r.rrf_score - expect) < 1e-9, (key, r.rrf_score, expect)
+
+
+def test_qz4_prebuilt_artifacts_match_inline_build(spark):
+    """The build-once/query-many split must be semantics-free: passing
+    prebuilt codebooks/codes/centroids/assignments reproduces the inline
+    builds exactly (same for qz3's codebooks/codes)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        _nearest_cell,
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    cb = pq_codebooks(emb).localCheckpoint(eager=True)
+    codes = pq_encode(emb, cb).localCheckpoint(eager=True)
+    cents = kmeans_centroids(emb, k=32, iters=1, round_cents=6)
+    asg = (
+        _nearest_cell(emb.select("vec_id", "embedding"), cents, "cell")
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    a3 = {tuple(r) for r in pq_topk(emb).collect()}
+    b3 = {tuple(r) for r in pq_topk(emb, codebooks=cb, codes=codes).collect()}
+    assert a3 == b3 and len(a3) > 0
+    a4 = {tuple(r) for r in ivf_pq_topk(emb).collect()}
+    b4 = {
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, codebooks=cb, codes=codes, centroids=cents, assignments=asg
+        ).collect()
+    }
+    assert a4 == b4 and len(a4) > 0
