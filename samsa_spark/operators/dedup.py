@@ -129,6 +129,90 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
     )
 
 
+def containment_pairs(
+    documents: DataFrame, min_containment: float = 0.5
+) -> DataFrame:
+    """dd12 — asymmetric shingle CONTAINMENT (Broder 1997's other
+    resemblance measure): for co-occurring pairs,
+    ``containment_a = |A∩B| / |A|`` and mirror for B, keeping pairs where
+    either direction clears ``min_containment``. This catches what
+    Jaccard structurally cannot: a short doc quoted/embedded nearly whole
+    inside a much longer one scores containment ~1.0 while its Jaccard
+    ~|A|/|B| vanishes as the host grows — the quote/boilerplate-inclusion
+    case, and the pair-level complement of dd8's span-level dominated
+    fraction.
+
+    Plan is dd2's verbatim (inverted-index self-join on the 64-bit
+    shingle hash, singleton postings pruned, materialized posting table
+    feeding all branches) — only the scoring projection differs, so
+    dd2's measured scale behavior carries over unchanged.
+    """
+    g = (
+        shingle_postings(documents)
+        .select("doc_id", F.xxhash64("sh").alias("sh_h"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        g.groupBy("sh_h").agg(F.count("*").alias("df")).where(F.col("df") > 1).select("sh_h")
+    )
+    g2 = g.join(shared, "sh_h").localCheckpoint(eager=False)
+    a, b = g2.alias("a"), g2.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ca = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    cb = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= min_containment
+        )
+    )
+
+
+_DD12_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)])
+              ELSE [] END AS shs
+  FROM t
+), g AS (
+  SELECT doc_id, unnest(shs) AS sh FROM s
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       round(n_inter / sa.n_sh, 6) AS containment_a,
+       round(n_inter / sb.n_sh, 6) AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(round(n_inter / sa.n_sh, 6), round(n_inter / sb.n_sh, 6)) >= 0.5
+"""
+
+
 def decontaminate(
     documents: DataFrame,
     probe_max_id: int = 20,
@@ -907,6 +991,7 @@ def build_queries():
         "dd9_strip_spans": (q(strip_dominated_spans), _DD9_SQL),
         "dd10_dedup_against": (q(dedup_against), _DD10_SQL),
         "dd11_line_dedup": (q(line_dedup), _DD11_SQL),
+        "dd12_containment": (q(containment_pairs), _DD12_SQL),
     }
 
 

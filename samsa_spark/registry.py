@@ -645,6 +645,7 @@ _DEMOTED = (
     "rrf1_hybrid_fusion",             # sim1 (dense) and bm1's in-window siblings (lexical) anchor both fused systems; the RRF hybrid retriever is pytest-oracle-checked + union/containment tested
     "an1_value_outliers",             # d8 anchors per-key moment aggregation in-window; the z-score outlier tripwire (exact decimal moments, fixed-formula variance) is pytest-oracle-checked + planted-outlier tested
     "as3_asof_forward",               # as2 anchors the cogrouped merge-asof in-window; the forward/lookahead direction shares its exact cogroup plan and is pytest-oracle-checked (min_by twin)
+    "dd12_containment",               # dd6's in-window recursive-CTE oracle embeds dd2's pair algebra, which dd12 shares verbatim (only the scoring differs); the asymmetric quote/inclusion measure is pytest-oracle-checked + planted-quote tested
 )
 
 

@@ -611,3 +611,35 @@ def test_line_dedup_matches_model_on_random_corpora(spark, texts, mc):
         for r in line_dedup(df, min_count=mc).collect()
     }
     assert got == want
+
+
+def test_dd12_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "dd12_containment", SF_SMALL)
+    assert ok, msg
+
+
+def test_dd12_catches_quote_inclusion_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc embedded nearly whole
+    in a much longer host has containment ~1.0 but Jaccard ~|A|/|B| — so
+    dd12 flags the pair at 0.5 while dd2 at the same 0.5 threshold is
+    structurally blind to it."""
+    from samsa_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    host = quote + " " + " ".join(f"h{i}" for i in range(200))
+    rows = [
+        (1, quote),
+        (2, host),
+        (3, " ".join(f"z{i}" for i in range(50))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r for r in containment_pairs(docs).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.containment_a == 1.0  # every quote shingle inside the host
+    assert r.containment_b < 0.1
+    jac = {(p.doc_a, p.doc_b) for p in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    assert (1, 2) not in jac

@@ -93,6 +93,7 @@ SIBLINGS = {
     "rrf1_hybrid_fusion": ["sim1_cosine_topk", "tf1_tfidf_top_terms"],
     "an1_value_outliers": ["d8_key_stats", "da1_distinct_aggregates"],
     "as3_asof_forward": ["as2_asof_cogrouped"],
+    "dd12_containment": ["dd6_dedup_clusters", "dd7_substring_spans"],
 }
 
 
