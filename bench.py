@@ -164,6 +164,13 @@ EXTRAS = [
     "dv1_diversity_sample",
     "is1_importance_resample",
     "qz4_ivf_pq_topk",
+    # round 8 (third batch): PMI collocations, RRF hybrid retrieval,
+    # z-score outliers, forward as-of, shingle containment.
+    "pmi1_collocations",
+    "rrf1_hybrid_fusion",
+    "an1_value_outliers",
+    "as3_asof_forward",
+    "dd12_containment",
 ]
 
 

@@ -320,6 +320,53 @@ SELECT DISTINCT sha256(text) AS sha, length(text) AS n_chars FROM documents
 _register("st4_streaming_exact_dedup", _streaming_exact_dedup, _ST4_SQL)
 
 
+def _streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """st8 — stream-STATIC join inside the exact gate: the events log
+    replays as a multi-trigger file backlog and every micro-batch joins
+    the static customer dimension (broadcast — the most common production
+    streaming pattern: per-row enrichment against a slowly-changing dim
+    snapshot). Stateless, so no watermark/sentinel machinery: each event
+    is enriched exactly once regardless of trigger boundaries and the
+    result equals the batch d9 join — which IS the oracle. Completes the
+    streaming surface's join coverage alongside st6's stateful
+    stream-stream form."""
+    import os
+    import tempfile
+
+    from samsa_spark.operators.state import enrich
+    from samsa_spark.streaming.sources import file_stream
+
+    ev = tables.load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    customer = tables.load(spark, sf, "customer")
+    base = tempfile.mkdtemp(prefix="samsa-st8-")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    out = os.path.join(base, "out")
+    enriched = enrich(
+        file_stream(spark, src, ev.schema, max_files_per_trigger=2), customer
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
+
+
+_register("st8_streaming_static_enrich", _streaming_static_enrich, state.ORACLE_SQL["d9_enrich"])
+
+
 def _streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     """st5 — the standard Structured Streaming form (event-time tumbling
     windows + watermark, append mode) inside the exact gate: the events log
@@ -646,6 +693,7 @@ _DEMOTED = (
     "an1_value_outliers",             # d8 anchors per-key moment aggregation in-window; the z-score outlier tripwire (exact decimal moments, fixed-formula variance) is pytest-oracle-checked + planted-outlier tested
     "as3_asof_forward",               # as2 anchors the cogrouped merge-asof in-window; the forward/lookahead direction shares its exact cogroup plan and is pytest-oracle-checked (min_by twin)
     "dd12_containment",               # dd6's in-window recursive-CTE oracle embeds dd2's pair algebra, which dd12 shares verbatim (only the scoring differs); the asymmetric quote/inclusion measure is pytest-oracle-checked + planted-quote tested
+    "st8_streaming_static_enrich",    # st1/st2/st3 keep the streaming engine in-window and d9 the broadcast-dim enrich (st8 = d9's plan under the streaming engine, same oracle); pytest-oracle-checked
 )
 
 

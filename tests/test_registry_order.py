@@ -94,6 +94,7 @@ SIBLINGS = {
     "an1_value_outliers": ["d8_key_stats", "da1_distinct_aggregates"],
     "as3_asof_forward": ["as2_asof_cogrouped"],
     "dd12_containment": ["dd6_dedup_clusters", "dd7_substring_spans"],
+    "st8_streaming_static_enrich": ["st1_streaming_state", "d9_enrich"],
 }
 
 

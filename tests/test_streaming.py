@@ -229,3 +229,14 @@ def test_stateful_transform_custom_fold(spark, staged):
     gots = {r.user_id: round(r.sum_value, 4) for r in final.collect()}
     wants = {r.user_id: round(r.s, 4) for r in batch.collect()}
     assert gots == wants
+
+
+def test_st8_stream_static_enrich_oracle(spark):
+    """Stream-static join (stateless enrichment): multi-trigger replay
+    through the broadcast-dim join must equal the batch d9 join exactly —
+    trigger boundaries cannot duplicate or drop an enrichment."""
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st8_streaming_static_enrich", SF_SMALL)
+    assert ok, msg
