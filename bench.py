@@ -171,6 +171,7 @@ EXTRAS = [
     "an1_value_outliers",
     "as3_asof_forward",
     "dd12_containment",
+    "psi1_quality_drift",
 ]
 
 

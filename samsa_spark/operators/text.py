@@ -1257,6 +1257,103 @@ FROM r WHERE rank <= 20
 """
 
 
+PSI_BINS = 10
+
+
+def quality_drift(documents: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """psi1 — per-source distribution drift by Population Stability Index
+    over the tx2 quality score: each source's score histogram compared to
+    the REST of the corpus, ``PSI = Σ_b (p_s - p_r) ln(p_s / p_r)`` with
+    Laplace-smoothed bin probabilities (``(c+1)/(n+bins)`` — defined even
+    for empty bins). The drift tripwire a multi-source pipeline runs per
+    ingest: PSI < 0.1 is conventionally stable, > 0.25 a shifted
+    distribution worth a look — and unlike cs3's sketch OVERLAP (shared
+    content), PSI flags a source whose content is all-new but whose
+    QUALITY PROFILE silently changed. Returns ``(source, n_docs, psi)``.
+
+    Determinism/parity: the score is rounded to 3 dp before binning and
+    the bin is the same clamped ``floor(qs * bins)`` double expression on
+    both engines (identical IEEE ops, so even boundary values bin the
+    same way); each PSI term rounds to 6 dp and sums as DECIMAL (order
+    free). Scale shape: ONE corpus pass to (source, bin) counts —
+    algebraic, map-side partials — then everything downstream (global bin
+    counts, the sources x bins grid, the PSI fold) is source x bins
+    cardinality, vanishing next to the corpus; the 1-row total broadcasts.
+    """
+    qs = F.round(quality_score_col(), 3)
+    b = (
+        F.least(F.greatest(F.floor(qs * bins), F.lit(0)), F.lit(bins - 1))
+        .cast("int")
+        .alias("bin")
+    )
+    d = documents.select("source", b)
+    sb = d.groupBy("source", "bin").agg(F.count("*").alias("c"))
+    gb = sb.groupBy("bin").agg(F.sum("c").alias("g"))
+    ns = sb.groupBy("source").agg(F.sum("c").alias("n"))
+    tot = ns.agg(F.sum("n").alias("t"))
+    grid = (
+        ns.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+        )
+    )
+    j = grid.join(sb, ["source", "bin"], "left").join(
+        F.broadcast(gb), "bin", "left"
+    )
+    sc = F.coalesce(F.col("c"), F.lit(0))
+    gc = F.coalesce(F.col("g"), F.lit(0))
+    ps = (sc + F.lit(1.0)) / (F.col("n") + F.lit(bins))
+    pr = (gc - sc + F.lit(1.0)) / (F.col("t") - F.col("n") + F.lit(bins))
+    term = F.round((ps - pr) * F.log(ps / pr), 6).cast("decimal(22,6)")
+    return (
+        j.select("source", "n", term.alias("term"))
+        .groupBy("source", "n")
+        .agg(F.sum("term").cast("double").alias("psi"))
+        .select("source", F.col("n").alias("n_docs"), "psi")
+    )
+
+
+def _psi1_sql() -> str:
+    from samsa_spark.operators.text import QUALITY_SCORE_SQL, quality_base_sql
+
+    return f"""
+WITH b AS ({quality_base_sql("source")}
+),
+d AS (
+  SELECT source,
+         CAST(least(greatest(floor(round({QUALITY_SCORE_SQL}, 3) * 10), 0), 9) AS INT) AS bin
+  FROM b
+),
+sb AS (SELECT source, bin, count(*) AS c FROM d GROUP BY source, bin),
+gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM sb GROUP BY bin),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sb GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ns),
+grid AS (
+  SELECT source, n, t, unnest(generate_series(0, 9)) AS bin
+  FROM ns CROSS JOIN tot
+),
+j AS (
+  SELECT grid.source, grid.n, grid.t, grid.bin,
+         coalesce(sb.c, 0) AS sc, coalesce(gb.g, 0) AS gc
+  FROM grid
+  LEFT JOIN sb ON sb.source = grid.source AND sb.bin = grid.bin
+  LEFT JOIN gb ON gb.bin = grid.bin
+),
+terms AS (
+  SELECT source, n,
+         CAST(round(((sc + 1.0) / (n + 10) - (gc - sc + 1.0) / (t - n + 10))
+              * ln(((sc + 1.0) / (n + 10)) / ((gc - sc + 1.0) / (t - n + 10))), 6)
+           AS DECIMAL(22,6)) AS term
+  FROM j
+)
+SELECT source, n AS n_docs, CAST(sum(term) AS DOUBLE) AS psi
+FROM terms GROUP BY source, n
+"""
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -1280,6 +1377,7 @@ def build_queries():
         "hh1_heavy_ngrams": (q(heavy_ngrams), _HH1_SQL),
         "bm1_bm25_topk": (q(bm25_topk), _BM1_SQL),
         "pmi1_collocations": (q(pmi_collocations), _PMI1_SQL),
+        "psi1_quality_drift": (q(quality_drift), _psi1_sql()),
         # sketch-based: HLL++/GK internals have no DuckDB twin -> rows-only,
         # rank 2, outside the hash window like dd3; pytest bounds the
         # estimates against exact values (tests/test_text.py).

@@ -694,6 +694,7 @@ _DEMOTED = (
     "as3_asof_forward",               # as2 anchors the cogrouped merge-asof in-window; the forward/lookahead direction shares its exact cogroup plan and is pytest-oracle-checked (min_by twin)
     "dd12_containment",               # dd6's in-window recursive-CTE oracle embeds dd2's pair algebra, which dd12 shares verbatim (only the scoring differs); the asymmetric quote/inclusion measure is pytest-oracle-checked + planted-quote tested
     "st8_streaming_static_enrich",    # st1/st2/st3 keep the streaming engine in-window and d9 the broadcast-dim enrich (st8 = d9's plan under the streaming engine, same oracle); pytest-oracle-checked
+    "psi1_quality_drift",             # tx2 anchors the quality score in-window and nt1's siblings the histogram shape; the per-source PSI drift tripwire is pytest-oracle-checked + planted-shift tested
 )
 
 

@@ -95,6 +95,7 @@ SIBLINGS = {
     "as3_asof_forward": ["as2_asof_cogrouped"],
     "dd12_containment": ["dd6_dedup_clusters", "dd7_substring_spans"],
     "st8_streaming_static_enrich": ["st1_streaming_state", "d9_enrich"],
+    "psi1_quality_drift": ["tx2_quality_scores", "tx5_corpus_stats"],
 }
 
 

@@ -994,3 +994,41 @@ def test_pmi1_planted_collocation_and_support_floor(spark):
     for key in [("cc", "the"), ("the", "dd"), ("of", "cc")]:
         if key in pairs:
             assert pairs[key].pmi < pairs[("aa", "bb")].pmi
+
+
+def test_psi1_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "psi1_quality_drift", SF_SMALL)
+    assert ok, msg
+
+
+def test_psi1_planted_shift_dominates_and_identical_sources_near_zero(spark):
+    """A source whose quality distribution is genuinely shifted must carry
+    a PSI an order of magnitude above sources drawn from the same
+    distribution (which sit near 0 — the PSI identity), and PSI must be
+    content-blind: a source with all-NEW text but the same quality profile
+    stays near 0 (the cs3-overlap contrast)."""
+    from samsa_spark.operators.text import quality_drift
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    fresh = "a quiet green bird walks under the tall oak tree every day"
+    shifted = "zzzz9 !!!! #### 0000 xx@@ %%%% ~~~~ &&&& ???? ++++"
+    rows = []
+    i = 0
+    for _ in range(40):
+        rows.append((i, same, "srcA")); i += 1
+    for _ in range(40):
+        rows.append((i, fresh, "srcB")); i += 1  # new content, same profile
+    # the outlier is SMALL so each healthy source's "rest" stays mostly
+    # healthy — PSI is vs-rest, so a large outlier would inflate everyone
+    for _ in range(10):
+        rows.append((i, shifted, "srcC")); i += 1  # shifted quality profile
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in quality_drift(docs).collect()}
+    assert set(got) == {"srcA", "srcB", "srcC"}
+    assert got["srcC"].psi > 0.25  # conventionally "shifted"
+    assert got["srcC"].psi > 5 * max(abs(got["srcA"].psi), abs(got["srcB"].psi))
+    # content-blind: srcB's text is all-new vs srcA but same profile, so
+    # their drift scores agree (symmetric construction)
+    assert abs(got["srcA"].psi - got["srcB"].psi) < 0.05
