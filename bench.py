@@ -172,6 +172,8 @@ EXTRAS = [
     "as3_asof_forward",
     "dd12_containment",
     "psi1_quality_drift",
+    "fe1_decayed_value",
+    "dd13_normalized_dedup",
 ]
 
 

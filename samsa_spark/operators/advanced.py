@@ -472,6 +472,56 @@ FROM a GROUP BY 1, 2
 """
 
 
+FE1_TAU_US = 7 * 24 * 3600 * 1_000_000  # 7-day decay constant, microseconds
+
+
+def decayed_value(events: DataFrame, tau_us: int = FE1_TAU_US) -> DataFrame:
+    """fe1 — exponentially time-decayed per-user value:
+    ``Σ value_i * exp(-(T - t_i)/tau)`` with ``T`` the corpus's latest
+    event time — the standard recency-weighted engagement/LTV feature (a
+    ranking or churn model's freshness signal), where yesterday's
+    purchase counts ~e^-0.14 of today's at the 7-day constant and a
+    month-old one ~e^-4. Returns ``(user_id, n_events, decayed_value)``.
+
+    Determinism/parity: each term is one fixed double expression
+    (2-dp-quantized value x exp of an integer-microsecond age over a
+    literal tau), rounded to 6 dp and summed as DECIMAL (order-free, repo
+    rule 6 — the exp ulp convention matches the ln one). Scale shape: the
+    1-row T aggregate broadcasts, then ONE algebraic hash aggregate to
+    key-level cardinality with map-side partials — d8's family; no
+    window, no per-key sort.
+    """
+    ref = events.agg(F.max("ts_us").alias("tmax"))
+    term = F.round(
+        F.round("value", 2)
+        * F.exp(-(F.col("tmax") - F.col("ts_us")) / F.lit(float(tau_us))),
+        6,
+    ).cast("decimal(22,6)")
+    return (
+        events.select("user_id", "ts_us", "value")
+        .crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(term).cast("double").alias("decayed_value"),
+        )
+    )
+
+
+_FE1_SQL = f"""
+WITH r AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+t AS (
+  SELECT user_id,
+         CAST(round(round(value, 2)
+              * exp(-(tmax - epoch_us(ts)) / {float(FE1_TAU_US)!r}), 6)
+           AS DECIMAL(22,6)) AS w
+  FROM events CROSS JOIN r
+)
+SELECT user_id, count(*) AS n_events, CAST(sum(w) AS DOUBLE) AS decayed_value
+FROM t GROUP BY user_id
+"""
+
+
 AN1_Z_THRESHOLD = 3.0
 
 
@@ -570,6 +620,7 @@ def build_queries():
         "co1_cohort_retention": (q(cohort_retention, "events"), _CO1_SQL),
         "an1_value_outliers": (q(value_outliers, "events"), _AN1_SQL),
         "as3_asof_forward": (q(asof_next_event, "events"), _AS3_SQL),
+        "fe1_decayed_value": (q(decayed_value, "events"), _FE1_SQL),
     }
 
 

@@ -58,6 +58,66 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def normalized_dedup(documents: DataFrame) -> DataFrame:
+    """dd13 — dedup by NORMALIZED content: lowercase, strip every
+    non-alphanumeric (keeping spaces), collapse whitespace runs, trim —
+    then group by the sha of that canonical form. Catches the trivial
+    variants dd1's byte-exact hash is blind to (case, punctuation,
+    spacing — the C4-style canonicalization pass). ``n_exact_variants``
+    counts the DISTINCT raw texts merged into each normalized group: > 1
+    is the operator's signal (docs that only normalization unifies).
+
+    Same algebraic groupBy-on-a-hash plan as dd1 — the normalization is
+    row-local string algebra fused into the scan projection; the corpus
+    text never crosses a shuffle (only the 32-byte shas do).
+    """
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    hashed = documents.select(
+        "doc_id",
+        F.sha2(canon, 256).alias("canon_sha"),
+        F.sha2(F.col("text"), 256).alias("raw_sha"),
+    )
+    groups = hashed.groupBy("canon_sha").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.countDistinct("raw_sha").alias("n_exact_variants"),
+    )
+    return hashed.select("doc_id", "canon_sha").join(groups, "canon_sha").select(
+        "doc_id",
+        "canon_sha",
+        "canonical_id",
+        "n_copies",
+        "n_exact_variants",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+_DD13_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'
+         ))) AS canon_sha,
+         sha256(text) AS raw_sha
+  FROM documents
+),
+g AS (
+  SELECT canon_sha, min(doc_id) AS canonical_id, count(*) AS n_copies,
+         count(DISTINCT raw_sha) AS n_exact_variants
+  FROM h GROUP BY canon_sha
+)
+SELECT h.doc_id, h.canon_sha, g.canonical_id, g.n_copies, g.n_exact_variants,
+       h.doc_id <> g.canonical_id AS is_dup
+FROM h JOIN g USING (canon_sha)
+"""
+
+
 def _shingles(toks: F.Column) -> F.Column:
     """Distinct k-token shingles (k=3) from a PRE-STAGED token array;
     empty array for short docs. The caller must materialize the array
@@ -992,6 +1052,7 @@ def build_queries():
         "dd10_dedup_against": (q(dedup_against), _DD10_SQL),
         "dd11_line_dedup": (q(line_dedup), _DD11_SQL),
         "dd12_containment": (q(containment_pairs), _DD12_SQL),
+        "dd13_normalized_dedup": (q(normalized_dedup), _DD13_SQL),
     }
 
 

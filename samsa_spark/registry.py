@@ -695,6 +695,8 @@ _DEMOTED = (
     "dd12_containment",               # dd6's in-window recursive-CTE oracle embeds dd2's pair algebra, which dd12 shares verbatim (only the scoring differs); the asymmetric quote/inclusion measure is pytest-oracle-checked + planted-quote tested
     "st8_streaming_static_enrich",    # st1/st2/st3 keep the streaming engine in-window and d9 the broadcast-dim enrich (st8 = d9's plan under the streaming engine, same oracle); pytest-oracle-checked
     "psi1_quality_drift",             # tx2 anchors the quality score in-window and nt1's siblings the histogram shape; the per-source PSI drift tripwire is pytest-oracle-checked + planted-shift tested
+    "fe1_decayed_value",              # d8 anchors per-key algebraic aggregation in-window; the recency-weighted value feature (fixed-expression exp terms, DECIMAL sum) is pytest-oracle-checked + hand-computed decay test
+    "dd13_normalized_dedup",          # dd1 anchors content-hash dedup in-window (dd13 is its plan with the canonicalization fused into the scan); pytest-oracle-checked + planted case/punct-variant test
 )
 
 

@@ -579,3 +579,39 @@ def test_as2_forward_direction_api(spark):
     assert back[2].last_orderkey == 102  # ties to the LARGEST key backward
     with pytest.raises(ValueError):
         asof_join_cogrouped(ev, od, direction="nearest")
+
+
+def test_fe1_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "fe1_decayed_value", SF_SMALL)
+    assert ok, msg
+
+
+def test_fe1_hand_computed_decay(spark):
+    """Recency weighting against hand math: an event tau ago counts e^-1
+    of a now-event, 2*tau ago e^-2; per-user totals match the closed
+    form to the 6-dp term grid."""
+    import datetime
+    import math
+
+    from samsa_spark.operators.advanced import decayed_value
+
+    tau = 1_000_000  # 1 second, for easy hand math
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, 0, 10.0),          # 2*tau before the max
+        (2, 1, 1_000_000, 10.0),  # tau before
+        (3, 1, 2_000_000, 10.0),  # the max event
+        (4, 2, 2_000_000, 5.0),   # other user at the max instant
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, t, v, ts0) for (e, u, t, v) in rows],
+        "event_id long, user_id long, ts_us long, value double, ts timestamp",
+    )
+    got = {r.user_id: r for r in decayed_value(ev, tau_us=tau).collect()}
+    want1 = round(10.0 * math.exp(-2.0), 6) + round(10.0 * math.exp(-1.0), 6) + 10.0
+    assert abs(got[1].decayed_value - want1) < 1e-9
+    assert got[1].n_events == 3
+    assert got[2].decayed_value == 5.0

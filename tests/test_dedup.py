@@ -643,3 +643,33 @@ def test_dd12_catches_quote_inclusion_jaccard_misses(spark):
     assert r.containment_b < 0.1
     jac = {(p.doc_a, p.doc_b) for p in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
     assert (1, 2) not in jac
+
+
+def test_dd13_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "dd13_normalized_dedup", SF_SMALL)
+    assert ok, msg
+
+
+def test_dd13_merges_case_punct_variants_dd1_misses(spark):
+    """Case/punctuation/spacing variants of one sentence must collapse to
+    a single normalized group (n_exact_variants = distinct raw texts)
+    while dd1's byte-exact hash keeps them apart."""
+    from samsa_spark.operators.dedup import exact_dedup, normalized_dedup
+
+    rows = [
+        (1, "Hello, World!  How are you?"),
+        (2, "hello world how are you"),
+        (3, "HELLO   WORLD -- how ARE you???"),
+        (4, "a completely different document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalized_dedup(docs).collect()}
+    assert got[1].canonical_id == 1 and got[2].canonical_id == 1 and got[3].canonical_id == 1
+    assert got[1].n_copies == 3 and got[1].n_exact_variants == 3
+    assert got[2].is_dup and got[3].is_dup and not got[1].is_dup
+    assert got[4].n_copies == 1 and not got[4].is_dup
+    d1 = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert all(not d1[i].is_dup for i in (1, 2, 3))  # byte-exact sees no dups

@@ -96,6 +96,8 @@ SIBLINGS = {
     "dd12_containment": ["dd6_dedup_clusters", "dd7_substring_spans"],
     "st8_streaming_static_enrich": ["st1_streaming_state", "d9_enrich"],
     "psi1_quality_drift": ["tx2_quality_scores", "tx5_corpus_stats"],
+    "fe1_decayed_value": ["d8_key_stats", "d2_state_table"],
+    "dd13_normalized_dedup": ["dd1_exact_dedup"],
 }
 
 
