@@ -921,6 +921,7 @@ def ivf_pq_topk(
     codes: DataFrame | None = None,
     centroids: DataFrame | None = None,
     assignments: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """qz4 — IVF-PQ: the composed production ANN layout (Jégou et al.
     2011 §IV; what FAISS ``IVFx,PQy`` ships). The coarse quantizer
@@ -974,13 +975,37 @@ def ivf_pq_topk(
             embeddings.select("vec_id", "embedding"), cents, "cell"
         ).select("vec_id", "cell")
     )
-    cb = (
-        codebooks
-        if codebooks is not None
-        else pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
-    )
-    if codes is None:
-        codes = pq_encode(embeddings, cb, m=m)
+    # residual=True is Jégou's actual IVF-ADC: PQ trains on and encodes
+    # the per-cell residual emb - cent(cell) (a smaller-variance vector,
+    # so the same byte budget quantizes finer), and each query builds one
+    # distance table PER PROBED CELL from its own residual against that
+    # cell — still n_probes x IVF_NPROBE x m x k doubles, broadcast-sized.
+    # With prebuilt artifacts the caller must pass residual-trained
+    # codebooks/codes (equivalence asserted in tests either way).
+    if residual:
+        res = (
+            base.join(assign, "vec_id")
+            .join(F.broadcast(cents), "cell")
+            .select(
+                "vec_id",
+                F.zip_with("emb", "cent", lambda x, y: x - y).alias("embedding"),
+            )
+        )
+        cb = (
+            codebooks
+            if codebooks is not None
+            else pq_codebooks(res, m=m, k=n_cents).localCheckpoint(eager=True)
+        )
+        if codes is None:
+            codes = pq_encode(res, cb, m=m)
+    else:
+        cb = (
+            codebooks
+            if codebooks is not None
+            else pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
+        )
+        if codes is None:
+            codes = pq_encode(embeddings, cb, m=m)
     codes = codes.join(assign, "vec_id")
     probes = base.where(F.col("vec_id") < n_probes)
     from pyspark.sql import Window
@@ -989,31 +1014,58 @@ def ivf_pq_topk(
         "ccos", F.round(_cos_sim_udf()("cent", "emb"), 6)
     )
     wp = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    probe_cells = F.broadcast(
-        probe_scored.withColumn("crank", F.row_number().over(wp))
-        .where(F.col("crank") <= IVF_NPROBE)
-        .select(F.col("vec_id").alias("q_id"), "cell")
+    ranked = probe_scored.withColumn("crank", F.row_number().over(wp)).where(
+        F.col("crank") <= IVF_NPROBE
     )
-    psubs = _pq_subspaces(probes, "emb", m).select(
-        F.col("vec_id").alias("q_id"), "s", "sv"
-    )
-    dt = psubs.join(F.broadcast(cb), "s").select(
-        "q_id",
-        (F.col("s") * n_cents + F.col("cid")).alias("pos"),
-        F.round(_l2sq("sv", "cv"), 6).alias("d2"),
-    )
-    ptab = F.broadcast(
-        dt.groupBy("q_id").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "d2"))), lambda x: x["d2"]
-            ).alias("dtab")
+    probe_cells = F.broadcast(ranked.select(F.col("vec_id").alias("q_id"), "cell"))
+    if residual:
+        qres = ranked.select(
+            F.col("vec_id").alias("q_id"),
+            "cell",
+            F.zip_with("emb", "cent", lambda x, y: x - y).alias("rvec"),
         )
-    )
-    cand = (
-        codes.join(probe_cells, "cell")
-        .where(F.col("q_id") != F.col("vec_id"))
-        .join(ptab, "q_id")
-    )
+        psubs = _pq_subspaces(qres, "rvec", m).select("q_id", "cell", "s", "sv")
+        dt = psubs.join(F.broadcast(cb), "s").select(
+            "q_id",
+            "cell",
+            (F.col("s") * n_cents + F.col("cid")).alias("pos"),
+            F.round(_l2sq("sv", "cv"), 6).alias("d2"),
+        )
+        ptab = F.broadcast(
+            dt.groupBy("q_id", "cell").agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "d2"))),
+                    lambda x: x["d2"],
+                ).alias("dtab")
+            )
+        )
+        cand = (
+            codes.join(probe_cells, "cell")
+            .where(F.col("q_id") != F.col("vec_id"))
+            .join(ptab, ["q_id", "cell"])
+        )
+    else:
+        psubs = _pq_subspaces(probes, "emb", m).select(
+            F.col("vec_id").alias("q_id"), "s", "sv"
+        )
+        dt = psubs.join(F.broadcast(cb), "s").select(
+            "q_id",
+            (F.col("s") * n_cents + F.col("cid")).alias("pos"),
+            F.round(_l2sq("sv", "cv"), 6).alias("d2"),
+        )
+        ptab = F.broadcast(
+            dt.groupBy("q_id").agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "d2"))),
+                    lambda x: x["d2"],
+                ).alias("dtab")
+            )
+        )
+        cand = (
+            codes.join(probe_cells, "cell")
+            .where(F.col("q_id") != F.col("vec_id"))
+            .join(ptab, "q_id")
+        )
     scored = cand.withColumn(
         "adc_dist",
         F.round(

@@ -778,3 +778,41 @@ def test_qz4_prebuilt_artifacts_match_inline_build(spark):
         ).collect()
     }
     assert a4 == b4 and len(a4) > 0
+
+
+def test_qz4_residual_fidelity_beats_nonresidual(spark):
+    """residual=True is Jégou's actual IVF-ADC: PQ quantizes the
+    smaller-variance residual, so with the same byte budget the ADC
+    distance must track the true L2^2 more closely (lower MAE over all
+    returned candidates), at >= the same planted-cluster recall."""
+    from samsa_spark.operators.similarity import ivf_pq_topk
+
+    emb, n_clusters = _clustered_embeddings(spark)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def mae(rows):
+        errs = []
+        for r in rows:
+            true = float(np.sum((vecs[r.q_id] - vecs[r.vec_id]) ** 2))
+            errs.append(abs(r.adc_dist - true))
+        return sum(errs) / len(errs)
+
+    plain = ivf_pq_topk(emb, n_probes=20, k=5, cells=16).collect()
+    res = ivf_pq_topk(emb, n_probes=20, k=5, cells=16, residual=True).collect()
+    assert len(res) > 0 and {r.q_id for r in res} == set(range(20))
+    assert mae(res) < mae(plain), (mae(res), mae(plain))
+    same = [1 if r.vec_id % n_clusters == r.q_id % n_clusters else 0 for r in res]
+    assert sum(same) / len(same) >= 0.9
+
+
+def test_qz4_residual_deterministic_under_repartition(spark):
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import ivf_pq_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    a = {tuple(r) for r in ivf_pq_topk(emb, residual=True).collect()}
+    b = {tuple(r) for r in ivf_pq_topk(emb.repartition(7), residual=True).collect()}
+    assert a == b and len(a) > 0
