@@ -258,3 +258,87 @@ def test_qz3_adc_probe_side_broadcasts_no_cartesian(spark):
 
     for m in re.finditer(r"Sort \[(.*?)\]", p):
         assert "adc_dist" in m.group(1) or "q_id" in m.group(1) or "pos" in m.group(1) or "s" in m.group(1)
+
+
+def test_dv1_assignment_is_aggregate_not_window_over_scores(spark):
+    """dv1's cell assignment must collapse the corpus x cells scores with
+    a min_by hash aggregate (partial on the map side), never a window
+    over the N x cells frame; the only window runs per-cell on the
+    skinny assignment rows. No cartesian beyond the broadcast centroid
+    scalar join."""
+    p = _plan(spark, "dv1_diversity_sample")
+    assert "partial_min_by" in p
+    assert "CartesianProduct" not in p
+
+
+def test_is1_vocab_aggregates_partial_no_cartesian(spark):
+    """is1's LM tables must be algebraic aggregates with map-side partials
+    (type-level cardinality crosses the shuffle, not the token stream);
+    the only non-equi join is the 1-row scalar broadcast."""
+    p = _plan(spark, "is1_importance_resample")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_qz4_candidate_join_on_cell_is_hash_join(spark):
+    """qz4's candidate restriction must be a hash equi-join on the cell
+    (broadcast probe side) — the pruning IS the operator; a cartesian
+    over codes would silently degrade it to qz3."""
+    p = _plan(spark, "qz4_ivf_pq_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_rrf1_fusion_join_is_equi_join(spark):
+    """rrf1's fusion must be an equi-join on (q_id, id) over the two
+    probe-bounded system outputs — never a cartesian; the corpus-side
+    plans are the two systems' own (separately asserted)."""
+    p = _plan(spark, "rrf1_hybrid_fusion")
+    assert "CartesianProduct" not in p
+
+
+def test_psi1_bin_counts_partial_no_cartesian(spark):
+    """psi1's one corpus pass must be the algebraic (source, bin) count
+    with map-side partials; everything downstream is sources x bins."""
+    p = _plan(spark, "psi1_quality_drift")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_fe1_decay_is_partial_aggregate_no_window(spark):
+    """fe1 must be one algebraic hash aggregate to key cardinality (d8's
+    family): partial sum on the map side, no window, no sort."""
+    p = _plan(spark, "fe1_decayed_value")
+    assert "partial_sum" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_an1_moments_partial_aggregate_no_window(spark):
+    """an1's per-user moments must be algebraic DECIMAL sums with map-side
+    partials joined back as an equi-join — never a window over the raw
+    stream."""
+    p = _plan(spark, "an1_value_outliers")
+    assert "partial_sum" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dd12_containment_shares_dd2_equi_join_shape(spark):
+    """dd12's pair generation must stay the partitioned equi-join on the
+    shingle hash with partial counts — never cartesian/nested-loop."""
+    p = _plan(spark, "dd12_containment")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dd13_normalization_fused_into_scan_no_text_shuffle(spark):
+    """dd13 must shuffle only the 32-byte shas: the canonicalization is
+    row-local string algebra in the scan projection and the text column
+    must not survive past it into the exchange."""
+    p = _plan(spark, "dd13_normalized_dedup")
+    assert "partial_min" in p  # canonical_id via algebraic min
+    ex = [seg for seg in p.split("Exchange") if "hashpartitioning" in seg[:200]]
+    assert ex, "expected a hash exchange on the sha"
+    assert "CartesianProduct" not in p
