@@ -174,6 +174,8 @@ EXTRAS = [
     "psi1_quality_drift",
     "fe1_decayed_value",
     "dd13_normalized_dedup",
+    "sp3_kfold_split",
+    "lm3_interpolated_logprob",
 ]
 
 

@@ -1197,6 +1197,137 @@ FROM s GROUP BY split, lang
 """
 
 
+SP3_FOLDS = 5
+
+
+def kfold_split(documents: DataFrame, k: int = SP3_FOLDS) -> DataFrame:
+    """sp3 — deterministic k-fold cross-validation assignment:
+    ``fold = key_hash(doc_id) % k``, proven as per-(fold, lang) counts
+    (sp1's convention). The CV harness form of the split family: every
+    engine/partitioning/retry lands each doc in the same fold, and each
+    fold's complement is a training set.
+
+    Note-27 compliance: the fold is a MODULUS cut of the shared key hash
+    while sp1's train/test is a THRESHOLD cut of it — a modulus and a
+    threshold on one uniform value are (near-)independent decisions,
+    unlike two thresholds (which nest — the sm1 bug). The composition
+    test asserts folds stay uniform INSIDE sp1's train split.
+    """
+    fold = (_key_hash("doc_id") % k).cast("int")
+    return (
+        documents.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SP3_SQL = f"""
+SELECT CAST(({_KEY_HASH_SQL.format(col="doc_id")}) % {SP3_FOLDS} AS INT) AS fold,
+       lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+LM3_LAMBDA = 0.7
+
+
+def interpolated_logprob(documents: DataFrame, lam: float = LM3_LAMBDA) -> DataFrame:
+    """lm3 — Jelinek-Mercer interpolated LM quality score: per-doc mean
+    ``ln(λ P(w2|w1) + (1-λ) P(w2))`` — the standard smoothing that fixes
+    both its parents' failure modes: lm2's raw conditional spikes on
+    rare contexts (one unseen-ish continuation tanks a doc) while lm1
+    ignores order entirely; the mixture backs rare contexts off to the
+    unigram and still rewards fluent sequences. Completes the LM-filter
+    family (CCNet's KenLM is exactly an interpolated n-gram model, one
+    order higher).
+
+    Plan: lm2's verbatim (pair stream via array algebra, two type-level
+    aggregates, model joined back) plus one unigram join — all
+    vocabulary-cardinality; the fixed mixture expression evaluates
+    identically on both engines and the mean rounds to 6 dp (repo rule
+    6). Docs with < 2 tokens report ``n_bigrams = 0`` and NULL.
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = documents.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    uni = documents.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count("*").alias("cw")
+    )
+    tot = uni.agg(F.sum("cw").cast("double").alias("t"))
+    model = (
+        c2.join(c1, "w1")
+        .join(uni.select(F.col("w").alias("w2"), "cw"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.lit(float(lam)) * (F.col("c2") / F.col("c1"))
+                + F.lit(1.0 - lam) * (F.col("cw") / F.col("t"))
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_interp_logprob"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_interp_logprob",
+        )
+    )
+
+
+_LM3_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+), uni AS (
+  SELECT unnest(toks) AS w FROM t
+), cu AS (
+  SELECT w, count(*) AS cw FROM uni GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM uni
+), model AS (
+  SELECT c2.w1, c2.w2,
+         ln(0.7 * (c2.c2 / c1.c1) + 0.3 * (cu.cw / tot.t)) AS lp
+  FROM c2 JOIN c1 USING (w1) JOIN cu ON cu.w = c2.w2 CROSS JOIN tot
+), sc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_interp_logprob
+  FROM bg JOIN model USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_interp_logprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 IS1_TARGET_SOURCE = "src0"
 IS1_KEEP_FRAC = 0.5
 
@@ -1335,6 +1466,8 @@ def build_queries():
         "lm1_unigram_logprob": (q(unigram_logprob, "documents", spread=True), _LM1_SQL),
         "lm2_bigram_logprob": (q(bigram_logprob, "documents", spread=True), _LM2_SQL),
         "is1_importance_resample": (q(importance_resample, "documents", spread=True), _IS1_SQL),
+        "sp3_kfold_split": (q(kfold_split, "documents"), _SP3_SQL),
+        "lm3_interpolated_logprob": (q(interpolated_logprob, "documents", spread=True), _LM3_SQL),
         # fuzzy form: the dd3 MinHash stage rides xxhash64 (no DuckDB twin)
         # -> rows-only, rank 2, outside the hash window like dd3/sim5;
         # ground truth = planted-corpus equivalence in tests/test_pipeline_ops.py.

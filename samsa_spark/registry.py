@@ -697,6 +697,8 @@ _DEMOTED = (
     "psi1_quality_drift",             # tx2 anchors the quality score in-window and nt1's siblings the histogram shape; the per-source PSI drift tripwire is pytest-oracle-checked + planted-shift tested
     "fe1_decayed_value",              # d8 anchors per-key algebraic aggregation in-window; the recency-weighted value feature (fixed-expression exp terms, DECIMAL sum) is pytest-oracle-checked + hand-computed decay test
     "dd13_normalized_dedup",          # dd1 anchors content-hash dedup in-window (dd13 is its plan with the canonicalization fused into the scan); pytest-oracle-checked + planted case/punct-variant test
+    "sp3_kfold_split",                # sp1 anchors hash-deterministic splits in-window (sp3 is its modulus form); pytest-oracle-checked + note-27 composition test (folds uniform inside sp1-train)
+    "lm3_interpolated_logprob",       # tf1 anchors the explode->vocab->score shape in-window (lm1/lm2's rationale); the Jelinek-Mercer mixture is pytest-oracle-checked + parent-failure-mode test
 )
 
 

@@ -973,3 +973,65 @@ def test_is1_selects_target_lookalike_docs(spark):
     assert min(r.weight for r in lookalike) > max(r.weight for r in unrelated)
     assert all(r.kept for r in lookalike)
     assert not any(r.kept for r in unrelated)
+
+
+def test_sp3_oracle_match(spark):
+    ok, msg = check_query(spark, "sp3_kfold_split", SF_SMALL)
+    assert ok, msg
+
+
+def test_sp3_folds_uniform_inside_sp1_train(spark):
+    """Note-27 composition check: the fold (modulus cut of the key hash)
+    must stay near-uniform INSIDE sp1's train split (threshold cut of
+    the same hash) — the modulus/threshold pair must not nest the way
+    two thresholds did in the sm1 bug."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import _key_hash, _split_expr
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    both = docs.select(
+        (_key_hash("doc_id") % 5).cast("int").alias("fold"),
+        _split_expr(80).alias("split"),
+    )
+    counts = {
+        (r.split, r.fold): r.n
+        for r in both.groupBy("split", "fold").agg(F.count("*").alias("n")).collect()
+    }
+    train = [counts.get(("train", f), 0) for f in range(5)]
+    assert min(train) > 0
+    # uniform-ish: no fold holds less than half the mean within train
+    assert min(train) >= 0.5 * (sum(train) / 5), train
+
+
+def test_lm3_oracle_match(spark):
+    ok, msg = check_query(spark, "lm3_interpolated_logprob", SF_SMALL)
+    assert ok, msg
+
+
+def test_lm3_fixes_both_parent_failure_modes(spark):
+    """The mixture's reason to exist: (a) unlike lm2's raw conditional, a
+    rare context cannot tank a doc to -inf-ish — the unigram floor keeps
+    the mixture finite and moderate; (b) unlike lm1, ORDER matters: a
+    shuffled word salad of common words scores below the fluent ordering
+    of the same words."""
+    from samsa_spark.operators.pipeline_ops import (
+        bigram_logprob,
+        interpolated_logprob,
+        unigram_logprob,
+    )
+
+    fluent = "the cat sat on the mat"
+    # same multiset of words, scrambled order (each bigram rare/unseen-ish)
+    salad = "mat the on sat cat the"
+    rows = [(i, fluent) for i in range(20)] + [(20, salad)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm3 = {r.doc_id: r.avg_interp_logprob for r in interpolated_logprob(docs).collect()}
+    assert lm3[20] < lm3[0], "order-blindness: salad must score below fluent"
+    lm1 = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert abs(lm1[20] - lm1[0]) < 1e-6, "lm1 is order-blind by construction"
+    lm2 = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+    # the salad's observed-but-rare bigrams take the full conditional hit in
+    # lm2; the mixture softens it with the unigram floor
+    assert lm3[20] > lm2[20], "mixture must sit above the raw conditional"

@@ -98,6 +98,8 @@ SIBLINGS = {
     "psi1_quality_drift": ["tx2_quality_scores", "tx5_corpus_stats"],
     "fe1_decayed_value": ["d8_key_stats", "d2_state_table"],
     "dd13_normalized_dedup": ["dd1_exact_dedup"],
+    "sp3_kfold_split": ["sp1_deterministic_split"],
+    "lm3_interpolated_logprob": ["tf1_tfidf_top_terms"],
 }
 
 
