@@ -84,18 +84,35 @@ def test_quality_quantile_no_window_broadcast_cutpoints(spark):
 
 
 def test_no_partitionless_windows_anywhere(spark):
-    """No registered query may sort the world through one reducer: a Window
-    whose required distribution is SinglePartition shows up as
-    'Exchange SinglePartition' feeding a Window node."""
+    """No registered query may sort the world through one reducer. The
+    original form of this test grepped the FORMATTED plan for
+    'Exchange SinglePartition' — a string that mode never prints (the
+    Exchange node and its Arguments render on separate lines), so it
+    could not fire (round-8 self-review finding). The real detector
+    reads the SIMPLE-mode plan and flags a Window fed (within the
+    child-indent run) by a SinglePartition exchange; positive-controlled
+    against a genuine global row_number. Global top-k ranks are fine —
+    Spark's window-group-limit rewrite feeds them through
+    TakeOrderedAndProject (pmi1's shape), which this does not flag."""
     from samsa_spark import registry
+
+    def window_sp(p: str) -> bool:
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                for j in range(max(0, i - 3), i):
+                    if "Window" in lines[j]:
+                        return True
+        return False
 
     for name in registry.all_queries():
         if name.startswith("st"):  # streaming-backed queries: no static plan
             continue
-        p = _plan(spark, name)
-        if "Window" not in p:
-            continue
-        assert "Exchange SinglePartition" not in p, f"{name} has a global-sort window"
+        df = registry.all_queries()[name](spark, SF_SMALL)
+        p = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert not window_sp(p), f"{name} has a global-sort window"
 
 
 def test_sd1_pair_join_is_partitioned_equi_join(spark):
