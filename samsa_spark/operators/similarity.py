@@ -1376,8 +1376,13 @@ def diversity_sample(
     (never a window over N x cells); the per-cell top-k is a window over
     the skinny (vec_id, cell, ccos) assignment rows — ~24 bytes/row, cell
     partitions bounded by the quantizer (cells ~ sqrt(N) keeps each
-    partition ~sqrt(N) rows), and AQE splits any skewed cell. The
-    embedding column is pruned before the window shuffle.
+    partition ~sqrt(N) rows). A pathologically hot cell concentrates its
+    per-cell sort on one task — AQE does NOT split window partitions (its
+    skew handling is join-side only), so the mitigation is quantizer
+    balance, which :func:`index_report` measures; Spark's
+    window-group-limit rewrite caps the rows each group actually buffers
+    at ``per_cell``. The embedding column is pruned before the window
+    shuffle.
     """
     base = embeddings.select("vec_id", "embedding")
     cents = kmeans_centroids(embeddings, k=cells, iters=1, round_cents=6)
