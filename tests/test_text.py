@@ -1032,3 +1032,109 @@ def test_psi1_planted_shift_dominates_and_identical_sources_near_zero(spark):
     # content-blind: srcB's text is all-new vs srcA but same profile, so
     # their drift scores agree (symmetric construction)
     assert abs(got["srcA"].psi - got["srcB"].psi) < 0.05
+
+
+def _py_bm25(rows, probe_max_id=20, k=5, k1=1.2, b=0.75):
+    """Independent plain-Python BM25 — deliberately written from the
+    textbook formula with its own code shape (dicts + math.log), so a
+    structural bug shared by the Spark expression and the SQL twin
+    (note-27's shared-formula blindness) cannot hide here."""
+    import math
+
+    corpus = {d: t.split(" ") for d, t in rows if d >= probe_max_id}
+    queries = {d: t.split(" ") for d, t in rows if d < probe_max_id}
+    n = len(corpus)
+    dl = {d: len(ts) for d, ts in corpus.items()}
+    avgdl = sum(dl.values()) / n
+    df: dict = {}
+    for ts in corpus.values():
+        for w in set(ts):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for q, qts in queries.items():
+        scores: dict = {}
+        for w in set(qts):
+            if w not in df:
+                continue
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            for d, ts in corpus.items():
+                tf = ts.count(w)
+                if tf == 0:
+                    continue
+                denom = tf + k1 * (1 - b + b * dl[d] / avgdl)
+                scores[d] = scores.get(d, 0.0) + round(idf * tf * (k1 + 1) / denom, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[q] = [(d, round(s, 6)) for d, s in ranked]
+    return out
+
+
+def test_bm25_matches_independent_python_model_on_random_corpora(spark):
+    """Model check on random corpora: Spark BM25 == the independent
+    Python implementation (scores to 6dp, full rank order)."""
+    import random
+
+    for seed in (3, 17, 92):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(3, 25))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from samsa_spark.operators.text import bm25_topk
+
+        got: dict = {}
+        for r in bm25_topk(docs).collect():
+            got.setdefault(r.q_id, []).append((r.rank, r.doc_id, round(r.score, 6)))
+        got = {q: [(d, s) for _, d, s in sorted(v)] for q, v in got.items()}
+        want = _py_bm25(rows)
+        want = {q: v for q, v in want.items() if v}
+        assert got == want, f"seed {seed}"
+
+
+def test_pmi_matches_independent_python_model_on_random_corpora(spark):
+    """Model check: pmi1's candidate set, counts, and rounded PMI values
+    against an independent plain-Python implementation."""
+    import math
+    import random
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(2, 15))))
+            for i in range(40)
+        ]
+        # python model
+        bigrams: dict = {}
+        uni: dict = {}
+        B = 0
+        T = 0
+        for _, t in rows:
+            ts = t.split(" ")
+            for w in ts:
+                uni[w] = uni.get(w, 0) + 1
+                T += 1
+            for a, b2 in zip(ts, ts[1:]):
+                bigrams[(a, b2)] = bigrams.get((a, b2), 0) + 1
+                B += 1
+        denom = 50
+        cands = {p: c for p, c in bigrams.items() if c * denom >= B}
+        scored = {
+            p: round(math.log((c / B) / ((uni[p[0]] / T) * (uni[p[1]] / T))), 6)
+            for p, c in cands.items()
+        }
+        ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        want = [(p[0], p[1], cands[p], s) for p, s in ranked]
+
+        from samsa_spark.operators.text import pmi_collocations
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r.w1, r.w2, r.pair_count, round(r.pmi, 6))
+            for r in sorted(
+                pmi_collocations(docs, k=10, support_denom=denom).collect(),
+                key=lambda r: r.rank,
+            )
+        ]
+        assert got == want, f"seed {seed}"
