@@ -1138,3 +1138,60 @@ def test_pmi_matches_independent_python_model_on_random_corpora(spark):
             )
         ]
         assert got == want, f"seed {seed}"
+
+
+def test_psi_matches_independent_python_model_on_random_corpora(spark):
+    """Model check: psi1 vs an independent Python implementation of the
+    whole pipeline (tx2 score, 3-dp rounding, clamped binning, Laplace
+    smoothing, 6-dp term rounding) on random corpora."""
+    import math
+    import random
+
+    from samsa_spark.operators.text import _STOP_EN, quality_drift
+
+    def py_score(text):
+        n_chars = len(text)
+        alpha = sum(1 for c in text if c.isalpha() and ord(c) < 128)
+        # tx2's alpha regex is [A-Za-z]; isalpha over ascii matches it
+        spaces = text.count(" ")
+        toks = text.split(" ")
+        n_toks = len(toks)
+        stop = sum(1 for t in toks if t in _STOP_EN)
+        return (
+            0.4 * (alpha / n_chars)
+            + 0.3 * (stop / n_toks)
+            + 0.3 * (1.0 - abs((n_chars - spaces) / n_toks - 5.0) / 10.0)
+        )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        words = ["the", "of", "and", "alpha", "beta", "x9", "zz!!", "qqqq"]
+        rows = [
+            (
+                i,
+                " ".join(rng.choices(words, k=rng.randint(2, 12))),
+                f"s{rng.randint(0, 3)}",
+            )
+            for i in range(80)
+        ]
+        counts: dict = {}
+        ns: dict = {}
+        for _, t, s in rows:
+            b = min(max(int(math.floor(round(py_score(t), 3) * 10)), 0), 9)
+            counts[(s, b)] = counts.get((s, b), 0) + 1
+            ns[s] = ns.get(s, 0) + 1
+        total = sum(ns.values())
+        gb = {b: sum(c for (s2, b2), c in counts.items() if b2 == b) for b in range(10)}
+        want = {}
+        for s, n in ns.items():
+            psi = 0.0
+            for b in range(10):
+                sc = counts.get((s, b), 0)
+                ps = (sc + 1.0) / (n + 10)
+                pr = (gb[b] - sc + 1.0) / (total - n + 10)
+                psi += round((ps - pr) * math.log(ps / pr), 6)
+            want[s] = (n, round(psi, 6))
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r.source: (r.n_docs, round(r.psi, 6)) for r in quality_drift(docs).collect()}
+        assert got == want, f"seed {seed}"
