@@ -90,10 +90,22 @@ def salted_join(
         # getNumPartitions returns the FINAL (post-coalescing) reducer
         # count and the stats pass below is a cheap re-read, not a rerun.
         counts = facts.groupBy(key).count().localCheckpoint()
-        parts = counts.rdd.getNumPartitions()
-        stats = counts.agg(
-            F.max("count").alias("hot"), F.sum("count").alias("n")
-        ).collect()[0]
+        try:
+            parts = counts.rdd.getNumPartitions()
+            stats = counts.agg(
+                F.max("count").alias("hot"), F.sum("count").alias("n")
+            ).collect()[0]
+        finally:
+            # The checkpointed blocks otherwise stay in executor storage for
+            # the rest of the session on every guard call. df.rdd.unpersist()
+            # does NOT touch them (it unpersists a derived conversion RDD);
+            # the blocks belong to the LogicalRDD inside the checkpointed
+            # frame's plan. Best-effort: a py4j surface change must not turn
+            # the diagnostic guard into a crash.
+            try:
+                counts._jdf.queryExecution().logical().rdd().unpersist(False)
+            except Exception:
+                pass
         fair = stats["n"] / max(parts, 1)
         ratio = stats["hot"] / fair
         if parts <= 10:

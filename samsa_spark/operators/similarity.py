@@ -749,6 +749,20 @@ def pq_encode(
     )
 
 
+def _codebook_stride(codebooks: DataFrame) -> int:
+    """The ADC distance table is indexed ``s * n_cents + cid``: if a
+    caller-supplied codebook was trained with a k different from the
+    call's ``n_cents``, lookups silently mis-index (or throw
+    INVALID_ARRAY_INDEX under ANSI) with no diagnostic. Derive the stride
+    from the codebook itself — ``cid`` is contiguous 0..k-1 by
+    construction (seed rank), so the stride is max(cid)+1. One tiny
+    driver action over the m x k codebook frame, prebuilt path only."""
+    top = codebooks.agg(F.max("cid")).first()[0]
+    if top is None:
+        raise ValueError("prebuilt codebooks frame is empty")
+    return int(top) + 1
+
+
 def pq_topk(
     embeddings: DataFrame,
     n_probes: int = 20,
@@ -781,12 +795,14 @@ def pq_topk(
     near-orthogonal noise, and production dials m/k up with dimension.
     """
     # Prebuilt artifacts (build-once/query-many, the ivf_topk_prebuilt
-    # split): pass codebooks+codes to pay only the probe-side work.
-    cb = (
-        codebooks
-        if codebooks is not None
-        else pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
-    )
+    # split): pass codebooks+codes to pay only the probe-side work. The
+    # stride comes from the codebook itself so a prebuilt codebook trained
+    # with a different k cannot silently mis-index the distance table.
+    if codebooks is not None:
+        cb = codebooks
+        n_cents = _codebook_stride(cb)
+    else:
+        cb = pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
     if codes is None:
         codes = pq_encode(embeddings, cb, m=m)
     base = embeddings.select(
@@ -991,19 +1007,19 @@ def ivf_pq_topk(
                 F.zip_with("emb", "cent", lambda x, y: x - y).alias("embedding"),
             )
         )
-        cb = (
-            codebooks
-            if codebooks is not None
-            else pq_codebooks(res, m=m, k=n_cents).localCheckpoint(eager=True)
-        )
+        if codebooks is not None:
+            cb = codebooks
+            n_cents = _codebook_stride(cb)
+        else:
+            cb = pq_codebooks(res, m=m, k=n_cents).localCheckpoint(eager=True)
         if codes is None:
             codes = pq_encode(res, cb, m=m)
     else:
-        cb = (
-            codebooks
-            if codebooks is not None
-            else pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
-        )
+        if codebooks is not None:
+            cb = codebooks
+            n_cents = _codebook_stride(cb)
+        else:
+            cb = pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
         if codes is None:
             codes = pq_encode(embeddings, cb, m=m)
     codes = codes.join(assign, "vec_id")

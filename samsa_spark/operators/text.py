@@ -492,9 +492,14 @@ def _merge_pairs_col(sym: str, pairs: list[tuple[str, str]]) -> F.Column:
     non-overlapping scan; because the pairs share no symbol (and none
     consumes another's freshly created concat — the batch selector
     guarantees both), applying them in one fold equals applying each as
-    its own full pass over the same input, in any order. ``pairs`` are
-    per-iteration literals, so nothing row-level is re-evaluated inside
-    the lambda (note 20)."""
+    its own full pass over the same input in the CHOSEN
+    (count desc, left, right) order. Not "any order": the selector blocks
+    only the symbol-consumes-concat direction, so an earlier pair's
+    symbol may equal a later pair's concat — e.g. (ab,c) admitted before
+    (a,b) — and the reverse sequential order would then merge
+    freshly-created "ab" symbols with "c", diverging from the fold.
+    ``pairs`` are per-iteration literals, so nothing row-level is
+    re-evaluated inside the lambda (note 20)."""
 
     def step(acc, s):
         hit = None
