@@ -684,10 +684,8 @@ _DEMOTED = (
     "st7_streaming_sessions",         # st1/st3 keep the streaming engine in-window and ses1 anchors sessionization; the native session_window append path is pytest-oracle-checked (sentinel-flushed emission == batch gap sessionization)
     "fu2_funnel_report",              # fu1 anchors the funnel family in-window (promoted round 8); the per-stage conversion report collapses fu1's output through one tiny aggregate and is pytest-oracle-checked
     "qz3_pq_topk",                    # sim1/sim4 anchor probe-broadcast top-k and vec1 the embedding surface in-window; the PQ ADC search (codebooks via sim6's exact one-Lloyd-step recipe) is pytest-oracle-checked + planted-structure recall-tested
-    "bm1_bm25_topk",                  # tf1 anchors the explode->posting-list->score text-retrieval shape in-window and sim1 the probe-broadcast top-k; the BM25 keyword search is pytest-oracle-checked (exact DECIMAL-summed twin + planted-relevance test)
     "dv1_diversity_sample",           # sim4 anchors the cell-quantize shape in-window (dv1 reuses sim6's exact quantizer stages); the cluster-balanced selection is pytest-oracle-checked + planted-imbalance coverage-tested
     "is1_importance_resample",        # tf1/qf1 anchor the vocab-aggregate + broadcast-cutpoint shapes in-window (is1 composes lm1's LM with sp2's percentile_disc rule); the DSIR-style selection is pytest-oracle-checked + planted-domain-affinity tested
-    "qz4_ivf_pq_topk",                # sim4 anchors cell-probe pruning and qz3's in-window siblings the ADC shape; the composed IVF-PQ layout is pytest-oracle-checked + pruning/recall-tested
     "pmi1_collocations",              # tf1/tok1 anchor the explode->count->rank collocation shapes in-window; the PMI miner (relative support floor, note 29) is pytest-oracle-checked + planted-collocation tested
     "rrf1_hybrid_fusion",             # sim1 (dense) and bm1's in-window siblings (lexical) anchor both fused systems; the RRF hybrid retriever is pytest-oracle-checked + union/containment tested
     "an1_value_outliers",             # d8 anchors per-key moment aggregation in-window; the z-score outlier tripwire (exact decimal moments, fixed-formula variance) is pytest-oracle-checked + planted-outlier tested
@@ -699,6 +697,11 @@ _DEMOTED = (
     "dd13_normalized_dedup",          # dd1 anchors content-hash dedup in-window (dd13 is its plan with the canonicalization fused into the scan); pytest-oracle-checked + planted case/punct-variant test
     "sp3_kfold_split",                # sp1 anchors hash-deterministic splits in-window (sp3 is its modulus form); pytest-oracle-checked + note-27 composition test (folds uniform inside sp1-train)
     "lm3_interpolated_logprob",       # tf1 anchors the explode->vocab->score shape in-window (lm1/lm2's rationale); the Jelinek-Mercer mixture is pytest-oracle-checked + parent-failure-mode test
+    # round-9 rotation: bm1 (retrieval) and qz4 (composed IVF-PQ) are new
+    # FAMILIES promoted behind the driver's own gate; these two same-shape
+    # per-row text batteries rotate out (round-3 protocol).
+    "tx5_corpus_stats",               # tx1 (token counts) + tx2 (quality) + nt1 (distribution shape) anchor corpus statistics in-window; the corpus-level roll-up of those same per-row stats is pytest-oracle-checked — slot went to bm1 BM25 retrieval (round-9 rotation)
+    "tx3_lang_id",                    # tx2 anchors the per-row stopword-battery scoring shape in-window (tx3 is the same pure-column-expression plan family voting per language); pytest-oracle-checked + planted-language test — slot went to qz4 composed IVF-PQ (round-9 rotation)
 )
 
 

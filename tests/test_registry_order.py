@@ -32,6 +32,9 @@ MUST_BE_CHECKED = [
     # round-8 rotation: the hardest round-7 operators behind the driver gate
     "hh1_heavy_ngrams",
     "fu1_funnel_stages",
+    # round-9 rotation: the retrieval + composed-ANN families behind the gate
+    "bm1_bm25_topk",
+    "qz4_ivf_pq_topk",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -100,6 +103,9 @@ SIBLINGS = {
     "dd13_normalized_dedup": ["dd1_exact_dedup"],
     "sp3_kfold_split": ["sp1_deterministic_split"],
     "lm3_interpolated_logprob": ["tf1_tfidf_top_terms"],
+    # round-9 rotation: demoted to make room for bm1/qz4
+    "tx5_corpus_stats": ["tx1_token_counts", "tx2_quality_scores", "nt1_equidepth_histogram"],
+    "tx3_lang_id": ["tx2_quality_scores", "tx1_token_counts"],
 }
 
 
