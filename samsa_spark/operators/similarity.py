@@ -938,6 +938,7 @@ def ivf_pq_topk(
     centroids: DataFrame | None = None,
     assignments: DataFrame | None = None,
     residual: bool = False,
+    min_corpus_id: int | None = None,
 ) -> DataFrame:
     """qz4 — IVF-PQ: the composed production ANN layout (Jégou et al.
     2011 §IV; what FAISS ``IVFx,PQy`` ships). The coarse quantizer
@@ -1023,6 +1024,12 @@ def ivf_pq_topk(
         if codes is None:
             codes = pq_encode(embeddings, cb, m=m)
     codes = codes.join(assign, "vec_id")
+    # ``min_corpus_id`` restricts the SEARCHED corpus (rrf_fusion_ann's
+    # probe/corpus split: probes are ids < probe_max_id, candidates >=) —
+    # a filter on the m-bytes-wide code frame, applied before the cell
+    # join so pruned rows never reach the candidate stage.
+    if min_corpus_id is not None:
+        codes = codes.where(F.col("vec_id") >= min_corpus_id)
     probes = base.where(F.col("vec_id") < n_probes)
     from pyspark.sql import Window
 
@@ -1222,6 +1229,7 @@ def rrf_fusion(
     k_each: int = 10,
     k: int = 5,
     rrf_k: int = RRF_K,
+    dense_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """rrf1 — hybrid retrieval by Reciprocal Rank Fusion (Cormack,
     Clarke & Buettcher 2009): fuse BM25 lexical ranks (bm1) with dense
@@ -1244,32 +1252,41 @@ def rrf_fusion(
     emits only n_probes x k_each rows, so the full-outer fusion join and
     the final top-k window run on probe-bounded frames — the corpus-side
     cost is exactly the two systems' own (already floor-guarded) plans.
+
+    ``dense_ranks`` swaps the dense arm: pass a ``(q_id, id, dense_rank)``
+    frame from any dense retriever (the default is the exact-oracle
+    brute-force scan; :func:`rrf_fusion_ann` supplies a prebuilt-IVF-PQ
+    arm — the form a 100 TB pipeline actually runs, since the default's
+    corpus-linear cosine scan is this operator's one scale weakness).
     """
     from samsa_spark.operators.text import bm25_topk
 
     lex = bm25_topk(documents, probe_max_id=probe_max_id, k=k_each).select(
         "q_id", F.col("doc_id").alias("id"), F.col("rank").alias("lex_rank")
     )
-    base = embeddings.select("vec_id", "embedding")
-    probes = F.broadcast(
-        base.where(F.col("vec_id") < probe_max_id).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-        )
-    )
-    dscored = (
-        base.where(F.col("vec_id") >= probe_max_id)
-        .crossJoin(probes)
-        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
-        .select("q_id", F.col("vec_id").alias("id"), "cos")
-    )
     from pyspark.sql import Window
 
-    wd = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
-    dense = (
-        dscored.withColumn("drank", F.row_number().over(wd))
-        .where(F.col("drank") <= k_each)
-        .select("q_id", "id", F.col("drank").alias("dense_rank"))
-    )
+    if dense_ranks is not None:
+        dense = dense_ranks.select("q_id", "id", "dense_rank")
+    else:
+        base = embeddings.select("vec_id", "embedding")
+        probes = F.broadcast(
+            base.where(F.col("vec_id") < probe_max_id).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+            )
+        )
+        dscored = (
+            base.where(F.col("vec_id") >= probe_max_id)
+            .crossJoin(probes)
+            .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+            .select("q_id", F.col("vec_id").alias("id"), "cos")
+        )
+        wd = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+        dense = (
+            dscored.withColumn("drank", F.row_number().over(wd))
+            .where(F.col("drank") <= k_each)
+            .select("q_id", "id", F.col("drank").alias("dense_rank"))
+        )
     fused = lex.join(dense, ["q_id", "id"], "full_outer").select(
         "q_id",
         "id",
@@ -1360,6 +1377,112 @@ r AS (
 )
 SELECT q_id, id, rrf_score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """
+
+
+def save_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    cells: int = 32,
+    iters: int = 1,
+    m: int = PQ_M,
+    n_cents: int = PQ_K,
+) -> None:
+    """Persist a full IVF-PQ index — :func:`save_index`'s IVF layout
+    (``centroids`` + cell-partitioned ``assignments``) plus the PQ
+    artifacts (``pq_codebooks``, ``pq_codes`` partitioned by cell) — the
+    build-once half of the build-once/query-many split qz4's measured
+    regime runs (PLANS.md ivfpq sweep: query-only is 2x faster and flat
+    in corpus size; the rebuild-per-call form is the wrong regime).
+
+    The stored corpus form is ``(vec_id, codes, cell)`` — m bytes + two
+    ids per vector; embeddings themselves are stored only in
+    ``assignments`` for probe lookup and drift checks. Non-residual
+    codes (one shared codebook), so the artifacts feed
+    :func:`ivf_pq_topk`'s prebuilt kwargs unchanged."""
+    cents = kmeans_centroids(embeddings, k=cells, iters=iters, round_cents=6)
+    base = embeddings.select("vec_id", "embedding")
+    assign = _nearest_cell(base, cents, "cell")
+    cb = pq_codebooks(embeddings, m=m, k=n_cents).localCheckpoint(eager=True)
+    codes = pq_encode(embeddings, cb, m=m).join(
+        assign.select("vec_id", "cell"), "vec_id"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assign.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
+    cb.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/pq_codes")
+
+
+def load_pq_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """The four prebuilt frames back from :func:`save_pq_index`'s layout,
+    keyed to match :func:`ivf_pq_topk`'s kwargs (``codes`` keeps its cell
+    column; ivf_pq_topk re-joins assignments by vec_id, which is exact
+    since both came from the same build)."""
+    return {
+        "centroids": spark.read.parquet(f"{path}/centroids"),
+        "assignments": spark.read.parquet(f"{path}/assignments").select(
+            "vec_id", "embedding", "cell"
+        ),
+        "codebooks": spark.read.parquet(f"{path}/pq_codebooks"),
+        "codes": spark.read.parquet(f"{path}/pq_codes").select("vec_id", "codes"),
+    }
+
+
+def rrf_fusion_ann(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    probe_max_id: int = 20,
+    k_each: int = 10,
+    k: int = 5,
+    rrf_k: int = RRF_K,
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    index_path: str | None = None,
+) -> DataFrame:
+    """rrf2 — hybrid retrieval with an ANN-BACKED dense arm: rrf1's RRF
+    fusion, but the dense ranks come from prebuilt IVF-PQ
+    (:func:`ivf_pq_topk`'s query-only path) instead of the brute-force
+    corpus scan. This is the composition a real curation/RAG pipeline
+    runs at scale — rrf1's exact-oracle form must score every corpus
+    vector per probe (corpus-linear, its documented scale weakness);
+    here the corpus side of the dense query is the probed cells' code
+    partitions only (m bytes/vector), flat in corpus size for a fixed
+    cell layout.
+
+    Dense artifacts come from (in precedence order) ``index_path``
+    (:func:`save_pq_index`'s layout), the explicit
+    centroids/assignments/codebooks/codes kwargs, or an inline build
+    (the rebuild-per-call regime — correct but the wrong cost shape;
+    benched separately). Approximation honesty: ADC ranks are L2-based
+    and quantized, so fused output is approximate vs rrf1 — recall on
+    clustered corpora is pytest-asserted (>= 0.9), not claimed for
+    near-orthogonal noise."""
+    if index_path is not None:
+        idx = load_pq_index(documents.sparkSession, index_path)
+        centroids, assignments = idx["centroids"], idx["assignments"]
+        codebooks, codes = idx["codebooks"], idx["codes"]
+    dense = ivf_pq_topk(
+        embeddings,
+        n_probes=probe_max_id,
+        k=k_each,
+        centroids=centroids,
+        assignments=assignments,
+        codebooks=codebooks,
+        codes=codes,
+        min_corpus_id=probe_max_id,
+    ).select(
+        "q_id", F.col("vec_id").alias("id"), F.col("rank").alias("dense_rank")
+    )
+    return rrf_fusion(
+        documents,
+        embeddings,
+        probe_max_id=probe_max_id,
+        k_each=k_each,
+        k=k,
+        rrf_k=rrf_k,
+        dense_ranks=dense,
+    )
 
 
 def diversity_sample(
@@ -1877,6 +2000,17 @@ def build_queries():
                 tables.load(spark, sf, "embeddings"),
             ),
             _RRF1_SQL,
+        ),
+        # ANN-backed fusion: the dense arm's ADC ranks quantize through
+        # PQ codes -> rows-only driver check; equivalence of the fusion
+        # algebra and recall vs the brute-force twin (>= 0.9 on planted
+        # clusters) are pytest-asserted in tests/test_similarity.py.
+        "rrf2_hybrid_fusion_ann": (
+            lambda spark, sf: rrf_fusion_ann(
+                tables.load(spark, sf, "documents"),
+                tables.load(spark, sf, "embeddings"),
+            ),
+            None,
         ),
         # SemDeDup: k-means cells + UDF cosines -> rows-only driver check;
         # ground truth is the planted-corpus recall suite

@@ -239,3 +239,49 @@ def run_incremental_dedup(stream_df: DataFrame, checkpoint_dir: str, index: Incr
     )
     q.awaitTermination()
     return q
+
+
+class StreamingIndexAppender:
+    """foreachBatch sink growing a saved IVF embedding index from a live
+    vector stream — the embedding-side twin of :class:`IncrementalDedupIndex`
+    and the streaming half of the index lifecycle
+    (``save_index`` builds once; this keeps it current as vectors arrive).
+
+    Each micro-batch runs :func:`samsa_spark.operators.similarity.append_index`:
+    the batch's vectors are assigned against the SAVED centroids (the
+    quantizer stays frozen — the append contract), their cell-partitioned
+    parquet lands inside the existing layout, and a drift row per touched
+    cell is recorded under a monotone ``append_id`` — so falling assignment
+    cosines across batches are the live signal that the frozen quantizer no
+    longer fits the incoming distribution and a rebuild is due.
+
+    Exactly like the dedup index, appends are at-least-once: a batch
+    retried after its files landed would duplicate vectors (callers that
+    need exactly-once keep vec_id-keyed dedup downstream or rebuild from
+    the source of truth). Readers (``ivf_topk_prebuilt``) see each append
+    atomically at the file level and the same partition pruning as a
+    batch-built index."""
+
+    def __init__(self, index_path: str) -> None:
+        self.index_path = index_path
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from samsa_spark.operators.similarity import append_index
+
+        if batch_df.isEmpty():
+            return
+        append_index(batch_df.sparkSession, self.index_path, batch_df)
+
+
+def run_streaming_index_append(
+    stream_df: DataFrame, checkpoint_dir: str, appender: StreamingIndexAppender
+):
+    """Drain a vector stream into the saved index with AvailableNow."""
+    q = (
+        stream_df.writeStream.foreachBatch(appender)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -314,6 +314,15 @@ def test_rrf1_fusion_join_is_equi_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_rrf2_ann_dense_arm_is_cell_pruned_hash_join(spark):
+    """rrf2's whole point: the dense arm's corpus side must reach the
+    fusion through the IVF cell equi-join (broadcast probe cells), never a
+    corpus-wide scan — no cartesian anywhere in the composed plan."""
+    p = _plan(spark, "rrf2_hybrid_fusion_ann")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_psi1_bin_counts_partial_no_cartesian(spark):
     """psi1's one corpus pass must be the algebraic (source, bin) count
     with map-side partials; everything downstream is sources x bins."""

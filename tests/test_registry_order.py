@@ -182,6 +182,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "tok2_bpe_train",  # iterative argmax loop; pure-Python trainer ground truth in pytest
         "cs3_corpus_overlap",  # theta-sketch set algebra; exact-below-nominal-entries pytest
         "rp2_pca_projection",  # eigenbasis last-ulp float-order dependent; numpy-agreement pytest
+        "rrf2_hybrid_fusion_ann",  # PQ-quantized dense ranks; brute-twin recall pytest
     }, f"unexpected rows-only queries: {rows_only}"
 
 

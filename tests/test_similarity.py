@@ -816,3 +816,170 @@ def test_qz4_residual_deterministic_under_repartition(spark):
     a = {tuple(r) for r in ivf_pq_topk(emb, residual=True).collect()}
     b = {tuple(r) for r in ivf_pq_topk(emb.repartition(7), residual=True).collect()}
     assert a == b and len(a) > 0
+
+
+# --- rrf2: ANN-backed hybrid fusion -----------------------------------------
+
+
+def _clustered_hybrid_corpus(spark, n_clusters=10, per_cluster=12):
+    """Aligned documents + embeddings with planted cluster structure: doc i
+    and vector i share cluster ``i % n_clusters``; texts carry three
+    cluster-distinctive tokens so BOTH retrieval arms see the clusters.
+    per_cluster=12 leaves exactly 10 corpus members (ids >= 20) per
+    cluster — equal to k_each, so any sane dense metric must retrieve the
+    same membership and fused-set recall is a sharp assertion."""
+    emb, _ = _clustered_embeddings(spark, n_clusters=n_clusters, per_cluster=per_cluster)
+    rows = [
+        (
+            i,
+            f"topic{i % n_clusters} alpha{i % n_clusters} beta{i % n_clusters}"
+            f" common filler{i % 3}",
+        )
+        for i in range(n_clusters * per_cluster)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return docs, emb, n_clusters
+
+
+def test_rrf2_dense_ranks_passthrough_equals_default(spark):
+    """The pluggable dense arm must be algebra-free: feeding rrf_fusion the
+    SAME brute-force rank frame it would build internally reproduces the
+    default output exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import _cos_sim_udf, rrf_fusion
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    probes = F.broadcast(
+        base.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    wd = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    dense = (
+        base.where(F.col("vec_id") >= 20)
+        .crossJoin(probes)
+        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+        .select("q_id", F.col("vec_id").alias("id"), "cos")
+        .withColumn("dense_rank", F.row_number().over(wd))
+        .where(F.col("dense_rank") <= 10)
+        .select("q_id", "id", "dense_rank")
+    )
+    a = {tuple(r) for r in rrf_fusion(docs, emb).collect()}
+    b = {tuple(r) for r in rrf_fusion(docs, emb, dense_ranks=dense).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_rrf2_ann_recall_vs_brute_twin_on_planted_clusters(spark):
+    """The verdict-bar test: ANN-backed fusion (prebuilt IVF-PQ dense arm)
+    must retrieve >= 0.9 of the brute-force twin's fused set per query on
+    a planted-cluster corpus — the regime where the approximation is
+    supposed to be lossless in membership."""
+    from samsa_spark.operators.similarity import (
+        _nearest_cell,
+        kmeans_centroids,
+        pq_codebooks,
+        pq_encode,
+        rrf_fusion,
+        rrf_fusion_ann,
+    )
+
+    docs, emb, n_clusters = _clustered_hybrid_corpus(spark)
+    cents = kmeans_centroids(emb, k=n_clusters, iters=4, round_cents=6)
+    asg = _nearest_cell(emb.select("vec_id", "embedding"), cents, "cell").select(
+        "vec_id", "cell"
+    )
+    cb = pq_codebooks(emb).localCheckpoint(eager=True)
+    codes = pq_encode(emb, cb)
+    brute = rrf_fusion(docs, emb, k_each=10, k=10).collect()
+    ann = rrf_fusion_ann(
+        docs,
+        emb,
+        k_each=10,
+        k=10,
+        centroids=cents,
+        assignments=asg,
+        codebooks=cb,
+        codes=codes,
+    ).collect()
+    by_q_brute: dict = {}
+    for r in brute:
+        by_q_brute.setdefault(r.q_id, set()).add(r.id)
+    by_q_ann: dict = {}
+    for r in ann:
+        by_q_ann.setdefault(r.q_id, set()).add(r.id)
+    assert set(by_q_ann) == set(range(20))
+    recalls = [
+        len(by_q_ann.get(q, set()) & s) / len(s) for q, s in by_q_brute.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"fused-set recall {mean_recall}"
+    # the dense arm really is cluster-faithful, not just riding lexical
+    same = [
+        1 if r.id % n_clusters == r.q_id % n_clusters else 0 for r in ann
+    ]
+    assert sum(same) / len(same) >= 0.9
+
+
+def test_rrf2_index_path_roundtrip_matches_in_memory_artifacts(spark):
+    """save_pq_index -> rrf_fusion_ann(index_path=) must equal the same
+    fusion against identically-parameterized in-memory artifacts: the
+    persisted layout is a pure transport, not a different index."""
+    import tempfile
+
+    from samsa_spark.operators.similarity import (
+        _nearest_cell,
+        kmeans_centroids,
+        pq_codebooks,
+        pq_encode,
+        rrf_fusion_ann,
+        save_pq_index,
+    )
+
+    docs, emb, n_clusters = _clustered_hybrid_corpus(spark)
+    path = tempfile.mkdtemp(prefix="samsa-pqidx-")
+    save_pq_index(emb, path, cells=n_clusters, iters=4)
+    a = {
+        tuple(r)
+        for r in rrf_fusion_ann(docs, emb, k_each=10, k=10, index_path=path).collect()
+    }
+    cents = kmeans_centroids(emb, k=n_clusters, iters=4, round_cents=6)
+    asg = _nearest_cell(emb.select("vec_id", "embedding"), cents, "cell").select(
+        "vec_id", "cell"
+    )
+    cb = pq_codebooks(emb).localCheckpoint(eager=True)
+    codes = pq_encode(emb, cb)
+    b = {
+        tuple(r)
+        for r in rrf_fusion_ann(
+            docs,
+            emb,
+            k_each=10,
+            k=10,
+            centroids=cents,
+            assignments=asg,
+            codebooks=cb,
+            codes=codes,
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_pq_prebuilt_codebook_with_different_k_uses_its_own_stride(spark):
+    """The advisor's mis-indexing trap: a prebuilt codebook trained with
+    k=8 fed to a call whose default n_cents is 16 must produce the SAME
+    result as an inline k=8 build — the stride comes from the codebook,
+    never the call's default."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import pq_codebooks, pq_encode, pq_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    cb8 = pq_codebooks(emb, k=8).localCheckpoint(eager=True)
+    codes8 = pq_encode(emb, cb8)
+    a = {tuple(r) for r in pq_topk(emb, n_cents=8).collect()}
+    b = {tuple(r) for r in pq_topk(emb, codebooks=cb8, codes=codes8).collect()}
+    assert a == b and len(a) > 0

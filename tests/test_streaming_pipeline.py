@@ -365,3 +365,62 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path):
     )
     assert got == want
     assert len(got) == len(set(got)), "restart must not duplicate matches"
+
+
+def test_streaming_index_append_matches_union_built_index(spark, tmp_path):
+    """The embedding-side twin of the incremental dedup index: a saved IVF
+    index grown from a multi-batch vector stream (one append_index call per
+    micro-batch through foreachBatch) must answer queries exactly like the
+    in-memory assignment of the UNION corpus against the same frozen
+    centroids, and the drift ledger must carry one monotone append_id per
+    non-empty batch covering every streamed vector once."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        _ivf_query,
+        ivf_topk_prebuilt,
+        load_index,
+        save_index,
+    )
+    from samsa_spark.streaming.pipeline import (
+        StreamingIndexAppender,
+        run_streaming_index_append,
+    )
+    from samsa_spark.streaming.sources import file_stream
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    save_index(half1, path, cells=8)
+
+    src = str(tmp_path / "src")
+    half2.repartition(4).write.parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_streaming_index_append(
+            file_stream(spark, src, half2.schema, max_files_per_trigger=1),
+            str(tmp_path / "chk"),
+            StreamingIndexAppender(path),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    cents, _ = load_index(spark, path)
+    got = sorted(
+        tuple(r) for r in ivf_topk_prebuilt(spark, path, n_probes=20, k=5).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _ivf_query(
+            emb.select("vec_id", "embedding"), cents, "cell", n_probes=20, k=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    drift = spark.read.parquet(f"{path}/drift").collect()
+    ids = sorted({r.append_id for r in drift})
+    assert ids == list(range(len(ids))) and len(ids) >= 2  # several batches, monotone
+    assert sum(r.n_appended for r in drift) == half2.count()
