@@ -427,6 +427,130 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def train_classifier(
+    documents: DataFrame,
+    label_col: str = "label",
+    n_features: int = 1024,
+    iters: int = 40,
+    lr: float = 50.0,
+) -> DataFrame:
+    """cls2 — IN-ENGINE training for cls1's linear quality classifier
+    (the fastText/FineWeb-Edu stage's fit half; cls1 was apply-only with
+    externally fitted weights). Full-batch logistic regression on hashed
+    bag-of-words features, returned as the ``(token, weight)`` frame
+    :func:`classifier_score` consumes directly — the model form IS cls1's
+    scoring rule: with per-token weights w, cls1's ``mean(weight)`` equals
+    ``w . x`` for x = token counts / doc length (x sums to 1), so the
+    trained decision boundary transfers exactly.
+
+    Algorithm: tokens hash into ``n_features`` buckets (32-bit sha256
+    prefix mod n_features — cls1's portable-hash idiom); each training
+    doc becomes a sparse (buckets, x) pair list built ONCE (one explode +
+    two aggregates, then ``localCheckpoint`` so the per-iteration lineage
+    is flat); every iteration is ONE Arrow-batched ``mapInPandas`` pass
+    emitting sparse per-partition gradient partials (at most n_features
+    rows each, vectorized ``np.add.at`` inside — corpus rows never reach
+    the driver), reduced by a (bucket, value) hash aggregate exactly like
+    rp2's moment reduction; the driver updates the n_features-float
+    weight vector and re-broadcasts it as the next closure (sim5's
+    bounded-driver-state exception class). Cost: ``iters`` jobs over the
+    checkpointed feature frame — the BPE-loop shape, not a shuffle chain.
+
+    Rows-only surface (like rp2): partial gradient sums are float adds
+    across partitions, order-dependent in the last ulp, so there is no
+    cross-engine hash; ground truth in pytest is an independently coded
+    numpy trainer (identical math, different code — the note-27 stance),
+    planted-label separation, and the cls1-consumes-cls2 composition.
+
+    Docs with no tokens carry no gradient and are excluded; returned
+    weights cover the training vocabulary (token -> its bucket's weight).
+    The default ``lr`` looks large because features are L1-normalized
+    (x sums to 1 per doc), which shrinks gradients by ~doc length —
+    measured on the planted-label pytest corpus, lr=5 needs ~200
+    iterations for separation where lr=50-100 needs ~40.
+    """
+    import numpy as np
+
+    lab = F.col(label_col).cast("double").alias("_y")
+    toks = documents.select("doc_id", lab, F.explode(_toks()).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.sha2("tok", 256), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_features),
+    ).cast("int")
+    bt = toks.select("doc_id", "_y", bucket.alias("b"))
+    cnt = bt.groupBy("doc_id", "_y", "b").agg(F.count("*").alias("c"))
+    tot = bt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    feat = (
+        cnt.join(tot, "doc_id")
+        .select("doc_id", "_y", "b", (F.col("c") / F.col("n")).alias("x"))
+        .groupBy("doc_id", "_y")
+        .agg(F.sort_array(F.collect_list(F.struct("b", "x"))).alias("p"))
+        .select(
+            "_y",
+            F.transform("p", lambda s: s["b"]).alias("bs"),
+            F.transform("p", lambda s: s["x"]).alias("xs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = feat.count()
+    if n_docs == 0:
+        raise ValueError("train_classifier: no documents with tokens")
+
+    w = np.zeros(n_features, dtype=np.float64)
+    for _ in range(iters):
+        w_lit = w  # rebind per iteration: the closure must pickle THIS w
+
+        def _grad(it, w_lit=w_lit, n_features=n_features):
+            import numpy as _np
+            import pandas as _pd
+
+            g = _np.zeros(n_features, dtype=_np.float64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                lens = pdf["bs"].map(len).to_numpy()
+                keep = lens > 0
+                if not keep.any():
+                    continue
+                bs = _np.concatenate(pdf["bs"][keep].to_list()).astype(_np.int64)
+                xs = _np.concatenate(pdf["xs"][keep].to_list())
+                y = pdf["_y"].to_numpy(_np.float64)[keep]
+                seg = _np.repeat(_np.arange(keep.sum()), lens[keep])
+                m = _np.zeros(keep.sum())
+                _np.add.at(m, seg, w_lit[bs] * xs)
+                r = 1.0 / (1.0 + _np.exp(-m)) - y
+                _np.add.at(g, bs, r[seg] * xs)
+            idx = _np.nonzero(g)[0]
+            yield _pd.DataFrame({"i": idx.astype("int64"), "g": g[idx]})
+
+        parts = feat.mapInPandas(_grad, schema="i long, g double")
+        reduced = parts.groupBy("i").agg(F.sum("g").alias("g")).collect()
+        grad = np.zeros(n_features, dtype=np.float64)
+        for r in reduced:
+            grad[r.i] = r.g
+        w = w - lr * grad / n_docs
+
+    vocab = (
+        documents.select(F.explode(_toks()).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    vb = F.pmod(
+        F.conv(F.substring(F.sha2("token", 256), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_features),
+    ).cast("int")
+    wdf = documents.sparkSession.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(w)], "b int, weight double"
+    )
+    return (
+        vocab.select("token", vb.alias("b"))
+        .join(F.broadcast(wdf), "b")
+        .select("token", "weight")
+    )
+
+
 def bpe_pair_counts(documents: DataFrame, top: int = 20) -> DataFrame:
     """tok1 — the tokenizer-TRAINING primitive: corpus-weighted adjacent
     character-pair counts, i.e. the statistic the first BPE merge
@@ -1407,7 +1531,21 @@ def build_queries():
         # locks exact parity below nominal entries (planted overlapping
         # sources) and repartition-invariance.
         "cs3_corpus_overlap": (q(corpus_overlap), None),
+        # iterative gradient fit with float-order-dependent partial sums
+        # (rp2's reason) -> rows-only; ground truth is an independent
+        # numpy trainer + planted-label separation + the
+        # cls1-consumes-cls2-weights composition (tests/test_text.py).
+        # The registered form fits an English-vs-rest model on the lang
+        # column (the fixture's only honest binary label).
+        "cls2_train_classifier": (_cls2_query, None),
     }
+
+
+def _cls2_query(spark: SparkSession, sf: str) -> DataFrame:
+    docs = tables.load(spark, sf, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    return train_classifier(docs, iters=15)
 
 
 def _hh2_query(spark: SparkSession, sf: str) -> DataFrame:

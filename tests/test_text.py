@@ -1195,3 +1195,113 @@ def test_psi_matches_independent_python_model_on_random_corpora(spark):
         docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
         got = {r.source: (r.n_docs, round(r.psi, 6)) for r in quality_drift(docs).collect()}
         assert got == want, f"seed {seed}"
+
+
+# --- cls2: in-engine classifier training ------------------------------------
+
+
+def _planted_label_corpus(spark, n=200, seed=3):
+    """Binary-labeled corpus with a real signal: label-1 docs draw half
+    their tokens from a 'good' vocabulary, label-0 from a 'bad' one, both
+    mixed with shared filler — separable, but not trivially (the filler
+    buckets carry no label information)."""
+    import random
+
+    rng = random.Random(seed)
+    good = [f"good{i}" for i in range(30)]
+    bad = [f"bad{i}" for i in range(30)]
+    common = [f"filler{i}" for i in range(50)]
+    rows = []
+    for i in range(n):
+        y = i % 2
+        pool = good if y else bad
+        toks = [rng.choice(pool) for _ in range(8)] + [
+            rng.choice(common) for _ in range(8)
+        ]
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks), y))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def _numpy_trainer(docs, n_features, iters, lr):
+    """Independently coded full-batch logistic trainer (the note-27
+    shared-formula antidote): same math as cls2, separate implementation
+    path — dense feature matrix, hashlib bucket hash, vectorized GD."""
+    import hashlib
+
+    import numpy as np
+
+    X = np.zeros((len(docs), n_features))
+    y = np.zeros(len(docs))
+    for r, (text, label) in enumerate(docs):
+        toks = [t for t in text.split(" ") if t != ""]
+        for t in toks:
+            b = int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) % n_features
+            X[r, b] += 1.0
+        X[r] /= len(toks)
+        y[r] = label
+    w = np.zeros(n_features)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - lr * (X.T @ (p - y)) / len(docs)
+    return w
+
+
+def test_cls2_matches_independent_numpy_trainer(spark):
+    """The Spark gradient loop must reproduce the independently coded
+    numpy trainer's weights to float tolerance on the same corpus and
+    hyperparameters (token -> bucket -> weight checked per vocab token)."""
+    import hashlib
+
+    from samsa_spark.operators.text import train_classifier
+
+    docs = _planted_label_corpus(spark)
+    nf, iters, lr = 64, 10, 5.0
+    got = {
+        r.token: r.weight
+        for r in train_classifier(
+            docs, n_features=nf, iters=iters, lr=lr
+        ).collect()
+    }
+    rows = [(r.text, r.label) for r in docs.collect()]
+    w = _numpy_trainer(rows, nf, iters, lr)
+    assert len(got) == 110  # 30 good + 30 bad + 50 filler
+    for tok, wt in got.items():
+        b = int(hashlib.sha256(tok.encode()).hexdigest()[:8], 16) % nf
+        assert abs(wt - w[b]) < 1e-9, (tok, wt, w[b])
+
+
+def test_cls2_weights_separate_planted_labels_through_cls1(spark):
+    """The composition the operator exists for: cls2's weights fed to
+    cls1's broadcast-join scorer must classify HELD-OUT planted docs at
+    >= 0.9 accuracy (train on 3/4, test on the held-out quarter)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.text import classifier_score, train_classifier
+
+    docs = _planted_label_corpus(spark, n=400)
+    train = docs.where(F.col("doc_id") % 4 != 0)
+    test = docs.where(F.col("doc_id") % 4 == 0)
+    w = train_classifier(train, n_features=256, iters=40, lr=100.0)
+    scored = classifier_score(test.select("doc_id", "text"), weights=w)
+    joined = scored.join(test.select("doc_id", "label"), "doc_id").collect()
+    acc = sum(1 for r in joined if int(r.keep) == r.label) / len(joined)
+    assert acc >= 0.9, f"held-out accuracy {acc}"
+
+
+def test_cls2_registry_query_runs_and_is_cls1_consumable(spark):
+    """The registered rows-only form (English-vs-rest on the fixture lang
+    column) returns one weight per vocabulary token and plugs straight
+    into cls1 without error."""
+    from samsa_spark import registry
+    from samsa_spark import tables
+    from samsa_spark.operators.text import classifier_score
+
+    w = registry.all_queries()["cls2_train_classifier"](spark, SF_SMALL)
+    rows = w.collect()
+    assert len(rows) > 0
+    assert {c for c in w.columns} == {"token", "weight"}
+    assert len({r.token for r in rows}) == len(rows)  # one row per token
+    docs = tables.load(spark, SF_SMALL, "documents")
+    out = classifier_score(docs, weights=w)
+    assert out.count() == docs.count()
