@@ -1490,6 +1490,7 @@ def diversity_sample(
     cells: int = 32,
     per_cell: int = 8,
     farthest: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """dv1 — cluster-balanced diversity sampling (the DCLM/SemDeDup-family
     selection pass): quantize the corpus into ``cells`` k-means cells and
@@ -1517,11 +1518,21 @@ def diversity_sample(
     partitions bounded by the quantizer (cells ~ sqrt(N) keeps each
     partition ~sqrt(N) rows). A pathologically hot cell concentrates its
     per-cell sort on one task — AQE does NOT split window partitions (its
-    skew handling is join-side only), so the mitigation is quantizer
-    balance, which :func:`index_report` measures; Spark's
-    window-group-limit rewrite caps the rows each group actually buffers
-    at ``per_cell``. The embedding column is pruned before the window
-    shuffle.
+    skew handling is join-side only); Spark's window-group-limit rewrite
+    caps the rows each group actually buffers at ``per_cell``, so the
+    exposure is sort-INPUT skew, not memory. The embedding column is
+    pruned before the window shuffle.
+
+    ``salt`` is the scale-safe form for that hot-cell exposure: a
+    two-phase top-k — phase 1 ranks within ``(cell, vec_id % salt)`` so a
+    hot cell's scan spreads over ``salt`` tasks, phase 2 re-ranks only
+    the <= salt x per_cell survivors per cell. EXACTLY equivalent to the
+    unsalted window (any global top-per_cell row is in its salt-group's
+    top-per_cell; deterministic vec_id tie-break in both phases) — only
+    the physical shape changes. Measured crossover (PLANS.md dv1 salt
+    sweep): the extra shuffle+window makes salting a loss below ~50%-hot
+    cells at window-group-limited sort cost; opt in only when
+    :func:`index_report` shows balance >> cores.
     """
     base = embeddings.select("vec_id", "embedding")
     cents = kmeans_centroids(embeddings, k=cells, iters=1, round_cents=6)
@@ -1541,6 +1552,14 @@ def diversity_sample(
     from pyspark.sql import Window
 
     order = F.asc("ccos") if farthest else F.desc("ccos")
+    if salt is not None:
+        ws = Window.partitionBy("cell", "_salt").orderBy(order, F.asc("vec_id"))
+        assign = (
+            assign.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(salt)))
+            .withColumn("_sr", F.row_number().over(ws))
+            .where(F.col("_sr") <= per_cell)
+            .drop("_salt", "_sr")
+        )
     w = Window.partitionBy("cell").orderBy(order, F.asc("vec_id"))
     return (
         assign.withColumn("cell_rank", F.row_number().over(w))

@@ -1060,6 +1060,66 @@ def sweep_bm25(spark) -> None:
         df.unpersist()
 
 
+def sweep_dv1salt(spark) -> None:
+    """dv1's per-cell top-k stage in isolation (the quantizer stages are
+    identical in both paths): unsalted single window vs the two-phase
+    (cell, salt)-then-cell form on synthetic assignment rows, uniform
+    cells vs one cell holding half the corpus — the measurement behind
+    diversity_sample(salt=)'s documented crossover."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    n = 20_000_000
+    cells = 32
+    per_cell = 8
+    profiles = {
+        "uniform": f"cast(id % {cells} as int)",
+        "hot50": (
+            f"cast(CASE WHEN rand(42) < 0.5 THEN 0 "
+            f"ELSE cast(rand(43) * {cells - 1} as int) + 1 END as int)"
+        ),
+    }
+    order = (F.desc("ccos"), F.asc("vec_id"))
+    warm = True
+    for profile, cell_expr in profiles.items():
+        asg = (
+            spark.range(n)
+            .repartition(32)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(cell_expr).alias("cell"),
+                F.round(F.rand(7), 6).alias("ccos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def unsalted():
+            w = Window.partitionBy("cell").orderBy(*order)
+            return asg.withColumn("cell_rank", F.row_number().over(w)).where(
+                F.col("cell_rank") <= per_cell
+            )
+
+        def salted():
+            ws = Window.partitionBy("cell", "_salt").orderBy(*order)
+            w = Window.partitionBy("cell").orderBy(*order)
+            pre = (
+                asg.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(32)))
+                .withColumn("_sr", F.row_number().over(ws))
+                .where(F.col("_sr") <= per_cell)
+                .drop("_salt", "_sr")
+            )
+            return pre.withColumn("cell_rank", F.row_number().over(w)).where(
+                F.col("cell_rank") <= per_cell
+            )
+
+        if warm:
+            unsalted().write.mode("overwrite").format("noop").save()
+            warm = False
+        _time(f"dv1_topk_{profile}_unsalted", unsalted, n)
+        _time(f"dv1_topk_{profile}_salted32", salted, n)
+        asg.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1101,6 +1161,8 @@ def main() -> None:
         sweep_ivfpq(spark)
     if what in ("bm25", "all"):
         sweep_bm25(spark)
+    if what in ("dv1salt", "all"):
+        sweep_dv1salt(spark)
     spark.stop()
 
 

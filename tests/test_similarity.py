@@ -983,3 +983,23 @@ def test_pq_prebuilt_codebook_with_different_k_uses_its_own_stride(spark):
     a = {tuple(r) for r in pq_topk(emb, n_cents=8).collect()}
     b = {tuple(r) for r in pq_topk(emb, codebooks=cb8, codes=codes8).collect()}
     assert a == b and len(a) > 0
+
+
+def test_dv1_salted_topk_equals_unsalted(spark):
+    """salt= is a physical-shape lever only: the two-phase
+    (cell, salt)-then-cell top-k must reproduce the unsalted window
+    exactly (ranks included), in both prototype and farthest order."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import diversity_sample
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    for far in (False, True):
+        a = {
+            tuple(r)
+            for r in diversity_sample(emb, farthest=far).collect()
+        }
+        b = {
+            tuple(r)
+            for r in diversity_sample(emb, farthest=far, salt=4).collect()
+        }
+        assert a == b and len(a) > 0
