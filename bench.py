@@ -29,9 +29,15 @@ Three sections:
   fill, epoch shuffle, quantized search, SemDeDup, substring dedup,
   mixture sampling, shard write/read roundtrip) under the same floor
   protocol; first floors recorded in BENCH_r07; membership frozen there.
-- EXTRAS — operators added after round 7 (so every frozen section total
-  stays comparable to its first recorded floor); same floor protocol,
-  each member's first floor recorded the round it lands.
+- EXTRAS_R8 — the round-8 cohort, graduated + frozen in round 9 (every
+  member held within 2x of its own first floor): judged by its section
+  floor from BENCH_r09 onward, per-member round-8 floors kept in
+  BENCH_DETAIL.json.
+- EXTRAS — the live roster (round 9+); same floor protocol, each member
+  judged against its own first floor until the cohort graduates
+  (BASELINE.md graduation rule). Prebuilt-regime members time only the
+  query side: their index artifacts are built once per session before
+  the timed region.
 """
 
 from __future__ import annotations
@@ -146,11 +152,12 @@ PIPELINE = [
     "rp2_pca_projection",
 ]
 
-# PIPELINE membership is frozen at its round-7 roster so pipeline_value_floor
-# stays comparable to its first recorded floor (BENCH_r07, the BASELINE.md
-# rule). Operators added in later rounds land HERE; each carries its own
-# first floor from the round it appears (per-query floors in BENCH_DETAIL).
-EXTRAS = [
+# Round-8 cohort, GRADUATED + frozen in round 9 (the BASELINE.md graduation
+# rule: every member held within 2x of its own first floor, so the roster
+# freezes as a section — judged by extras_r8_value_floor against its first
+# recorded section floor, BENCH_r09; per-member round-8 first floors stay in
+# BENCH_DETAIL.json as the tie-breaker).
+EXTRAS_R8 = [
     # round 8: the day-2 incremental recipe as one unit (write day-1 ->
     # dd10 dedup day-2 against it -> append -> compact -> validate ->
     # epoch read), floor-guarding the manifest-patch no-rescan claim.
@@ -176,6 +183,21 @@ EXTRAS = [
     "dd13_normalized_dedup",
     "sp3_kfold_split",
     "lm3_interpolated_logprob",
+]
+
+# Live roster: operators added in round 9+. Each member's first floor is
+# recorded the round it lands (BENCH_DETAIL.json) and judged member-by-member
+# until the roster graduates per the BASELINE.md rule. The two *_prebuilt_*
+# members time the QUERY side only — their index artifacts are built once per
+# bench session before the timed region (the build-once/query-many regime the
+# PLANS.md ivfpq sweep showed is the one that matters at scale; the
+# rebuild-per-call forms stay floor-guarded in EXTRAS_R8).
+EXTRAS = [
+    "qz4_prebuilt_query",
+    "rrf2_prebuilt_fusion",
+    "rrf2_hybrid_fusion_ann",
+    "cls2_train_classifier",
+    "dd14_char_spans",
 ]
 
 
@@ -242,6 +264,56 @@ def main() -> None:
     qs = dict(registry.all_queries())  # bench covers pruned twins (h3) too
     qs["shards_roundtrip"] = _shards_roundtrip
     qs["incremental_prep"] = _incremental_prep
+
+    # Build-once/query-many artifacts for the prebuilt-regime EXTRAS
+    # members: built ONCE per session, eagerly materialized OUTSIDE the
+    # timed region, so the recorded floors guard only the query side —
+    # the regime a production index actually runs (PLANS.md ivfpq sweep:
+    # query-only is 2x faster and flat in corpus size; the
+    # rebuild-per-call twins stay floor-guarded in EXTRAS_R8).
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        _nearest_cell,
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+        pq_encode,
+        rrf_fusion_ann,
+    )
+
+    emb0 = tables.load(spark, sf_dir, "embeddings")
+    idx_cents = kmeans_centroids(emb0, k=32, iters=1, round_cents=6).localCheckpoint(
+        eager=True
+    )
+    idx_asg = (
+        _nearest_cell(emb0.select("vec_id", "embedding"), idx_cents, "cell")
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    idx_cb = pq_codebooks(emb0).localCheckpoint(eager=True)
+    idx_codes = pq_encode(emb0, idx_cb).localCheckpoint(eager=True)
+
+    def _qz4_prebuilt_query(spark, sf_dir):
+        return ivf_pq_topk(
+            tables.load(spark, sf_dir, "embeddings"),
+            centroids=idx_cents,
+            assignments=idx_asg,
+            codebooks=idx_cb,
+            codes=idx_codes,
+        )
+
+    def _rrf2_prebuilt_fusion(spark, sf_dir):
+        return rrf_fusion_ann(
+            tables.load(spark, sf_dir, "documents"),
+            tables.load(spark, sf_dir, "embeddings"),
+            centroids=idx_cents,
+            assignments=idx_asg,
+            codebooks=idx_cb,
+            codes=idx_codes,
+        )
+
+    qs["qz4_prebuilt_query"] = _qz4_prebuilt_query
+    qs["rrf2_prebuilt_fusion"] = _rrf2_prebuilt_fusion
     # Warm both execution paths before timing: JVM/codegen (flagship) and
     # the Python worker pool (an Arrow pandas-UDF query) — steady-state
     # throughput is what the headline measures, not process spin-up.
@@ -272,6 +344,7 @@ def main() -> None:
     timings, floor = run_section(HEADLINE)
     canon, canon_floor = run_section(CANONICAL)
     pipe, pipe_floor = run_section(PIPELINE)
+    extras_r8, extras_r8_floor = run_section(EXTRAS_R8)
     extras, extras_floor = run_section(EXTRAS)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -297,6 +370,8 @@ def main() -> None:
         "canonical_value": round(sum(canon.values()), 3),
         "pipeline_value_floor": round(sum(pipe_floor.values()), 3),
         "pipeline_value": round(sum(pipe.values()), 3),
+        "extras_r8_value_floor": round(sum(extras_r8_floor.values()), 3),
+        "extras_r8_value": round(sum(extras_r8.values()), 3),
         "extras_value_floor": round(sum(extras_floor.values()), 3),
         "extras_value": round(sum(extras.values()), 3),
         "detail": "BENCH_DETAIL.json",
@@ -308,6 +383,8 @@ def main() -> None:
         canonical_queries=canon,
         pipeline_queries_floor=pipe_floor,
         pipeline_queries=pipe,
+        extras_r8_queries_floor=extras_r8_floor,
+        extras_r8_queries=extras_r8,
         extras_queries_floor=extras_floor,
         extras_queries=extras,
         protocol=(

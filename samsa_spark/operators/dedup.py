@@ -666,6 +666,79 @@ def substring_dup_spans(documents: DataFrame, min_tokens: int = SPAN_K) -> DataF
     )
 
 
+CHAR_SPAN_K = 40  # min duplicated-span length in characters (dd14 default)
+
+
+def char_dup_spans(documents: DataFrame, min_chars: int = CHAR_SPAN_K) -> DataFrame:
+    """dd14 — CHARACTER-level substring dedup: every maximal character
+    range of length >= ``min_chars`` that occurs more than once in the
+    corpus, with no token alignment — the form that closes dd7's
+    documented detection floor (dedup.py:605-615): dd7 sees only
+    duplicates containing >= k WHOLE whitespace tokens, so a repeated run
+    whose ends fall mid-token (tracker fragments, minified/concatenated
+    boilerplate, markup glued to words) is invisible to it and caught
+    here. This is Lee et al. 2022's byte-span semantics realized with
+    dd7's positional-shingle island merge instead of their suffix array:
+    every length-k character window of a duplicated range is itself
+    duplicated, so merging flagged window positions covers every maximal
+    duplicated range >= k chars — one explode, one hash aggregate, one
+    bounded per-doc window; no global suffix sort, no per-doc automaton
+    memory (positions stream through shuffles, so no chunking is needed).
+    Output ``(doc_id, span_start, span_end, n_chars, n_spans)`` — 1-based
+    inclusive CHARACTER positions (Python ``text[start-1:end]``).
+
+    Cost honesty: postings are one row per character (vs dd7's one per
+    token, ~5-6x more rows on English text) — the inherent price of
+    byte-exactness; each row is (doc_id, pos, hash) = 24 bytes into one
+    algebraic count whose >1 pruning drops the singleton tail before the
+    join back, the same scale shape as dd7. "Character" = Spark/DuckDB
+    string semantics (codepoints), identical on both engines; on UTF-8
+    multibyte text positions are codepoint indices, not raw byte offsets.
+
+    The k-char window hash is xxhash64 (internal groupBy key only — the
+    OUTPUT is positions, dd7's exactness argument); the DuckDB twin
+    groups on the substring itself."""
+    k = min_chars
+    n = F.length("text")
+    arr = F.when(
+        n >= k,
+        F.expr(
+            f"transform(sequence(1, length(text) - {k} + 1),"
+            f" i -> xxhash64(substring(text, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # Postings feed the occurrence count AND the join back (note 12).
+    p = (
+        documents.select("doc_id", F.posexplode(arr).alias("i", "sh"))
+        .select("doc_id", (F.col("i") + 1).alias("pos"), "sh")
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        p.groupBy("sh").agg(F.count("*").alias("occ")).where(F.col("occ") > 1).select("sh")
+    )
+    dup = p.join(hot, "sh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "new_island",
+        (F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-k)) + k).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(k - 1) - F.min("pos") + 1).alias("n_chars"),
+            F.count("*").alias("n_spans"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_chars", "n_spans")
+    )
+
+
 def _dominated_islands(documents: DataFrame, k: int) -> DataFrame:
     """Merged DOMINATED duplicated ranges ``(doc_id, span_start, span_end)``
     — occurrences of a duplicated k-span that are not the corpus-first
@@ -1053,6 +1126,7 @@ def build_queries():
         "dd11_line_dedup": (q(line_dedup), _DD11_SQL),
         "dd12_containment": (q(containment_pairs), _DD12_SQL),
         "dd13_normalized_dedup": (q(normalized_dedup), _DD13_SQL),
+        "dd14_char_spans": (q(char_dup_spans), _DD14_SQL),
     }
 
 
@@ -1101,6 +1175,41 @@ SELECT doc_id,
        CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + {SPAN_K - 1} AS INT) AS span_end,
        CAST(max(pos) + {SPAN_K - 1} - min(pos) + 1 AS INT) AS n_tokens,
+       count(*) AS n_spans
+FROM s GROUP BY doc_id, island
+"""
+
+# dd14: the char-level twin of _DD7_SQL — substr windows instead of token
+# slices; groups on the window STRING where Spark groups on its xxhash64
+# (dd7's exactness argument).
+_DD14_SQL = f"""
+WITH i AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {CHAR_SPAN_K - 1})) AS pos
+  FROM documents
+  WHERE length(text) >= {CHAR_SPAN_K}
+),
+p AS (
+  SELECT doc_id, pos, substr(text, pos, {CHAR_SPAN_K}) AS span FROM i
+),
+hot AS (SELECT span FROM p GROUP BY span HAVING count(*) > 1),
+d AS (SELECT doc_id, pos FROM p JOIN hot USING (span)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER w, -{CHAR_SPAN_K}) + {CHAR_SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {CHAR_SPAN_K - 1} AS INT) AS span_end,
+       CAST(max(pos) + {CHAR_SPAN_K - 1} - min(pos) + 1 AS INT) AS n_chars,
        count(*) AS n_spans
 FROM s GROUP BY doc_id, island
 """

@@ -673,3 +673,58 @@ def test_dd13_merges_case_punct_variants_dd1_misses(spark):
     assert got[4].n_copies == 1 and not got[4].is_dup
     d1 = {r.doc_id: r for r in exact_dedup(docs).collect()}
     assert all(not d1[i].is_dup for i in (1, 2, 3))  # byte-exact sees no dups
+
+
+# --- dd14: character-level span dedup ----------------------------------------
+
+
+def test_dd14_oracle_match(spark):
+    ok, msg = check_query(spark, "dd14_char_spans", SF_SMALL)
+    assert ok, msg
+
+
+def test_dd14_catches_mid_token_span_dd7_misses(spark):
+    """The detection-floor closure dd14 exists for: two docs share a 46-char
+    run whose ends fall MID-token and which contains only 6 whole tokens —
+    invisible to dd7 at min_tokens=8 (token-aligned floor), found exactly
+    by dd14 at min_chars=40, with positions matching Python string search."""
+    from samsa_spark.operators.dedup import char_dup_spans, substring_dup_spans
+
+    shared = "abcdefgh tracker=xyz123 utm=999 campaign=fall pixel"
+    # embed with different mid-token glue on both sides
+    t1 = "intro" + shared + "tail one two three"
+    t2 = "zzz" + shared + "qqq other words here"
+    filler = [
+        (10 + i, f"unique{i} words only here nothing shared at all {i}")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)] + filler, "doc_id long, text string"
+    )
+    assert substring_dup_spans(docs, min_tokens=8).count() == 0
+    got = {r.doc_id: r for r in char_dup_spans(docs, min_chars=40).collect()}
+    assert set(got) == {1, 2}
+    # every doc's reported span must BE the shared run (merged seeds cover
+    # the full duplicated range, 1-based inclusive char positions)
+    for doc_id, text in ((1, t1), (2, t2)):
+        r = got[doc_id]
+        start0 = text.index(shared)
+        assert r.span_start == start0 + 1
+        assert r.span_end == start0 + len(shared)
+        assert r.n_chars == len(shared)
+
+
+def test_dd14_short_docs_and_repartition_determinism(spark):
+    """Docs shorter than min_chars emit nothing (no sequence(1,0) descent);
+    the output is repartition-invariant."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import char_dup_spans
+
+    tiny = spark.createDataFrame(
+        [(1, "short"), (2, "short")], "doc_id long, text string"
+    )
+    assert char_dup_spans(tiny, min_chars=40).count() == 0
+    docs = tables.load(spark, SF_SMALL, "documents")
+    a = {tuple(r) for r in char_dup_spans(docs).collect()}
+    b = {tuple(r) for r in char_dup_spans(docs.repartition(7)).collect()}
+    assert a == b

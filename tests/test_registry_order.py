@@ -106,6 +106,8 @@ SIBLINGS = {
     # round-9 rotation: demoted to make room for bm1/qz4
     "tx5_corpus_stats": ["tx1_token_counts", "tx2_quality_scores", "nt1_equidepth_histogram"],
     "tx3_lang_id": ["tx2_quality_scores", "tx1_token_counts"],
+    # round-9 addition, born demoted (the window was already full)
+    "dd14_char_spans": ["dd7_substring_spans"],
 }
 
 
