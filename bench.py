@@ -198,6 +198,7 @@ EXTRAS = [
     "rrf2_hybrid_fusion_ann",
     "cls2_train_classifier",
     "dd14_char_spans",
+    "dd15_cluster_canonicalize",
 ]
 
 

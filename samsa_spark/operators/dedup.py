@@ -1050,6 +1050,56 @@ def dedup_clusters(documents: DataFrame, min_jaccard: float = 0.1, max_iter: int
     return lab.join(sizes, "canonical_id").select("doc_id", "canonical_id", "cluster_size")
 
 
+def cluster_canonicalize(
+    documents: DataFrame,
+    min_jaccard: float = 0.1,
+    quality: F.Column | None = None,
+) -> DataFrame:
+    """dd15 — quality-aware duplicate-cluster canonicalization: the
+    keep-WHICH-copy decision a production dedup pipeline actually makes.
+    dd6 turns pairwise candidates into clusters but its canonical id is
+    just the smallest doc_id; real pipelines keep the BEST copy of each
+    near-dup cluster (the longest / highest-quality variant — partial
+    scrapes and truncated mirrors should lose to the full document, not
+    win by id order). Per doc: ``(doc_id, canonical_id, cluster_size,
+    quality, keeper_id, keep)`` — ``keeper_id`` is the cluster member
+    maximizing ``quality`` (ties to the smallest doc_id), ``keep`` marks
+    it; filtering on ``keep`` is the dedup pass.
+
+    ``quality`` is any per-doc column expression over ``documents``; the
+    default is ``length(text)`` (longest-copy retention, the common
+    rule). Composes with any scorer — e.g. tx2's quality score or cls1's
+    classifier score joined on beforehand (composition pytest-locked).
+
+    Scale shape: dd6's label propagation does the heavy lifting
+    (bucketed pair gen + bounded iterations); the selection adds one
+    min_by hash aggregate over (cluster, quality) — algebraic, map-side
+    partials, never a window over the corpus — and one join back on the
+    cluster id. Exact DuckDB twin: dd6's recursive-CTE clusters + a
+    named-struct min (field order = compare order, note 22) for the
+    lexicographic (-quality, doc_id) first occurrence.
+    """
+    q = quality if quality is not None else F.length("text")
+    clusters = dedup_clusters(documents, min_jaccard)
+    scored = documents.select(
+        "doc_id", q.cast("bigint").alias("quality")
+    ).join(clusters, "doc_id")
+    keepers = scored.groupBy("canonical_id").agg(
+        F.min_by(
+            "doc_id",
+            F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("d")),
+        ).alias("keeper_id")
+    )
+    return scored.join(keepers, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        "quality",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )
+
+
 def _propagate_labels(documents: DataFrame, min_jaccard: float, max_iter: int) -> DataFrame:
     pairs = ngram_jaccard_pairs(documents, min_jaccard).select("doc_a", "doc_b")
     nodes = documents.select(F.col("doc_id").alias("id"))
@@ -1127,6 +1177,7 @@ def build_queries():
         "dd12_containment": (q(containment_pairs), _DD12_SQL),
         "dd13_normalized_dedup": (q(normalized_dedup), _DD13_SQL),
         "dd14_char_spans": (q(char_dup_spans), _DD14_SQL),
+        "dd15_cluster_canonicalize": (q(cluster_canonicalize), _DD15_SQL),
     }
 
 
@@ -1365,4 +1416,24 @@ SELECT l.doc_id, l.canonical_id, c.cluster_size
 FROM lab l
 JOIN (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY 1) c
   USING (canonical_id)
+"""
+
+# dd15 reuses dd6's recursive-CTE cluster stages verbatim (everything up to
+# the final SELECT) and adds the quality-keeper selection: a named-struct
+# min over (-quality, doc_id) — field order = compare order (note 22) — so
+# the keeper is the highest-quality member with ties to the smallest id.
+_DD15_SQL = _DD6_SQL.rsplit("\nSELECT", 1)[0] + """, c AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY 1
+), qy AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS quality FROM documents
+), k AS (
+  SELECT l.canonical_id, min({'nq': -qy.quality, 'd': l.doc_id}) AS mk
+  FROM lab l JOIN qy USING (doc_id) GROUP BY 1
+)
+SELECT l.doc_id, l.canonical_id, c.cluster_size, qy.quality,
+       k.mk.d AS keeper_id, l.doc_id = k.mk.d AS keep
+FROM lab l
+JOIN c USING (canonical_id)
+JOIN qy USING (doc_id)
+JOIN k USING (canonical_id)
 """

@@ -728,3 +728,59 @@ def test_dd14_short_docs_and_repartition_determinism(spark):
     a = {tuple(r) for r in char_dup_spans(docs).collect()}
     b = {tuple(r) for r in char_dup_spans(docs.repartition(7)).collect()}
     assert a == b
+
+
+# --- dd15: quality-aware cluster canonicalization ----------------------------
+
+
+def test_dd15_oracle_match(spark):
+    ok, msg = check_query(spark, "dd15_cluster_canonicalize", SF_SMALL)
+    assert ok, msg
+
+
+def test_dd15_keeps_best_copy_not_first(spark):
+    """The reason dd15 exists over dd6's smallest-id canonical: a cluster
+    where the LOWEST doc_id is a truncated mirror must keep the longer,
+    later copy — and custom quality columns (here: penalize doc 2) must
+    flip the keeper accordingly."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.dedup import cluster_canonicalize
+
+    full = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, full[: len(full) // 2]),       # truncated mirror, smallest id
+            (2, full),                          # full copy
+            (3, full + "closing line extra"),  # fullest copy
+            (10, "totally unrelated content about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cluster_canonicalize(docs, min_jaccard=0.3).collect()}
+    cluster = {i for i in (1, 2, 3) if got[i].cluster_size == 3}
+    assert cluster == {1, 2, 3}, {i: got[i].cluster_size for i in (1, 2, 3)}
+    assert all(got[i].keeper_id == 3 for i in (1, 2, 3))  # longest wins, not id 1
+    assert got[3].keep and not got[1].keep and not got[2].keep
+    assert got[10].keep and got[10].cluster_size == 1  # singleton keeps itself
+    # pluggable quality: score doc 2 highest -> keeper flips to 2
+    q = F.when(F.col("doc_id") == 2, F.lit(100)).otherwise(F.lit(0))
+    got2 = {
+        r.doc_id: r
+        for r in cluster_canonicalize(docs, min_jaccard=0.3, quality=q).collect()
+    }
+    assert all(got2[i].keeper_id == 2 for i in (1, 2, 3))
+
+
+def test_dd15_keep_filter_is_dd6_aware_dedup(spark):
+    """Filtering keep must leave exactly one doc per dd6 cluster, covering
+    every cluster."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import cluster_canonicalize, dedup_clusters
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    out = cluster_canonicalize(docs).collect()
+    kept = [r for r in out if r.keep]
+    clusters = {r.canonical_id for r in dedup_clusters(docs).collect()}
+    assert {r.canonical_id for r in kept} == clusters
+    assert len(kept) == len(clusters)  # exactly one keeper each

@@ -108,6 +108,7 @@ SIBLINGS = {
     "tx3_lang_id": ["tx2_quality_scores", "tx1_token_counts"],
     # round-9 addition, born demoted (the window was already full)
     "dd14_char_spans": ["dd7_substring_spans"],
+    "dd15_cluster_canonicalize": ["dd6_dedup_clusters", "dd1_exact_dedup"],
 }
 
 
