@@ -199,6 +199,7 @@ EXTRAS = [
     "cls2_train_classifier",
     "dd14_char_spans",
     "dd15_cluster_canonicalize",
+    "lm4_kneser_ney_logprob",
 ]
 
 

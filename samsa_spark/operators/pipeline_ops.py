@@ -1328,6 +1328,127 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+LM4_DISCOUNT = 0.75  # binary-exact (3/4): both engines hold it exactly
+
+
+def kneser_ney_logprob(documents: DataFrame, d: float = LM4_DISCOUNT) -> DataFrame:
+    """lm4 — interpolated Kneser-Ney bigram LM quality score (Kneser &
+    Ney 1995; the smoothing KenLM itself ships as its default, so this is
+    the closest engine-portable form of the CCNet perplexity filter):
+    per-doc mean of
+
+        ln( max(c(w1 w2) - d, 0)/c(w1 .)
+            + d * N1+(w1, .)/c(w1 .) * N1+(., w2)/N_types )
+
+    where ``N1+(w1, .)`` = distinct continuations of the context,
+    ``N1+(., w2)`` = distinct contexts the word FOLLOWS (the continuation
+    count — KN's insight: a word frequent in only one context, the
+    "Francisco" effect, backs off low no matter its raw frequency), and
+    ``N_types`` = total distinct bigram types. lm3's Jelinek-Mercer mixes
+    in the raw unigram; KN replaces it with the continuation distribution
+    and makes the mixture weight context-adaptive (mass freed by the
+    discount), which is why it wins every held-out n-gram benchmark.
+
+    Engine contract: the discount is binary-exact 3/4; every factor is a
+    BIGINT ratio evaluated in the same parse shape on both engines (the
+    ``max`` never binds on self-scoring — c2 >= 1 > d — but is kept for
+    formula fidelity); the mean rounds to 6 dp (repo rule 6).
+
+    Plan shape: lm2/lm3's verbatim — the pair stream collapses through one
+    algebraic (w1, w2) count, then EVERY model statistic (c1, both N1+
+    tallies, N_types) is an aggregate OF the bigram-TYPE table, so nothing
+    past the first aggregate touches corpus cardinality; the scalar
+    N_types broadcasts, the model joins back optimizer-decided (lm1's
+    broadcast-or-degrade note). Docs with < 2 tokens: n_bigrams = 0, NULL.
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = documents.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # context total + distinct-continuation tally: one pass over the types
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    n1b = c2.groupBy("w2").agg(F.count("*").alias("n1b"))
+    nt = c2.agg(F.count("*").cast("double").alias("nt"))
+    dd = F.lit(float(d))
+    model = (
+        c2.join(c1, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            # shape contract with _LM4_SQL: divisions evaluate FIRST so
+            # every factor is already DOUBLE when the products apply —
+            # DuckDB's bare 0.75 literal is DECIMAL and decimal-typed
+            # subtraction/division would round differently (note 6).
+            F.log(
+                F.greatest(F.col("c2").cast("double") - dd, F.lit(0.0))
+                / F.col("c1")
+                + (dd * (F.col("n1f") / F.col("c1")))
+                * (F.col("n1b") / F.col("nt"))
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_kn_logprob"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_kn_logprob",
+        )
+    )
+
+
+_LM4_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+  FROM c2 GROUP BY w1
+), n1b AS (
+  SELECT w2, count(*) AS n1b FROM c2 GROUP BY w2
+), nt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nt FROM c2
+), model AS (
+  SELECT c2.w1, c2.w2,
+         ln(greatest(CAST(c2.c2 AS DOUBLE) - {LM4_DISCOUNT}, 0.0) / c1.c1
+            + ({LM4_DISCOUNT} * (c1.n1f / c1.c1)) * (n1b.n1b / nt.nt)) AS lp
+  FROM c2 JOIN c1 USING (w1) JOIN n1b USING (w2) CROSS JOIN nt
+), sc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_kn_logprob
+  FROM bg JOIN model USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_kn_logprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 IS1_TARGET_SOURCE = "src0"
 IS1_KEEP_FRAC = 0.5
 
@@ -1468,6 +1589,7 @@ def build_queries():
         "is1_importance_resample": (q(importance_resample, "documents", spread=True), _IS1_SQL),
         "sp3_kfold_split": (q(kfold_split, "documents"), _SP3_SQL),
         "lm3_interpolated_logprob": (q(interpolated_logprob, "documents", spread=True), _LM3_SQL),
+        "lm4_kneser_ney_logprob": (q(kneser_ney_logprob, "documents", spread=True), _LM4_SQL),
         # fuzzy form: the dd3 MinHash stage rides xxhash64 (no DuckDB twin)
         # -> rows-only, rank 2, outside the hash window like dd3/sim5;
         # ground truth = planted-corpus equivalence in tests/test_pipeline_ops.py.

@@ -704,6 +704,7 @@ _DEMOTED = (
     "tx3_lang_id",                    # tx2 anchors the per-row stopword-battery scoring shape in-window (tx3 is the same pure-column-expression plan family voting per language); pytest-oracle-checked + planted-language test — slot went to qz4 composed IVF-PQ (round-9 rotation)
     "dd14_char_spans",                # dd7 anchors substring dedup in-window; the char-level form (round 9, closes dd7's whole-token detection floor) shares its exact island-merge plan family and is pytest-oracle-checked + planted mid-token-span tested
     "dd15_cluster_canonicalize",      # dd6's in-window clusters do the heavy lifting (dd15 adds one min_by keeper selection over them); the quality-aware keep-best-copy rule is pytest-oracle-checked + planted truncated-mirror test
+    "lm4_kneser_ney_logprob",         # tf1 anchors the explode->vocab->score shape in-window (the lm family rationale); the Kneser-Ney continuation-smoothed score shares lm3's exact plan family and is pytest-oracle-checked + independent-Python model-checked
 )
 
 

@@ -1035,3 +1035,91 @@ def test_lm3_fixes_both_parent_failure_modes(spark):
     # the salad's observed-but-rare bigrams take the full conditional hit in
     # lm2; the mixture softens it with the unigram floor
     assert lm3[20] > lm2[20], "mixture must sit above the raw conditional"
+
+
+def test_lm4_oracle_match(spark):
+    ok, msg = check_query(spark, "lm4_kneser_ney_logprob", SF_SMALL)
+    assert ok, msg
+
+
+def _py_kn(rows, d=0.75):
+    """Independent pure-Python interpolated Kneser-Ney (note-27 antidote:
+    written from the formula, sharing no code with the Spark/SQL twins)."""
+    import math
+    from collections import Counter
+
+    c2: Counter = Counter()
+    for _, t in rows:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            c2[(a, b)] += 1
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1b: Counter = Counter()
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    nt = float(len(c2))
+    out = {}
+    for i, t in rows:
+        w = t.split(" ")
+        lps = [
+            math.log(
+                max(c2[(a, b)] - d, 0.0) / c1[a]
+                + (d * (n1f[a] / c1[a])) * (n1b[b] / nt)
+            )
+            for a, b in zip(w, w[1:])
+        ]
+        out[i] = (len(lps), round(sum(lps) / len(lps), 6) if lps else None)
+    return out
+
+
+def test_lm4_matches_independent_python_model_on_random_corpora(spark):
+    import random
+
+    from samsa_spark.operators.pipeline_ops import kneser_ney_logprob
+
+    for seed in (3, 17, 92):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 25))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (
+                r.n_bigrams,
+                None if r.avg_kn_logprob is None else round(r.avg_kn_logprob, 6),
+            )
+            for r in kneser_ney_logprob(docs).collect()
+        }
+        assert got == _py_kn(rows), f"seed {seed}"
+
+
+def test_lm4_discriminates_where_raw_mle_is_blind(spark):
+    """KN's reason to exist over the raw conditional: two deterministic
+    continuations (c2 == c1, so lm2 scores both ln(1) = 0, blind) get
+    DIFFERENT KN scores — the discount + continuation terms see through
+    the raw MLE tie. And like lm2/lm3, word order still matters."""
+    from samsa_spark.operators.pipeline_ops import (
+        bigram_logprob,
+        kneser_ney_logprob,
+    )
+
+    # 'york' follows three distinct contexts once each; 'francisco' follows
+    # one context four times. Each scored doc is a single deterministic
+    # bigram: raw MLE ties them at ln(1) = 0. (Not four york contexts: at
+    # 4+4 the discount and continuation terms coincide at ln(0.85) exactly.)
+    rows = [(i, f"x{i} york") for i in range(3)]
+    rows += [(10 + i, "s1 francisco") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm2 = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+    assert abs(lm2[0] - lm2[10]) < 1e-9 and abs(lm2[0]) < 1e-9
+    lm4 = {r.doc_id: r.avg_kn_logprob for r in kneser_ney_logprob(docs).collect()}
+    assert lm4[0] != lm4[10], "KN must split the raw-MLE tie"
+    # short docs: no bigrams -> 0 / NULL (lm2/lm3's contract)
+    one = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    r = kneser_ney_logprob(one).collect()[0]
+    assert r.n_bigrams == 0 and r.avg_kn_logprob is None
