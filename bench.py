@@ -200,6 +200,7 @@ EXTRAS = [
     "dd14_char_spans",
     "dd15_cluster_canonicalize",
     "lm4_kneser_ney_logprob",
+    "qz5_refined_topk",
 ]
 
 

@@ -1110,11 +1110,67 @@ def ivf_pq_topk(
     )
 
 
+QZ5_OVERFETCH = 4
+
+
+def refined_topk(
+    embeddings: DataFrame,
+    n_probes: int = 20,
+    k: int = 5,
+    overfetch: int = QZ5_OVERFETCH,
+    **ivf_pq_kwargs,
+) -> DataFrame:
+    """qz5 — two-stage retrieval: ANN candidate generation (qz4's IVF-PQ,
+    overfetched to ``k * overfetch``) followed by an EXACT cosine re-rank
+    of only those candidates — the FAISS ``refine`` / DiskANN rerank
+    stage every production vector store runs. ADC distances rank on
+    4-byte codes and carry quantization error; re-scoring the short
+    candidate list against the full-precision vectors recovers most of
+    the lost recall for a candidate-bounded (not corpus-bounded) cost.
+    Returns ``(q_id, vec_id, cos, rank)`` — sim1's exact scoring contract,
+    so the refined result is directly comparable to the brute-force twin.
+
+    Scale shape: stage 1 is qz4's (cell-pruned equi-join on m-byte
+    codes; pass the prebuilt ``codebooks/codes/centroids/assignments``
+    kwargs through for the build-once/query-many regime); stage 2 joins
+    the ``n_probes * k * overfetch``-row candidate list BROADCAST against
+    the full-vector scan — one corpus read that only materializes
+    candidate rows (with a cell-partitioned saved index this becomes
+    partition-pruned point reads), then the probe-bounded cosine and a
+    per-query top-k window. No stage is corpus-quadratic and the full
+    vectors never shuffle.
+    """
+    cand = ivf_pq_topk(
+        embeddings, n_probes=n_probes, k=k * overfetch, **ivf_pq_kwargs
+    ).select("q_id", "vec_id")
+    base = embeddings.select("vec_id", "embedding")
+    probes = F.broadcast(
+        base.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    rescored = (
+        base.join(F.broadcast(cand), "vec_id")
+        .join(probes, "q_id")
+        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 # qz4's twin = _SIM6_SQL's coarse stages (32 cosine cells, one Lloyd step)
 # + _QZ3_SQL's PQ stages (16-centroid codebooks per subspace, codes, ADC),
 # with the ADC join additionally restricted to each query's IVF_NPROBE
-# nearest cells.
-_QZ4_SQL = """
+# nearest cells. The CTE chain up to the ADC ranking `r` is shared with
+# qz5's oracle (which re-ranks `r`'s overfetched prefix exactly) — the two
+# tails below keep _QZ4_SQL byte-identical to its pre-refactor text.
+_QZ4_CORE = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 h AS (
   SELECT vec_id, emb,
@@ -1214,9 +1270,36 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY q_id
                                ORDER BY adc_dist ASC, vec_id ASC) AS rank
   FROM adc
-)
+)"""
+
+_QZ4_SQL = (
+    _QZ4_CORE
+    + """
 SELECT q_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """
+)
+
+# qz5's twin: qz4's ADC ranking overfetched to k * overfetch = 20
+# candidates, then re-ranked by the EXACT rounded cosine (sim1's scoring
+# contract) — only the final window differs from brute force.
+_QZ5_SQL = (
+    _QZ4_CORE
+    + """,
+cand AS (SELECT q_id, vec_id FROM r WHERE rank <= 20),
+rr AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_cosine_similarity(pv.emb, cv.emb), 6) AS cos
+  FROM cand c
+  JOIN v pv ON pv.vec_id = c.q_id
+  JOIN v cv ON cv.vec_id = c.vec_id
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rr
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5
+"""
+)
 
 
 RRF_K = 60
@@ -2013,6 +2096,7 @@ def build_queries():
         "qz3_pq_topk": (q(pq_topk), _QZ3_SQL),
         "dv1_diversity_sample": (q(diversity_sample), _DV1_SQL),
         "qz4_ivf_pq_topk": (q(ivf_pq_topk), _QZ4_SQL),
+        "qz5_refined_topk": (q(refined_topk), _QZ5_SQL),
         "rrf1_hybrid_fusion": (
             lambda spark, sf: rrf_fusion(
                 tables.load(spark, sf, "documents"),

@@ -694,6 +694,75 @@ def test_qz4_deterministic_under_repartition(spark):
     assert a == b and len(a) > 0
 
 
+def test_qz5_oracle_match(spark):
+    ok, msg = check_query(spark, "qz5_refined_topk", SF_SMALL)
+    assert ok, msg
+
+
+def test_qz5_exact_scores_and_recall_recovery(spark):
+    """The refine stage's contract: (a) every returned score IS the exact
+    rounded cosine (numpy ground truth), not an ADC distance; (b) top-5
+    recall vs brute force is at least the unrefined ADC ranking's — the
+    re-rank can only fix candidate ordering, never worsen it."""
+    import numpy as np
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import ivf_pq_topk, refined_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    # numpy brute-force top-5 per probe (rounded cosine, vec_id tie-break)
+    truth = {}
+    for q in range(20):
+        scored = sorted(
+            ((cos(X[q], v), i) for i, v in X.items() if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        truth[q] = {i for _, i in scored}
+
+    refined = refined_topk(emb).collect()
+    for r in refined:
+        assert r.cos == cos(X[r.q_id], X[r.vec_id]), (r.q_id, r.vec_id)
+    ref_sets: dict = {}
+    for r in refined:
+        ref_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    adc_sets: dict = {}
+    for r in ivf_pq_topk(emb).collect():
+        adc_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    rec_ref = sum(len(ref_sets[q] & truth[q]) for q in truth) / (5 * len(truth))
+    rec_adc = sum(len(adc_sets[q] & truth[q]) for q in truth) / (5 * len(truth))
+    assert rec_ref >= rec_adc, (rec_ref, rec_adc)
+
+
+def test_qz5_recall_on_planted_clusters(spark):
+    """Refined two-stage search keeps (and typically sharpens) qz4's
+    same-cluster recall on well-separated planted clusters."""
+    from samsa_spark.operators.similarity import refined_topk
+
+    emb, n_clusters = _clustered_embeddings(spark)
+    got = refined_topk(emb, n_probes=20, k=5, cells=16).collect()
+    same = [1 if r.vec_id % n_clusters == r.q_id % n_clusters else 0 for r in got]
+    frac = sum(same) / len(same)
+    assert frac >= 0.9, f"same-cluster fraction {frac} (random would be ~0.1)"
+
+
+def test_qz5_deterministic_under_repartition(spark):
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import refined_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    a = {tuple(r) for r in refined_topk(emb).collect()}
+    b = {tuple(r) for r in refined_topk(emb.repartition(7)).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_rrf1_oracle_match(spark):
     ok, msg = check_query(spark, "rrf1_hybrid_fusion", SF_SMALL)
     assert ok, msg
