@@ -201,6 +201,7 @@ EXTRAS = [
     "dd15_cluster_canonicalize",
     "lm4_kneser_ney_logprob",
     "qz5_refined_topk",
+    "tok3_bpe_encode",
 ]
 
 

@@ -1538,7 +1538,28 @@ def build_queries():
         # The registered form fits an English-vs-rest model on the lang
         # column (the fixture's only honest binary label).
         "cls2_train_classifier": (_cls2_query, None),
+        # the full tokenizer lifecycle: train merges in-engine (tok2),
+        # then encode the SAME corpus with them (apply_bpe) — the
+        # train->tokenize loop a data pipeline actually runs before
+        # packing (pk1's n_tokens would come from here in production).
+        # Iterative trainer + closure-UDF encoder -> rows-only; ground
+        # truth is the pure-Python trainer+encoder composition in pytest
+        # (tests/test_text.py::test_tok3_*).
+        "tok3_bpe_encode": (_tok3_query, None),
     }
+
+
+def _tok3_query(spark: SparkSession, sf: str) -> DataFrame:
+    """tok3 — train-then-encode composition over the gate corpus: tok2's
+    batched trainer learns 8 merges, apply_bpe encodes every document with
+    them; output is the per-doc BPE token count (the statistic packing and
+    budget stages consume). The merge list is a bounded driver artifact by
+    construction (n_merges rows — tok2's documented collect exception);
+    the encode pass is one Arrow-batched projection, no shuffle."""
+    docs = tables.load(spark, sf, "documents", spread=True)
+    merges = train_bpe_merges(docs, n_merges=8, batch=4)
+    ml = [(r.left, r.right) for r in merges.orderBy("merge_rank").collect()]
+    return apply_bpe(docs, ml).select("doc_id", "n_tokens")
 
 
 def _cls2_query(spark: SparkSession, sf: str) -> DataFrame:

@@ -183,6 +183,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "tx9_compression_signals",  # zlib bytes; exact-parity pytest vs Python zlib
         "hh2_mergeable_topk",  # frequent-items sketch boundary ties; exact-equality pytest while max_tracked > distinct grams
         "tok2_bpe_train",  # iterative argmax loop; pure-Python trainer ground truth in pytest
+        "tok3_bpe_encode",  # tok2 trainer + closure-UDF encoder; Python train+encode composition in pytest
         "cs3_corpus_overlap",  # theta-sketch set algebra; exact-below-nominal-entries pytest
         "rp2_pca_projection",  # eigenbasis last-ulp float-order dependent; numpy-agreement pytest
         "rrf2_hybrid_fusion_ann",  # PQ-quantized dense ranks; brute-twin recall pytest

@@ -1305,3 +1305,55 @@ def test_cls2_registry_query_runs_and_is_cls1_consumable(spark):
     docs = tables.load(spark, SF_SMALL, "documents")
     out = classifier_score(docs, weights=w)
     assert out.count() == docs.count()
+
+
+def test_tok3_registry_encode_matches_python_train_encode_composition(spark):
+    """The registered train->encode loop (tok3) against the full Python
+    composition: batched-Python-train 8 merges on the gate corpus's word
+    frequencies, Python-encode every word greedily in rank order, compare
+    per-doc BPE token counts exactly."""
+    from samsa_spark import registry, tables
+
+    docs = tables.load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    wf: dict[str, int] = {}
+    for _, t in rows:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    merges, _ = _py_bpe_train_batched(wf, 8, 4)
+    ml = [(a, b) for a, b, _ in merges]
+
+    def enc_word(w: str) -> int:
+        sym = list(w)
+        for a, b in ml:
+            out, prev = [], None
+            for s in sym:
+                if prev == a and s == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            sym = out
+        return len(sym)
+
+    cache: dict[str, int] = {}
+    want = {}
+    for i, t in rows:
+        n = 0
+        for w in t.split(" "):
+            if w:
+                if w not in cache:
+                    cache[w] = enc_word(w)
+                n += cache[w]
+        want[i] = n
+
+    got = {
+        r.doc_id: r.n_tokens
+        for r in registry.all_queries()["tok3_bpe_encode"](spark, SF_SMALL).collect()
+    }
+    assert got == want
