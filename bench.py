@@ -201,7 +201,9 @@ EXTRAS = [
     "dd15_cluster_canonicalize",
     "lm4_kneser_ney_logprob",
     "qz5_refined_topk",
+    "qz5_prebuilt_refine",
     "tok3_bpe_encode",
+    "tx8_collapse_runs",
 ]
 
 
@@ -316,8 +318,20 @@ def main() -> None:
             codes=idx_codes,
         )
 
+    def _qz5_prebuilt_refine(spark, sf_dir):
+        from samsa_spark.operators.similarity import refined_topk
+
+        return refined_topk(
+            tables.load(spark, sf_dir, "embeddings"),
+            centroids=idx_cents,
+            assignments=idx_asg,
+            codebooks=idx_cb,
+            codes=idx_codes,
+        )
+
     qs["qz4_prebuilt_query"] = _qz4_prebuilt_query
     qs["rrf2_prebuilt_fusion"] = _rrf2_prebuilt_fusion
+    qs["qz5_prebuilt_refine"] = _qz5_prebuilt_refine
     # Warm both execution paths before timing: JVM/codegen (flagship) and
     # the Python worker pool (an Arrow pandas-UDF query) — steady-state
     # throughput is what the headline measures, not process spin-up.

@@ -282,6 +282,91 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     )
 
 
+TX8_MAX_RUN = 2
+
+
+def collapse_runs(documents: DataFrame, max_run: int = TX8_MAX_RUN) -> DataFrame:
+    """tx8 — within-doc repetition REWRITE: collapse every run of
+    consecutive identical whitespace tokens to its first ``max_run``
+    occurrences and rebuild the text ("ha ha ha ha" -> "ha ha") — the
+    repetition-removal cleanup that complements tx6's Gopher repetition
+    COUNTERS (which only flag) and dd11's corpus-level line rule
+    (run-length noise is within-doc and needs no corpus pass). Returns
+    ``(doc_id, n_tokens, n_removed, text_clean)``.
+
+    Run identification is engine-portable window algebra: a null-safe
+    token != lag(token) flag, its running sum as the run id, a row_number
+    cap within each run, and an ordered string re-aggregation. All four
+    windows partition BY DOC — at 100 TB this is embarrassingly parallel
+    per doc-id hash, one shuffle on doc_id (the explode's natural key),
+    no corpus-wide state. Empty-token runs (consecutive spaces) collapse
+    under the same rule on both engines.
+    """
+    e = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    run = F.sum(
+        (~F.lag("tok").over(wd).eqNullSafe(F.col("tok"))).cast("int")
+    ).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    k = e.withColumn("run_id", run).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("doc_id", "run_id").orderBy("pos"))
+    )
+    kept = (
+        k.where(F.col("rn") <= max_run)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    n_tokens = F.size(F.split("text", " "))
+    return documents.select("doc_id", n_tokens.alias("n_tokens")).join(
+        kept, "doc_id"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+        "text_clean",
+    )
+
+
+_TX8_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), e AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+), f AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+              IS DISTINCT FROM tok THEN 1 ELSE 0 END AS is_new
+  FROM e
+), r AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM f
+), k AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, run_id ORDER BY pos) AS rn
+  FROM r
+), kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM k WHERE rn <= {TX8_MAX_RUN} GROUP BY doc_id
+)
+SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - kept.n_kept AS BIGINT) AS n_removed,
+       kept.text_clean
+FROM documents d JOIN kept USING (doc_id)
+"""
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """tx5 — corpus statistics per (lang, source): doc counts, char totals,
     token totals, length extents. One hash aggregate over narrow projections.
@@ -1501,6 +1586,7 @@ def build_queries():
         "tx5_corpus_stats": (q(corpus_stats), _TX5_SQL),
         "tx6_gopher_rules": (q(gopher_rules), _TX6_SQL),
         "tx7_pii_scrub": (q(pii_scrub), _TX7_SQL),
+        "tx8_collapse_runs": (q(collapse_runs), _TX8_SQL),
         "cls1_classifier_score": (q(classifier_score), _CLS1_SQL),
         "tok1_bpe_pair_counts": (q(bpe_pair_counts), _TOK1_SQL),
         "hh1_heavy_ngrams": (q(heavy_ngrams), _HH1_SQL),

@@ -1357,3 +1357,35 @@ def test_tok3_registry_encode_matches_python_train_encode_composition(spark):
         for r in registry.all_queries()["tok3_bpe_encode"](spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_tx8_oracle_match(spark):
+    ok, msg = check_query(spark, "tx8_collapse_runs", SF_SMALL)
+    assert ok, msg
+
+
+def test_tx8_collapses_planted_runs_and_preserves_runfree_text(spark):
+    """Planted runs collapse to max_run occurrences in place; run-free text
+    round-trips byte-identical with n_removed = 0; non-consecutive repeats
+    are NOT runs and survive; consecutive empty tokens (double spaces)
+    collapse under the same rule."""
+    from samsa_spark.operators.text import collapse_runs
+
+    rows = [
+        (0, "ha ha ha ha done"),
+        (1, "clean text with no runs"),
+        (2, "a b a b a"),
+        (3, "x  y   z"),  # empty-token runs from consecutive spaces
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in collapse_runs(docs).collect()}
+    assert got[0].text_clean == "ha ha done" and got[0].n_removed == 2
+    assert got[1].text_clean == rows[1][1] and got[1].n_removed == 0
+    assert got[2].text_clean == rows[2][1] and got[2].n_removed == 0
+    # "x", "", "y", "", "", "z": the lone "" between x/y survives (run of
+    # 1 <= 2), the double "" between y/z keeps both (run of 2) — nothing
+    # removed at max_run=2; at max_run=1 the double gap loses one token.
+    assert got[3].n_removed == 0 and got[3].text_clean == rows[3][1]
+    got1 = {r.doc_id: r for r in collapse_runs(docs, max_run=1).collect()}
+    assert got1[0].text_clean == "ha done" and got1[0].n_removed == 3
+    assert got1[3].text_clean == "x  y  z" and got1[3].n_removed == 1
