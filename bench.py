@@ -204,6 +204,7 @@ EXTRAS = [
     "qz5_prebuilt_refine",
     "tok3_bpe_encode",
     "tx8_collapse_runs",
+    "dc2_decontaminate_bloom",
 ]
 
 

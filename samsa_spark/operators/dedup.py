@@ -279,6 +279,7 @@ def decontaminate(
     min_hits: int = 1,
     benchmark: DataFrame | None = None,
     broadcast_benchmark: bool = True,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """dc1 — benchmark decontamination: per corpus doc, the number of
     distinct 3-token shingles shared with the eval/benchmark probe set,
@@ -303,6 +304,15 @@ def decontaminate(
     partition on ``sh``, so the plan stays a partitioned equi-join (never a
     cartesian/nested-loop) and cost becomes one corpus shuffle. Results are
     identical by construction; only the physical join strategy changes.
+
+    ``bloom_prefilter=True`` (dc2, meant for the shuffle fallback) cuts
+    that corpus shuffle: a :func:`bloom_digest` of the benchmark shingles
+    (~1 bit per shingle — broadcastable long after the string set is not)
+    prefilters the corpus posting list in-scan, so only true hits plus
+    the digest's small false-positive mass reach the exchange; the exact
+    equi-join then confirms survivors. A Bloom has NO false negatives,
+    so the output is identical to the unfiltered form row-for-row — dc2
+    runs under dc1's own oracle.
     """
     if benchmark is None:
         probes = documents.where(F.col("doc_id") < probe_max_id)
@@ -310,10 +320,16 @@ def decontaminate(
     else:
         probes, corpus = benchmark, documents
     bench_sh = shingle_postings(probes).select("sh").distinct()
+    corpus_sh = shingle_postings(corpus)
+    if bloom_prefilter:
+        # the distinct-shingle frame feeds both the digest build and the
+        # confirm join: materialize once (note 12)
+        bench_sh = bench_sh.localCheckpoint(eager=False)
+        corpus_sh = corpus_sh.where(bloom_contains("sh", bloom_digest(bench_sh)))
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     hits = (
-        shingle_postings(corpus)
+        corpus_sh
         .join(bench_sh, "sh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
@@ -322,6 +338,104 @@ def decontaminate(
     return corpus.select("doc_id").join(hits, "doc_id", "left").select(
         "doc_id", n.alias("n_hits"), (n >= min_hits).alias("contaminated")
     )
+
+
+BLOOM_BITS = 1 << 23  # 1 MiB digest at the default sizing
+BLOOM_HASHES = 4
+
+
+def bloom_digest(
+    values: DataFrame,
+    col: str = "sh",
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> bytes:
+    """Mergeable Bloom bitset over a string column — the compact membership
+    digest dc2 broadcasts where the raw benchmark shingle SET would not
+    fit an executor (cs1-cs3's sketch-family argument applied to
+    membership: ~1 bit/40-byte shingle at the default sizing instead of
+    the string + hash-relation overhead). Build is one ``mapInPandas``
+    pass emitting ONE packed partial bitset per partition; partials merge
+    by bitwise OR (associative/commutative — merge(thirds) == whole,
+    pytest-locked), so the driver-side artifact is bounded at
+    ``n_partitions x n_bits/8`` bytes collected, ``n_bits/8`` kept.
+
+    Hashing is Kirsch-Mitzenmacher double hashing over two crc32 streams
+    (zlib — C-speed, seed-stable across executors, unlike Python's salted
+    ``hash``); the probe closure in :func:`bloom_contains` recomputes the
+    same positions, so build and probe share one definition and no
+    cross-engine hash portability is needed (rows-only surface).
+    """
+    import numpy as np
+
+    nb, nh = int(n_bits), int(n_hashes)
+
+    def _partials(it):
+        import zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        bits = _np.zeros(nb >> 3, dtype=_np.uint8)
+        seen = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            for s in pdf.iloc[:, 0]:
+                b = s.encode("utf-8")
+                h1 = zlib.crc32(b)
+                h2 = zlib.crc32(b, 0x9E3779B9) | 1
+                for i in range(nh):
+                    pos = ((h1 + i * h2) & 0xFFFFFFFFFFFF) % nb
+                    bits[pos >> 3] |= 1 << (pos & 7)
+        if seen:
+            yield _pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = values.select(col).mapInPandas(_partials, "bits binary").collect()
+    out = np.zeros(nb >> 3, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r.bits, dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_contains(
+    col: str,
+    digest: bytes,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+):
+    """Boolean membership Column probing a :func:`bloom_digest` bitset —
+    an Arrow-batched closure over the digest bytes (note 4). False
+    positives at the digest's fpp; NEVER false negatives, which is what
+    lets dc2 keep dc1's exact oracle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    nb, nh = int(n_bits), int(n_hashes)
+    dig = digest
+
+    def _contains(s):
+        import zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        bits = _np.frombuffer(dig, dtype=_np.uint8)
+
+        def one(v):
+            b = v.encode("utf-8")
+            h1 = zlib.crc32(b)
+            h2 = zlib.crc32(b, 0x9E3779B9) | 1
+            for i in range(nh):
+                pos = ((h1 + i * h2) & 0xFFFFFFFFFFFF) % nb
+                if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                    return False
+            return True
+
+        return _pd.Series([one(v) for v in s])
+
+    return pandas_udf(BooleanType())(_contains)(F.col(col))
 
 
 def dedup_against(
@@ -1169,6 +1283,14 @@ def build_queries():
         "dd4_simhash_pairs": (q(simhash_near_pairs), None),
         "dd6_dedup_clusters": (q(dedup_clusters), _DD6_SQL),
         "dc1_decontaminate": (q(decontaminate), _DC1_SQL),
+        # dc2 = dc1's beyond-broadcast regime with the Bloom-digest
+        # prefilter in front of the shuffle join; a Bloom has no false
+        # negatives and the exact join confirms survivors, so dc2 runs
+        # under dc1's own oracle unchanged (st8/d9's shared-oracle pattern).
+        "dc2_decontaminate_bloom": (
+            q(decontaminate, broadcast_benchmark=False, bloom_prefilter=True),
+            _DC1_SQL,
+        ),
         "dd7_substring_spans": (q(substring_dup_spans), _DD7_SQL),
         "dd8_dominated_frac": (q(dominated_span_fraction), _DD8_SQL),
         "dd9_strip_spans": (q(strip_dominated_spans), _DD9_SQL),

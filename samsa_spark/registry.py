@@ -707,6 +707,7 @@ _DEMOTED = (
     "lm4_kneser_ney_logprob",         # tf1 anchors the explode->vocab->score shape in-window (the lm family rationale); the Kneser-Ney continuation-smoothed score shares lm3's exact plan family and is pytest-oracle-checked + independent-Python model-checked
     "qz5_refined_topk",               # qz4 (in-window) does the candidate generation and sim1 anchors the exact-cosine scoring contract; the two-stage refine composes them and is pytest-oracle-checked + recall-recovery tested
     "tx8_collapse_runs",              # w1/ses1 anchor per-key ordered-window shapes and tx7 the per-row rewrite form in-window; the run-collapse repetition cleanup is pytest-oracle-checked + planted-run tested
+    "dc2_decontaminate_bloom",        # dc1 anchors decontamination in-window; dc2 is its beyond-broadcast regime with the no-false-negative Bloom prefilter (same oracle by construction) — pytest-oracle-checked + equivalence/merge/fpr tested
 )
 
 

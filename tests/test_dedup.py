@@ -784,3 +784,65 @@ def test_dd15_keep_filter_is_dd6_aware_dedup(spark):
     clusters = {r.canonical_id for r in dedup_clusters(docs).collect()}
     assert {r.canonical_id for r in kept} == clusters
     assert len(kept) == len(clusters)  # exactly one keeper each
+
+
+def test_dc2_oracle_match(spark):
+    ok, msg = check_query(spark, "dc2_decontaminate_bloom", SF_SMALL)
+    assert ok, msg
+
+
+def test_bloom_digest_merge_and_membership_contract(spark):
+    """(a) merge(thirds) == whole digest byte-for-byte (the OR-mergeable
+    sketch contract cs1-cs3 follow); (b) NO false negatives: every built
+    value probes True; (c) the false-positive rate on disjoint values
+    stays near the sizing's analytic fpp (well under 5% here)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.dedup import bloom_contains, bloom_digest
+
+    vals = [(f"member shingle {i}",) for i in range(3000)]
+    df = spark.createDataFrame(vals, "sh string")
+    whole = bloom_digest(df)
+    parts = [
+        bloom_digest(df.where(F.pmod(F.xxhash64("sh"), F.lit(3)) == i))
+        for i in range(3)
+    ]
+    merged = np.frombuffer(parts[0], dtype=np.uint8)
+    for p in parts[1:]:
+        merged = merged | np.frombuffer(p, dtype=np.uint8)
+    assert merged.tobytes() == whole
+
+    probed = spark.createDataFrame(
+        vals + [(f"absent shingle {i}",) for i in range(3000)], "sh string"
+    ).withColumn("hit", bloom_contains("sh", whole))
+    got = {r.sh: r.hit for r in probed.collect()}
+    assert all(got[v] for v, in vals), "a Bloom filter may never miss a member"
+    fpr = sum(1 for k, v in got.items() if v and k.startswith("absent")) / 3000
+    assert fpr < 0.05, f"false-positive rate {fpr}"
+
+
+def test_dc2_bloom_prefilter_equivalent_to_plain_dc1_on_planted_leak(spark):
+    """The scale claim's correctness half: with planted benchmark leaks the
+    Bloom-prefiltered shuffle form returns row-for-row what the broadcast
+    form returns (no false negatives + exact confirm join)."""
+    from samsa_spark.operators.dedup import decontaminate
+
+    rows = []
+    for i in range(20):  # benchmark docs
+        rows.append((i, f"eval question {i} about spark joins and shuffles"))
+    for i in range(20, 200):  # corpus, every 7th leaks a benchmark span
+        if i % 7 == 0:
+            rows.append((i, f"filler text eval question {i % 20} about spark joins and shuffles tail"))
+        else:
+            rows.append((i, f"ordinary training document number {i} with plain content"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {tuple(r) for r in decontaminate(docs).collect()}
+    bloomed = {
+        tuple(r)
+        for r in decontaminate(
+            docs, broadcast_benchmark=False, bloom_prefilter=True
+        ).collect()
+    }
+    assert plain == bloomed and len(plain) == 180
+    assert any(r[2] for r in plain), "planted leaks must be flagged"
