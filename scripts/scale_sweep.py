@@ -1120,6 +1120,132 @@ def sweep_dv1salt(spark) -> None:
         asg.unpersist()
 
 
+def sweep_dc2(spark) -> None:
+    """dc1 shuffle fallback vs dc2 Bloom-prefiltered shuffle as the corpus
+    grows — the evidence for dc2's 'only hits + fp mass reach the
+    exchange' claim. Reports the posting rows surviving the prefilter
+    (the shuffle-volume cut) alongside wall time of both forms. The
+    benchmark side is held fixed (as in production: eval suites don't
+    grow with the corpus), replicas perturb every token so replicated
+    docs share no shingles with the benchmark."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import (
+        bloom_contains,
+        bloom_digest,
+        decontaminate,
+        shingle_postings,
+    )
+
+    base = tables.load(spark, SF_DIR, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.lit("r"), F.col("_r").cast("string"), F.lit("x "),
+                         F.regexp_replace("text", " ", F.concat(F.lit(" r"), F.col("_r").cast("string"), F.lit("x "))))
+            )
+            .alias("text"),
+        )
+        return df, n_base * factor
+
+    decontaminate(base).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        probes = df.where(F.col("doc_id") < 20)
+        corpus = df.where(F.col("doc_id") >= 20)
+        post = shingle_postings(corpus)
+        total_post = post.count()
+        dig = bloom_digest(shingle_postings(probes).select("sh").distinct())
+        survivors = post.where(bloom_contains("sh", dig)).count()
+        print(json.dumps({
+            "measure": f"dc2_prefilter_x{factor}", "rows": n,
+            "postings": total_post, "survive_bloom": survivors,
+            "cut": round(1 - survivors / total_post, 4),
+        }), flush=True)
+        _time(
+            f"dc1_shuffle_x{factor}",
+            lambda: decontaminate(df, broadcast_benchmark=False),
+            n,
+        )
+        _time(
+            f"dc2_bloom_x{factor}",
+            lambda: decontaminate(df, broadcast_benchmark=False, bloom_prefilter=True),
+            n,
+        )
+        df.unpersist()
+
+
+def sweep_qz5(spark) -> None:
+    """Refine-stage overhead against a PREBUILT index as the corpus grows:
+    qz4 query-only vs qz5 query-only (same artifacts, refine adds the
+    candidate-bounded exact re-rank) — the evidence that the re-rank cost
+    is flat in corpus size (candidates = n_probes x k x overfetch
+    regardless of N)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        _nearest_cell,
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+        pq_encode,
+        refined_topk,
+    )
+
+    base = tables.load(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            "label",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(_r % 64 AS INT) "
+                "THEN x + CAST(0.01 * _r AS FLOAT) ELSE x END)"
+            ).alias("embedding"),
+        )
+        return df, n_base * factor
+
+    ivf_pq_topk(base).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        cells = min(64, max(8, int(n ** 0.5 // 8) * 8))
+        cb = pq_codebooks(df).localCheckpoint(eager=True)
+        codes = pq_encode(df, cb).localCheckpoint(eager=True)
+        cents = kmeans_centroids(df, k=cells, iters=1, round_cents=6)
+        asg = _nearest_cell(
+            df.select("vec_id", "embedding"), cents, "cell"
+        ).select("vec_id", "cell").localCheckpoint(eager=True)
+        prebuilt = dict(codebooks=cb, codes=codes, centroids=cents, assignments=asg)
+        _time(
+            f"qz4_query_only_x{factor}",
+            lambda: ivf_pq_topk(df, cells=cells, **prebuilt),
+            n,
+        )
+        _time(
+            f"qz5_refine_query_only_x{factor}",
+            lambda: refined_topk(df, cells=cells, **prebuilt),
+            n,
+        )
+        df.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1163,6 +1289,10 @@ def main() -> None:
         sweep_bm25(spark)
     if what in ("dv1salt", "all"):
         sweep_dv1salt(spark)
+    if what in ("dc2", "all"):
+        sweep_dc2(spark)
+    if what in ("qz5", "all"):
+        sweep_qz5(spark)
     spark.stop()
 
 
