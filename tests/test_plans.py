@@ -368,3 +368,53 @@ def test_dd13_normalization_fused_into_scan_no_text_shuffle(spark):
     ex = [seg for seg in p.split("Exchange") if "hashpartitioning" in seg[:200]]
     assert ex, "expected a hash exchange on the sha"
     assert "CartesianProduct" not in p
+
+
+def test_lm4_model_joins_partial_no_cartesian(spark):
+    """lm4's model statistics must all be aggregates OF the bigram-type
+    table with map-side partials; scoring joins the model back as
+    equi-joins — the only cross join is the broadcast 1-row type-count
+    scalar, never a nested loop over data."""
+    p = _plan(spark, "lm4_kneser_ney_logprob")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_qz5_refine_join_is_candidate_broadcast(spark):
+    """qz5's refine stage must reach the full-vector scan through a
+    BROADCAST join of the candidate list (candidate-bounded refine; a
+    shuffle of the vectors or a cartesian would make the re-rank
+    corpus-bounded)."""
+    p = _plan(spark, "qz5_refined_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_tx8_windows_are_doc_partitioned_one_token_exchange(spark):
+    """tx8's run algebra must run in doc-partitioned windows (no
+    partitionless window = no single-task global sort) with the exploded
+    token stream exchanged on doc_id once."""
+    p = _plan(spark, "tx8_collapse_runs")
+    assert "Window" in p
+    # every window partitions by doc_id (no global window); the matcher
+    # must actually fire (vacuous-guard lesson, commit 5ec8a54)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", p)
+    assert specs, "expected windowspecdefinition in the formatted plan"
+    for first_arg in specs:
+        assert "doc_id" in first_arg, first_arg
+    assert "CartesianProduct" not in p
+
+
+def test_dc2_bloom_prefilter_sits_before_exact_shuffle_join(spark):
+    """dc2's plan contract: the crc32 membership probe must FILTER the
+    corpus posting stream before the exact shingle equi-join (survivor
+    rows only reach the exchange), and the join must stay a partitioned
+    equi-join — never broadcast (dc2 is the beyond-broadcast regime) and
+    never a nested loop."""
+    p = _plan(spark, "dc2_decontaminate_bloom")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "pythonUDF" in p or "ArrowEvalPython" in p  # the probe filter
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
