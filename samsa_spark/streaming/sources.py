@@ -139,3 +139,37 @@ def read_jsonl(
         F.col("_corrupt_record").alias("raw_line")
     )
     return good, quarantine
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Batch CSV ingestion under :func:`read_jsonl`'s exact quarantine
+    contract — ``(good, quarantine)``, malformed lines never abort the job
+    and never vanish. Same mechanics: PERMISSIVE parse into a schema
+    extended with ``_corrupt_record``, one localCheckpoint so the split
+    filters see materialized values (the CSV parser short-circuits corrupt
+    -column-only filters the same way the JSON one does), two narrow
+    filters, no shuffle. CSV nuance: corrupt means any row that does not
+    parse EXACTLY against the schema — wrong types, too many columns, or
+    too few (Spark's PERMISSIVE CSV flags short rows as malformed rather
+    than padding; the conservative reading for ingestion hygiene).
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        [*schema.fields, StructField("_corrupt_record", StringType())]
+    )
+    parsed = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", "true" if header else "false")
+        .csv(path)
+        .localCheckpoint(eager=False)
+    )
+    good = parsed.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = parsed.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantine

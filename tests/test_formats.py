@@ -100,3 +100,36 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     assert len(q) == 3 and 'not json at all' in q
     assert any(l.startswith('{"doc_id": "five"') for l in q)
     assert good.count() + quarantine.count() == len(lines)
+
+
+def test_read_csv_quarantines_corrupt_lines(spark, tmp_path):
+    """read_jsonl's quarantine contract on CSV: clean rows parse, rows with
+    unparseable types, too many columns, or too few (PERMISSIVE CSV flags
+    short rows as malformed — no silent null-padding) land in quarantine
+    verbatim, and counts conserve the data-line total."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from samsa_spark.streaming.sources import read_csv
+
+    lines = [
+        "doc_id,text",
+        "1,alpha",
+        "2,beta",
+        "notanumber,gamma",   # type mismatch on long field
+        "4,delta,extra,cols", # too many columns
+        "5",                  # too few columns
+    ]
+    p = tmp_path / "docs.csv"
+    p.write_text("\n".join(lines) + "\n")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, quarantine = read_csv(spark, str(p), schema)
+    g = {r.doc_id: r.text for r in good.collect()}
+    q = sorted(r.raw_line for r in quarantine.collect())
+    assert g == {1: "alpha", 2: "beta"}
+    assert len(q) == 3
+    assert any(l.startswith("notanumber") for l in q)
+    assert any(l.startswith("4,delta") for l in q)
+    assert "5" in q
+    assert good.count() + quarantine.count() == 5
