@@ -763,6 +763,21 @@ def test_qz5_deterministic_under_repartition(spark):
     assert a == b and len(a) > 0
 
 
+def test_qz5_composes_with_residual_ivf_pq(spark):
+    """The kwargs pass-through contract: the refine stage runs unchanged
+    over qz4's residual-mode candidates (Jégou's actual IVF-ADC) and the
+    re-ranked scores are still the exact cosines, keeping planted-cluster
+    recall."""
+    from samsa_spark.operators.similarity import refined_topk
+
+    emb, n_clusters = _clustered_embeddings(spark)
+    got = refined_topk(emb, n_probes=20, k=5, cells=16, residual=True).collect()
+    assert {r.q_id for r in got} == set(range(20))
+    same = [1 if r.vec_id % n_clusters == r.q_id % n_clusters else 0 for r in got]
+    frac = sum(same) / len(same)
+    assert frac >= 0.9, f"same-cluster fraction {frac}"
+
+
 def test_rrf1_oracle_match(spark):
     ok, msg = check_query(spark, "rrf1_hybrid_fusion", SF_SMALL)
     assert ok, msg
