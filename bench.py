@@ -205,6 +205,8 @@ EXTRAS = [
     "tok3_bpe_encode",
     "tx8_collapse_runs",
     "dc2_decontaminate_bloom",
+    "dq1_constraint_report",
+    "df1_snapshot_diff",
 ]
 
 

@@ -15,6 +15,7 @@ from samsa_spark import sql as sql_surface
 from samsa_spark import tables
 from samsa_spark.operators import (
     advanced,
+    governance,
     pipeline_ops,
     scale,
     dedup,
@@ -127,6 +128,10 @@ for _name, (_fn, _sql) in similarity.build_queries().items():
 
 # --- multimodal binary-column plumbing -------------------------------------
 for _name, (_fn, _sql) in multimodal.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- governance (dq1 constraint battery, df1 snapshot diff) -----------------
+for _name, (_fn, _sql) in governance.build_queries().items():
     _register(_name, _fn, _sql)
 
 
@@ -708,6 +713,11 @@ _DEMOTED = (
     "qz5_refined_topk",               # qz4 (in-window) does the candidate generation and sim1 anchors the exact-cosine scoring contract; the two-stage refine composes them and is pytest-oracle-checked + recall-recovery tested
     "tx8_collapse_runs",              # w1/ses1 anchor per-key ordered-window shapes and tx7 the per-row rewrite form in-window; the run-collapse repetition cleanup is pytest-oracle-checked + planted-run tested
     "dc2_decontaminate_bloom",        # dc1 anchors decontamination in-window; dc2 is its beyond-broadcast regime with the no-false-negative Bloom prefilter (same oracle by construction) — pytest-oracle-checked + equivalence/merge/fpr tested
+    # round-9 second-session rotation: dq1 (declarative data-quality
+    # constraints) and df1 (snapshot diff) are new GOVERNANCE families
+    # promoted behind the driver's gate; two covered twins rotate out.
+    "d3_replay_prefix",               # d2 anchors log compaction and d4 the key-filter pushdown in-window; the prefix-bounded replay composes exactly those two shapes and is pytest-oracle-checked — slot went to dq1 constraint battery (round-9 rotation)
+    "sim2_embedding_near_dups",       # sim1 anchors the probe-broadcast exact-cosine scoring contract in-window (sim2 is the same scored join with a threshold filter in place of the top-k window); pytest-oracle-checked — slot went to df1 snapshot diff (round-9 rotation)
 )
 
 

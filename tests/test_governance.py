@@ -1,0 +1,65 @@
+"""dq1 constraint battery + df1 snapshot diff: oracle checks plus planted
+violation / change-status tests driving every code path the clean fixture
+cannot."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+from tests.oracle import check_query
+
+
+def test_dq1_oracle_match(spark):
+    ok, msg = check_query(spark, "dq1_constraint_report", SF_SMALL)
+    assert ok, msg
+
+
+def test_df1_oracle_match(spark):
+    ok, msg = check_query(spark, "df1_snapshot_diff", SF_SMALL)
+    assert ok, msg
+
+
+def test_dq1_planted_violations_fire_every_constraint(spark):
+    """Each constraint family must actually count its violations: duplicate
+    keys, dangling foreign keys, out-of-range values, empty text."""
+    from samsa_spark.operators.governance import constraint_report
+
+    customer = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "dup")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 99, -1.0), (12, 2, 3.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1.0, 0.1), (10, 99.0, 0.2), (11, 5.0, 1.5)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    )
+    documents = spark.createDataFrame(
+        [(0, "text"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r.constraint: (r.n_checked, r.n_violations, r.passed)
+        for r in constraint_report(customer, orders, lineitem, documents).collect()
+    }
+    assert got["customer.c_custkey is unique"] == (2, 1, False)
+    assert got["orders.o_custkey references customer"] == (3, 1, False)
+    assert got["orders.o_totalprice > 0"] == (3, 1, False)
+    assert got["lineitem.l_quantity in [1, 50]"] == (3, 1, False)
+    assert got["lineitem.l_discount in [0, 1]"] == (3, 1, False)
+    assert got["documents.text is non-empty"] == (3, 2, False)
+
+
+def test_df1_statuses_on_planted_snapshots(spark):
+    """Hand-built old/new snapshots hit all four statuses exactly."""
+    from samsa_spark.operators.governance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(new, old).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

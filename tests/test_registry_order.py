@@ -17,7 +17,6 @@ MUST_BE_CHECKED = [
     "st3_streaming_custom_fold",
     "dd6_dedup_clusters",
     "sim1_cosine_topk",
-    "sim2_embedding_near_dups",
     "sim4_ivf_topk",
     "mm1_media_metadata",
     "mm3_resized_stats",
@@ -35,6 +34,9 @@ MUST_BE_CHECKED = [
     # round-9 rotation: the retrieval + composed-ANN families behind the gate
     "bm1_bm25_topk",
     "qz4_ivf_pq_topk",
+    # round-9 second-session rotation: the governance families behind the gate
+    "dq1_constraint_report",
+    "df1_snapshot_diff",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -109,6 +111,14 @@ SIBLINGS = {
     # round-9 addition, born demoted (the window was already full)
     "dd14_char_spans": ["dd7_substring_spans"],
     "dd15_cluster_canonicalize": ["dd6_dedup_clusters", "dd1_exact_dedup"],
+    # round-9 second-session additions, born demoted
+    "lm4_kneser_ney_logprob": ["tf1_tfidf_top_terms"],
+    "qz5_refined_topk": ["qz4_ivf_pq_topk", "sim1_cosine_topk"],
+    "tx8_collapse_runs": ["w1_segment_top_orders", "tx2_quality_scores"],
+    "dc2_decontaminate_bloom": ["dc1_decontaminate"],
+    # round-9 second-session rotation: demoted to make room for dq1/df1
+    "d3_replay_prefix": ["d2_state_table", "d4_point_lookup"],
+    "sim2_embedding_near_dups": ["sim1_cosine_topk"],
 }
 
 
