@@ -418,3 +418,27 @@ def test_dc2_bloom_prefilter_sits_before_exact_shuffle_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "pythonUDF" in p or "ArrowEvalPython" in p  # the probe filter
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_dq1_constraints_are_aggregates_and_key_level_anti_join(spark):
+    """dq1's checks must stay algebraic (map-side partials) with the
+    referential check as a key-cardinality join — no cartesian beyond the
+    broadcast 1-row count scalar, no window, no text columns read."""
+    p = _plan(spark, "dq1_constraint_report")
+    assert "partial_count" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_df1_diff_is_single_outer_equi_join_on_pruned_sha(spark):
+    """df1 must reduce both snapshots to (doc_id, sha) before the one
+    full-outer equi-join — the text column must not survive into the
+    exchange, and there is exactly one join."""
+    p = _plan(spark, "df1_snapshot_diff")
+    assert "SortMergeJoin FullOuter" in p or "ShuffledHashJoin FullOuter" in p
+    assert "CartesianProduct" not in p
+    # text is consumed by sha2 inside the scan-side projection; no
+    # exchange segment may carry the raw text column
+    for seg in p.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        assert "text#" not in head, head
