@@ -207,6 +207,7 @@ EXTRAS = [
     "dc2_decontaminate_bloom",
     "dq1_constraint_report",
     "df1_snapshot_diff",
+    "dd16_prefix_jaccard",
 ]
 
 

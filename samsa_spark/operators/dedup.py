@@ -189,6 +189,85 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
     )
 
 
+DD16_MIN_JACCARD = 0.5
+
+
+def prefix_jaccard_pairs(
+    documents: DataFrame, min_jaccard: float = DD16_MIN_JACCARD
+) -> DataFrame:
+    """dd16 — EXACT threshold-Jaccard join via prefix filtering (Chaudhuri
+    et al. 2006 / Bayardo et al. 2007 / Xiao et al.'s PPJoin family): the
+    other way to make dd2 scale. dd2 materializes every co-occurring pair
+    and filters; dd16 exploits the threshold BEFORE the join — under a
+    global canonical shingle order (ascending document frequency, the
+    rarest-first order that makes prefixes selective), two sets with
+    Jaccard >= t must share a shingle within each one's first
+    ``|x| - ceil(t*|x|) + 1`` shingles, so candidates come from a
+    PREFIX-only self-join and everything else never pairs. Candidates are
+    then verified exactly against the full shingle sets. Same output
+    contract as dd2 (``doc_a < doc_b, n_inter, jaccard``) restricted to
+    the threshold — equivalence is pytest-locked and the oracle is
+    literally dd2's SQL with the threshold applied.
+
+    Scale mechanics: the prefix join's shuffle carries ~(1-t) of the
+    posting list (measured below vs dd2's full posting self-join, on top
+    of dd2's own df>1 prune); the verify stage joins full shingle-hash
+    ARRAYS only for candidate doc ids (semi-join pruned collect_set —
+    hundreds of longs per doc, thousands of candidate docs at a real
+    threshold), then intersects JVM-side with array algebra. MinHash-LSH
+    (dd3) stays the probabilistic default at web scale; dd16 is the EXACT
+    threshold join for when recall guarantees matter (contracts, evals).
+    """
+    t = float(min_jaccard)
+    g = (
+        shingle_postings(documents)
+        .select("doc_id", F.xxhash64("sh").alias("sh_h"))
+        .localCheckpoint(eager=False)
+    )
+    dft = g.groupBy("sh_h").agg(F.count("*").alias("df"))
+    # canonical rarest-first rank of each doc's shingles + set size
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    ranked = (
+        g.join(dft, "sh_h")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    plen = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    pref = ranked.where(F.col("pos") <= plen).select("doc_id", "sh_h")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = g.groupBy("doc_id").agg(
+        F.collect_set("sh_h").alias("shs"), F.count("*").alias("n_sh")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= t)
+    )
+
+
 def containment_pairs(
     documents: DataFrame, min_containment: float = 0.5
 ) -> DataFrame:
@@ -1290,6 +1369,12 @@ def build_queries():
         "dc2_decontaminate_bloom": (
             q(decontaminate, broadcast_benchmark=False, bloom_prefilter=True),
             _DC1_SQL,
+        ),
+        # dd16 = the exact threshold-Jaccard join; its oracle is dd2's SQL
+        # with the threshold applied (prefix filtering is lossless).
+        "dd16_prefix_jaccard": (
+            q(prefix_jaccard_pairs),
+            "SELECT * FROM (" + _DD2_SQL + ") WHERE jaccard >= " + str(DD16_MIN_JACCARD),
         ),
         "dd7_substring_spans": (q(substring_dup_spans), _DD7_SQL),
         "dd8_dominated_frac": (q(dominated_span_fraction), _DD8_SQL),

@@ -846,3 +846,84 @@ def test_dc2_bloom_prefilter_equivalent_to_plain_dc1_on_planted_leak(spark):
     }
     assert plain == bloomed and len(plain) == 180
     assert any(r[2] for r in plain), "planted leaks must be flagged"
+
+
+def test_dd16_oracle_match(spark):
+    ok, msg = check_query(spark, "dd16_prefix_jaccard", SF_SMALL)
+    assert ok, msg
+
+
+def test_dd16_equals_dd2_at_threshold_and_prunes_candidates(spark):
+    """The prefix filter is LOSSLESS: dd16's output must equal dd2's
+    filtered at the same threshold, row for row — while generating
+    strictly fewer candidate pairs than dd2's full co-occurrence join
+    materializes (the reason the algorithm exists)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+        shingle_postings,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    t = 0.5
+    want = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs).where(F.col("jaccard") >= t).collect()
+    }
+    got = {tuple(r) for r in prefix_jaccard_pairs(docs, min_jaccard=t).collect()}
+    assert got == want and len(got) > 0
+
+    # candidate reduction: prefix-join pairs << full co-occurrence pairs
+    post = shingle_postings(docs).select("doc_id", F.xxhash64("sh").alias("sh_h"))
+    dft = post.groupBy("sh_h").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    ranked = (
+        post.join(dft, "sh_h")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    pref = ranked.where(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).select("doc_id", "sh_h")
+
+    def pairs(frame):
+        a, b = frame.alias("a"), frame.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.sh_h") == F.col("b.sh_h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    full = pairs(post)
+    pruned = pairs(pref)
+    assert pruned < full * 0.2, (pruned, full)
+    # and the candidate set still covers every qualifying pair
+    assert pruned >= len(got)
+
+
+def test_dd16_prefix_length_theorem_on_planted_pairs(spark):
+    """Hand-planted docs straddling the threshold: a pair at jaccard just
+    above t must survive, a pair below t must not appear, and permuting
+    word order (same shingle SET not guaranteed) never creates false
+    positives."""
+    from samsa_spark.operators.dedup import prefix_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"          # high overlap with base
+    far = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_jaccard_pairs(docs, 0.5).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 0.5
+    assert all(2 not in k for k in got)

@@ -442,3 +442,13 @@ def test_df1_diff_is_single_outer_equi_join_on_pruned_sha(spark):
     for seg in p.split("Exchange")[1:]:
         head = seg.split("\n")[0]
         assert "text#" not in head, head
+
+
+def test_dd16_prefix_join_is_equi_join_with_partial_df_counts(spark):
+    """dd16's candidate stage must stay an equi-join on the shingle hash
+    over PREFIX postings with map-side-partial df counts; the verify joins
+    candidate ids only — never a cartesian/nested loop anywhere."""
+    p = _plan(spark, "dd16_prefix_jaccard")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

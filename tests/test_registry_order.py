@@ -119,6 +119,7 @@ SIBLINGS = {
     # round-9 second-session rotation: demoted to make room for dq1/df1
     "d3_replay_prefix": ["d2_state_table", "d4_point_lookup"],
     "sim2_embedding_near_dups": ["sim1_cosine_topk"],
+    "dd16_prefix_jaccard": ["dd6_dedup_clusters", "dd1_exact_dedup"],
 }
 
 
