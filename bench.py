@@ -208,6 +208,7 @@ EXTRAS = [
     "dq1_constraint_report",
     "df1_snapshot_diff",
     "dd16_prefix_jaccard",
+    "tx10_typo_pairs",
 ]
 
 

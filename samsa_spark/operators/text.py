@@ -367,6 +367,88 @@ FROM documents d JOIN kept USING (doc_id)
 """
 
 
+TX10_MAX_DIST = 2
+
+
+def typo_pairs(documents: DataFrame, max_dist: int = TX10_MAX_DIST) -> DataFrame:
+    """tx10 — vocabulary typo/OCR-noise pairs: every pair of distinct
+    corpus words within Levenshtein distance ``max_dist`` (<= 2), with
+    corpus counts — the signal behind typo normalization and OCR-noise
+    audits (a rare word one edit from a frequent one is a misspelling
+    candidate; the caller thresholds on the count ratio).
+
+    Candidate generation is SymSpell's deletion-neighborhood blocking
+    (Garbe): if ``ed(a, b) <= d`` then some string is reachable from BOTH
+    by at most ``d`` character deletions (each edit op consumes at most
+    one character of each side), so candidates are exactly the pairs
+    whose depth-``d`` deletion neighborhoods intersect — an equi-join on
+    the neighborhood key, never a vocab cross join. Survivors verify with
+    the real ``levenshtein`` (both engines implement plain Levenshtein
+    with identical values — checked kitten/sitting=3, ab/ba=2).
+
+    Scale shape: everything runs at word-TYPE cardinality (the corpus
+    collapses through one vocab aggregate, lm1's argument); the
+    neighborhood fan-out is O(len^d) keys per type (≤ ~900 at d=2 for
+    30-char words), the join key is a short string, and the verify is
+    per-candidate-pair. The oracle is the algorithmically INDEPENDENT
+    brute-force vocab self-join — stronger than a shared-shape twin.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("typo_pairs supports max_dist 1 or 2")
+    vocab = (
+        documents.select(F.explode(_toks()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds keys + both verify sides
+    )
+    d1 = (
+        "transform(sequence(1, length({x})), i -> "
+        "concat(substring({x}, 1, i-1), substring({x}, i+1, length({x}))))"
+    )
+    nb = f"array(w) || {d1.format(x='w')}"
+    if max_dist == 2:
+        inner = d1.format(x="x")
+        nb += (
+            f" || flatten(transform({d1.format(x='w')}, x -> "
+            f"if(length(x) = 0, array(), {inner})))"
+        )
+    keys = vocab.select("w", F.explode(F.expr(f"array_distinct({nb})")).alias("k"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .distinct()
+    )
+    dist = F.levenshtein("word_a", "word_b")
+    ca = vocab.select(F.col("w").alias("word_a"), F.col("c").alias("count_a"))
+    cb = vocab.select(F.col("w").alias("word_b"), F.col("c").alias("count_b"))
+    return (
+        cand.where(dist <= max_dist)
+        .join(ca, "word_a")
+        .join(cb, "word_b")
+        .select(
+            "word_a",
+            "word_b",
+            "count_a",
+            "count_b",
+            dist.cast("bigint").alias("dist"),
+        )
+    )
+
+
+_TX10_SQL = f"""
+WITH v AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w
+)
+SELECT a.w AS word_a, b.w AS word_b, a.c AS count_a, b.c AS count_b,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= {TX10_MAX_DIST}
+"""
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """tx5 — corpus statistics per (lang, source): doc counts, char totals,
     token totals, length extents. One hash aggregate over narrow projections.
@@ -1587,6 +1669,7 @@ def build_queries():
         "tx6_gopher_rules": (q(gopher_rules), _TX6_SQL),
         "tx7_pii_scrub": (q(pii_scrub), _TX7_SQL),
         "tx8_collapse_runs": (q(collapse_runs), _TX8_SQL),
+        "tx10_typo_pairs": (q(typo_pairs), _TX10_SQL),
         "cls1_classifier_score": (q(classifier_score), _CLS1_SQL),
         "tok1_bpe_pair_counts": (q(bpe_pair_counts), _TOK1_SQL),
         "hh1_heavy_ngrams": (q(heavy_ngrams), _HH1_SQL),

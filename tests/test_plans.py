@@ -452,3 +452,14 @@ def test_dd16_prefix_join_is_equi_join_with_partial_df_counts(spark):
     assert "partial_count" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tx10_neighborhood_join_is_equi_join_type_level(spark):
+    """tx10's candidate stage must be a hash equi-join on the neighborhood
+    key — never a vocab cross join/nested loop. (The corpus-collapsing
+    vocab aggregate sits behind the localCheckpoint boundary, so its
+    partials are not in this query's own plan.)"""
+    p = _plan(spark, "tx10_typo_pairs")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

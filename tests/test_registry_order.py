@@ -120,6 +120,7 @@ SIBLINGS = {
     "d3_replay_prefix": ["d2_state_table", "d4_point_lookup"],
     "sim2_embedding_near_dups": ["sim1_cosine_topk"],
     "dd16_prefix_jaccard": ["dd6_dedup_clusters", "dd1_exact_dedup"],
+    "tx10_typo_pairs": ["tf1_tfidf_top_terms", "tx1_token_counts"],
 }
 
 

@@ -1389,3 +1389,59 @@ def test_tx8_collapses_planted_runs_and_preserves_runfree_text(spark):
     got1 = {r.doc_id: r for r in collapse_runs(docs, max_run=1).collect()}
     assert got1[0].text_clean == "ha done" and got1[0].n_removed == 3
     assert got1[3].text_clean == "x  y  z" and got1[3].n_removed == 1
+
+
+def test_tx10_oracle_match(spark):
+    ok, msg = check_query(spark, "tx10_typo_pairs", SF_SMALL)
+    assert ok, msg
+
+
+def test_tx10_planted_typos_and_blocking_completeness(spark):
+    """(a) planted misspellings surface with their counts and distances;
+    (b) the deletion-neighborhood blocking is COMPLETE: on a random small
+    vocabulary the operator finds exactly the brute-force Python
+    edit-distance pairs (the SymSpell theorem, checked not assumed)."""
+    import random
+
+    from samsa_spark.operators.text import typo_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark sprak"),     # substitution-transposition at d=2
+            (1, "query query qeury"),           # transposition (d=2 in plain lev)
+            (2, "table tble"),                  # deletion (d=1)
+            (3, "window window window"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.word_a, r.word_b): (r.count_a, r.count_b, r.dist)
+        for r in typo_pairs(docs).collect()
+    }
+    assert got[("spark", "sprak")] == (3, 1, 2)
+    assert got[("qeury", "query")] == (1, 2, 2)
+    assert got[("table", "tble")] == (1, 1, 1)
+    assert all("window" not in k for k in got)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    words = {"".join(rng.choices(alphabet, k=rng.randint(1, 6))) for _ in range(80)}
+    rows = [(i, w) for i, w in enumerate(sorted(words))]
+    vdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (a, b, lev(a, b))
+        for a in words
+        for b in words
+        if a < b and lev(a, b) <= 2
+    }
+    got2 = {(r.word_a, r.word_b, r.dist) for r in typo_pairs(vdocs).collect()}
+    assert got2 == want
