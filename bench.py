@@ -209,6 +209,7 @@ EXTRAS = [
     "df1_snapshot_diff",
     "dd16_prefix_jaccard",
     "tx10_typo_pairs",
+    "rw1_rolling_value",
 ]
 
 

@@ -595,6 +595,60 @@ WHERE var > 0
 """
 
 
+RW1_HORIZON_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def rolling_value(events: DataFrame, horizon_us: int = RW1_HORIZON_US) -> DataFrame:
+    """rw1 — trailing TIME-RANGE rolling aggregate: for every event, the
+    count/sum/mean of its user's values over the preceding hour — the
+    moving-window feature family (rate limits, trailing spend, burst
+    detection) that row-frame windows cannot express when events are
+    unevenly spaced. This is the engine's one RANGE-frame window form
+    (``RANGE BETWEEN h PRECEDING AND CURRENT ROW`` over ``ts_us``): the
+    frame is defined by the ORDER value, so peers (equal timestamps) are
+    all included — identical SQL-standard semantics on both engines.
+
+    Determinism/parity: the summed value is the 2-dp DECIMAL quantization
+    (an1's exact order-free sum form); the mean divides the exact sum as
+    DOUBLE and rounds to 6 dp (repo rule 6). Scale shape: one exchange on
+    user_id, per-user time-sorted range scan — embarrassingly parallel
+    per key; the frame never buffers more than the horizon's events.
+    """
+    qv = F.round("value", 2).cast("decimal(18,2)")
+    e = events.select("event_id", "user_id", "ts_us", qv.alias("qv"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-int(horizon_us), 0)
+    )
+    n = F.count("*").over(w)
+    s = F.sum("qv").over(w).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        n.alias("n_1h"),
+        s.alias("sum_1h"),
+        F.round(s / n, 6).alias("avg_1h"),
+    )
+
+
+_RW1_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value, 2) AS DECIMAL(18,2)) AS qv
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       count(*) OVER w AS n_1h,
+       CAST(sum(qv) OVER w AS DOUBLE) AS sum_1h,
+       round(CAST(sum(qv) OVER w AS DOUBLE) / (count(*) OVER w), 6) AS avg_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {RW1_HORIZON_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 def build_queries():
     def q(fn, *names, spread=()):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -621,6 +675,7 @@ def build_queries():
         "an1_value_outliers": (q(value_outliers, "events"), _AN1_SQL),
         "as3_asof_forward": (q(asof_next_event, "events"), _AS3_SQL),
         "fe1_decayed_value": (q(decayed_value, "events"), _FE1_SQL),
+        "rw1_rolling_value": (q(rolling_value, "events"), _RW1_SQL),
     }
 
 

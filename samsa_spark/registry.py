@@ -720,6 +720,7 @@ _DEMOTED = (
     "sim2_embedding_near_dups",       # sim1 anchors the probe-broadcast exact-cosine scoring contract in-window (sim2 is the same scored join with a threshold filter in place of the top-k window); pytest-oracle-checked — slot went to df1 snapshot diff (round-9 rotation)
     "dd16_prefix_jaccard",            # dd6's in-window recursive-CTE oracle embeds dd2's pair algebra, which dd16 reproduces exactly through the lossless prefix filter (same output contract at the threshold); pytest-oracle-checked + dd2-equivalence + candidate-reduction tested
     "tx10_typo_pairs",                # tf1/tx1 anchor the vocab-aggregate shape in-window; the SymSpell deletion-neighborhood edit-distance join is pytest-oracle-checked against the algorithmically independent brute-force twin + planted-typo + blocking-completeness tested
+    "rw1_rolling_value",              # w1/ses1/d10 anchor keyed ordered windows in-window; the RANGE-frame trailing-hour aggregate (the one range-frame form) is pytest-oracle-checked + hand-computed frame-semantics tested
 )
 
 

@@ -615,3 +615,39 @@ def test_fe1_hand_computed_decay(spark):
     assert abs(got[1].decayed_value - want1) < 1e-9
     assert got[1].n_events == 3
     assert got[2].decayed_value == 5.0
+
+
+def test_rw1_oracle_match(spark):
+    ok, msg = check_query(spark, "rw1_rolling_value", SF_SMALL)
+    assert ok, msg
+
+
+def test_rw1_range_frame_semantics_hand_computed(spark):
+    """The RANGE frame's defining behaviors, on a hand-built stream: the
+    trailing window is TIME-bounded (an event 61 minutes earlier drops
+    out), peers at an equal timestamp are all included (SQL-standard RANGE
+    peer rule), and counts/sums follow exactly."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.advanced import rolling_value
+
+    H = 3_600_000_000
+    rows = [
+        # user 1: t=0, t=30min, t=61min (first drops out of the last frame)
+        (1, 1, 0, 10.0),
+        (2, 1, 30 * 60_000_000, 20.0),
+        (3, 1, 61 * 60_000_000, 30.0),
+        # user 2: two PEER events at the same ts + one current row later
+        (4, 2, 1000, 1.0),
+        (5, 2, 1000, 2.0),
+        (6, 2, 2000, 3.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
+    got = {r.event_id: (r.n_1h, r.sum_1h, r.avg_1h) for r in rolling_value(ev).collect()}
+    assert got[1] == (1, 10.0, 10.0)
+    assert got[2] == (2, 30.0, 15.0)
+    # event 3's frame: [61min - 60min, 61min] -> includes t=30min only + itself
+    assert got[3] == (2, 50.0, 25.0)
+    # peers at ts=1000 see EACH OTHER (range frame peer rule)
+    assert got[4] == (2, 3.0, 1.5) and got[5] == (2, 3.0, 1.5)
+    assert got[6] == (3, 6.0, 2.0)

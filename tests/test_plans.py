@@ -463,3 +463,18 @@ def test_tx10_neighborhood_join_is_equi_join_type_level(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rw1_single_user_partitioned_range_window(spark):
+    """rw1 must be one user_id-partitioned window (no global sort, no
+    join, no cartesian) — the embarrassingly-parallel rolling form."""
+    p = _plan(spark, "rw1_rolling_value")
+    assert "Window" in p
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", p)
+    assert specs, "expected windowspecdefinition in the formatted plan"
+    for first_arg in specs:
+        assert "user_id" in first_arg, first_arg
+    assert "CartesianProduct" not in p
+    assert "Join" not in p

@@ -121,6 +121,7 @@ SIBLINGS = {
     "sim2_embedding_near_dups": ["sim1_cosine_topk"],
     "dd16_prefix_jaccard": ["dd6_dedup_clusters", "dd1_exact_dedup"],
     "tx10_typo_pairs": ["tf1_tfidf_top_terms", "tx1_token_counts"],
+    "rw1_rolling_value": ["w1_segment_top_orders", "ses1_sessionize", "d10_windowed_changes"],
 }
 
 
