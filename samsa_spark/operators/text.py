@@ -1343,24 +1343,53 @@ def bm25_topk(
     """
     corpus = documents.where(F.col("doc_id") >= probe_max_id)
     probes = documents.where(F.col("doc_id") < probe_max_id)
+    idx = build_text_index(corpus)
+    return _bm25_score(
+        idx["postings"], idx["doclens"], idx["docfreq"],
+        _query_terms(probes), k=k, k1=k1, b=b,
+    )
+
+
+def build_text_index(corpus: DataFrame) -> dict[str, DataFrame]:
+    """Build bm1's retrieval index as three frames — ``postings``
+    ``(doc_id, tok, tf)``, ``doclens`` ``(doc_id, dl)``, ``docfreq``
+    ``(tok, df)`` — the persistable artifacts of the build-once/query-many
+    regime (:func:`save_text_index` / :func:`bm25_query`). dl/df derive
+    from the posting list (sum/count of tf rows), never a corpus re-scan;
+    the 1-row corpus stats scalar is recomputed per query from doclens (a
+    doc-cardinality skinny aggregate) so the index stays APPEND-ONLY."""
     toks = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    # dl/df derive from the posting list (sum/count of tf rows), not a
-    # corpus re-scan; stats is the 1-row broadcast scalar.
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    stats = dl.agg(
+    postings = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    docfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    return {"postings": postings, "doclens": doclens, "docfreq": docfreq}
+
+
+def _query_terms(probes: DataFrame) -> DataFrame:
+    return probes.select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).distinct()
+
+
+def _bm25_score(
+    postings: DataFrame,
+    doclens: DataFrame,
+    docfreq: DataFrame,
+    qt: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared BM25 scoring tail: identical arithmetic whether the index
+    frames were just built (bm1) or loaded from a prebuilt on-disk index
+    (bm2) — equivalence is structural, so bm2 runs under bm1's oracle (the
+    dc2/dc1 shared-oracle pattern)."""
+    stats = doclens.agg(
         F.sum("dl").cast("double").alias("sdl"), F.count("*").alias("nd")
     )
-    qt = (
-        probes.select(
-            F.col("doc_id").alias("q_id"),
-            F.explode(F.split("text", " ")).alias("tok"),
-        )
-        .distinct()
-    )
     qidf = (
-        df_.join(F.broadcast(qt), "tok")
+        docfreq.join(F.broadcast(qt), "tok")
         .crossJoin(F.broadcast(stats))
         .select(
             "q_id",
@@ -1385,8 +1414,8 @@ def bm25_topk(
         6,
     )
     scored = (
-        tf.join(F.broadcast(qidf), "tok")
-        .join(dl, "doc_id")
+        postings.join(F.broadcast(qidf), "tok")
+        .join(doclens, "doc_id")
         .groupBy("q_id", "doc_id")
         .agg(F.sum(contrib.cast("decimal(22,6)")).cast("double").alias("score"))
     )
@@ -1396,6 +1425,97 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "doc_id", "score", "rank")
     )
+
+
+def bm25_query(
+    index: dict[str, DataFrame],
+    probes: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    pushdown: bool = False,
+) -> DataFrame:
+    """bm2 — BM25 over a PREBUILT text index: same output contract and
+    bit-identical arithmetic as :func:`bm25_topk` (row-for-row equal,
+    pytest-locked), but the corpus-touching stages — posting list, doc
+    lengths, document frequencies — come from ``index``
+    (:func:`build_text_index` frames or :func:`load_text_index`'s on-disk
+    reads) instead of being rebuilt per call. The build-once/query-many
+    regime a production retrieval store actually runs (the PLANS.md ivfpq
+    argument, text side): per query the engine touches matching posting
+    rows + the skinny doclens frame, never the corpus text.
+
+    ``docfreq`` may hold per-append PARTIALS (``append_text_index`` is
+    append-only); they are summed per token before the idf join — exact
+    integer merge, so appended == rebuilt-on-union (pytest-locked).
+
+    ``pushdown=True`` collects the probe set's distinct terms (a
+    probe-bounded driver list, the centroid-collect argument) and pushes
+    ``tok IN (...)`` into the postings/docfreq parquet scans —
+    row-group-skippable because :func:`save_text_index` writes postings
+    range-partitioned and sorted by ``tok``. Identical output: the scoring
+    join discards non-query tokens anyway; only scan volume changes.
+    """
+    postings, doclens, docfreq = (
+        index["postings"], index["doclens"], index["docfreq"],
+    )
+    qt = _query_terms(probes)
+    if pushdown:
+        terms = [r[0] for r in qt.select("tok").distinct().collect()]
+        postings = postings.where(F.col("tok").isin(terms))
+        docfreq = docfreq.where(F.col("tok").isin(terms))
+    docfreq = docfreq.groupBy("tok").agg(F.sum("df").cast("bigint").alias("df"))
+    return _bm25_score(postings, doclens, docfreq, qt, k=k, k1=k1, b=b)
+
+
+def save_text_index(corpus: DataFrame, path: str) -> None:
+    """Materialize :func:`build_text_index`'s frames under ``path`` —
+    postings range-partitioned + sorted by ``tok`` so each parquet row
+    group covers a token range and ``bm25_query(pushdown=True)`` skips
+    row groups by min/max stats; doclens/docfreq as-is (skinny,
+    doc-/vocab-cardinality)."""
+    idx = build_text_index(corpus)
+    (
+        idx["postings"]
+        .repartitionByRange(F.col("tok"))
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    idx["doclens"].write.mode("overwrite").parquet(f"{path}/doclens")
+    idx["docfreq"].write.mode("overwrite").parquet(f"{path}/docfreq")
+
+
+def load_text_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Open a :func:`save_text_index`/:func:`append_text_index` index for
+    :func:`bm25_query`. docfreq is returned raw (possibly per-append
+    partials); the query merges it."""
+    return {
+        name: spark.read.parquet(f"{path}/{name}")
+        for name in ("postings", "doclens", "docfreq")
+    }
+
+
+def append_text_index(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> dict[str, DataFrame]:
+    """Incrementally index a NEW batch of documents (disjoint doc_ids —
+    same contract as shard append): appends the batch's postings/doclens
+    rows and its docfreq PARTIAL. Append-only by design — no table is
+    rewritten, so there is no stale-overwrite hazard and day-N cost is the
+    batch's own aggregates (the appended batch's postings are not
+    tok-sorted; re-run :func:`save_text_index` on the union corpus to
+    restore full pushdown locality when appended mass dominates).
+    refreshByPath after the appends: the session FileStatusCache otherwise
+    serves the pre-append file list to the next read (CLAUDE.md note 28).
+    Returns the reopened index."""
+    idx = build_text_index(new_docs)
+    idx["postings"].write.mode("append").parquet(f"{path}/postings")
+    idx["doclens"].write.mode("append").parquet(f"{path}/doclens")
+    idx["docfreq"].write.mode("append").parquet(f"{path}/docfreq")
+    for name in ("postings", "doclens", "docfreq"):
+        spark.catalog.refreshByPath(f"{path}/{name}")
+    return load_text_index(spark, path)
 
 
 # The twin mirrors the Spark stages 1:1 — posting list, dl/df as aggregates
@@ -1653,6 +1773,12 @@ FROM terms GROUP BY source, n
 # --- registry wiring -------------------------------------------------------
 
 
+def _bm2_query(spark: SparkSession, sf: str) -> DataFrame:
+    docs = tables.load(spark, sf, "documents")
+    idx = build_text_index(docs.where(F.col("doc_id") >= 20))
+    return bm25_query(idx, docs.where(F.col("doc_id") < 20), k=5)
+
+
 def build_queries():
     def q(fn):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -1674,6 +1800,11 @@ def build_queries():
         "tok1_bpe_pair_counts": (q(bpe_pair_counts), _TOK1_SQL),
         "hh1_heavy_ngrams": (q(heavy_ngrams), _HH1_SQL),
         "bm1_bm25_topk": (q(bm25_topk), _BM1_SQL),
+        # bm2 = bm1 through the prebuilt-index split (build_text_index ->
+        # bm25_query): bit-identical arithmetic, so it shares _BM1_SQL (the
+        # dc2/dc1 shared-oracle pattern); the disk round-trip, append-merge,
+        # and pushdown forms are pytest-locked row-for-row against bm1.
+        "bm2_bm25_prebuilt": (_bm2_query, _BM1_SQL),
         "pmi1_collocations": (q(pmi_collocations), _PMI1_SQL),
         "psi1_quality_drift": (q(quality_drift), _psi1_sql()),
         # sketch-based: HLL++/GK internals have no DuckDB twin -> rows-only,

@@ -721,6 +721,7 @@ _DEMOTED = (
     "dd16_prefix_jaccard",            # dd6's in-window recursive-CTE oracle embeds dd2's pair algebra, which dd16 reproduces exactly through the lossless prefix filter (same output contract at the threshold); pytest-oracle-checked + dd2-equivalence + candidate-reduction tested
     "tx10_typo_pairs",                # tf1/tx1 anchor the vocab-aggregate shape in-window; the SymSpell deletion-neighborhood edit-distance join is pytest-oracle-checked against the algorithmically independent brute-force twin + planted-typo + blocking-completeness tested
     "rw1_rolling_value",              # w1/ses1/d10 anchor keyed ordered windows in-window; the RANGE-frame trailing-hour aggregate (the one range-frame form) is pytest-oracle-checked + hand-computed frame-semantics tested
+    "bm2_bm25_prebuilt",              # bm1 anchors BM25 retrieval in-window; bm2 is its build-once/query-many split with bit-identical scoring (shared oracle by construction) — pytest-oracle-checked + bm1-equivalence/round-trip/append/pushdown tested
 )
 
 

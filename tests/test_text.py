@@ -17,7 +17,36 @@ TX_QUERIES = [
     "tx7_pii_scrub",
     "cls1_classifier_score",
     "bm1_bm25_topk",
+    "bm2_bm25_prebuilt",
 ]
+
+
+def test_bm2_prebuilt_index_equals_bm1(spark, tmp_path):
+    """The full prebuilt lifecycle — save half the corpus, APPEND the other
+    half (docfreq merged from partials), load, query with and without
+    scan pushdown — is row-for-row identical to bm1's rebuild-per-call
+    form. Exercises the disk round-trip the registered in-memory bm2
+    query can't."""
+    from samsa_spark import tables
+    from samsa_spark.operators.text import (
+        append_text_index,
+        bm25_query,
+        bm25_topk,
+        save_text_index,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    corpus = docs.where("doc_id >= 20")
+    probes = docs.where("doc_id < 20")
+    want = sorted(map(tuple, bm25_topk(docs).collect()))
+
+    path = str(tmp_path / "text_index")
+    save_text_index(corpus.where("doc_id % 2 = 0"), path)
+    idx = append_text_index(spark, path, corpus.where("doc_id % 2 = 1"))
+    got = sorted(map(tuple, bm25_query(idx, probes).collect()))
+    assert got == want
+    pushed = sorted(map(tuple, bm25_query(idx, probes, pushdown=True).collect()))
+    assert pushed == want
 
 
 @pytest.mark.parametrize("name", TX_QUERIES)
