@@ -211,6 +211,8 @@ EXTRAS = [
     "tx10_typo_pairs",
     "rw1_rolling_value",
     "bm2_prebuilt_query",
+    "scd1_state_history",
+    "ka1_k_anonymity",
 ]
 
 

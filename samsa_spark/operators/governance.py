@@ -143,6 +143,64 @@ FROM documents
 """
 
 
+def k_anonymity_violations(
+    df: DataFrame, quasi: list[str], k: int = 5
+) -> DataFrame:
+    """ka1 — k-anonymity audit (Sweeney 2002, the ARX/privacy-tooling
+    check): group the table by its quasi-identifier columns and return
+    every equivalence class smaller than ``k`` with its size —
+    ``(*quasi, class_size)``. Rows in these classes are re-identifiable
+    within fewer than ``k`` candidates; the output is exactly the worklist
+    a suppression/generalization pass consumes. The privacy gate a
+    training-data pipeline runs beside dq1's quality battery before data
+    leaves governance.
+
+    One hash aggregate over the quasi projection (map-side partials
+    collapse classes), one filter; output is bounded by the class count —
+    never a row-level materialization. The k threshold is a DOMAIN
+    constant (an absolute anonymity-set floor is the semantics, unlike
+    note-29 support thresholds), but the report is parity-checked at three
+    scales like every oracle so a scale-dependent emptiness would surface
+    in the sweep.
+    """
+    return (
+        df.groupBy(*quasi)
+        .agg(F.count("*").alias("class_size"))
+        .where(F.col("class_size") < k)
+        .orderBy(F.asc("class_size"), *[F.asc(c) for c in quasi])
+    )
+
+
+# Registered form: customers quasi-identified by (nation, market segment,
+# 500-unit account-balance band) — the classic "region x attribute x
+# binned numeric" QI shape. floor() on a DOUBLE band agrees across engines
+# (negative balances floor toward -inf on both).
+def _ka1_query(spark: SparkSession, sf: str) -> DataFrame:
+    cust = tables.load(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(500.0)).alias("bal_band"),
+    )
+    return k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
+_KA1_SQL = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bal_band
+  FROM customer
+), g AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM c GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT * FROM g WHERE class_size < 5
+ORDER BY class_size ASC, c_nationkey ASC, c_mktsegment ASC, bal_band ASC
+"""
+
+
 def snapshot_diff(new: DataFrame, old: DataFrame) -> DataFrame:
     """df1 — snapshot diff by key + content hash: per doc_id one of
     ``added`` (new only), ``removed`` (old only), ``changed`` (both, text
@@ -216,4 +274,5 @@ def build_queries():
     return {
         "dq1_constraint_report": (_dq1, _DQ1_SQL),
         "df1_snapshot_diff": (_df1_query, _DF1_SQL),
+        "ka1_k_anonymity": (_ka1_query, _KA1_SQL),
     }

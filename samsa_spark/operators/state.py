@@ -182,6 +182,47 @@ def windowed_changes(events: DataFrame) -> DataFrame:
     )
 
 
+def scd2_history(events: DataFrame) -> DataFrame:
+    """scd1 — the SCD Type-2 temporal view of the state table: per key, one
+    row per distinct consecutive ``event_type`` version with its validity
+    interval ``(user_id, state_value, valid_from_us, valid_to_us,
+    is_current)`` — ``valid_to_us`` NULL on the open (current) version.
+    The warehouse "history table" answering `what was key X's state AT
+    time T` — the time-travel complement of D2's `state NOW` compaction
+    and D3's `replay to T` (which answers one T per scan; the history
+    table answers all T with one interval lookup). Reference parity note:
+    samsa's store keeps only the latest value per key (storage.py:175-183
+    last-writer-wins); this derives the full version history the log
+    already implies.
+
+    Plan: D5's change-detection lag (keep rows starting a new version,
+    including each key's first) then a lead over the surviving version
+    rows for the interval close. Both windows share the ``user_id``
+    partitioning — one exchange, the second window only re-sorts the
+    pruned version rows. Embarrassingly parallel per key at 100 TB; no
+    driver-side anything.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    versions = (
+        events.withColumn("prev_event_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_event_type").isNull()
+            | (F.col("prev_event_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
+    return (
+        versions.withColumn("valid_to_us", F.lead("ts_us").over(w))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_value"),
+            F.col("ts_us").alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL (driver correctness gate) ---------------------------
 # The oracle reads the same parquet (ts truncated to microseconds by DuckDB),
 # so epoch_us(ts) == our ts_us and all ordering matches at us + event_id.
@@ -251,5 +292,20 @@ WITH l AS (
 )
 SELECT ts_us // 3600000000 AS hour_bucket, user_id, count(*) AS n_changes
 FROM c GROUP BY 1, 2
+    """,
+    "scd1_state_history": """
+WITH l AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), v AS (
+  SELECT user_id, event_type, ts_us, event_id
+  FROM l WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state_value, ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
+FROM v
     """,
 }

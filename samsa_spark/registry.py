@@ -96,6 +96,11 @@ _register(
     lambda spark, sf: state.windowed_changes(_ev(spark, sf)),
     state.ORACLE_SQL["d10_windowed_changes"],
 )
+_register(
+    "scd1_state_history",
+    lambda spark, sf: state.scd2_history(_ev(spark, sf)),
+    state.ORACLE_SQL["scd1_state_history"],
+)
 
 
 # --- relational surface (joins/aggs/windows/set ops/scalar+JSON fns) -------
@@ -722,6 +727,8 @@ _DEMOTED = (
     "tx10_typo_pairs",                # tf1/tx1 anchor the vocab-aggregate shape in-window; the SymSpell deletion-neighborhood edit-distance join is pytest-oracle-checked against the algorithmically independent brute-force twin + planted-typo + blocking-completeness tested
     "rw1_rolling_value",              # w1/ses1/d10 anchor keyed ordered windows in-window; the RANGE-frame trailing-hour aggregate (the one range-frame form) is pytest-oracle-checked + hand-computed frame-semantics tested
     "bm2_bm25_prebuilt",              # bm1 anchors BM25 retrieval in-window; bm2 is its build-once/query-many split with bit-identical scoring (shared oracle by construction) — pytest-oracle-checked + bm1-equivalence/round-trip/append/pushdown tested
+    "scd1_state_history",             # d2 (state NOW) + d5 (the same change-detection lag) anchor the state family in-window; the SCD2 temporal view composes d5's window with one lead and is pytest-oracle-checked + interval-invariant tested
+    "ka1_k_anonymity",                # dq1 anchors the governance aggregate-report shape in-window; the k-anonymity class audit is one hash aggregate in the same family and is pytest-oracle-checked + planted-violation tested
 )
 
 

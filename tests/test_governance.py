@@ -63,3 +63,27 @@ def test_df1_statuses_on_planted_snapshots(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(new, old).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_ka1_oracle_match(spark):
+    ok, msg = check_query(spark, "ka1_k_anonymity", SF_SMALL)
+    assert ok, msg
+
+
+def test_ka1_planted_classes(spark):
+    """Classes below k surface with exact sizes; classes at/above k do not;
+    ordering is (class_size, quasi)."""
+    from samsa_spark.operators.governance import k_anonymity_violations
+
+    rows = (
+        [("us", "a")] * 5      # safe at k=5
+        + [("us", "b")] * 2    # violating, size 2
+        + [("de", "a")] * 1    # violating, size 1
+        + [("de", "b")] * 6    # safe
+    )
+    df = spark.createDataFrame(rows, "country string, seg string")
+    got = [
+        tuple(r)
+        for r in k_anonymity_violations(df, ["country", "seg"], k=5).collect()
+    ]
+    assert got == [("de", "a", 1), ("us", "b", 2)]

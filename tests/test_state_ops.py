@@ -35,3 +35,34 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) == 15  # 15 distinct users at sf0.001
     assert "last_event_type" in df.columns
+
+
+def test_scd1_oracle_match(spark):
+    ok, msg = check_query(spark, "scd1_state_history", SF_SMALL)
+    assert ok, msg
+
+
+def test_scd1_intervals_partition_each_keys_timeline(spark):
+    """SCD2 invariants on the real log: per key exactly one open (current)
+    version; intervals chain (valid_to == next valid_from) with no gaps or
+    overlaps; consecutive versions differ; and the interval lookup at the
+    log's max ts reproduces D2's state-NOW value for every key."""
+    from samsa_spark import tables
+    from samsa_spark.operators.state import compact_latest, scd2_history
+
+    events = tables.load(spark, SF_SMALL, "events")
+    hist = scd2_history(events).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.user_id, []).append(r)
+    now = {r.user_id: r.last_event_type for r in compact_latest(events).collect()}
+    assert set(by_key) == set(now)
+    for uid, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from_us)
+        assert [r.is_current for r in rows] == [False] * (len(rows) - 1) + [True]
+        assert rows[-1].valid_to_us is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.state_value != b.state_value
+        # state AT the end of time == the open interval == D2's compaction
+        assert rows[-1].state_value == now[uid]
