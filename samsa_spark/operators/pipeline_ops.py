@@ -684,6 +684,7 @@ def write_shards(
     train_pct: int = 80,
     by_source: bool = False,
     max_records_per_file: int = 100_000,
+    cluster_by: str | None = None,
 ) -> DataFrame:
     """Materialize a prepped corpus as training shards — the artifact a
     training job actually consumes (pp1 computes shard STATS; this writes
@@ -708,8 +709,18 @@ def write_shards(
     spark = documents.sparkSession
     split = _split_expr(train_pct)
     part_cols = ["split", *(["source"] if by_source else [])]
+    tagged = documents.withColumn("split", split)
+    if cluster_by is not None:
+        # Range-cluster the data stream on one column before the write so
+        # each shard file covers a TIGHT value range: the manifest's
+        # min/max stats then let read_shards_pruned skip whole files (the
+        # Delta/Iceberg data-skipping layout). One extra range shuffle at
+        # write time, amortized over every pruned read.
+        tagged = tagged.repartitionByRange(F.col(cluster_by)).sortWithinPartitions(
+            cluster_by
+        )
     (
-        documents.withColumn("split", split)
+        tagged
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*part_cols)
@@ -945,6 +956,48 @@ def read_shards(
     if source is not None:
         df = df.where(F.col("source") == source)
     return df
+
+
+def read_shards_pruned(
+    spark: SparkSession,
+    path: str,
+    lo: int,
+    hi: int,
+    split: str | None = None,
+) -> DataFrame:
+    """Manifest-stat file skipping (the Delta/Iceberg data-skipping read):
+    serve ``doc_id BETWEEN lo AND hi`` by consulting the manifest's
+    per-file ``min_doc_id``/``max_doc_id`` and handing the scan ONLY the
+    files whose range intersects — skipped files are never listed, opened,
+    or footer-read. Row-for-row equal to ``read_shards(...).where(between)``
+    for ANY layout (stats are sound regardless of clustering, and the
+    residual filter still applies); the SKIP RATE is the layout's doing —
+    ``write_shards(cluster_by='doc_id')`` makes ranges tight and disjoint,
+    an unclustered write leaves them overlapping and prunes little
+    (measured in tests/test_storage_layout.py). Append/compact keep the
+    stats sound: both derive manifest rows from the written files
+    themselves (:func:`_shard_manifest`).
+
+    The manifest collect is file-list metadata at manifest cardinality
+    (the append_shards argument — bounded, never data). ``basePath`` keeps
+    the directory-partition columns (split/source) when reading explicit
+    leaf files."""
+    m = spark.read.parquet(f"{path}/manifest")
+    if split is not None:
+        m = m.where(F.col("split") == split)
+    hit = m.where((F.col("max_doc_id") >= lo) & (F.col("min_doc_id") <= hi))
+    files = [r.file for r in hit.select("file").collect()]
+    if not files:
+        return (
+            spark.read.parquet(f"{path}/data")
+            .where(F.lit(False))
+            .where(F.col("doc_id").between(lo, hi))
+        )
+    return (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(*files)
+        .where(F.col("doc_id").between(lo, hi))
+    )
 
 
 def read_shards_shuffled(

@@ -337,3 +337,66 @@ def test_funnel_on_bucketed_events_has_no_exchange(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_read_shards_pruned_skips_files_and_stays_exact(spark):
+    """Manifest-stat file skipping: (a) pruned read == full read + filter on
+    BOTH clustered and unclustered layouts (stats are sound regardless);
+    (b) on the cluster_by layout a narrow doc_id range touches a strict
+    minority of the split's files while the unclustered layout's
+    overlapping ranges prune nothing; (c) stats stay sound across
+    append_shards."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        append_shards,
+        read_shards,
+        read_shards_pruned,
+        write_shards,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    n = docs.count()
+    lo, hi = 10, 10 + n // 20  # ~5% of the id space
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select("doc_id", "text").collect())
+
+    # The negative control scrambles input order (hash sort) — the fixture
+    # arrives doc_id-ordered, which would make even an unclustered write
+    # accidentally tight on doc_id.
+    scrambled = docs.orderBy(F.sha2("text", 256))
+    for cluster, source in ((None, scrambled), ("doc_id", docs)):
+        path = tempfile.mkdtemp(prefix=f"shards-prune-{cluster}-")
+        manifest = write_shards(
+            source, path, max_records_per_file=50, cluster_by=cluster
+        )
+        want = rows(read_shards(spark, path).where(F.col("doc_id").between(lo, hi)))
+        got = rows(read_shards_pruned(spark, path, lo, hi))
+        assert got == want and len(got) > 0
+        total = manifest.where("split = 'train'").count()
+        hit = manifest.where(
+            (F.col("split") == "train")
+            & (F.col("max_doc_id") >= lo)
+            & (F.col("min_doc_id") <= hi)
+        ).count()
+        if cluster == "doc_id":
+            assert hit * 3 <= total, f"clustered layout should skip: {hit}/{total}"
+            # (c) append keeps stats sound: new batch, disjoint id range
+            batch = docs.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                *[c for c in docs.columns if c != "doc_id"],
+            )
+            append_shards(batch, path)
+            got2 = rows(read_shards_pruned(spark, path, 1_000_000 + lo, 1_000_000 + hi))
+            want2 = rows(
+                read_shards(spark, path).where(
+                    F.col("doc_id").between(1_000_000 + lo, 1_000_000 + hi)
+                )
+            )
+            assert got2 == want2 and len(got2) > 0
+        else:
+            assert hit == total  # unclustered: every file's range overlaps
+    # empty-intersection fast path returns an empty frame with the schema
+    assert read_shards_pruned(spark, path, -50, -10).count() == 0
