@@ -632,6 +632,110 @@ FROM s GROUP BY user_id, session_id
 _register("st7_streaming_sessions", _streaming_session_windows, _ST7_SQL)
 
 
+_ST9_SENTINEL_US = 4_102_444_800_000_000  # 2100-01-01: past any fixture event
+
+
+def _streaming_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """st9 — watermarked stream-stream LEFT OUTER join: st6's attribution
+    shape, but purchases with NO qualifying click must also emit (with
+    null click columns) — the conversion-vs-organic split an attribution
+    pipeline actually needs. Unlike the inner form, Spark only runs an
+    outer stream-stream join with BOTH sides watermarked and the range
+    condition on the event-time columns: an unmatched left row is emitted
+    only once the watermark proves no future right row can join it.
+
+    Exactness over a finite backlog: a far-future sentinel on EACH source
+    (watermark = min across sources) drives the final watermark past every
+    real row, and AvailableNow's closing no-data batch flushes the
+    outer-join state — so emitted = batch LEFT JOIN, exactly once per
+    purchase. The sentinel purchase emits as an unmatched row and is
+    dropped AFTER the sink read (never filtered inside the streaming plan
+    — the note-25 watermark-kill trap); the sentinel click matches nothing
+    and, being right-side in a left join, never surfaces. Watermark delay
+    1s; shuffle partitions pinned 8 (JVM-stateful, note 26).
+    """
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.streaming.sources import file_stream
+
+    ev = tables.load(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("c_ts_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    sent_c = spark.createDataFrame(
+        [(-1, -1, _ST9_SENTINEL_US)], schema=clicks.schema
+    )
+    sent_p = spark.createDataFrame(
+        [(-1, -1, _ST9_SENTINEL_US)], schema=purchases.schema
+    )
+    base = tempfile.mkdtemp(prefix="samsa-st9-")
+    src_c = os.path.join(base, "clicks")
+    src_p = os.path.join(base, "purchases")
+    clicks.repartition(4).write.parquet(src_c)
+    sent_c.write.mode("append").parquet(src_c)
+    purchases.repartition(4).write.parquet(src_p)
+    sent_p.write.mode("append").parquet(src_p)
+
+    sc = (
+        file_stream(spark, src_c, clicks.schema, max_files_per_trigger=2)
+        .withColumn("c_ts", F.timestamp_micros(F.col("c_ts_us")))
+        .withWatermark("c_ts", "1 second")
+    )
+    sp = (
+        file_stream(spark, src_p, purchases.schema, max_files_per_trigger=2)
+        .withColumn("p_ts", F.timestamp_micros(F.col("p_ts_us")))
+        .withWatermark("p_ts", "1 second")
+    )
+    joined = sp.join(
+        sc,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 1 hour")),
+        "left_outer",
+    ).select("purchase_id", "p_user_id", "p_ts_us", "click_id", "c_ts_us")
+
+    out = os.path.join(base, "out")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).where(F.col("purchase_id") != -1)
+
+
+_ST9_SQL = """
+WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_ts_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+             epoch_us(ts) AS p_ts_us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.p_user_id, p.p_ts_us, c.click_id, c.c_ts_us
+FROM p LEFT JOIN c ON p.p_user_id = c.user_id
+ AND c.c_ts_us <= p.p_ts_us AND c.c_ts_us >= p.p_ts_us - 3600000000
+"""
+
+_register("st9_streaming_outer_join", _streaming_outer_join, _ST9_SQL)
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:
@@ -729,6 +833,7 @@ _DEMOTED = (
     "bm2_bm25_prebuilt",              # bm1 anchors BM25 retrieval in-window; bm2 is its build-once/query-many split with bit-identical scoring (shared oracle by construction) — pytest-oracle-checked + bm1-equivalence/round-trip/append/pushdown tested
     "scd1_state_history",             # d2 (state NOW) + d5 (the same change-detection lag) anchor the state family in-window; the SCD2 temporal view composes d5's window with one lead and is pytest-oracle-checked + interval-invariant tested
     "ka1_k_anonymity",                # dq1 anchors the governance aggregate-report shape in-window; the k-anonymity class audit is one hash aggregate in the same family and is pytest-oracle-checked + planted-violation tested
+    "st9_streaming_outer_join",       # st1/st2/st3 keep the streaming engine in-window and st6's inner form shares the attribution shape; the watermarked LEFT OUTER join (sentinel-flushed unmatched emission == batch left join) is pytest-oracle-checked
 )
 
 

@@ -424,3 +424,30 @@ def test_streaming_index_append_matches_union_built_index(spark, tmp_path):
     ids = sorted({r.append_id for r in drift})
     assert ids == list(range(len(ids))) and len(ids) >= 2  # several batches, monotone
     assert sum(r.n_appended for r in drift) == half2.count()
+
+
+def test_st9_streaming_outer_join_oracle(spark):
+    """st9: the watermarked LEFT OUTER stream-stream join must emit exactly
+    the batch left join — every match once, plus every unmatched purchase
+    once with null click columns (flushed by the far-future sentinel +
+    AvailableNow's closing no-data batch)."""
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st9_streaming_outer_join", SF_SMALL)
+    assert ok, msg
+
+
+def test_st9_emits_unmatched_purchases_with_nulls(spark):
+    """The outer half is real: purchases with no qualifying click in the
+    preceding hour appear exactly once with null click_id, and the
+    sentinel row does not leak into the output."""
+    from samsa_spark.registry import all_queries
+
+    rows = all_queries()["st9_streaming_outer_join"](spark, SF_SMALL).collect()
+    unmatched = [r for r in rows if r.click_id is None]
+    assert len(unmatched) > 0
+    assert all(r.c_ts_us is None for r in unmatched)
+    assert all(r.purchase_id != -1 for r in rows)
+    # exactly-once per unmatched purchase
+    ids = [r.purchase_id for r in unmatched]
+    assert len(ids) == len(set(ids))
