@@ -478,3 +478,31 @@ def test_rw1_single_user_partitioned_range_window(spark):
         assert "user_id" in first_arg, first_arg
     assert "CartesianProduct" not in p
     assert "Join" not in p
+
+
+def test_bm2_pushdown_reaches_postings_and_docfreq_scans(spark, tmp_path):
+    """bm2's probe-term pushdown must land as an In(tok, ...) parquet
+    filter on BOTH index scans — if it degrades to a post-scan filter the
+    prebuilt regime silently reads the whole posting list."""
+    from samsa_spark import tables
+    from samsa_spark.operators.text import bm25_query, load_text_index, save_text_index
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "ti")
+    save_text_index(docs.where("doc_id >= 20"), path)
+    out = bm25_query(load_text_index(spark, path), docs.where("doc_id < 20"), pushdown=True)
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert p.count("PushedFilters: [In(tok") >= 2
+
+
+def test_scd1_two_windows_share_one_exchange(spark):
+    """scd1's lag + lead stack on the same user_id partitioning: exactly
+    one exchange, no extra shuffle between the windows."""
+    import re
+
+    p = _plan(spark, "scd1_state_history")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2

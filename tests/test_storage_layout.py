@@ -373,8 +373,14 @@ def test_read_shards_pruned_skips_files_and_stays_exact(spark):
             source, path, max_records_per_file=50, cluster_by=cluster
         )
         want = rows(read_shards(spark, path).where(F.col("doc_id").between(lo, hi)))
-        got = rows(read_shards_pruned(spark, path, lo, hi))
+        pruned = read_shards_pruned(spark, path, lo, hi)
+        got = rows(pruned)
         assert got == want and len(got) > 0
+        if cluster == "doc_id":
+            # the scan itself (not just the manifest math) touches a
+            # strict minority of the layout's files
+            n_all = len(read_shards(spark, path).inputFiles())
+            assert len(pruned.inputFiles()) * 3 <= n_all
         total = manifest.where("split = 'train'").count()
         hit = manifest.where(
             (F.col("split") == "train")
