@@ -285,3 +285,55 @@ def run_streaming_index_append(
     )
     q.awaitTermination()
     return q
+
+
+class StreamingCardAccumulator:
+    """foreachBatch sink accumulating cs2 PARTIAL corpus cards from a live
+    document stream — the sketch-side third of the streaming index
+    lifecycle (:class:`IncrementalDedupIndex` grows the near-dup index,
+    :class:`StreamingIndexAppender` the ANN index; this keeps the corpus
+    DATA CARD current). Each micro-batch writes its per-source partial
+    (one KB-scale row per source: counts + HLL content sketch + KLL
+    length sketch) into its OWN ``batch_id=<n>`` directory with overwrite
+    — a retried batch replaces itself, so unlike the two index sinks the
+    accumulated cards are EXACTLY-ONCE and the merged card after a crash
+    equals the batch card (pytest locks merged == one-pass cs2 over the
+    whole corpus). :meth:`merged` answers for everything seen so far by
+    merging batch-count x source-count rows — never re-reading a byte of
+    the stream.
+    """
+
+    def __init__(self, cards_path: str) -> None:
+        self.cards_path = cards_path
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from samsa_spark.operators.text import corpus_card_partial
+
+        if batch_df.isEmpty():
+            return
+        corpus_card_partial(batch_df).write.mode("overwrite").parquet(
+            f"{self.cards_path}/batch_id={int(batch_id)}"
+        )
+
+    def merged(self, spark: SparkSession) -> DataFrame:
+        from samsa_spark.operators.text import merge_corpus_cards
+
+        spark.catalog.refreshByPath(self.cards_path)
+        cards = spark.read.parquet(self.cards_path).select(
+            "source", "n_docs", "total_tokens", "content_sketch", "tokens_sketch"
+        )
+        return merge_corpus_cards(cards)
+
+
+def run_streaming_card(
+    stream_df: DataFrame, checkpoint_dir: str, acc: StreamingCardAccumulator
+):
+    """Drain a document stream into the card accumulator with AvailableNow."""
+    q = (
+        stream_df.writeStream.foreachBatch(acc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

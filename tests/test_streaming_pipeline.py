@@ -451,3 +451,55 @@ def test_st9_emits_unmatched_purchases_with_nulls(spark):
     # exactly-once per unmatched purchase
     ids = [r.purchase_id for r in unmatched]
     assert len(ids) == len(set(ids))
+
+
+def test_streaming_card_accumulator_equals_one_pass_card(spark, tmp_path):
+    """Corpus card over a multi-batch document stream == the one-pass batch
+    card (HLL union exactness + counts add + KLL exact below compaction);
+    and a manually retried batch is EXACTLY-ONCE (overwrite-into-own-dir),
+    leaving the merged card unchanged."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.text import corpus_card_partial, merge_corpus_cards
+    from samsa_spark.streaming.pipeline import (
+        StreamingCardAccumulator,
+        run_streaming_card,
+    )
+    from samsa_spark.streaming.sources import file_stream
+
+    docs = tables.load(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+
+    acc = StreamingCardAccumulator(str(tmp_path / "cards"))
+    stream = file_stream(spark, src, docs.schema, max_files_per_trigger=1)
+    run_streaming_card(stream, str(tmp_path / "chk"), acc)
+
+    def card_rows(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "source",
+                "n_docs",
+                "total_tokens",
+                F.round("approx_distinct_contents", 6).alias("adc"),
+                "approx_p50_tokens",
+                "approx_p95_tokens",
+            ).collect()
+        )
+
+    want = card_rows(merge_corpus_cards(corpus_card_partial(docs)))
+    got = card_rows(acc.merged(spark))
+    assert got == want and len(got) > 0
+
+    # exactly-once under retry: landing the SAME batch twice (same
+    # batch_id) must leave the merged card unchanged — the overwrite
+    # replaces, never double-counts
+    extra = docs.limit(37)
+    acc(extra, 99)
+    after_once = card_rows(acc.merged(spark))
+    acc(extra, 99)
+    assert card_rows(acc.merged(spark)) == after_once
