@@ -1000,6 +1000,105 @@ def read_shards_pruned(
     )
 
 
+def delete_from_shards(
+    spark: SparkSession,
+    path: str,
+    doc_ids,
+    max_records_per_file: int = 100_000,
+) -> DataFrame:
+    """Targeted row deletion from a :func:`write_shards` layout — the
+    right-to-be-forgotten / takedown path (the governance sibling of
+    ka1/dq1), done the way Delta/Iceberg DELETE does: rewrite ONLY the
+    files that contain target rows, leave every other file byte-identical.
+
+    File selection is two metadata-bounded narrowing steps: (1) the
+    manifest's per-file doc_id min/max intersected with the id set (a
+    broadcast range join at manifest x ids cardinality — file metadata,
+    never data); (2) candidates confirmed by reading just their doc_id
+    column (+ file path) so a range-overlapping file with no actual hit is
+    NOT rewritten. On a ``cluster_by='doc_id'`` layout step 1 already
+    pins deletes to a handful of files (measured in the storage suite).
+
+    Rewrite protocol: surviving rows of hit files are appended as new
+    files FIRST, the old files are then dropped (file-level Hadoop FS
+    delete — the rewrite-set commit), and the manifest is patched LAST
+    (kept rows verbatim off a checkpoint, fresh ``_metadata``-derived rows
+    for exactly the new files — append_shards' discovery). A crash between
+    append and delete leaves duplicates visible to raw-directory readers,
+    but the manifest still lists only the old files — manifest-driven
+    readers stay consistent and :func:`validate_shards` flags the
+    stragglers (same at-least-once stance as the other rewrite ops).
+    ``doc_ids`` is a list of ints or a 1-column DataFrame. Returns the
+    updated manifest.
+    """
+    manifest = spark.read.parquet(f"{path}/manifest")
+    part_cols = [c for c in ("split", "source") if c in manifest.columns]
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"
+        )
+    cand = (
+        manifest.alias("m")
+        .join(
+            F.broadcast(ids.alias("i")),
+            (F.col("m.min_doc_id") <= F.col("i.doc_id"))
+            & (F.col("i.doc_id") <= F.col("m.max_doc_id")),
+        )
+        .select("m.file")
+        .distinct()
+    )
+    cand_files = [r.file for r in cand.collect()]
+    if not cand_files:
+        return manifest
+    hits = (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(*cand_files)
+        .select("doc_id", F.col("_metadata.file_path").alias("file"))
+        .join(F.broadcast(ids), "doc_id")
+        .select("file")
+        .distinct()
+    )
+    hit_files = [r.file for r in hits.collect()]
+    if not hit_files:
+        return manifest
+    kept = manifest.where(~F.col("file").isin(hit_files)).localCheckpoint()
+    (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(*hit_files)
+        .join(F.broadcast(ids), "doc_id", "left_anti")
+        .write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*part_cols)
+        .parquet(f"{path}/data")
+    )
+    hconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    for f in hit_files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).delete(p, False)
+    spark.catalog.refreshByPath(f"{path}/data")
+    listing = (
+        spark.read.parquet(f"{path}/data")
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+    )
+    new_files = [
+        r.file
+        for r in listing.join(kept.select("file"), "file", "left_anti").collect()
+    ]
+    out = kept
+    if new_files:
+        back_new = spark.read.option("basePath", f"{path}/data").parquet(*new_files)
+        out = kept.unionByName(
+            _shard_manifest(back_new, part_cols).select(*kept.columns)
+        )
+    out.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    spark.catalog.refreshByPath(f"{path}/manifest")
+    return spark.read.parquet(f"{path}/manifest")
+
+
 def read_shards_shuffled(
     spark: SparkSession,
     path: str,

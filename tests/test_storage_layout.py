@@ -406,3 +406,49 @@ def test_read_shards_pruned_skips_files_and_stays_exact(spark):
             assert hit == total  # unclustered: every file's range overlaps
     # empty-intersection fast path returns an empty frame with the schema
     assert read_shards_pruned(spark, path, -50, -10).count() == 0
+
+
+def test_delete_from_shards_rewrites_only_hit_files(spark):
+    """Targeted delete: (a) result == original minus the id set, (b) files
+    without hits keep their exact paths (byte-untouched), (c) the manifest
+    stays consistent (validate_shards clean), (d) on a clustered layout
+    the rewrite set is a strict minority of files, (e) deleting absent ids
+    is a no-op."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        delete_from_shards,
+        read_shards,
+        validate_shards,
+        write_shards,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    path = tempfile.mkdtemp(prefix="shards-delete-")
+    write_shards(docs, path, max_records_per_file=50, cluster_by="doc_id")
+    before_manifest = spark.read.parquet(f"{path}/manifest")
+    before_files = {r.file for r in before_manifest.select("file").collect()}
+
+    victims = [5, 6, 7, 8, 9, 10, 11, 12]
+    manifest = delete_from_shards(spark, path, victims)
+
+    got = sorted(r.doc_id for r in read_shards(spark, path).select("doc_id").collect())
+    want = sorted(
+        r.doc_id
+        for r in docs.where(~F.col("doc_id").isin(victims)).select("doc_id").collect()
+    )
+    assert got == want
+
+    after_files = {r.file for r in manifest.select("file").collect()}
+    surviving_old = before_files & after_files
+    rewritten = before_files - after_files
+    # contiguous victim range on a clustered layout: most files untouched
+    assert len(rewritten) * 3 <= len(before_files)
+    assert len(surviving_old) > 0
+    assert validate_shards(spark, path).count() == 0
+
+    # no-op delete: ids nowhere in the layout
+    m2 = delete_from_shards(spark, path, [10_000_000, 10_000_001])
+    assert {r.file for r in m2.select("file").collect()} == after_files
+    assert read_shards(spark, path).count() == len(want)
