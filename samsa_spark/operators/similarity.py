@@ -98,6 +98,130 @@ def cosine_topk(embeddings: DataFrame, n_probes: int = 20, k: int = 5) -> DataFr
     )
 
 
+def hard_negatives(embeddings: DataFrame, n_probes: int = 20, k: int = 5) -> DataFrame:
+    """hn1 — hard-negative mining for contrastive training: per probe the
+    top-``k`` most-similar corpus vectors with a DIFFERENT label — exactly
+    the negatives a contrastive/embedding-model trainer wants in the batch
+    (the easy random negative teaches nothing; the near-miss different-class
+    neighbor carries the gradient). sim1's scored probe-broadcast join with
+    the label inequality fused into the join condition, so same-label rows
+    are dropped BEFORE scoring; same determinism contract (rounded cosine,
+    vec_id tie-break). Returns ``(q_id, vec_id, neg_label, cos, rank)``.
+    """
+    base = embeddings.select("vec_id", "embedding", "label")
+    probes = F.broadcast(
+        base.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    scored = (
+        base.join(
+            probes,
+            (F.col("q_id") != F.col("vec_id")) & (F.col("q_label") != F.col("label")),
+        )
+        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+        .select("q_id", "vec_id", F.col("label").alias("neg_label"), "cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "neg_label", "cos", "rank")
+    )
+
+
+def semi_hard_negatives(
+    embeddings: DataFrame, n_probes: int = 20, k: int = 5, margin: float = 0.2
+) -> DataFrame:
+    """hn2 — SEMI-hard negative mining (the FaceNet band): negatives whose
+    similarity sits in ``[pos_cos - margin, pos_cos)`` where ``pos_cos`` is
+    the probe's best same-label cosine — harder than the margin floor,
+    but still easier than the hardest positive (the regime that avoids the
+    collapsed-embedding failure of training on hardest-only negatives).
+    One scored join feeds both sides: the per-probe positive anchor is a
+    max aggregate of the same-label slice (probe-cardinality, broadcast
+    back), the negative slice filters against it, then the top-k window.
+    Rounded-cosine band edges on both engines (rule-6 discipline).
+    Returns ``(q_id, vec_id, cos, pos_cos, rank)``.
+    """
+    base = embeddings.select("vec_id", "embedding", "label")
+    probes = F.broadcast(
+        base.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    scored = (
+        base.join(probes, F.col("q_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+        .select("q_id", "q_label", "vec_id", "label", "cos")
+    )
+    pos = (
+        scored.where(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.max("cos").alias("pos_cos"))
+    )
+    negs = (
+        scored.where(F.col("label") != F.col("q_label"))
+        .join(F.broadcast(pos), "q_id")
+        .where(
+            (F.col("cos") < F.col("pos_cos"))
+            & (F.col("cos") >= F.col("pos_cos") - F.lit(float(margin)))
+        )
+        .select("q_id", "vec_id", "cos", "pos_cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "pos_cos", "rank")
+    )
+
+
+_HN1_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+p AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label FROM v WHERE vec_id < 20),
+s AS (
+  SELECT p.q_id, v.vec_id, v.label AS neg_label,
+         round(list_cosine_similarity(p.q_emb, v.emb), 6) AS cos
+  FROM p JOIN v ON p.q_id <> v.vec_id AND p.q_label <> v.label
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, neg_label, cos, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+_HN2_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+p AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label FROM v WHERE vec_id < 20),
+s AS (
+  SELECT p.q_id, p.q_label, v.vec_id, v.label,
+         round(list_cosine_similarity(p.q_emb, v.emb), 6) AS cos
+  FROM p JOIN v ON p.q_id <> v.vec_id
+),
+pos AS (SELECT q_id, max(cos) AS pos_cos FROM s WHERE label = q_label GROUP BY q_id),
+n AS (
+  SELECT s.q_id, s.vec_id, s.cos, pos.pos_cos
+  FROM s JOIN pos USING (q_id)
+  WHERE s.label <> s.q_label AND s.cos < pos.pos_cos AND s.cos >= pos.pos_cos - 0.2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM n
+)
+SELECT q_id, vec_id, cos, pos_cos, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def embedding_near_dups(
     embeddings: DataFrame, n_probes: int = 100, min_cos: float = 0.35
 ) -> DataFrame:
@@ -2077,6 +2201,8 @@ def build_queries():
     return {
         "sim1_cosine_topk": (q(cosine_topk), _SIM1_SQL),
         "sim2_embedding_near_dups": (q(embedding_near_dups), _SIM2_SQL),
+        "hn1_hard_negatives": (q(hard_negatives), _HN1_SQL),
+        "hn2_semi_hard_negatives": (q(semi_hard_negatives), _HN2_SQL),
         # LSH buckets depend on a seeded-numpy projection only Spark-side:
         # rows-only driver check; recall asserted in tests/test_similarity.py.
         "sim3_ann_topk_lsh": (q(ann_topk_lsh), None),

@@ -834,6 +834,8 @@ _DEMOTED = (
     "scd1_state_history",             # d2 (state NOW) + d5 (the same change-detection lag) anchor the state family in-window; the SCD2 temporal view composes d5's window with one lead and is pytest-oracle-checked + interval-invariant tested
     "ka1_k_anonymity",                # dq1 anchors the governance aggregate-report shape in-window; the k-anonymity class audit is one hash aggregate in the same family and is pytest-oracle-checked + planted-violation tested
     "st9_streaming_outer_join",       # st1/st2/st3 keep the streaming engine in-window and st6's inner form shares the attribution shape; the watermarked LEFT OUTER join (sentinel-flushed unmatched emission == batch left join) is pytest-oracle-checked
+    "hn1_hard_negatives",             # sim1 anchors the probe-broadcast scored-join top-k in-window (hn1 fuses a label inequality into the same join); the contrastive hard-negative miner is pytest-oracle-checked + planted-cluster tested
+    "hn2_semi_hard_negatives",        # sim1 anchors the scored-join shape and qf1 the broadcast-cutpoint filter (hn2's per-probe pos_cos anchor is the same pattern); the FaceNet semi-hard band is pytest-oracle-checked + band-semantics tested
 )
 
 

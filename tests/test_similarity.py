@@ -1087,3 +1087,74 @@ def test_dv1_salted_topk_equals_unsalted(spark):
             for r in diversity_sample(emb, farthest=far, salt=4).collect()
         }
         assert a == b and len(a) > 0
+
+
+def test_hn1_hard_negatives_oracle(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "hn1_hard_negatives", SF_SMALL)
+    assert ok, msg
+
+
+def test_hn2_semi_hard_negatives_oracle(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "hn2_semi_hard_negatives", SF_SMALL)
+    assert ok, msg
+
+
+def _hn_fixture(spark):
+    """Probe 0 (label 0) with a planted geometry on the unit circle:
+    same-label vec 10 nearest (cos .995), different-label vecs spread from
+    near-miss to easy."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [
+        (0, unit(0.0), 0),      # probe
+        (10, unit(0.1), 0),     # same label, nearest overall -> pos anchor
+        (11, unit(0.3), 1),     # hard negative (cos ~.955)
+        (12, unit(0.7), 1),     # medium negative (cos ~.765)
+        (13, unit(1.4), 2),     # easy negative (cos ~.170)
+        (14, unit(3.0), 2),     # far negative (cos ~-.99)
+    ]
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+
+
+def test_hn1_excludes_same_label_neighbors(spark):
+    """The nearest vector overall shares the probe's label — it must NOT
+    appear; rank 1 is the nearest different-label vector."""
+    from samsa_spark.operators.similarity import hard_negatives
+
+    out = [
+        (r.vec_id, r.rank)
+        for r in hard_negatives(_hn_fixture(spark), n_probes=1, k=4)
+        .where("q_id = 0")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [v for v, _ in out] == [11, 12, 13, 14]  # 10 excluded
+
+
+def test_hn2_band_semantics(spark):
+    """pos_cos anchors at the best same-label cosine; only negatives in
+    [pos_cos - margin, pos_cos) survive — harder-than-positive and easy
+    negatives both excluded."""
+    import math
+
+    from samsa_spark.operators.similarity import semi_hard_negatives
+
+    rows = _hn_fixture(spark)
+    out = semi_hard_negatives(rows, n_probes=1, k=5, margin=0.3).where("q_id = 0").collect()
+    ids = sorted(r.vec_id for r in out)
+    # pos_cos = cos(0.1) ~ .995; band [.695, .995): 11 (.955) and 12 (.765)
+    assert ids == [11, 12]
+    assert all(abs(r.pos_cos - round(math.cos(0.1), 6)) < 1e-9 for r in out)
