@@ -213,6 +213,7 @@ EXTRAS = [
     "bm2_prebuilt_query",
     "scd1_state_history",
     "ka1_k_anonymity",
+    "hn1_hard_negatives",
 ]
 
 

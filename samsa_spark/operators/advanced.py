@@ -522,6 +522,114 @@ FROM t GROUP BY user_id
 """
 
 
+TE1_SMOOTHING = 10
+
+
+def target_encode(events: DataFrame, m: int = TE1_SMOOTHING) -> DataFrame:
+    """te1 — LEAVE-ONE-OUT smoothed target encoding of ``event_type``
+    against ``value``: per event, the mean value of every OTHER event of
+    its type, shrunk toward the global mean by a pseudo-count prior —
+    ``te = ((sum_t − value) + m·gmean) / (cnt_t − 1 + m)``. The standard
+    high-cardinality categorical feature with the leakage already removed
+    (plain per-category mean leaks each row's own target into its
+    feature; LOO subtracts it — the reason naive target encoding
+    overfits). Returns ``(event_id, event_type, te)``.
+
+    Determinism/parity: sums are exact DECIMAL(18,2) of the 2-dp values
+    (d8's convention), the subtraction stays in DECIMAL, and the final
+    expression is one fixed double sequence rounded to 6 dp. Scale shape:
+    one type-cardinality aggregate + the 1-row global both broadcast back
+    into the event scan — no wide exchange at all; at 100 TB this is a
+    map-only feature join (the cls1 broadcast-weights shape).
+    """
+    v = F.col("value").cast("decimal(18,2)")
+    per_type = events.groupBy("event_type").agg(
+        F.count("*").alias("cnt_t"), F.sum(v).alias("sum_t")
+    )
+    glob = events.agg(
+        (F.sum(v).cast("double") / F.count("*")).alias("gmean")
+    )
+    te = F.round(
+        ((F.col("sum_t") - v).cast("double") + F.lit(float(m)) * F.col("gmean"))
+        / (F.col("cnt_t") - 1 + F.lit(m)),
+        6,
+    )
+    return (
+        events.select("event_id", "event_type", "value")
+        .join(F.broadcast(per_type), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select("event_id", "event_type", te.alias("te"))
+    )
+
+
+_TE1_SQL = f"""
+WITH t AS (
+  SELECT event_type, count(*) AS cnt_t,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_t
+  FROM events GROUP BY event_type
+),
+g AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS gmean
+  FROM events
+)
+SELECT e.event_id, e.event_type,
+       round((CAST(sum_t - CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+              + {float(TE1_SMOOTHING)!r} * gmean)
+             / (cnt_t - 1 + {TE1_SMOOTHING}), 6) AS te
+FROM events e JOIN t USING (event_type) CROSS JOIN g
+"""
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """mk1 — first-order Markov transition matrix of ``event_type`` per
+    user journey: counts and probabilities of each (from → to) step under
+    the per-user log order — the behavioral-model fit (next-action
+    prediction, anomalous-flow detection) and the generative twin of
+    fu1's fixed-funnel matching. Returns
+    ``(from_type, to_type, n_transitions, p)`` with ``p`` row-normalized
+    over ``from_type`` and rounded to 6 dp.
+
+    Plan: one lead over the per-user order (d5's window family — the only
+    wide exchange, user-partitioned), then a type²-cardinality aggregate
+    whose row normalization is a window over that tiny frame.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        events.withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wt), 6
+        ).alias("p"),
+    )
+
+
+_MK1_SQL = """
+WITH l AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM l WHERE to_type IS NOT NULL GROUP BY event_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
 AN1_Z_THRESHOLD = 3.0
 
 
@@ -676,6 +784,8 @@ def build_queries():
         "as3_asof_forward": (q(asof_next_event, "events"), _AS3_SQL),
         "fe1_decayed_value": (q(decayed_value, "events"), _FE1_SQL),
         "rw1_rolling_value": (q(rolling_value, "events"), _RW1_SQL),
+        "te1_target_encode": (q(target_encode, "events"), _TE1_SQL),
+        "mk1_markov_transitions": (q(markov_transitions, "events"), _MK1_SQL),
     }
 
 

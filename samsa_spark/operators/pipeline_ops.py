@@ -1728,6 +1728,7 @@ def build_queries():
         "pk2_pack_chunked": (q(pack_sequences_chunked, "documents"), _PK2_SQL),
         "pk3_pack_assignments": (q(pack_assignments, "documents"), _PK3_SQL),
         "sm1_stratified_sample": (q(stratified_sample, "documents"), _SM1_SQL),
+        "ws1_weighted_sample": (q(weighted_sample, "documents"), _WS1_SQL),
         "sm2_mixture_sample": (q(mixture_sample, "documents"), _SM2_SQL),
         "sm3_mixture_expand": (q(mixture_expand, "documents"), _SM3_SQL),
         "ds1_shuffle_shards": (q(shuffle_shards, "documents"), _DS1_SQL),
@@ -1865,6 +1866,48 @@ def stratified_sample(documents: DataFrame, per_lang: int = 20) -> DataFrame:
         F.max("doc_id").alias("max_doc"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+WS1_SAMPLE_N = 50
+
+
+def weighted_sample(documents: DataFrame, n: int = WS1_SAMPLE_N) -> DataFrame:
+    """ws1 — weighted sampling WITHOUT replacement by the
+    Efraimidis–Spirakis exponential-key rule: each doc draws a
+    deterministic pseudo-uniform ``u`` from its id (:func:`_sample_hash`'s
+    decorrelated mixing) and competes on ``ln(u)/w`` with weight ``w`` =
+    ``n_chars``; the global top-``n`` keys are EXACTLY a weight-
+    proportional without-replacement draw (Efraimidis & Spirakis 2006 —
+    the ``u^(1/w)`` key under the monotone ln transform). The principled
+    per-doc-weight subsample (by length, quality, importance score) that
+    hash-threshold sampling (sm1/sm2's per-STRATUM rates) cannot express.
+    Reproducible across engines, partitionings and retries: sampling is a
+    pure function of (doc_id, weight). Returns
+    ``(doc_id, n_chars, skey)``, best key first.
+
+    Determinism: key rounded to 6 dp BEFORE ranking with doc_id
+    tie-break (rule 6 — both engines then agree bit-for-bit even where
+    libm ulps differ). Plan: a pure column expression + global top-n —
+    TakeOrderedAndProject (h3's no-global-sort shape), no shuffle beyond
+    the final n rows.
+    """
+    u = (_sample_hash("doc_id") + 1) / F.lit(float(_SPLIT_MOD + 1))
+    skey = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        documents.select("doc_id", "n_chars", skey.alias("skey"))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(n)
+    )
+
+
+_WS1_SQL = f"""
+SELECT doc_id, n_chars,
+       round(ln((({_SAMPLE_HASH_SQL.format(col="doc_id")}) + 1) / {float(_SPLIT_MOD + 1)!r})
+             / n_chars, 6) AS skey
+FROM documents
+ORDER BY skey DESC, doc_id ASC
+LIMIT {WS1_SAMPLE_N}
+"""
 
 
 def _mixture_rates(

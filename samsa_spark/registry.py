@@ -836,6 +836,9 @@ _DEMOTED = (
     "st9_streaming_outer_join",       # st1/st2/st3 keep the streaming engine in-window and st6's inner form shares the attribution shape; the watermarked LEFT OUTER join (sentinel-flushed unmatched emission == batch left join) is pytest-oracle-checked
     "hn1_hard_negatives",             # sim1 anchors the probe-broadcast scored-join top-k in-window (hn1 fuses a label inequality into the same join); the contrastive hard-negative miner is pytest-oracle-checked + planted-cluster tested
     "hn2_semi_hard_negatives",        # sim1 anchors the scored-join shape and qf1 the broadcast-cutpoint filter (hn2's per-probe pos_cos anchor is the same pattern); the FaceNet semi-hard band is pytest-oracle-checked + band-semantics tested
+    "te1_target_encode",              # cls1 anchors the broadcast-feature-join shape and d8 the decimal-exact per-key moments in-window; the leave-one-out smoothed encoder is pytest-oracle-checked + leakage-removal tested
+    "mk1_markov_transitions",         # d5/as3 anchor the per-key lag/lead window in-window and pv1 the type-cardinality matrix shape; the transition-probability aggregate is pytest-oracle-checked + row-normalization tested
+    "ws1_weighted_sample",            # sm1/sm2 anchor hash-deterministic sampling in-window and h3 the TakeOrderedAndProject top-k; the Efraimidis-Spirakis weighted draw is pytest-oracle-checked + weight-proportionality tested
 )
 
 

@@ -651,3 +651,73 @@ def test_rw1_range_frame_semantics_hand_computed(spark):
     # peers at ts=1000 see EACH OTHER (range frame peer rule)
     assert got[4] == (2, 3.0, 1.5) and got[5] == (2, 3.0, 1.5)
     assert got[6] == (3, 6.0, 2.0)
+
+
+def test_te1_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "te1_target_encode", SF_SMALL)
+    assert ok, msg
+
+
+def test_mk1_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "mk1_markov_transitions", SF_SMALL)
+    assert ok, msg
+
+
+def test_te1_leave_one_out_removes_own_target(spark):
+    """With m=0 the encoding is exactly the mean of the OTHER same-type
+    rows — each row's own value must not leak into its feature."""
+    from samsa_spark.operators.advanced import target_encode
+
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 20.0),
+        (3, "a", 30.0),
+        (4, "b", 5.0),
+        (5, "b", 15.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_id: r.te for r in target_encode(df, m=0).collect()}
+    assert got[1] == 25.0  # mean(20, 30)
+    assert got[2] == 20.0  # mean(10, 30)
+    assert got[4] == 15.0  # the other b row
+    # smoothing pulls toward the global mean (16.0) without leaking self
+    sm = {r.event_id: r.te for r in target_encode(df, m=1000).collect()}
+    assert abs(sm[1] - 16.0) < 0.1 and sm[1] != got[1]
+
+
+def test_mk1_transition_probabilities_row_normalize(spark):
+    """Hand journeys count correctly and every from_type's probabilities
+    sum to 1 (within rounding) on the real log."""
+    from samsa_spark import tables
+    from samsa_spark.operators.advanced import markov_transitions
+    from tests.conftest import SF_SMALL
+
+    rows = [
+        (1, 1, 100, "a"),
+        (2, 1, 200, "b"),
+        (3, 1, 300, "a"),
+        (4, 2, 100, "a"),
+        (5, 2, 200, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p)
+        for r in markov_transitions(df).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+    real = markov_transitions(tables.load(spark, SF_SMALL, "events")).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in real:
+        sums[r.from_type] += r.p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())

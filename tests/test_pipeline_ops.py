@@ -1123,3 +1123,27 @@ def test_lm4_discriminates_where_raw_mle_is_blind(spark):
     one = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
     r = kneser_ney_logprob(one).collect()[0]
     assert r.n_bigrams == 0 and r.avg_kn_logprob is None
+
+
+def test_ws1_oracle_match(spark):
+    from tests.conftest import SF_SMALL
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "ws1_weighted_sample", SF_SMALL)
+    assert ok, msg
+
+
+def test_ws1_selection_tracks_weights(spark):
+    """Efraimidis-Spirakis: with a 100x weight ratio the heavy class must
+    dominate the draw (the hash-uniform u is decorrelated from the id
+    parity used to assign weights)."""
+    from samsa_spark.operators.pipeline_ops import weighted_sample
+
+    rows = [(i, 2000 if i % 2 == 0 else 20) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    top = weighted_sample(df, n=20).collect()
+    heavy = sum(1 for r in top if r.doc_id % 2 == 0)
+    assert heavy >= 15
+    # keys are valid (ln(u)/w <= 0) and ordered best-first
+    keys = [r.skey for r in top]
+    assert all(k <= 0 for k in keys) and keys == sorted(keys, reverse=True)
