@@ -201,6 +201,64 @@ ORDER BY class_size ASC, c_nationkey ASC, c_mktsegment ASC, bal_band ASC
 """
 
 
+DP1_EPSILON = 1.0
+_DP_MOD = 1_000_003  # pipeline_ops._SPLIT_MOD — the repo's portable-hash modulus
+
+
+def dp_noisy_counts(
+    customer: DataFrame, eps: float = DP1_EPSILON
+) -> DataFrame:
+    """dp1 — Laplace-mechanism noisy group counts (the differential-privacy
+    release stage beside ka1's re-identification audit): per-nation
+    customer counts plus Laplace(1/eps) noise, sensitivity 1 for a count.
+    Noise comes from the inverse CDF ``-b·sign(u−½)·ln(1−2|u−½|)`` over a
+    SEEDED hash-uniform ``u`` per group key — deterministic so both
+    engines, any partitioning, and a retry release the identical value
+    (the same practice DP libraries use for reproducible runs; production
+    swaps the seed source for real entropy, which changes no code shape).
+    The true count never appears in the output. Returns
+    ``(c_nationkey, noisy_count)`` rounded to 6 dp.
+
+    One map-side-collapsing hash aggregate + a row-local noise
+    expression; the clamp (``greatest(…, 1e-12)``) guards the measure-zero
+    ``u = ½`` point where the inverse CDF pole would produce ±inf.
+    """
+    mixed = F.expr("((c_nationkey >> 31) ^ c_nationkey) & 2147483647")
+    h = (mixed * F.lit(2654435761)) % F.lit(_DP_MOD)
+    u = (h + 1) / F.lit(float(_DP_MOD + 1))
+    b = 1.0 / float(eps)
+    noise = (
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(F.greatest(F.lit(1.0) - 2.0 * F.abs(u - 0.5), F.lit(1e-12)))
+    )
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "c_nationkey",
+            F.round(F.col("cnt") + noise, 6).alias("noisy_count"),
+        )
+    )
+
+
+_DP1_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey
+),
+n AS (
+  SELECT c_nationkey, cnt,
+         ((xor(c_nationkey >> 31, c_nationkey) & 2147483647) * 2654435761) % {_DP_MOD} AS h
+  FROM g
+),
+u AS (SELECT c_nationkey, cnt, (h + 1) / {float(_DP_MOD + 1)!r} AS u FROM n)
+SELECT c_nationkey,
+       round(cnt + (-1.0 * sign(u - 0.5) * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12))), 6)
+         AS noisy_count
+FROM u
+"""
+
+
 def snapshot_diff(new: DataFrame, old: DataFrame) -> DataFrame:
     """df1 — snapshot diff by key + content hash: per doc_id one of
     ``added`` (new only), ``removed`` (old only), ``changed`` (both, text
@@ -275,4 +333,8 @@ def build_queries():
         "dq1_constraint_report": (_dq1, _DQ1_SQL),
         "df1_snapshot_diff": (_df1_query, _DF1_SQL),
         "ka1_k_anonymity": (_ka1_query, _KA1_SQL),
+        "dp1_noisy_counts": (
+            lambda spark, sf: dp_noisy_counts(tables.load(spark, sf, "customer")),
+            _DP1_SQL,
+        ),
     }

@@ -839,6 +839,7 @@ _DEMOTED = (
     "te1_target_encode",              # cls1 anchors the broadcast-feature-join shape and d8 the decimal-exact per-key moments in-window; the leave-one-out smoothed encoder is pytest-oracle-checked + leakage-removal tested
     "mk1_markov_transitions",         # d5/as3 anchor the per-key lag/lead window in-window and pv1 the type-cardinality matrix shape; the transition-probability aggregate is pytest-oracle-checked + row-normalization tested
     "ws1_weighted_sample",            # sm1/sm2 anchor hash-deterministic sampling in-window and h3 the TakeOrderedAndProject top-k; the Efraimidis-Spirakis weighted draw is pytest-oracle-checked + weight-proportionality tested
+    "dp1_noisy_counts",               # dq1/ka1 anchor the governance aggregate-report shape in-window; the seeded Laplace-mechanism release is pytest-oracle-checked + noise-calibration tested
 )
 
 

@@ -87,3 +87,30 @@ def test_ka1_planted_classes(spark):
         for r in k_anonymity_violations(df, ["country", "seg"], k=5).collect()
     ]
     assert got == [("de", "a", 1), ("us", "b", 2)]
+
+
+def test_dp1_oracle_match(spark):
+    ok, msg = check_query(spark, "dp1_noisy_counts", SF_SMALL)
+    assert ok, msg
+
+
+def test_dp1_noise_is_calibrated_laplace(spark):
+    """The released counts differ from the true counts by Laplace(1/eps)
+    draws: no value is exact (measure-zero), deviations stay within the
+    inverse-CDF bound ln(MOD) for the seeded u grid, and the mechanism is
+    deterministic across calls."""
+    import math
+
+    from samsa_spark import tables
+    from samsa_spark.operators.governance import dp_noisy_counts
+
+    cust = tables.load(spark, SF_SMALL, "customer")
+    true = {r.c_nationkey: r.cnt for r in cust.groupBy("c_nationkey").count().withColumnRenamed("count", "cnt").collect()}
+    rel1 = {r.c_nationkey: r.noisy_count for r in dp_noisy_counts(cust).collect()}
+    rel2 = {r.c_nationkey: r.noisy_count for r in dp_noisy_counts(cust).collect()}
+    assert rel1 == rel2  # deterministic release
+    bound = math.log(1_000_004.0)  # |noise| <= b * ln(MOD+1) at eps=1
+    devs = [abs(rel1[k] - true[k]) for k in true]
+    assert all(0 < d <= bound for d in devs)
+    # noise varies across groups (not a constant offset)
+    assert len({round(d, 6) for d in devs}) > 1
