@@ -1889,7 +1889,9 @@ def weighted_sample(documents: DataFrame, n: int = WS1_SAMPLE_N) -> DataFrame:
     tie-break (rule 6 — both engines then agree bit-for-bit even where
     libm ulps differ). Plan: a pure column expression + global top-n —
     TakeOrderedAndProject (h3's no-global-sort shape), no shuffle beyond
-    the final n rows.
+    the final n rows. Weights must be POSITIVE (the ES precondition;
+    ``n_chars`` is — a zero weight would put ``ln(u)/0`` = ±inf/NaN into
+    the key order, where Spark and SQL NaN ordering diverge).
     """
     u = (_sample_hash("doc_id") + 1) / F.lit(float(_SPLIT_MOD + 1))
     skey = F.round(F.log(u) / F.col("n_chars"), 6)
