@@ -214,6 +214,12 @@ EXTRAS = [
     "scd1_state_history",
     "ka1_k_anonymity",
     "hn1_hard_negatives",
+    # round 9 (final batch): LOO target encoding, Markov transitions,
+    # weighted sampling, DP noisy counts — first floors recorded r09.
+    "te1_target_encode",
+    "mk1_markov_transitions",
+    "ws1_weighted_sample",
+    "dp1_noisy_counts",
 ]
 
 
