@@ -220,6 +220,7 @@ EXTRAS = [
     "mk1_markov_transitions",
     "ws1_weighted_sample",
     "dp1_noisy_counts",
+    "qz6_binary_topk",
 ]
 
 

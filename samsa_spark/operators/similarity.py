@@ -1288,6 +1288,147 @@ def refined_topk(
     )
 
 
+QZ6_OVERFETCH = 4
+
+
+def binary_topk(
+    embeddings: DataFrame,
+    n_probes: int = 20,
+    k: int = 5,
+    overfetch: int = QZ6_OVERFETCH,
+) -> DataFrame:
+    """qz6 — 1-bit (sign) quantization: pack each vector's sign bits into
+    32-dim BIGINT words (a 64-dim float32 vector becomes TWO longs — 32x
+    smaller than the raw floats), scan candidates by Hamming distance
+    (``bit_count(xor)``), then re-rank the ``k * overfetch`` survivors by
+    the EXACT rounded cosine — sim1's scoring contract. This is the binary
+    quantization regime real vector stores ship (Faiss ``IndexBinaryFlat``
+    + refine; the 1-bit end of the qz1 int8 / qz3 PQ byte-budget ladder):
+    the coarse scan is memory-bandwidth-bound on 8-byte codes and runs
+    ENTIRELY JVM-side — packing, XOR, and popcount are all codegen'd
+    column expressions, no Python worker in the candidate stage at all
+    (the one cosine UDF touches only the candidate-bounded re-rank).
+
+    Determinism/parity: the sign threshold is exact (``x >= 0`` flips
+    identically on float32 and its float64 widening), Hamming is integer
+    arithmetic, ties break on vec_id, and the re-rank rounds cosines to 6
+    decimals before ranking — so a DuckDB twin replays both stages
+    exactly. Words pack 32 bits so no value crosses 2^32: ANSI-safe on
+    the Spark side, sign-bit-free on both engines (CLAUDE.md note 2).
+
+    Scale shape: probe set broadcast (|probes| x N on 8-byte codes, the
+    cheap scan binary quantization exists to buy), per-probe top-candidates
+    via a rank<=c filter Spark rewrites to WindowGroupLimit (bounded
+    buffering), then a candidate-bounded join back to full vectors — the
+    float embeddings never shuffle and never cross-join.
+    """
+    base = embeddings.select("vec_id", "embedding")
+
+    def codes(emb: F.Column) -> F.Column:
+        # array<long>: word w = the big-endian fold acc*2 + (x >= 0) over
+        # the 32-dim slice starting at w*32+1 (slice clamps at the tail,
+        # so a non-multiple-of-32 dim packs its remainder identically on
+        # both engines).
+        words = F.sequence(
+            F.lit(0), F.floor((F.size(emb) - F.lit(1)) / F.lit(32)).cast("int")
+        )
+        return F.transform(
+            words,
+            lambda w: F.aggregate(
+                F.slice(emb, w * F.lit(32) + F.lit(1), F.lit(32)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * F.lit(2)
+                + F.when(x >= F.lit(0), F.lit(1)).otherwise(F.lit(0)),
+            ),
+        )
+
+    coded = base.withColumn("code", codes(F.col("embedding")))
+    probes = F.broadcast(
+        coded.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("q_id"), F.col("code").alias("q_code")
+        )
+    )
+    ham = (
+        coded.select("vec_id", "code")
+        .join(probes, F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "ham",
+            F.aggregate(
+                F.zip_with("q_code", "code", lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    hw = Window.partitionBy("q_id").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("hrank", F.row_number().over(hw))
+        .where(F.col("hrank") <= k * overfetch)
+        .select("q_id", "vec_id")
+    )
+    q_emb = F.broadcast(
+        base.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    rescored = (
+        base.join(F.broadcast(cand), "vec_id")
+        .join(q_emb, "q_id")
+        .withColumn("cos", F.round(_cos_sim_udf()("q_emb", "embedding"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+# qz6's twin: the same two stages — sign-bit words packed by the identical
+# big-endian fold (nested list comprehension), integer Hamming rank with
+# vec_id tie-break, exact rounded-cosine re-rank of the overfetched prefix.
+_QZ6_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b AS (
+  SELECT vec_id, emb,
+    [ list_sum([CASE WHEN emb[w*32 + i] >= 0
+                     THEN (1::BIGINT << (least(len(emb) - w*32, 32) - i))
+                     ELSE 0::BIGINT END
+                for i in generate_series(1, least(len(emb) - w*32, 32))])
+      for w in generate_series(0, (len(emb)-1)//32) ] AS code
+  FROM v
+),
+p AS (SELECT vec_id AS q_id, code AS q_code FROM b WHERE vec_id < 20),
+hm AS (
+  SELECT p.q_id, b.vec_id,
+         list_sum([bit_count(xor(p.q_code[i], b.code[i]))
+                   for i in generate_series(1, len(p.q_code))]) AS ham
+  FROM p JOIN b ON p.q_id <> b.vec_id
+),
+cand AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY ham ASC, vec_id ASC) AS hrank
+  FROM hm
+),
+rr AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_cosine_similarity(pv.emb, cv.emb), 6) AS cos
+  FROM cand c
+  JOIN v pv ON pv.vec_id = c.q_id
+  JOIN v cv ON cv.vec_id = c.vec_id
+  WHERE c.hrank <= 20
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rr
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5
+"""
+
+
 # qz4's twin = _SIM6_SQL's coarse stages (32 cosine cells, one Lloyd step)
 # + _QZ3_SQL's PQ stages (16-centroid codebooks per subspace, codes, ADC),
 # with the ADC join additionally restricted to each query's IVF_NPROBE
@@ -2223,6 +2364,7 @@ def build_queries():
         "dv1_diversity_sample": (q(diversity_sample), _DV1_SQL),
         "qz4_ivf_pq_topk": (q(ivf_pq_topk), _QZ4_SQL),
         "qz5_refined_topk": (q(refined_topk), _QZ5_SQL),
+        "qz6_binary_topk": (q(binary_topk), _QZ6_SQL),
         "rrf1_hybrid_fusion": (
             lambda spark, sf: rrf_fusion(
                 tables.load(spark, sf, "documents"),

@@ -840,6 +840,7 @@ _DEMOTED = (
     "mk1_markov_transitions",         # d5/as3 anchor the per-key lag/lead window in-window and pv1 the type-cardinality matrix shape; the transition-probability aggregate is pytest-oracle-checked + row-normalization tested
     "ws1_weighted_sample",            # sm1/sm2 anchor hash-deterministic sampling in-window and h3 the TakeOrderedAndProject top-k; the Efraimidis-Spirakis weighted draw is pytest-oracle-checked + weight-proportionality tested
     "dp1_noisy_counts",               # dq1/ka1 anchor the governance aggregate-report shape in-window; the seeded Laplace-mechanism release is pytest-oracle-checked + noise-calibration tested
+    "qz6_binary_topk",                # sim1 anchors the probe-broadcast top-k scoring contract and qz5 the overfetch+exact-re-rank composition in-window (qz4); the 1-bit sign/Hamming scan is pytest-oracle-checked + recall-vs-exact tested
 )
 
 

@@ -69,7 +69,19 @@ def sweep(spark, sf_dir: str, which: str = "all", verbose: bool = True) -> dict[
         if verbose:
             print(name, "OK" if ok else f"FAIL {msg}", flush=True)
         results[name] = ok
+        _free_persistent_rdds(spark)
     return results
+
+
+def _free_persistent_rdds(spark) -> None:
+    """Operator-internal localCheckpoints die with the SESSION, not the
+    query — across a ~370-query sweep session they accumulate until a
+    broadcast build can't get memory (dd14 failed exactly this way at
+    sf0.1 while passing standalone). Every query's frames are dead once
+    its compare returns, so freeing ALL persistent RDDs between queries
+    bounds the session to a single query's footprint."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
 
 
 def main() -> int:

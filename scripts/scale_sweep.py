@@ -1246,6 +1246,44 @@ def sweep_qz5(spark) -> None:
         df.unpersist()
 
 
+def sweep_qz6(spark) -> None:
+    """Binary (1-bit) scan vs brute-force cosine as the corpus grows —
+    the evidence that the JVM-side Hamming coarse stage buys its keep:
+    both are |probes| x N scans, but qz6's per-pair work is two
+    XOR+popcounts on packed longs in codegen while sim1's is a 64-float
+    Arrow-batched dot product, and qz6's exact re-rank touches only the
+    k*overfetch survivors."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import binary_topk, cosine_topk
+
+    base = tables.load(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            "label",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(_r % 64 AS INT) "
+                "THEN x + CAST(0.01 * _r AS FLOAT) ELSE x END)"
+            ).alias("embedding"),
+        )
+        return df, n_base * factor
+
+    binary_topk(base).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10, 50):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        _time(f"sim1_brute_x{factor}", lambda: cosine_topk(df), n)
+        _time(f"qz6_binary_x{factor}", lambda: binary_topk(df), n)
+        df.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1293,6 +1331,8 @@ def main() -> None:
         sweep_dc2(spark)
     if what in ("qz5", "all"):
         sweep_qz5(spark)
+    if what in ("qz6", "all"):
+        sweep_qz6(spark)
     spark.stop()
 
 

@@ -1158,3 +1158,99 @@ def test_hn2_band_semantics(spark):
     # pos_cos = cos(0.1) ~ .995; band [.695, .995): 11 (.955) and 12 (.765)
     assert ids == [11, 12]
     assert all(abs(r.pos_cos - round(math.cos(0.1), 6)) < 1e-9 for r in out)
+
+
+def test_qz6_oracle_match(spark):
+    ok, msg = check_query(spark, "qz6_binary_topk", SF_SMALL)
+    assert ok, msg
+
+
+def test_qz6_matches_independent_python_model(spark):
+    """Full independent model check (the note-27 antidote): recompute the
+    ENTIRE two-stage pipeline in numpy — sign-bit words packed big-endian
+    32 dims at a time, integer Hamming with vec_id tie-break, overfetch
+    top-20, exact rounded-cosine re-rank — and require the Spark output to
+    match row-for-row. Catches a shared-formula bug the DuckDB twin can't
+    (its SQL mirrors the Spark algebra by construction)."""
+    import numpy as np
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import binary_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def pack(v):
+        bits = (v >= 0).astype(np.int64)
+        return [
+            int("".join(map(str, bits[w : w + 32])), 2)
+            for w in range(0, len(bits), 32)
+        ]
+
+    codes = {i: pack(v) for i, v in X.items()}
+
+    def cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    expect = set()
+    for q in range(20):
+        ham = sorted(
+            (
+                (sum(bin(a ^ b).count("1") for a, b in zip(codes[q], codes[i])), i)
+                for i in X
+                if i != q
+            )
+        )[:20]
+        rr = sorted(((-cos(X[q], X[i]), i) for _, i in ham))[:5]
+        for rank, (negc, i) in enumerate(rr, start=1):
+            expect.add((q, i, -negc, rank))
+
+    got = {(r.q_id, r.vec_id, r.cos, r.rank) for r in binary_topk(emb).collect()}
+    assert got == expect
+
+
+def test_qz6_recall_on_planted_clusters(spark):
+    """1-bit codes keep same-cluster recall on well-separated planted
+    clusters — distinct center directions give distinct sign patterns, so
+    the Hamming scan surfaces same-cluster candidates for the exact
+    re-rank to order."""
+    from samsa_spark.operators.similarity import binary_topk
+
+    emb, n_clusters = _clustered_embeddings(spark)
+    got = binary_topk(emb, n_probes=20, k=5).collect()
+    same = [1 if r.vec_id % n_clusters == r.q_id % n_clusters else 0 for r in got]
+    frac = sum(same) / len(same)
+    assert frac >= 0.9, f"same-cluster fraction {frac} (random would be ~0.1)"
+
+
+def test_qz6_deterministic_under_repartition(spark):
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import binary_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    a = {tuple(r) for r in binary_topk(emb).collect()}
+    b = {tuple(r) for r in binary_topk(emb.repartition(7)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_qz6_candidate_stage_is_jvm_only(spark):
+    """The point of binary quantization is a UDF-free coarse scan: the
+    whole plan must contain exactly ONE Python/Arrow eval node — the
+    exact-cosine re-rank over the candidate-bounded list. Packing, XOR,
+    popcount, and the Hamming top-k all stay in codegen."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import binary_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    import re
+
+    plan = binary_topk(emb)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted mode prints each node twice (tree entry + detail block):
+    # count tree entries only.
+    assert len(re.findall(r"ArrowEvalPython \(\d+\)", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    # and the coarse stage keeps its bounded-buffer top-k rewrite
+    assert "WindowGroupLimit" in plan, plan
