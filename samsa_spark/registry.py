@@ -818,7 +818,6 @@ _DEMOTED = (
     "tx3_lang_id",                    # tx2 anchors the per-row stopword-battery scoring shape in-window (tx3 is the same pure-column-expression plan family voting per language); pytest-oracle-checked + planted-language test — slot went to qz4 composed IVF-PQ (round-9 rotation)
     "dd14_char_spans",                # dd7 anchors substring dedup in-window; the char-level form (round 9, closes dd7's whole-token detection floor) shares its exact island-merge plan family and is pytest-oracle-checked + planted mid-token-span tested
     "dd15_cluster_canonicalize",      # dd6's in-window clusters do the heavy lifting (dd15 adds one min_by keeper selection over them); the quality-aware keep-best-copy rule is pytest-oracle-checked + planted truncated-mirror test
-    "lm4_kneser_ney_logprob",         # tf1 anchors the explode->vocab->score shape in-window (the lm family rationale); the Kneser-Ney continuation-smoothed score shares lm3's exact plan family and is pytest-oracle-checked + independent-Python model-checked
     "qz5_refined_topk",               # qz4 (in-window) does the candidate generation and sim1 anchors the exact-cosine scoring contract; the two-stage refine composes them and is pytest-oracle-checked + recall-recovery tested
     "tx8_collapse_runs",              # w1/ses1 anchor per-key ordered-window shapes and tx7 the per-row rewrite form in-window; the run-collapse repetition cleanup is pytest-oracle-checked + planted-run tested
     "dc2_decontaminate_bloom",        # dc1 anchors decontamination in-window; dc2 is its beyond-broadcast regime with the no-false-negative Bloom prefilter (same oracle by construction) — pytest-oracle-checked + equivalence/merge/fpr tested
@@ -827,9 +826,14 @@ _DEMOTED = (
     # promoted behind the driver's gate; two covered twins rotate out.
     "d3_replay_prefix",               # d2 anchors log compaction and d4 the key-filter pushdown in-window; the prefix-bounded replay composes exactly those two shapes and is pytest-oracle-checked — slot went to dq1 constraint battery (round-9 rotation)
     "sim2_embedding_near_dups",       # sim1 anchors the probe-broadcast exact-cosine scoring contract in-window (sim2 is the same scored join with a threshold filter in place of the top-k window); pytest-oracle-checked — slot went to df1 snapshot diff (round-9 rotation)
-    "dd16_prefix_jaccard",            # dd6's in-window recursive-CTE oracle embeds dd2's pair algebra, which dd16 reproduces exactly through the lossless prefix filter (same output contract at the threshold); pytest-oracle-checked + dd2-equivalence + candidate-reduction tested
-    "tx10_typo_pairs",                # tf1/tx1 anchor the vocab-aggregate shape in-window; the SymSpell deletion-neighborhood edit-distance join is pytest-oracle-checked against the algorithmically independent brute-force twin + planted-typo + blocking-completeness tested
-    "rw1_rolling_value",              # w1/ses1/d10 anchor keyed ordered windows in-window; the RANGE-frame trailing-hour aggregate (the one range-frame form) is pytest-oracle-checked + hand-computed frame-semantics tested
+    "tx10_typo_pairs",                # tf1 anchors the vocab-aggregate shape in-window; the SymSpell deletion-neighborhood edit-distance join is pytest-oracle-checked against the algorithmically independent brute-force twin + planted-typo + blocking-completeness tested
+    # round-10 rotation (the round-9 verdict's own ask): dd16 (prefix-filtered
+    # exact Jaccard — the PPJoin family), lm4 (Kneser-Ney, the KenLM default)
+    # and rw1 (the one RANGE-frame window form) promote behind the driver's
+    # gate; three covered twins rotate out.
+    "dd7_substring_spans",            # dd16 (pair dedup at scale) + dd1 (exact) anchor the dedup family in-window; the token-span substring form stays pytest-oracle-checked (+ dd14 char twin + planted mid-token/cross-doc span tests) — slot went to dd16 (round-10 rotation)
+    "tx1_token_counts",               # tx2 (per-row text battery) + tf1 (vocab aggregate) + udtf1 (tokenizer UDTF) anchor token statistics in-window; the whitespace/BPE-regex count form is pytest-oracle-checked — slot went to lm4 (round-10 rotation)
+    "da1_distinct_aggregates",        # h1 (aggregate battery) + d8 (per-key stats) + dd1 (distinct semantics) anchor aggregation in-window; the countDistinct family is pytest-oracle-checked — slot went to rw1 (round-10 rotation)
     "bm2_bm25_prebuilt",              # bm1 anchors BM25 retrieval in-window; bm2 is its build-once/query-many split with bit-identical scoring (shared oracle by construction) — pytest-oracle-checked + bm1-equivalence/round-trip/append/pushdown tested
     "scd1_state_history",             # d2 (state NOW) + d5 (the same change-detection lag) anchor the state family in-window; the SCD2 temporal view composes d5's window with one lead and is pytest-oracle-checked + interval-invariant tested
     "ka1_k_anonymity",                # dq1 anchors the governance aggregate-report shape in-window; the k-anonymity class audit is one hash aggregate in the same family and is pytest-oracle-checked + planted-violation tested

@@ -25,7 +25,6 @@ MUST_BE_CHECKED = [
     "sql1_revenue_by_segment",
     "udtf1_ngram_counts",
     "js1_salted_join",
-    "dd7_substring_spans",
     "sm2_mixture_sample",
     "qf1_quality_quantile",
     # round-8 rotation: the hardest round-7 operators behind the driver gate
@@ -37,6 +36,13 @@ MUST_BE_CHECKED = [
     # round-9 second-session rotation: the governance families behind the gate
     "dq1_constraint_report",
     "df1_snapshot_diff",
+    # round-10 rotation: the PPJoin prefix filter, the KenLM-default LM score
+    # and the RANGE-frame window behind the gate (dd7 rotated out behind dd16
+    # per the round-9 verdict's ask — its substring family stays
+    # pytest-oracle-checked via dd7/dd8/dd9/dd14)
+    "dd16_prefix_jaccard",
+    "lm4_kneser_ney_logprob",
+    "rw1_rolling_value",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -66,9 +72,9 @@ SIBLINGS = {
     "qz2_quantized_topk": ["sim1_cosine_topk", "sim4_ivf_topk"],
     "gf1_gap_fill": ["ses1_sessionize", "d10_windowed_changes"],
     "dd2_ngram_jaccard": ["dd6_dedup_clusters"],
-    "dd8_dominated_frac": ["dd7_substring_spans"],
+    "dd8_dominated_frac": ["dd16_prefix_jaccard", "dd6_dedup_clusters"],
     "sm1_stratified_sample": ["sm2_mixture_sample"],
-    "dd9_strip_spans": ["dd7_substring_spans"],
+    "dd9_strip_spans": ["dd16_prefix_jaccard", "dd6_dedup_clusters"],
     "ds2_curriculum_shards": ["sp1_deterministic_split", "sm2_mixture_sample"],
     "sm3_mixture_expand": ["sm2_mixture_sample"],
     "pk3_pack_assignments": ["pk2_pack_chunked"],
@@ -109,19 +115,20 @@ SIBLINGS = {
     "tx5_corpus_stats": ["tx1_token_counts", "tx2_quality_scores", "nt1_equidepth_histogram"],
     "tx3_lang_id": ["tx2_quality_scores", "tx1_token_counts"],
     # round-9 addition, born demoted (the window was already full)
-    "dd14_char_spans": ["dd7_substring_spans"],
+    "dd14_char_spans": ["dd16_prefix_jaccard", "dd6_dedup_clusters"],
     "dd15_cluster_canonicalize": ["dd6_dedup_clusters", "dd1_exact_dedup"],
     # round-9 second-session additions, born demoted
-    "lm4_kneser_ney_logprob": ["tf1_tfidf_top_terms"],
     "qz5_refined_topk": ["qz4_ivf_pq_topk", "sim1_cosine_topk"],
     "tx8_collapse_runs": ["w1_segment_top_orders", "tx2_quality_scores"],
     "dc2_decontaminate_bloom": ["dc1_decontaminate"],
     # round-9 second-session rotation: demoted to make room for dq1/df1
     "d3_replay_prefix": ["d2_state_table", "d4_point_lookup"],
     "sim2_embedding_near_dups": ["sim1_cosine_topk"],
-    "dd16_prefix_jaccard": ["dd6_dedup_clusters", "dd1_exact_dedup"],
     "tx10_typo_pairs": ["tf1_tfidf_top_terms", "tx1_token_counts"],
-    "rw1_rolling_value": ["w1_segment_top_orders", "ses1_sessionize", "d10_windowed_changes"],
+    # round-10 rotation: demoted to make room for dd16/lm4/rw1
+    "dd7_substring_spans": ["dd16_prefix_jaccard", "dd1_exact_dedup"],
+    "tx1_token_counts": ["tx2_quality_scores", "tf1_tfidf_top_terms", "udtf1_ngram_counts"],
+    "da1_distinct_aggregates": ["h1_pricing_summary", "d8_key_stats", "dd1_exact_dedup"],
 }
 
 
