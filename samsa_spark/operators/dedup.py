@@ -932,6 +932,175 @@ def char_dup_spans(documents: DataFrame, min_chars: int = CHAR_SPAN_K) -> DataFr
     )
 
 
+SUFFIX_SPAN_K = 24  # min duplicated-span length in chars (dd17 default)
+SUFFIX_CHUNK_BYTES = 1 << 18  # per-chunk corpus bytes bound (dd17 default)
+
+
+def suffix_dup_spans(
+    documents: DataFrame,
+    min_chars: int = SUFFIX_SPAN_K,
+    chunk_bytes: int = SUFFIX_CHUNK_BYTES,
+) -> DataFrame:
+    """dd17 — EXACT character-span substring dedup by suffix array inside
+    size-bounded chunks: every maximal character range of length >=
+    ``min_chars`` occurring more than once within its chunk, with exact
+    extents and NO rolling-window floor — the Lee et al. 2022 suffix-array
+    semantics (dd7/dd14 are its positional-shingle approximations with a
+    documented 40-char/-k-token detection floor; this closes that floor
+    down to any ``min_chars``). Output ``(doc_id, span_start, span_end,
+    n_chars)`` — 1-based inclusive character positions, maximal merged
+    ranges, one row per range.
+
+    How: docs are assigned round-robin to ``ceil(total_chars/chunk_bytes)``
+    chunks (``doc_id % n_chunks`` — embarrassingly parallel, no global
+    sort, and exactly replicable in the DuckDB oracle). Each chunk task
+    concatenates its docs with NUL separators, builds a suffix array
+    (numpy prefix-doubling, O(c log c)) + Kasai LCP, and for every
+    position takes m_i = max LCP with its suffix-array neighbors — the
+    longest repeated substring starting there — capped at the doc's end
+    (so separator artifacts can never inflate a claim: a capped prefix of
+    a repeated string is itself repeated). Positions with m_i >=
+    ``min_chars`` contribute intervals [i, i+m_i-1]; the per-doc union of
+    those intervals IS the union of all >=min_chars repeated substrings
+    (every window of a repeated range is repeated, every claimed interval
+    is a repeated substring), merged overlap-or-touch into maximal rows.
+
+    Exactness: within a chunk the output equals dd14's coverage semantics
+    at k=min_chars computed on the STRINGS themselves — no hash anywhere,
+    so not even dd2's collision-negligibility caveat applies. The DuckDB
+    twin is the per-chunk window-posting/island-merge SQL, equal by the
+    window-cover argument above.
+
+    DETECTION BOUNDARY (the honest scale trade): duplicate pairs whose
+    docs land in DIFFERENT chunks are not detected here — chunking is what
+    bounds one task's memory to ~chunk_bytes (the suffix array needs the
+    chunk resident; ~40 bytes/char transient). At 100 TB run this as the
+    short-span complement: dd14 (streaming postings, no chunk boundary)
+    catches everything >= 40 chars globally; dd17 catches 24-39-char
+    spans within chunks, where locality-ordered ingestion (same-source
+    docs share chunks) puts most short boilerplate. Raising chunk_bytes
+    buys coverage linearly in memory; the within-chunk pass itself is
+    embarrassingly parallel across chunks.
+
+    Reference parity: the reference engine has no dedup surface (samsa is
+    a Kafka K/V state library); this extends SURVEY.md §2.4 X2 per the
+    round-9 verdict task 4 (exact byte-span substring dedup).
+    """
+    k = int(min_chars)
+    cb = int(chunk_bytes)
+    total = documents.agg(F.sum(F.length("text"))).first()[0] or 0
+    n_chunks = max(1, (int(total) + cb - 1) // cb)
+
+    def chunk_spans(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int32"),
+                "span_end": pd.Series([], dtype="int32"),
+                "n_chars": pd.Series([], dtype="int32"),
+            }
+        )
+        pdf = pdf.sort_values("doc_id")
+        texts = pdf["text"].tolist()
+        ids = pdf["doc_id"].to_numpy()
+        for d, t in zip(ids, texts):
+            if "\x00" in t:
+                raise ValueError(
+                    f"suffix_dup_spans: doc {d} contains a NUL character, "
+                    "which is reserved as the in-chunk document separator; "
+                    "strip or remap NULs upstream (e.g. translate(text, "
+                    "chr(0), ''))"
+                )
+        S = "\x00".join(texts)
+        n = len(S)
+        if n < k:
+            return empty
+        # --- suffix array by prefix doubling (numpy lexsort) -------------
+        codes = np.frombuffer(S.encode("utf-32-le"), dtype=np.uint32)
+        rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+        h = 1
+        while True:
+            key2 = np.full(n, -1, dtype=np.int64)
+            key2[: n - h] = rank[h:]
+            order = np.lexsort((key2, rank))
+            r1, r2 = rank[order], key2[order]
+            neq = np.empty(n, dtype=np.int64)
+            neq[0] = 0
+            neq[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int64)
+            new = np.empty(n, dtype=np.int64)
+            new[order] = np.cumsum(neq)
+            rank = new
+            if rank[order[-1]] == n - 1 or h >= n:
+                sa = order
+                break
+            h *= 2
+        # --- Kasai LCP (lcp[r] = LCP of sa[r-1], sa[r]) -------------------
+        lcp = np.zeros(n, dtype=np.int64)
+        match = 0
+        for i in range(n):
+            r = rank[i]
+            if r == 0:
+                match = 0
+                continue
+            j = sa[r - 1]
+            while i + match < n and j + match < n and S[i + match] == S[j + match]:
+                match += 1
+            lcp[r] = match
+            if match:
+                match -= 1
+        # m_i = longest substring starting at i that occurs >= 2 times
+        nxt = np.append(lcp[1:], 0)
+        m = np.maximum(lcp[rank], nxt[rank])
+        # --- clip to doc boundaries, threshold, merge islands -------------
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        starts = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+        ends = starts + lens  # exclusive
+        pos = np.arange(n, dtype=np.int64)
+        di = np.searchsorted(starts, pos, side="right") - 1
+        in_doc = pos < ends[di]
+        eff = np.minimum(m, ends[di] - pos)
+        sel = in_doc & (eff >= k)
+        if not sel.any():
+            return empty
+        p_sel, d_sel, e_sel = pos[sel], di[sel], eff[sel]
+        abs_end = p_sel + e_sel - 1
+        prev_max = np.maximum.accumulate(
+            np.concatenate([np.array([-2], dtype=np.int64), abs_end])
+        )[:-1]
+        doc_change = np.empty(len(p_sel), dtype=bool)
+        doc_change[0] = True
+        doc_change[1:] = d_sel[1:] != d_sel[:-1]
+        new_isl = doc_change | (p_sel > prev_max + 1)
+        bounds = np.flatnonzero(new_isl)
+        isl_doc = d_sel[bounds]
+        isl_start = p_sel[bounds] - starts[isl_doc] + 1  # 1-based in doc
+        isl_end = np.maximum.reduceat(abs_end, bounds) - starts[isl_doc] + 1
+        return pd.DataFrame(
+            {
+                "doc_id": ids[isl_doc].astype("int64"),
+                "span_start": isl_start.astype("int32"),
+                "span_end": isl_end.astype("int32"),
+                "n_chars": (isl_end - isl_start + 1).astype("int32"),
+            }
+        )
+
+    return (
+        documents.select(
+            "doc_id", "text", F.pmod("doc_id", F.lit(n_chunks)).alias("_chunk")
+        )
+        .groupBy("_chunk")
+        .applyInPandas(
+            chunk_spans,
+            "doc_id bigint, span_start int, span_end int, n_chars int",
+        )
+    )
+
+
 def _dominated_islands(documents: DataFrame, k: int) -> DataFrame:
     """Merged DOMINATED duplicated ranges ``(doc_id, span_start, span_end)``
     — occurrences of a duplicated k-span that are not the corpus-first
@@ -1384,6 +1553,7 @@ def build_queries():
         "dd12_containment": (q(containment_pairs), _DD12_SQL),
         "dd13_normalized_dedup": (q(normalized_dedup), _DD13_SQL),
         "dd14_char_spans": (q(char_dup_spans), _DD14_SQL),
+        "dd17_exact_spans": (q(suffix_dup_spans), _DD17_SQL),
         "dd15_cluster_canonicalize": (q(cluster_canonicalize), _DD15_SQL),
     }
 
@@ -1469,6 +1639,51 @@ SELECT doc_id,
        CAST(max(pos) + {CHAR_SPAN_K - 1} AS INT) AS span_end,
        CAST(max(pos) + {CHAR_SPAN_K - 1} - min(pos) + 1 AS INT) AS n_chars,
        count(*) AS n_spans
+FROM s GROUP BY doc_id, island
+"""
+
+# dd17: the per-chunk window-posting/island-merge twin of _DD14_SQL at
+# k=SUFFIX_SPAN_K. Equality with the suffix-array form is the window-cover
+# argument in suffix_dup_spans' docstring: the union of duplicated k-windows
+# equals the union of >=k repeated substrings, and both sides merge that
+# union into identical maximal ranges. The chunk term replicates the
+# operator's round-robin assignment (doc_id % ceil(total/chunk_bytes)) so
+# the twin stays exact at any scale, including multi-chunk sf0.1. Groups on
+# the window STRING where the operator compares actual characters — no hash
+# on either side.
+_DD17_SQL = f"""
+WITH nc AS (
+  SELECT greatest(CAST((coalesce(sum(length(text)), 0) + {SUFFIX_CHUNK_BYTES - 1})
+                  // {SUFFIX_CHUNK_BYTES} AS BIGINT), 1) AS n
+  FROM documents
+),
+i AS (
+  SELECT doc_id, text, doc_id % (SELECT n FROM nc) AS chunk,
+         unnest(generate_series(1, length(text) - {SUFFIX_SPAN_K - 1})) AS pos
+  FROM documents
+  WHERE length(text) >= {SUFFIX_SPAN_K}
+),
+p AS (
+  SELECT chunk, doc_id, pos, substr(text, pos, {SUFFIX_SPAN_K}) AS span FROM i
+),
+hot AS (SELECT chunk, span FROM p GROUP BY chunk, span HAVING count(*) > 1),
+d AS (SELECT doc_id, pos FROM p JOIN hot USING (chunk, span)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER w, -{SUFFIX_SPAN_K}) + {SUFFIX_SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {SUFFIX_SPAN_K - 1} AS INT) AS span_end,
+       CAST(max(pos) + {SUFFIX_SPAN_K - 1} - min(pos) + 1 AS INT) AS n_chars
 FROM s GROUP BY doc_id, island
 """
 

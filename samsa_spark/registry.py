@@ -845,6 +845,8 @@ _DEMOTED = (
     "ws1_weighted_sample",            # sm1/sm2 anchor hash-deterministic sampling in-window and h3 the TakeOrderedAndProject top-k; the Efraimidis-Spirakis weighted draw is pytest-oracle-checked + weight-proportionality tested
     "dp1_noisy_counts",               # dq1/ka1 anchor the governance aggregate-report shape in-window; the seeded Laplace-mechanism release is pytest-oracle-checked + noise-calibration tested
     "qz6_binary_topk",                # sim1 anchors the probe-broadcast top-k scoring contract and qz5 the overfetch+exact-re-rank composition in-window (qz4); the 1-bit sign/Hamming scan is pytest-oracle-checked + recall-vs-exact tested
+    # round-10 additions, born demoted (the window was already full)
+    "dd17_exact_spans",               # dd16/dd1 anchor the dedup family in-window; the chunked suffix-array exact-span form (closes dd14's 40-char floor) is pytest-oracle-checked + planted sub-window-span tested (dd14 provably misses, dd17 catches)
 )
 
 

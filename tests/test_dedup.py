@@ -927,3 +927,134 @@ def test_dd16_prefix_length_theorem_on_planted_pairs(spark):
     got = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_jaccard_pairs(docs, 0.5).collect()}
     assert (0, 1) in got and got[(0, 1)] >= 0.5
     assert all(2 not in k for k in got)
+
+
+# --- dd17: exact suffix-array span dedup --------------------------------------
+
+
+def test_dd17_oracle_match(spark):
+    ok, msg = check_query(spark, "dd17_exact_spans", SF_SMALL)
+    assert ok, msg
+
+
+def test_dd17_catches_sub_window_span_dd14_misses(spark):
+    """The floor-closure gate from the round-9 verdict: two docs share a
+    30-char run — BELOW dd14's 40-char rolling window, so dd14 at its
+    default provably returns nothing — and dd17 (suffix array, default
+    min_chars=24) reports it exactly, positions matching Python search."""
+    from samsa_spark.operators.dedup import char_dup_spans, suffix_dup_spans
+
+    shared = "tracker=xyz123 utm=999 pix=77"  # 29 chars < 40
+    assert len(shared) == 29
+    t1 = "intro words here " + shared + " tail one two"
+    t2 = "completely different lead " + shared + " other ending"
+    filler = [  # every token carries i: no >=24-char run shared between fillers
+        (10 + i, f"w{i}a{i} x{i}b{i} y{i}c{i} z{i}d{i} q{i}e{i} r{i}f{i}")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)] + filler, "doc_id long, text string"
+    )
+    assert char_dup_spans(docs).count() == 0  # dd14 default: invisible
+    got = {r.doc_id: r for r in suffix_dup_spans(docs).collect()}
+    assert set(got) == {1, 2}
+    # the maximal shared run includes the space padding on both sides of
+    # `shared` (both docs embed it as " <shared> "), so expect that extent
+    for doc_id, text in ((1, t1), (2, t2)):
+        r = got[doc_id]
+        start0 = text.index(" " + shared + " ")
+        assert r.span_start == start0 + 1
+        assert r.span_end == start0 + len(shared) + 2
+        assert r.n_chars == len(shared) + 2
+
+
+def _dd17_model(texts, k):
+    """Independent ground truth: union of duplicated k-char windows
+    (corpus-wide occurrence >= 2, overlap counting), merged
+    overlap-or-touch — provably equal to the union of all repeated
+    substrings >= k (the window-cover argument)."""
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            grams[t[i : i + k]] += 1
+    out = set()
+    for d, t in texts.items():
+        spans = []
+        for i in range(len(t) - k + 1):
+            if grams[t[i : i + k]] < 2:
+                continue
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], i + k - 1)
+            else:
+                spans.append([i, i + k - 1])
+        for s, e in spans:
+            out.add((d, s + 1, e + 1, e - s + 1))
+    return out
+
+
+def test_dd17_model_check_random_corpora(spark):
+    """Exact-equality model check on dense-repeat random corpora (2-letter
+    alphabet forces heavy within- and cross-doc repetition, overlapping
+    self-repeats included), plus an all-unique corpus (empty output)."""
+    import random
+
+    from samsa_spark.operators.dedup import suffix_dup_spans
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        texts = {
+            d: "".join(rng.choice("ab") for _ in range(rng.randint(20, 80)))
+            for d in range(6)
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {tuple(r) for r in suffix_dup_spans(docs, min_chars=6).collect()}
+        assert got == _dd17_model(texts, 6), f"seed {seed}"
+    unique = {  # no >=24-char run shared across docs (every token carries d)
+        d: f"t{d}a{d} u{d}b{d} v{d}c{d} w{d}e{d} y{d}f{d} z{d}g{d} s{d}h{d}"
+        for d in range(3)
+    }
+    docs = spark.createDataFrame(list(unique.items()), "doc_id long, text string")
+    assert suffix_dup_spans(docs, min_chars=24).count() == 0
+
+
+def test_dd17_chunk_boundary_contract(spark):
+    """The documented scale trade: duplicate docs split across chunks are
+    NOT detected (chunking bounds per-task memory); co-chunked they are.
+    chunk_bytes sized so total 2 chunks; doc_id parity picks the chunk."""
+    from samsa_spark.operators.dedup import suffix_dup_spans
+
+    doc = "this exact boilerplate paragraph repeats verbatim in both docs"
+    n = len(doc)  # internally repeat-free, so a lone doc per chunk emits nothing
+    split = spark.createDataFrame([(0, doc), (1, doc)], "doc_id long, text string")
+    assert suffix_dup_spans(split, min_chars=24, chunk_bytes=n).count() == 0
+    together = spark.createDataFrame([(0, doc), (2, doc)], "doc_id long, text string")
+    got = {r.doc_id: r for r in suffix_dup_spans(together, min_chars=24, chunk_bytes=n).collect()}
+    assert set(got) == {0, 2}
+    assert all(r.span_start == 1 and r.span_end == n for r in got.values())
+
+
+def test_dd17_determinism_and_nul_rejection(spark):
+    """Repartition-invariant output on the fixture corpus; NUL characters
+    in input raise the documented actionable error."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import suffix_dup_spans
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    a = {tuple(r) for r in suffix_dup_spans(docs).collect()}
+    b = {tuple(r) for r in suffix_dup_spans(docs.repartition(7)).collect()}
+    assert a == b and a
+    bad = spark.createDataFrame(
+        [(1, "has a \x00 nul and is long enough to chunk-scan properly ok"),
+         (2, "has a \x00 nul and is long enough to chunk-scan properly ok")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NUL|PythonException") as ei:
+        suffix_dup_spans(bad).count()
+    assert "NUL character" in str(ei.value)
