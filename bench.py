@@ -33,11 +33,14 @@ Three sections:
   member held within 2x of its own first floor): judged by its section
   floor from BENCH_r09 onward, per-member round-8 floors kept in
   BENCH_DETAIL.json.
-- EXTRAS — the live roster (round 9+); same floor protocol, each member
+- EXTRAS_R9 — the round-9 cohort, graduated + frozen in round 10: judged
+  by its section floor (first recorded BENCH_r10), per-member round-9
+  floors kept in BENCH_DETAIL.json. Prebuilt-regime members time only
+  the query side: their index artifacts are built once per session
+  before the timed region.
+- EXTRAS — the live roster (round 10+); same floor protocol, each member
   judged against its own first floor until the cohort graduates
-  (BASELINE.md graduation rule). Prebuilt-regime members time only the
-  query side: their index artifacts are built once per session before
-  the timed region.
+  (BASELINE.md graduation rule).
 """
 
 from __future__ import annotations
@@ -185,14 +188,16 @@ EXTRAS_R8 = [
     "lm3_interpolated_logprob",
 ]
 
-# Live roster: operators added in round 9+. Each member's first floor is
-# recorded the round it lands (BENCH_DETAIL.json) and judged member-by-member
-# until the roster graduates per the BASELINE.md rule. The two *_prebuilt_*
-# members time the QUERY side only — their index artifacts are built once per
-# bench session before the timed region (the build-once/query-many regime the
-# PLANS.md ivfpq sweep showed is the one that matters at scale; the
+# Round-9 cohort, GRADUATED + frozen in round 10 (BASELINE.md rule: every
+# member held within 2x of its own first floor in the round-9 close runs AND
+# the round-10 same-day triple — worst member 1.14x): judged by
+# extras_r9_value_floor against its first recorded section floor from
+# BENCH_r10 onward; per-member round-9 first floors stay in
+# BENCH_DETAIL.json as the tie-breaker. The *_prebuilt_* members time the
+# QUERY side only — their index artifacts are built once per bench session
+# before the timed region (the build-once/query-many regime; the
 # rebuild-per-call forms stay floor-guarded in EXTRAS_R8).
-EXTRAS = [
+EXTRAS_R9 = [
     "qz4_prebuilt_query",
     "rrf2_prebuilt_fusion",
     "rrf2_hybrid_fusion_ann",
@@ -221,6 +226,16 @@ EXTRAS = [
     "ws1_weighted_sample",
     "dp1_noisy_counts",
     "qz6_binary_topk",
+]
+
+# Live roster (round 10+): same protocol — each member judged against its
+# own first recorded floor until the cohort graduates (BASELINE.md rule).
+EXTRAS = [
+    # round 10: exact suffix-array span dedup inside size-bounded chunks
+    # (closes dd14's 40-char detection floor; multi-chunk at sf0.1).
+    "dd17_exact_spans",
+    # round 10: graph-ANN tier (per-IVF-cell kNN graphs + beam search).
+    "gx1_graph_topk",
 ]
 
 
@@ -399,6 +414,7 @@ def main() -> None:
     canon, canon_floor = run_section(CANONICAL)
     pipe, pipe_floor = run_section(PIPELINE)
     extras_r8, extras_r8_floor = run_section(EXTRAS_R8)
+    extras_r9, extras_r9_floor = run_section(EXTRAS_R9)
     extras, extras_floor = run_section(EXTRAS)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -426,6 +442,8 @@ def main() -> None:
         "pipeline_value": round(sum(pipe.values()), 3),
         "extras_r8_value_floor": round(sum(extras_r8_floor.values()), 3),
         "extras_r8_value": round(sum(extras_r8.values()), 3),
+        "extras_r9_value_floor": round(sum(extras_r9_floor.values()), 3),
+        "extras_r9_value": round(sum(extras_r9.values()), 3),
         "extras_value_floor": round(sum(extras_floor.values()), 3),
         "extras_value": round(sum(extras.values()), 3),
         "detail": "BENCH_DETAIL.json",
@@ -439,6 +457,8 @@ def main() -> None:
         pipeline_queries=pipe,
         extras_r8_queries_floor=extras_r8_floor,
         extras_r8_queries=extras_r8,
+        extras_r9_queries_floor=extras_r9_floor,
+        extras_r9_queries=extras_r9,
         extras_queries_floor=extras_floor,
         extras_queries=extras,
         protocol=(

@@ -2351,6 +2351,9 @@ def build_queries():
         # k-means quantizer: Lloyd iterations have no SQL twin -> rows-only;
         # recall vs exact + determinism asserted in tests/test_similarity.py.
         "sim5_ivf_kmeans_topk": (q(ivf_topk_kmeans), None),
+        # graph walk + Lloyd quantizer: no SQL twin -> rows-only; recall vs
+        # exact sim1 + planted clusters + graph invariants in pytest.
+        "gx1_graph_topk": (q(graph_topk), None),
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
@@ -2500,3 +2503,214 @@ SELECT p.a_id, v.vec_id AS b_id,
 FROM p JOIN v ON p.a_id < v.vec_id
 WHERE round(list_cosine_similarity(p.a_emb, v.emb), 6) >= 0.35
 """
+
+
+# --- gx1: graph ANN (HNSW-lite — per-IVF-cell kNN graphs + beam search) ------
+
+GX_M = 8  # out-degree of each cell's kNN graph
+GX_EF = 24  # beam width (ef) of the greedy search
+GX_PROBE_CELLS = 3  # coarse cells probed per query
+
+
+def nsw_cell_graph(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    cells: int = 32,
+    m_edges: int = GX_M,
+) -> DataFrame:
+    """gx1 build side — the graph tier the IVF/PQ ladder lacked: a
+    navigable-small-world-style kNN graph built INSIDE each IVF cell
+    (Malkov & Yashunin's HNSW base layer, partitioned the DiskANN way:
+    shard the corpus by a coarse quantizer, graph each shard
+    independently). One ``applyInPandas`` task per cell computes the exact
+    within-cell kNN graph (one c x c matmul — cell size is bounded by the
+    coarse quantizer, so per-task memory and the c^2 term are capped by
+    design) and flags the cell's entry point (the vector nearest its
+    centroid). Returns ``(vec_id, cell, embedding, nbrs array<bigint>,
+    is_entry)`` — a disk-persistable artifact like the PQ codebooks
+    (build-once/query-many).
+
+    Determinism: neighbor lists rank by 6-decimal-rounded cosine with
+    vec_id tie-break (stable argsort over vec_id-sorted rows); the entry
+    point ties to the smallest vec_id. No randomness anywhere, so the
+    graph is repartition-invariant.
+    """
+    base = embeddings.select("vec_id", "embedding")
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, k=cells).localCheckpoint(eager=True)
+    )
+    asg = _nearest_cell(base, cents, "cell").join(F.broadcast(cents), "cell")
+    m = int(m_edges)
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = np.round(Xn @ Xn.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        deg = min(m, n - 1)
+        if deg <= 0:
+            nbrs = [[] for _ in range(n)]
+        else:
+            # stable argsort on -sims: equal cosines keep ascending vec_id
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :deg]
+            nbrs = [ids[row].tolist() for row in order]
+        cent = np.asarray(pdf["cent"].iloc[0], dtype=np.float64)
+        cn = cent / (np.linalg.norm(cent) or 1.0)
+        ccos = np.round(Xn @ cn, 6)
+        entry = int(np.lexsort((ids, -ccos))[0])
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "embedding": pdf["embedding"].to_numpy(),
+                "nbrs": nbrs,
+                "is_entry": [i == entry for i in range(n)],
+            }
+        )
+
+    return asg.groupBy("cell").applyInPandas(
+        build,
+        "vec_id bigint, cell bigint, embedding array<float>, "
+        "nbrs array<bigint>, is_entry boolean",
+    )
+
+
+def graph_topk(
+    embeddings: DataFrame,
+    n_probes: int = 20,
+    k: int = 3,
+    probe_cells: int = GX_PROBE_CELLS,
+    beam: int = GX_EF,
+    cells: int = 32,
+    centroids: DataFrame | None = None,
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """gx1 — graph-ANN top-k: greedy best-first beam search (the HNSW/
+    DiskANN query rule) restricted to each probed cell's kNN graph. Each
+    probe walks from the cell's entry point, expanding the best unexpanded
+    candidate's neighbors and keeping an ``ef``-deep result beam; the walk
+    touches O(ef * out_degree) vectors instead of scanning the cell — the
+    high-recall/low-touch regime the round-9 verdict named as the missing
+    industry-default tier (qz5 is its re-rank half without the walk).
+
+    Plan: probes pick ``probe_cells`` nearest centroids (broadcast, like
+    _ivf_query), then ONE cogrouped applyInPandas per cell runs every
+    walk assigned to that cell over Arrow-shipped columns; a final k-deep
+    window ranks the per-cell beams globally. All cosines are exact
+    (rounded to 6, vec_id tie-break) — the graph only limits which
+    candidates get scored, so results are a subset of sim1's exact ranking
+    (recall asserted against it in tests).
+
+    Rows-only driver check: the Lloyd quantizer + the walk itself are not
+    SQL-expressible; ground truth is pytest (planted-cluster recall vs
+    exact sim1, determinism, graph-shape invariants).
+
+    Pass ``centroids``/``graph`` to query a prebuilt index (the artifacts
+    are plain DataFrames — persist like the PQ codebooks); when building
+    inline they must share one centroid table, which is why the default
+    builds it here and hands it to :func:`nsw_cell_graph`.
+    """
+    base = embeddings.select("vec_id", "embedding")
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, k=cells).localCheckpoint(eager=True)
+    )
+    g = graph if graph is not None else nsw_cell_graph(embeddings, centroids=cents)
+    probe_scored = (
+        base.where(F.col("vec_id") < n_probes)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6))
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probe_asg = (
+        probe_scored.withColumn("crank", F.row_number().over(wp))
+        .where(F.col("crank") <= probe_cells)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell",
+        )
+    )
+    ef = int(beam)
+
+    def walk(left, right):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "q_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        right = right.sort_values("vec_id")
+        ids = right["vec_id"].to_numpy()
+        X = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        adj = [[idx_of[int(d)] for d in row] for row in right["nbrs"]]
+        entries = np.flatnonzero(right["is_entry"].to_numpy())
+        start = int(entries[0]) if len(entries) else 0
+        out_q, out_v, out_c = [], [], []
+        for q_id, q_emb in zip(left["q_id"].to_numpy(), left["q_emb"]):
+            qv = np.asarray(q_emb, dtype=np.float64)
+            qn = qv / (np.linalg.norm(qv) or 1.0)
+            s0 = round(float(Xn[start] @ qn), 6)
+            visited = {start}
+            cand = [(-s0, start)]
+            best = [(s0, -int(ids[start]), start)]  # min-heap: worst kept first
+            while cand:
+                negs, i = heapq.heappop(cand)
+                if len(best) >= ef and -negs < best[0][0]:
+                    break  # best unexpanded candidate is worse than the beam
+                for j in adj[i]:
+                    if j in visited:
+                        continue
+                    visited.add(j)
+                    sj = round(float(Xn[j] @ qn), 6)
+                    if len(best) < ef or sj > best[0][0]:
+                        heapq.heappush(cand, (-sj, j))
+                        heapq.heappush(best, (sj, -int(ids[j]), j))
+                        if len(best) > ef:
+                            heapq.heappop(best)
+            for s, negid, _i in best:
+                if -negid == int(q_id):
+                    continue  # sim1 contract: never return the probe itself
+                out_q.append(int(q_id))
+                out_v.append(-negid)
+                out_c.append(s)
+        return pd.DataFrame(
+            {
+                "q_id": pd.Series(out_q, dtype="int64"),
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "cos": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    walked = (
+        probe_asg.groupBy("cell")
+        .cogroup(g.groupBy("cell"))
+        .applyInPandas(walk, "q_id bigint, vec_id bigint, cos double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        walked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )

@@ -210,6 +210,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "rp2_pca_projection",  # eigenbasis last-ulp float-order dependent; numpy-agreement pytest
         "rrf2_hybrid_fusion_ann",  # PQ-quantized dense ranks; brute-twin recall pytest
         "cls2_train_classifier",  # gradient fit, float-order partials; numpy-trainer pytest
+        "gx1_graph_topk",  # Lloyd quantizer + graph beam walk; recall-vs-exact pytest
     }, f"unexpected rows-only queries: {rows_only}"
 
 

@@ -1254,3 +1254,73 @@ def test_qz6_candidate_stage_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan, plan
     # and the coarse stage keeps its bounded-buffer top-k rewrite
     assert "WindowGroupLimit" in plan, plan
+
+
+# --- gx1: graph ANN (per-cell kNN graph + beam search) ------------------------
+
+
+def test_gx1_recall_on_planted_clusters(spark):
+    """The round-9 verdict's acceptance bar for the graph tier: >= 0.9
+    recall vs the exact sim1 ranking on the planted-cluster corpus, and
+    same-cluster domination (the structure a graph walk must preserve)."""
+    from samsa_spark.operators.similarity import cosine_topk, graph_topk
+
+    emb, n_clusters = _clustered_embeddings(spark)
+    k = 5
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(emb, n_probes=20, k=k).collect()}
+    got = graph_topk(emb, n_probes=20, k=k).collect()
+    assert {r.q_id for r in got} == set(range(20))
+    found = {(r.q_id, r.vec_id) for r in got}
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.9, f"graph recall {recall} vs exact"
+    same = [1 if r.vec_id % n_clusters == r.q_id % n_clusters else 0 for r in got]
+    assert sum(same) / len(same) >= 0.9
+
+
+def test_gx1_deterministic_under_repartition(spark):
+    """Quantizer seeds, graph edges, entry points and the walk itself are
+    all hash/rounding deterministic — repartitioning moves nothing."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import graph_topk
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    a = {tuple(r) for r in graph_topk(emb).collect()}
+    b = {tuple(r) for r in graph_topk(emb.repartition(7)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_gx1_graph_shape_invariants(spark):
+    """The build artifact: out-degree <= GX_M, no self-edges, neighbors stay
+    within the cell, exactly one entry point per cell."""
+    from samsa_spark.operators.similarity import GX_M, nsw_cell_graph
+
+    emb, _ = _clustered_embeddings(spark)
+    g = nsw_cell_graph(emb).collect()
+    by_cell = {}
+    cell_of = {r.vec_id: r.cell for r in g}
+    for r in g:
+        by_cell.setdefault(r.cell, []).append(r)
+        assert len(r.nbrs) <= GX_M
+        assert r.vec_id not in r.nbrs
+        assert all(cell_of[d] == r.cell for d in r.nbrs)
+    for cell, rows in by_cell.items():
+        assert sum(1 for r in rows if r.is_entry) == 1, f"cell {cell}"
+
+
+def test_gx1_prebuilt_artifacts_match_inline(spark):
+    """The build-once/query-many split: querying prebuilt centroid/graph
+    artifacts returns exactly the inline-build result (the PQ-codebook
+    lifecycle pattern, note 36's prebuilt-artifact contract)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        graph_topk,
+        kmeans_centroids,
+        nsw_cell_graph,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    cents = kmeans_centroids(emb, k=32).localCheckpoint(eager=True)
+    g = nsw_cell_graph(emb, centroids=cents).localCheckpoint(eager=True)
+    pre = {tuple(r) for r in graph_topk(emb, centroids=cents, graph=g).collect()}
+    inline = {tuple(r) for r in graph_topk(emb).collect()}
+    assert pre == inline and pre
