@@ -236,6 +236,8 @@ EXTRAS = [
     "dd17_exact_spans",
     # round 10: graph-ANN tier (per-IVF-cell kNN graphs + beam search).
     "gx1_graph_topk",
+    # round 10: winnowed global span dedup (minimizer-sampled postings).
+    "dd18_winnow_spans",
 ]
 
 

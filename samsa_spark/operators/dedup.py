@@ -1101,6 +1101,97 @@ def suffix_dup_spans(
     )
 
 
+WINNOW_K = 16  # gram length (dd18 default)
+WINNOW_W = 8  # winnowing window in gram positions (dd18 default)
+
+
+def winnow_dup_spans(
+    documents: DataFrame, min_chars: int = WINNOW_K, window: int = WINNOW_W
+) -> DataFrame:
+    """dd18 — winnowed (minimizer-sampled) duplicated-span detection, the
+    GLOBAL sub-40-char complement to dd17: Schleimer/Wilkerson/Aiken 2003
+    document fingerprinting. Instead of posting every k-char window
+    (dd14's cost) or chunking the corpus (dd17's boundary), each doc posts
+    only its window MINIMIZERS — per run of ``window`` consecutive gram
+    positions, the gram with the smallest (md5, position) — at expected
+    density 2/(window+1) (~22% of dd14's posting rows at the defaults).
+
+    GUARANTEE (the winnowing theorem): any duplicated run of length >=
+    ``min_chars + window - 1`` chars (23 at the defaults — below dd14's
+    40 floor, with ~4.5x fewer shuffle rows) contains at least one full
+    minimizer window, and both copies select the same gram CONTENT (the
+    tie-break position is window-relative only when md5s tie, i.e. when
+    the tying grams are identical strings anyway) — so every such run is
+    detected on every copy, corpus-wide, no chunk boundary. Runs between
+    min_chars and the guarantee line MAY be found (if a minimizer happens
+    to land inside); reported spans are exact duplicated substrings but
+    anchor-sampled, so they can under-cover the maximal extent — use dd17
+    for exact extents, dd18 for cheap global detection.
+
+    Output ``(doc_id, span_start, span_end, n_chars, n_anchors)`` —
+    1-based inclusive char positions of merged duplicated-anchor islands.
+
+    Cross-engine exactness: the fingerprint is md5 of the gram STRING
+    (identical hex in Spark and DuckDB — no xxhash64 portability carve-
+    out), minimizer selection is one ROWS-frame window min of a (f, pos)
+    struct (positions are dense, so a row frame IS a position window),
+    and the island merge is dd14's. The whole plan is one explode, one
+    per-doc window, one hash aggregate and one join — no UDF at all.
+    """
+    k, w = int(min_chars), int(window)
+    n = F.length("text")
+    grams = F.when(
+        n >= k,
+        F.expr(
+            f"transform(sequence(1, length(text) - {k} + 1),"
+            f" i -> struct(i AS pos, md5(substring(text, i, {k})) AS f))"
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,f:string>>"))
+    p = documents.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.f").alias("f")
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = p.select(
+        "doc_id",
+        F.min(F.struct("f", "pos")).over(wspec).alias("wm"),
+        F.count("*").over(wspec).alias("nf"),
+    )
+    # Anchors feed the occurrence count AND the join back (note 12).
+    anchors = (
+        sel.where(F.col("nf") >= w)
+        .select("doc_id", F.col("wm.pos").alias("pos"), F.col("wm.f").alias("f"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        anchors.groupBy("f")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("f")
+    )
+    dup = anchors.join(hot, "f").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "new_island",
+        (F.col("pos") > F.coalesce(F.lag("pos").over(wd), F.lit(-k)) + k).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(k - 1) - F.min("pos") + 1).alias("n_chars"),
+            F.count("*").alias("n_anchors"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_chars", "n_anchors")
+    )
+
+
 def _dominated_islands(documents: DataFrame, k: int) -> DataFrame:
     """Merged DOMINATED duplicated ranges ``(doc_id, span_start, span_end)``
     — occurrences of a duplicated k-span that are not the corpus-first
@@ -1554,6 +1645,7 @@ def build_queries():
         "dd13_normalized_dedup": (q(normalized_dedup), _DD13_SQL),
         "dd14_char_spans": (q(char_dup_spans), _DD14_SQL),
         "dd17_exact_spans": (q(suffix_dup_spans), _DD17_SQL),
+        "dd18_winnow_spans": (q(winnow_dup_spans), _DD18_SQL),
         "dd15_cluster_canonicalize": (q(cluster_canonicalize), _DD15_SQL),
     }
 
@@ -1684,6 +1776,51 @@ SELECT doc_id,
        CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + {SUFFIX_SPAN_K - 1} AS INT) AS span_end,
        CAST(max(pos) + {SUFFIX_SPAN_K - 1} - min(pos) + 1 AS INT) AS n_chars
+FROM s GROUP BY doc_id, island
+"""
+
+# dd18: the winnowing twin — same per-position md5 grams, one ROWS-frame
+# window min of the (f, pos) struct per window start (note 22's named-struct
+# lexicographic min), DISTINCT winners as anchors, then dd14's island merge.
+# md5 hex is identical on both engines, so dd18 carries a fully exact oracle
+# (no xxhash64 carve-out anywhere in the plan).
+_DD18_SQL = f"""
+WITH i AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS pos
+  FROM documents WHERE length(text) >= {WINNOW_K}
+),
+p AS (
+  SELECT doc_id, pos, md5(substr(text, pos, {WINNOW_K})) AS f FROM i
+),
+m AS (
+  SELECT doc_id,
+         min({{'f': f, 'p': pos}}) OVER w AS wm,
+         count(*) OVER w AS nf
+  FROM p
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+),
+a AS (SELECT DISTINCT doc_id, wm.p AS pos, wm.f AS f FROM m WHERE nf >= {WINNOW_W}),
+hot AS (SELECT f FROM a GROUP BY f HAVING count(*) > 1),
+d AS (SELECT doc_id, pos FROM a JOIN hot USING (f)),
+mm AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER w2, -{WINNOW_K}) + {WINNOW_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM d WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM mm
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {WINNOW_K - 1} AS INT) AS span_end,
+       CAST(max(pos) + {WINNOW_K - 1} - min(pos) + 1 AS INT) AS n_chars,
+       count(*) AS n_anchors
 FROM s GROUP BY doc_id, island
 """
 

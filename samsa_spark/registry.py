@@ -847,6 +847,7 @@ _DEMOTED = (
     "qz6_binary_topk",                # sim1 anchors the probe-broadcast top-k scoring contract and qz5 the overfetch+exact-re-rank composition in-window (qz4); the 1-bit sign/Hamming scan is pytest-oracle-checked + recall-vs-exact tested
     # round-10 additions, born demoted (the window was already full)
     "dd17_exact_spans",               # dd16/dd1 anchor the dedup family in-window; the chunked suffix-array exact-span form (closes dd14's 40-char floor) is pytest-oracle-checked + planted sub-window-span tested (dd14 provably misses, dd17 catches)
+    "dd18_winnow_spans",              # dd16/dd1 anchor the dedup family in-window; the winnowed minimizer-sampled global form (guaranteed >= k+w-1 detection at ~2/(w+1) posting density) is pytest-oracle-checked + independent-Python winnowing model-checked
 )
 
 

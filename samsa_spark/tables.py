@@ -80,7 +80,7 @@ def _parquet_ts_is_utc_adjusted(path: str, col: str) -> bool:
     try:
         import pyarrow.parquet as pq
 
-        return getattr(pq.read_schema(path).field(col).type, "tz", None) is not None
+        return getattr(pq.read_schema(_one_part(path)).field(col).type, "tz", None) is not None
     except Exception as e:
         raise ValueError(
             f"could not inspect the parquet timestamp encoding of {path}:{col} "
@@ -89,6 +89,24 @@ def _parquet_ts_is_utc_adjusted(path: str, col: str) -> bool:
             "DuckDB oracle. Fix the file metadata (or extend tables.load for "
             "this encoding) before loading it."
         ) from e
+
+
+def _one_part(path: str):
+    """The path itself for a single-file table, else the first part file of
+    a directory-style parquet table (what Spark writes — all parts share one
+    schema, so any part answers a schema question). Keeps the metadata
+    probes working on production-shaped inputs, not just the single-file
+    testdata."""
+    import os
+
+    if not os.path.isdir(path):
+        return path
+    parts = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    if not parts:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    return os.path.join(path, parts[0])
 
 
 def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:

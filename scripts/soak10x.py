@@ -88,7 +88,13 @@ def build_corpus(spark, out_dir: str, factor: int) -> None:
     write(
         rep(ev).select(
             (F.col("event_id") + F.col("_r") * E).alias("event_id"),
-            F.timestamp_micros(F.col("ts_us") + F.col("_r")).alias("ts"),
+            # NTZ wall-clock (isAdjustedToUTC=false), the only encoding
+            # tables.load accepts — timestamp_micros would write an
+            # adjusted-to-UTC instant and trip the loader's refusal.
+            F.expr(
+                "timestampadd(MICROSECOND, ts_us + _r,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("ts"),
             (F.col("user_id") + F.col("_r") * U).alias("user_id"),
             "event_type",
             "value",

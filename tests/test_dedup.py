@@ -1058,3 +1058,136 @@ def test_dd17_determinism_and_nul_rejection(spark):
     with pytest.raises(Exception, match="NUL|PythonException") as ei:
         suffix_dup_spans(bad).count()
     assert "NUL character" in str(ei.value)
+
+
+# --- dd18: winnowed (minimizer-sampled) span dedup ----------------------------
+
+
+def test_dd18_oracle_match(spark):
+    ok, msg = check_query(spark, "dd18_winnow_spans", SF_SMALL)
+    assert ok, msg
+
+
+def _dd18_model(texts, k, w):
+    """Independent pure-Python winnowing (Schleimer et al. 2003): per
+    window of w gram positions keep the (md5, pos)-min gram, count anchor
+    fingerprints corpus-wide, merge duplicated anchors into islands."""
+    import hashlib
+    from collections import Counter
+
+    per_doc = {}
+    for d, t in texts.items():
+        n = len(t) - k + 1
+        fs = [hashlib.md5(t[i : i + k].encode()).hexdigest() for i in range(max(n, 0))]
+        sel = set()
+        for s in range(0, n - w + 1):
+            sel.add(min(range(s, s + w), key=lambda i: (fs[i], i)))
+        per_doc[d] = [(i, fs[i]) for i in sorted(sel)]
+    cnt = Counter(f for lst in per_doc.values() for _, f in lst)
+    out = set()
+    for d, lst in per_doc.items():
+        islands = []  # [first_pos0, last_pos0, n_anchors]
+        for i, f in lst:
+            if cnt[f] < 2:
+                continue
+            if islands and i <= islands[-1][1] + k:
+                islands[-1][1] = i
+                islands[-1][2] += 1
+            else:
+                islands.append([i, i, 1])
+        for i0, i1, c in islands:
+            out.add((d, i0 + 1, i1 + k, i1 + k - i0, c))
+    return out
+
+
+def test_dd18_model_check_random_corpora(spark):
+    """Exact-equality vs the independent Python winnower on dense-repeat
+    random corpora (3-letter alphabet, heavy overlap) across seeds."""
+    import random
+
+    from samsa_spark.operators.dedup import winnow_dup_spans
+
+    for seed in (4, 5, 6):
+        rng = random.Random(seed)
+        texts = {
+            d: "".join(rng.choice("abc") for _ in range(rng.randint(30, 120)))
+            for d in range(6)
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {tuple(r) for r in winnow_dup_spans(docs, min_chars=5, window=4).collect()}
+        assert got == _dd18_model(texts, 5, 4), f"seed {seed}"
+
+
+def test_dd18_guarantee_at_threshold(spark):
+    """The winnowing theorem made concrete: a planted shared run of exactly
+    k + w - 1 chars (23 at the defaults — sub-dd14-floor) must be detected
+    on BOTH docs, wherever it sits, because it contains one full minimizer
+    window and both copies pick the same gram content."""
+    from samsa_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        char_dup_spans,
+        winnow_dup_spans,
+    )
+
+    shared = "boilerplate-fragment-23c"[: WINNOW_K + WINNOW_W - 1]
+    assert len(shared) == WINNOW_K + WINNOW_W - 1 == 23
+    t1 = "m0n1 o2p3 q4r5 s6t7 head " + shared + " u8v9 w0x1 y2z3 tailone"
+    t2 = "completely-other-lead-in " + shared + " different-trailer-here"
+    filler = [
+        (10 + i, f"a{i}b{i} c{i}d{i} e{i}f{i} g{i}h{i} j{i}k{i} l{i}m{i}")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)] + filler, "doc_id long, text string"
+    )
+    assert char_dup_spans(docs).count() == 0  # below dd14's default floor
+    got = winnow_dup_spans(docs).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    # every reported span must lie inside the planted run (the only
+    # duplicated content), and each doc must report at least one
+    for doc_id, text in ((1, t1), (2, t2)):
+        lo = text.index(shared) + 1
+        hi = lo + len(shared) - 1
+        spans = by_doc[doc_id]
+        assert spans
+        for r in spans:
+            # ±1: both docs pad the run with spaces, so the true duplicated
+            # region is one char wider on each side
+            assert lo - 1 <= r.span_start <= r.span_end <= hi + 1
+    # anchor-sampling honesty: detection, not full-extent coverage, is the
+    # contract — dd17/dd14 give extents
+
+
+def test_dd18_determinism_and_density(spark):
+    """Repartition-invariant; and the minimizer sampling really is sparse —
+    on the fixture corpus the anchor posting count stays under 40% of the
+    every-position count dd14 would shuffle (expected ~2/(w+1) ~ 22%)."""
+    import hashlib
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import WINNOW_K, WINNOW_W, winnow_dup_spans
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    a = {tuple(r) for r in winnow_dup_spans(docs).collect()}
+    b = {tuple(r) for r in winnow_dup_spans(docs.repartition(7)).collect()}
+    assert a == b and a
+    rows = docs.select("doc_id", "text").collect()
+    total_pos = sum(max(len(r.text) - WINNOW_K + 1, 0) for r in rows)
+    n_anchors = 0
+    for r in rows:
+        n = len(r.text) - WINNOW_K + 1
+        fs = [
+            hashlib.md5(r.text[i : i + WINNOW_K].encode()).hexdigest()
+            for i in range(max(n, 0))
+        ]
+        sel = set()
+        for s in range(0, n - WINNOW_W + 1):
+            sel.add(min(range(s, s + WINNOW_W), key=lambda i: (fs[i], i)))
+        n_anchors += len(sel)
+    assert n_anchors / total_pos < 0.40

@@ -506,3 +506,29 @@ def test_scd1_two_windows_share_one_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "hashpartitioning(user_id" in p
     assert len(re.findall(r"\(\d+\) Window", p)) == 2
+
+
+def test_dd18_winnow_plan_is_jvm_only_partial_count(spark):
+    """dd18's whole plan stays in the JVM — md5 grams, window minimizers,
+    anchor count and island merge are all built-ins (no Arrow/Python eval
+    node anywhere), the anchor count gets map-side partials, and the join
+    back is an equi-join."""
+    p = _plan(spark, "dd18_winnow_spans")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dd17_single_pandas_stage_no_joins(spark):
+    """dd17 is exactly one grouped Pandas stage over the chunk key — the
+    suffix array runs inside the task; no posting shuffle, no join, no
+    cartesian anywhere in the plan."""
+    p = _plan(spark, "dd17_exact_spans")
+    # tree form "FlatMapGroupsInPandas (n)" appears once per physical node
+    # (the details section prints "(n) FlatMapGroupsInPandas" instead)
+    assert p.count("FlatMapGroupsInPandas (") == 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -125,8 +125,9 @@ SIBLINGS = {
     "d3_replay_prefix": ["d2_state_table", "d4_point_lookup"],
     "sim2_embedding_near_dups": ["sim1_cosine_topk"],
     "tx10_typo_pairs": ["tf1_tfidf_top_terms", "tx1_token_counts"],
-    # round-10 addition, born demoted (the window was already full)
+    # round-10 additions, born demoted (the window was already full)
     "dd17_exact_spans": ["dd16_prefix_jaccard", "dd6_dedup_clusters"],
+    "dd18_winnow_spans": ["dd16_prefix_jaccard", "dd6_dedup_clusters"],
     # round-10 rotation: demoted to make room for dd16/lm4/rw1
     "dd7_substring_spans": ["dd16_prefix_jaccard", "dd1_exact_dedup"],
     "tx1_token_counts": ["tx2_quality_scores", "tf1_tfidf_top_terms", "udtf1_ngram_counts"],
