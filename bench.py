@@ -238,6 +238,11 @@ EXTRAS = [
     "gx1_graph_topk",
     # round 10: winnowed global span dedup (minimizer-sampled postings).
     "dd18_winnow_spans",
+    # round 10: graph-ANN query side against a once-per-session prebuilt
+    # cell graph (the build-once/query-many regime, like qz4/bm2 prebuilt).
+    "gx1_prebuilt_query",
+    # round 10: CCNet per-language perplexity head/middle/tail split.
+    "ppl1_perplexity_buckets",
 ]
 
 
@@ -366,6 +371,22 @@ def main() -> None:
     qs["qz4_prebuilt_query"] = _qz4_prebuilt_query
     qs["rrf2_prebuilt_fusion"] = _rrf2_prebuilt_fusion
     qs["qz5_prebuilt_refine"] = _qz5_prebuilt_refine
+
+    # Graph-ANN prebuilt regime: the per-cell kNN graph is built once per
+    # session from the SAME centroid table the IVF artifacts use; the timed
+    # member is the beam-search query side only.
+    from samsa_spark.operators.similarity import graph_topk, nsw_cell_graph
+
+    idx_graph = nsw_cell_graph(emb0, centroids=idx_cents).localCheckpoint(eager=True)
+
+    def _gx1_prebuilt_query(spark, sf_dir):
+        return graph_topk(
+            tables.load(spark, sf_dir, "embeddings"),
+            centroids=idx_cents,
+            graph=idx_graph,
+        )
+
+    qs["gx1_prebuilt_query"] = _gx1_prebuilt_query
 
     # Text-side prebuilt regime: the BM25 index is saved to disk ONCE
     # before the timed region (tok-sorted postings), so bm2's floor guards

@@ -1709,6 +1709,96 @@ FROM scored CROSS JOIN cut
 """
 
 
+PPL1_QLO = 1.0 / 3.0
+PPL1_QHI = 2.0 / 3.0
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """ppl1 — CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 §4.4: score every doc with a language model, split each language
+    into head/middle/tail thirds by perplexity, train preferentially on
+    head). The LM is lm1's corpus unigram (the engine-portable stand-in
+    for CCNet's KenLM 5-gram); since perplexity = exp(-avg_logprob) is a
+    monotone transform, bucketing directly on ``avg_logprob`` is the same
+    split without the exp — head = highest mean logprob = lowest
+    perplexity. Returns ``(doc_id, lang, n_tokens, avg_logprob, bucket)``.
+
+    Cutpoints are per-lang ``percentile_disc`` over the 3-dp-QUANTIZED
+    score — bounded aggregate state (note 24), an actual data value (no
+    interpolation boundary-flip; the disc selection rule is the SQL
+    standard's smallest-cume_dist>=q on BOTH engines — probed empirically
+    for thirds), and the comparison runs on the same quantized value.
+    Boundary docs tie into the lower bucket on both engines.
+
+    Scale shape: lm1's exactly (vocab aggregate with map-side partials,
+    broadcast-or-shuffle score join, one per-doc aggregate), plus one
+    lang-level cutpoint aggregate (2 values per language) broadcast back.
+    """
+    toks = documents.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").cast("double").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log(F.col("c") / F.col("t")).alias("lp")
+    )
+    scored = (
+        toks.join(lp, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr(
+            f"percentile_disc({PPL1_QLO!r}) WITHIN GROUP"
+            " (ORDER BY round(avg_logprob, 3))"
+        ).alias("c_lo"),
+        F.expr(
+            f"percentile_disc({PPL1_QHI!r}) WITHIN GROUP"
+            " (ORDER BY round(avg_logprob, 3))"
+        ).alias("c_hi"),
+    )
+    q = F.round(F.col("avg_logprob"), 3)
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_logprob",
+        F.when(q <= F.col("c_lo"), F.lit("tail"))
+        .when(q <= F.col("c_hi"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+
+
+_PPL1_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM toks
+), scored AS (
+  SELECT doc_id, lang, count(*) AS n_tokens,
+         round(avg(ln(vocab.c / tot.t)), 6) AS avg_logprob
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY doc_id, lang
+), cuts AS (
+  SELECT lang,
+         quantile_disc(round(avg_logprob, 3), {PPL1_QLO!r}) AS c_lo,
+         quantile_disc(round(avg_logprob, 3), {PPL1_QHI!r}) AS c_hi
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, scored.lang, n_tokens, avg_logprob,
+       CASE WHEN round(avg_logprob, 3) <= c_lo THEN 'tail'
+            WHEN round(avg_logprob, 3) <= c_hi THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scored JOIN cuts USING (lang)
+"""
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -1738,6 +1828,7 @@ def build_queries():
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
         "ck1_chunk_overlap": (q(chunk_overlap, "documents"), _CK1_SQL),
         "lm1_unigram_logprob": (q(unigram_logprob, "documents", spread=True), _LM1_SQL),
+        "ppl1_perplexity_buckets": (q(perplexity_buckets, "documents", spread=True), _PPL1_SQL),
         "lm2_bigram_logprob": (q(bigram_logprob, "documents", spread=True), _LM2_SQL),
         "is1_importance_resample": (q(importance_resample, "documents", spread=True), _IS1_SQL),
         "sp3_kfold_split": (q(kfold_split, "documents"), _SP3_SQL),

@@ -1147,3 +1147,79 @@ def test_ws1_selection_tracks_weights(spark):
     # keys are valid (ln(u)/w <= 0) and ordered best-first
     keys = [r.skey for r in top]
     assert all(k <= 0 for k in keys) and keys == sorted(keys, reverse=True)
+
+
+# --- ppl1: CCNet perplexity bucketing ----------------------------------------
+
+
+def test_ppl1_oracle_match(spark):
+    ok, msg = check_query(spark, "ppl1_perplexity_buckets", SF_SMALL)
+    assert ok, msg
+
+
+def test_ppl1_bucket_semantics(spark):
+    """Buckets are monotone in the quantized score within each language
+    (tail <= middle <= head with boundary ties falling low), cover every
+    doc exactly once, and land near thirds."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import perplexity_buckets
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    got = perplexity_buckets(docs).collect()
+    assert len(got) == docs.count()
+    order = {"tail": 0, "middle": 1, "head": 2}
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (round(r.avg_logprob, 3), order[r.bucket]))
+        seq = [order[r.bucket] for r in rows]
+        assert seq == sorted(seq), f"{lang}: buckets not monotone in score"
+        n = len(rows)
+        counts = {b: sum(1 for r in rows if r.bucket == b) for b in order}
+        if n >= 9:  # thirds are meaningful only with enough docs
+            for b, c in counts.items():
+                assert c >= 1, f"{lang}: empty {b} bucket"
+            # disc cutpoints with ties keep each bucket within a loose band
+            assert counts["tail"] <= 2 * n / 3 and counts["head"] <= 2 * n / 3
+
+
+def test_ppl1_planted_rare_tokens_land_in_tail(spark):
+    """A doc made of corpus-unique gibberish tokens must score the lowest
+    mean logprob of its language and therefore sit in the tail bucket;
+    a doc repeating the most common tokens sits in head."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import perplexity_buckets
+
+    docs = tables.load(spark, SF_SMALL, "documents").select("doc_id", "text", "lang")
+    lang = docs.first().lang
+    common = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count")).first().t
+    )
+    extra = spark.createDataFrame(
+        [
+            (900001, "zqxv1 zqxv2 zqxv3 zqxv4 zqxv5 zqxv6", lang),
+            (900002, " ".join([common] * 12), lang),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: r
+        for r in perplexity_buckets(docs.unionByName(extra)).collect()
+    }
+    assert got[900001].bucket == "tail"
+    assert got[900002].bucket == "head"
+    assert got[900001].avg_logprob < got[900002].avg_logprob
+
+
+def test_ppl1_deterministic_under_repartition(spark):
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import perplexity_buckets
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    a = {tuple(r) for r in perplexity_buckets(docs).collect()}
+    b = {tuple(r) for r in perplexity_buckets(docs.repartition(7)).collect()}
+    assert a == b and a
