@@ -617,6 +617,49 @@ def sweep_substring(spark) -> None:
         df.unpersist()
 
 
+def sweep_spans(spark) -> None:
+    """dd14 (every-position postings) vs dd18 (winnowed minimizers) vs
+    dd17 (per-chunk suffix array) at 1x and 10x corpus — the round-10
+    span-dedup cost shapes. Replicas append one token, so each original
+    doc's ENTIRE text is a shared run across its 10 copies (the template-
+    corpus worst case). Expectations: dd14 and dd18 are posting-linear
+    with dd18 shuffling ~2/(w+1) of dd14's anchor rows; dd17's chunk
+    count grows with corpus bytes, so per-chunk SA work stays bounded and
+    wall time ~flat given idle cores (32 here vs 6->56 chunks)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import (
+        char_dup_spans,
+        suffix_dup_spans,
+        winnow_dup_spans,
+    )
+
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select("doc_id", "text")
+    n_docs = docs.count()
+
+    def perturbed(factor: int):
+        if factor == 1:
+            return docs, n_docs
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("r"), F.col("_r"))))
+            .alias("text"),
+        )
+        return df, n_docs * factor
+
+    winnow_dup_spans(docs).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        df, n = perturbed(factor)
+        df = df.localCheckpoint(eager=True)
+        _time(f"dd14_char_spans_x{factor}", lambda: char_dup_spans(df), n)
+        _time(f"dd18_winnow_spans_x{factor}", lambda: winnow_dup_spans(df), n)
+        _time(f"dd17_exact_spans_x{factor}", lambda: suffix_dup_spans(df), n)
+        df.unpersist()
+
+
 def sweep_linecls(spark) -> None:
     """dd11/cls1 at 1x and 10x corpus. dd11 input is restructured into
     ~10-token lines with one shared boilerplate line appended per doc (the
@@ -1333,6 +1376,8 @@ def main() -> None:
         sweep_qz5(spark)
     if what in ("qz6", "all"):
         sweep_qz6(spark)
+    if what in ("spans", "all"):
+        sweep_spans(spark)
     spark.stop()
 
 
