@@ -1099,6 +1099,47 @@ def delete_from_shards(
     return spark.read.parquet(f"{path}/manifest")
 
 
+def drop_shards_where(spark: SparkSession, path: str, condition: str) -> DataFrame:
+    """rt1 — manifest-driven file-level retention: drop every shard file
+    whose MANIFEST row matches ``condition`` (a SQL boolean over the
+    manifest columns — split/source/file/n_rows/n_bytes/min_doc_id/
+    max_doc_id), e.g. ``"source = 'crawl_2021'"`` to retire a source or
+    ``"max_doc_id < 1000000"`` on a ``cluster_by='doc_id'`` layout to
+    expire an id epoch. The retention sibling of
+    :func:`delete_from_shards`: that op rewrites files to remove ROWS;
+    this one removes whole FILES and reads no data file at all — the
+    decision runs entirely over manifest-cardinality metadata, which is
+    what makes retention affordable on a 100 TB corpus.
+
+    Ordering: the manifest is patched FIRST (manifest-driven readers
+    immediately stop scheduling the dropped files), then the files are
+    deleted at the filesystem level. A crash in between leaves unlisted
+    files on disk — invisible to manifest readers, flagged as
+    ``unlisted_file`` by :func:`validate_shards`, reclaimed by re-running
+    the same drop (the usual at-least-once stance of the rewrite ops).
+    Returns the updated manifest.
+    """
+    manifest = spark.read.parquet(f"{path}/manifest")
+    doomed = [
+        r.file for r in manifest.where(condition).select("file").distinct().collect()
+    ]
+    if not doomed:
+        return manifest
+    # Complement by FILE list, not by negating the condition: a NULL
+    # predicate row would fall out of BOTH sides of a where/~where split
+    # and silently vanish from the manifest without its file being dropped.
+    kept = manifest.where(~F.col("file").isin(doomed)).localCheckpoint()
+    kept.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    spark.catalog.refreshByPath(f"{path}/manifest")
+    hconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    for f in doomed:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).delete(p, False)
+    spark.catalog.refreshByPath(f"{path}/data")
+    return spark.read.parquet(f"{path}/manifest")
+
+
 def read_shards_shuffled(
     spark: SparkSession,
     path: str,

@@ -452,3 +452,76 @@ def test_delete_from_shards_rewrites_only_hit_files(spark):
     m2 = delete_from_shards(spark, path, [10_000_000, 10_000_001])
     assert {r.file for r in m2.select("file").collect()} == after_files
     assert read_shards(spark, path).count() == len(want)
+
+
+def test_drop_shards_where_file_level_retention(spark):
+    """rt1 retention: dropping a source removes exactly its files (no data
+    file read, no rewrite — surviving files keep their paths), the
+    manifest stays consistent with disk (validate_shards clean), readers
+    stop seeing the dropped rows, and a no-match predicate is a no-op."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        drop_shards_where,
+        read_shards,
+        validate_shards,
+        write_shards,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    victim = docs.first().source
+    path = tempfile.mkdtemp(prefix="shards-retain-")
+    write_shards(docs, path, by_source=True, max_records_per_file=50)
+    before = spark.read.parquet(f"{path}/manifest")
+    before_files = {r.file for r in before.select("file").collect()}
+    victim_files = {
+        r.file for r in before.where(F.col("source") == victim).select("file").collect()
+    }
+    assert victim_files and victim_files < before_files
+
+    manifest = drop_shards_where(spark, path, f"source = '{victim}'")
+    after_files = {r.file for r in manifest.select("file").collect()}
+    assert after_files == before_files - victim_files  # survivors untouched
+    for f in victim_files:
+        assert not os.path.exists(f.removeprefix("file://").removeprefix("file:"))
+    assert validate_shards(spark, path).count() == 0
+    got = read_shards(spark, path)
+    assert got.where(F.col("source") == victim).count() == 0
+    assert got.count() == docs.where(F.col("source") != victim).count()
+
+    # no-op: predicate matches nothing; manifest unchanged
+    m2 = drop_shards_where(spark, path, "n_rows < 0")
+    assert {r.file for r in m2.select("file").collect()} == after_files
+
+
+def test_drop_shards_where_id_epoch_on_clustered_layout(spark):
+    """On a cluster_by='doc_id' layout an id-epoch retention predicate
+    (max_doc_id < cut) drops only whole files strictly below the cut —
+    every surviving doc >= the cut's file boundary, and no row with
+    doc_id >= cut is lost."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        drop_shards_where,
+        read_shards,
+        validate_shards,
+        write_shards,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    path = tempfile.mkdtemp(prefix="shards-epoch-")
+    write_shards(docs, path, max_records_per_file=50, cluster_by="doc_id")
+    cut = 200
+    manifest = drop_shards_where(spark, path, f"max_doc_id < {cut}")
+    got = read_shards(spark, path)
+    # nothing >= cut lost
+    assert (
+        got.where(F.col("doc_id") >= cut).count()
+        == docs.where(F.col("doc_id") >= cut).count()
+    )
+    # every dropped row was < cut (file-level: some < cut may survive in
+    # files straddling the boundary, but no surviving FILE is fully below)
+    assert manifest.where(F.col("max_doc_id") < cut).count() == 0
+    assert validate_shards(spark, path).count() == 0
