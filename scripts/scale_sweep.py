@@ -1327,6 +1327,67 @@ def sweep_qz6(spark) -> None:
         df.unpersist()
 
 
+def sweep_graph(spark) -> None:
+    """gx1 graph ANN at 1x and 10x corpus: build (per-cell kNN graphs) and
+    the prebuilt query side, vs sim1's brute scan. Cells scale ~sqrt(N)
+    (the production rule), so per-cell c^2 graph work stays ~N per cell
+    and the beam walk touches O(ef * degree) vectors per probed cell
+    regardless of corpus size — the build should scale ~linearly, the
+    query sub-linearly."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        cosine_topk,
+        graph_topk,
+        kmeans_centroids,
+        nsw_cell_graph,
+    )
+
+    base = tables.load(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return base, n_base
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        df = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+            "label",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(_r % 64 AS INT) "
+                "THEN x + CAST(0.01 * _r AS FLOAT) ELSE x END)"
+            ).alias("embedding"),
+        )
+        return df, n_base * factor
+
+    cosine_topk(base).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        df, n = replicated(factor)
+        df = df.localCheckpoint(eager=True)
+        cells = max(32, int(n**0.5))
+        t0 = time.time()
+        cents = kmeans_centroids(df, k=cells).localCheckpoint(eager=True)
+        g = nsw_cell_graph(df, centroids=cents).localCheckpoint(eager=True)
+        t_build = time.time() - t0
+        _time(
+            f"gx1_prebuilt_query_x{factor}",
+            lambda: graph_topk(df, centroids=cents, graph=g),
+            n,
+        )
+        _time(f"sim1_brute_x{factor}", lambda: cosine_topk(df), n)
+        print(
+            json.dumps(
+                {"measure": f"gx1_build_x{factor}", "rows": n, "cells": cells,
+                 "sec": round(t_build, 2)}
+            ),
+            flush=True,
+        )
+        df.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1378,6 +1439,8 @@ def main() -> None:
         sweep_qz6(spark)
     if what in ("spans", "all"):
         sweep_spans(spark)
+    if what in ("graph", "all"):
+        sweep_graph(spark)
     spark.stop()
 
 
