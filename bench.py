@@ -243,6 +243,8 @@ EXTRAS = [
     "gx1_prebuilt_query",
     # round 10: CCNet per-language perplexity head/middle/tail split.
     "ppl1_perplexity_buckets",
+    # round 10: in-engine retrieval grading (IVF vs brute, recall/MRR/nDCG).
+    "ev1_retrieval_metrics",
 ]
 
 

@@ -849,6 +849,7 @@ _DEMOTED = (
     "dd17_exact_spans",               # dd16/dd1 anchor the dedup family in-window; the chunked suffix-array exact-span form (closes dd14's 40-char floor) is pytest-oracle-checked + planted sub-window-span tested (dd14 provably misses, dd17 catches)
     "dd18_winnow_spans",              # dd16/dd1 anchor the dedup family in-window; the winnowed minimizer-sampled global form (guaranteed >= k+w-1 detection at ~2/(w+1) posting density) is pytest-oracle-checked + independent-Python winnowing model-checked
     "ppl1_perplexity_buckets",        # tf1 anchors the explode->vocab->score shape and qf1 the broadcast-cutpoint filter in-window; the CCNet per-lang head/middle/tail split composes lm1's score with sp2's percentile_disc rule and is pytest-oracle-checked + bucket-semantics tested
+    "ev1_retrieval_metrics",          # sim1/sim4/qz4 anchor the retrieval stack in-window; the recall/MRR/nDCG grader joins their outputs at result-set cardinality and is pytest-oracle-checked + hand-computed metric tests
 )
 
 

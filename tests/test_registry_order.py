@@ -129,6 +129,7 @@ SIBLINGS = {
     "dd17_exact_spans": ["dd16_prefix_jaccard", "dd6_dedup_clusters"],
     "dd18_winnow_spans": ["dd16_prefix_jaccard", "dd6_dedup_clusters"],
     "ppl1_perplexity_buckets": ["tf1_tfidf_top_terms", "qf1_quality_quantile"],
+    "ev1_retrieval_metrics": ["sim1_cosine_topk", "sim4_ivf_topk"],
     # round-10 rotation: demoted to make room for dd16/lm4/rw1
     "dd7_substring_spans": ["dd16_prefix_jaccard", "dd1_exact_dedup"],
     "tx1_token_counts": ["tx2_quality_scores", "tf1_tfidf_top_terms", "udtf1_ngram_counts"],

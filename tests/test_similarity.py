@@ -1324,3 +1324,70 @@ def test_gx1_prebuilt_artifacts_match_inline(spark):
     pre = {tuple(r) for r in graph_topk(emb, centroids=cents, graph=g).collect()}
     inline = {tuple(r) for r in graph_topk(emb).collect()}
     assert pre == inline and pre
+
+
+# --- ev1: in-engine retrieval metrics -----------------------------------------
+
+
+def test_ev1_oracle_match(spark):
+    ok, msg = check_query(spark, "ev1_retrieval_metrics", SF_SMALL)
+    assert ok, msg
+
+
+def test_ev1_hand_computed_metrics(spark):
+    """recall@k / MRR@k / nDCG@k on a hand-built case: partial hit with a
+    known DCG, a zero-hit query, and a perfect query."""
+    import math
+
+    from samsa_spark.operators.similarity import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(1, t, r) for r, t in enumerate((10, 20, 30), 1)]
+        + [(2, t, r) for r, t in enumerate((40, 50, 60), 1)]
+        + [(3, t, r) for r, t in enumerate((70, 80, 90), 1)],
+        "q_id long, vec_id long, rank long",
+    )
+    pred = spark.createDataFrame(
+        # q1: hits at pred ranks 1 and 3 (items 20, 30), miss at 2
+        [(1, 20, 1), (1, 99, 2), (1, 30, 3)]
+        # q2: no hits at all
+        + [(2, 97, 1), (2, 98, 2), (2, 99, 3)]
+        # q3: perfect (order permuted — rank set is what matters)
+        + [(3, 80, 1), (3, 90, 2), (3, 70, 3)],
+        "q_id long, vec_id long, rank long",
+    )
+    got = {r.q_id: r for r in retrieval_metrics(pred, truth, k=3).collect()}
+    idcg = sum(1.0 / math.log2(i + 1) for i in (1, 2, 3))
+    dcg1 = 1.0 / math.log2(2) + 1.0 / math.log2(4)
+    r1 = got[1]
+    assert (r1.n_truth, r1.n_hit) == (3, 2)
+    assert r1.recall_at_k == round(2 / 3, 6)
+    assert r1.mrr_at_k == 1.0
+    assert r1.ndcg_at_k == round(dcg1 / idcg, 6)
+    r2 = got[2]
+    assert (r2.n_hit, r2.recall_at_k, r2.mrr_at_k, r2.ndcg_at_k) == (0, 0.0, 0.0, 0.0)
+    r3 = got[3]
+    assert (r3.recall_at_k, r3.mrr_at_k, r3.ndcg_at_k) == (1.0, 1.0, 1.0)
+
+
+def test_ev1_identity_and_graph_grading(spark):
+    """Grading a ranking against itself is all ones; grading gx1 against
+    brute force in-engine reproduces the pytest recall bar (>= 0.9 mean
+    recall on planted clusters) — the operator IS the test, in-engine."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.similarity import (
+        cosine_topk,
+        graph_topk,
+        retrieval_metrics,
+    )
+
+    emb, _ = _clustered_embeddings(spark)
+    truth = cosine_topk(emb, k=3)
+    ident = retrieval_metrics(truth, truth, k=3).collect()
+    assert all(
+        (r.recall_at_k, r.mrr_at_k, r.ndcg_at_k) == (1.0, 1.0, 1.0) for r in ident
+    )
+    graded = retrieval_metrics(graph_topk(emb, k=3), truth, k=3)
+    mean_recall = graded.agg(F.avg("recall_at_k")).first()[0]
+    assert mean_recall >= 0.9
