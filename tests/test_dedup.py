@@ -1191,3 +1191,59 @@ def test_dd18_determinism_and_density(spark):
             sel.add(min(range(s, s + WINNOW_W), key=lambda i: (fs[i], i)))
         n_anchors += len(sel)
     assert n_anchors / total_pos < 0.40
+
+
+def test_dd17_equals_dd14_at_same_window_single_chunk(spark):
+    """Cross-IMPLEMENTATION invariant: dd14 (every-position xxhash postings
+    + island merge) and dd17 (per-chunk suffix array + LCP) compute the
+    same coverage semantics — the union of repeated >=k-char substrings
+    merged into maximal ranges (the window-cover argument in dd17's
+    docstring). On a single-chunk corpus at the SAME k they must agree
+    row-for-row (modulo dd14's extra n_spans column): two algorithmically
+    independent paths to identical output, on both the fixture corpus and
+    dense random text."""
+    import random
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import char_dup_spans, suffix_dup_spans
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    a = {
+        (r.doc_id, r.span_start, r.span_end, r.n_chars)
+        for r in char_dup_spans(docs, min_chars=40).collect()
+    }
+    b = {tuple(r) for r in suffix_dup_spans(docs, min_chars=40, chunk_bytes=1 << 30).collect()}
+    assert a == b and a
+    rng = random.Random(11)
+    texts = [
+        (d, "".join(rng.choice("ab") for _ in range(rng.randint(30, 90))))
+        for d in range(8)
+    ]
+    tiny = spark.createDataFrame(texts, "doc_id long, text string")
+    a2 = {
+        (r.doc_id, r.span_start, r.span_end, r.n_chars)
+        for r in char_dup_spans(tiny, min_chars=7).collect()
+    }
+    b2 = {tuple(r) for r in suffix_dup_spans(tiny, min_chars=7, chunk_bytes=1 << 30).collect()}
+    assert a2 == b2
+
+
+def test_dd18_anchors_are_subset_of_dd14_coverage(spark):
+    """Containment invariant: every dd18 anchor island is a genuine
+    duplicated region, so at the same k it must lie INSIDE some dd14
+    island (dd14 = the full coverage union, dd18 = a minimizer sample of
+    the same flagged positions)."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import WINNOW_K, char_dup_spans, winnow_dup_spans
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    full = {}
+    for r in char_dup_spans(docs, min_chars=WINNOW_K).collect():
+        full.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for r in winnow_dup_spans(docs).collect():
+        spans = full.get(r.doc_id, [])
+        assert any(s <= r.span_start and r.span_end <= e for s, e in spans), (
+            r.doc_id,
+            r.span_start,
+            r.span_end,
+        )
