@@ -532,3 +532,15 @@ def test_dd17_single_pandas_stage_no_joins(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_gx1_graph_plan_bounded_pandas_stages_no_cartesian(spark):
+    """gx1's only Python stages are the per-cell graph build and the
+    cogrouped walk (plus the kmeans/assignment UDFs — all grouped or
+    Arrow-batched, never row-at-a-time Python), and nothing in the plan
+    is a cartesian/nested-loop except the broadcast centroid cross join
+    (k rows — the documented bounded exception)."""
+    p = _plan(spark, "gx1_graph_topk")
+    assert p.count("FlatMapCoGroupsInPandas (") == 1  # the walk
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
+    assert "CartesianProduct" not in p
