@@ -1391,3 +1391,51 @@ def test_ev1_identity_and_graph_grading(spark):
     graded = retrieval_metrics(graph_topk(emb, k=3), truth, k=3)
     mean_recall = graded.agg(F.avg("recall_at_k")).first()[0]
     assert mean_recall >= 0.9
+
+
+def test_ev1_matches_python_model_on_random_rankings(spark):
+    """Randomized model check: ev1 must equal an independent pure-Python
+    metric computation on arbitrary pred/truth rankings — including
+    queries missing from pred, partial prediction lists, and rank sets
+    larger than k (trimmed identically on both sides)."""
+    import math
+    import random
+
+    from samsa_spark.operators.similarity import retrieval_metrics
+
+    for seed in (21, 22, 23):
+        rng = random.Random(seed)
+        k = 4
+        truth_rows, pred_rows = [], []
+        model = {}
+        for q in range(12):
+            items = rng.sample(range(100), 8)
+            truth = items[:k]
+            truth_rows += [(q, t, r) for r, t in enumerate(truth, 1)]
+            if q % 5 == 4:
+                pred = []  # query absent from pred entirely
+            else:
+                pool = items + rng.sample(range(100, 200), 4)
+                rng.shuffle(pool)
+                pred = pool[: rng.randint(1, 6)]  # may exceed k: trimmed
+            pred_rows += [(q, v, r) for r, v in enumerate(pred, 1)]
+            pk = [v for r, v in enumerate(pred, 1) if r <= k]
+            hits = [(r, v) for r, v in enumerate(pk, 1) if v in set(truth)]
+            dcg = sum(1.0 / math.log2(r + 1) for r, _ in hits)
+            idcg = sum(1.0 / math.log2(i + 1) for i in range(1, len(truth) + 1))
+            model[q] = (
+                len(truth),
+                len(hits),
+                round(len(hits) / len(truth), 6),
+                round(1.0 / hits[0][0], 6) if hits else 0.0,
+                round(dcg / idcg, 6),
+            )
+        pred_df = spark.createDataFrame(
+            pred_rows or [(0, 0, 99)], "q_id long, vec_id long, rank long"
+        )
+        truth_df = spark.createDataFrame(truth_rows, "q_id long, vec_id long, rank long")
+        got = {
+            r.q_id: (r.n_truth, r.n_hit, r.recall_at_k, r.mrr_at_k, r.ndcg_at_k)
+            for r in retrieval_metrics(pred_df, truth_df, k=k).collect()
+        }
+        assert got == model, f"seed {seed}"
