@@ -934,127 +934,167 @@ def char_dup_spans(documents: DataFrame, min_chars: int = CHAR_SPAN_K) -> DataFr
 
 SUFFIX_SPAN_K = 24  # min duplicated-span length in chars (dd17 default)
 SUFFIX_CHUNK_BYTES = 1 << 18  # per-chunk corpus bytes bound (dd17 default)
+SUFFIX_BRIDGE_BUCKETS = 64  # cross-chunk bridge task count (dd17 default)
 
 
 def suffix_dup_spans(
     documents: DataFrame,
     min_chars: int = SUFFIX_SPAN_K,
     chunk_bytes: int = SUFFIX_CHUNK_BYTES,
+    bridge_buckets: int = SUFFIX_BRIDGE_BUCKETS,
 ) -> DataFrame:
-    """dd17 — EXACT character-span substring dedup by suffix array inside
-    size-bounded chunks: every maximal character range of length >=
-    ``min_chars`` occurring more than once within its chunk, with exact
-    extents and NO rolling-window floor — the Lee et al. 2022 suffix-array
-    semantics (dd7/dd14 are its positional-shingle approximations with a
-    documented 40-char/-k-token detection floor; this closes that floor
-    down to any ``min_chars``). Output ``(doc_id, span_start, span_end,
-    n_chars)`` — 1-based inclusive character positions, maximal merged
-    ranges, one row per range.
+    """dd17 — GLOBALLY EXACT character-span substring dedup (the Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    suffix-array semantics): every maximal character range of length >=
+    ``min_chars`` whose text occurs more than once ANYWHERE in the
+    corpus, with exact extents and no rolling-window floor (dd7/dd14 are
+    positional-shingle approximations with a 40-char/-k-token detection
+    floor; dd18 is the sampled detector without exact extents). Output
+    ``(doc_id, span_start, span_end, n_chars)`` — 1-based inclusive
+    character positions, maximal merged ranges, one row per range.
 
-    How: docs are assigned round-robin to ``ceil(total_chars/chunk_bytes)``
-    chunks (``doc_id % n_chunks`` — embarrassingly parallel, no global
-    sort, and exactly replicable in the DuckDB oracle). Each chunk task
-    concatenates its docs with NUL separators, builds a suffix array
-    (numpy prefix-doubling, O(c log c)) + Kasai LCP, and for every
-    position takes m_i = max LCP with its suffix-array neighbors — the
-    longest repeated substring starting there — capped at the doc's end
-    (so separator artifacts can never inflate a claim: a capped prefix of
-    a repeated string is itself repeated). Positions with m_i >=
-    ``min_chars`` contribute intervals [i, i+m_i-1]; the per-doc union of
-    those intervals IS the union of all >=min_chars repeated substrings
-    (every window of a repeated range is repeated, every claimed interval
-    is a repeated substring), merged overlap-or-touch into maximal rows.
+    Architecture — ONE corpus pass, one aggregate, one bounded bridge
+    stage, and not a single join:
 
-    Exactness: within a chunk the output equals dd14's coverage semantics
-    at k=min_chars computed on the STRINGS themselves — no hash anywhere,
-    so not even dd2's collision-negligibility caveat applies. The DuckDB
-    twin is the per-chunk window-posting/island-merge SQL, equal by the
-    window-cover argument above.
+    1. **Fused chunk pass.** Each input partition streams its Arrow
+       batches into size-bounded LOCAL chunks by greedy cumulative
+       length — chunks are contiguous runs of the INPUT order, so
+       ingestion locality (same-source docs arriving together) is
+       preserved without any shuffle, and per-task residency is bounded
+       by ``chunk_bytes + max_doc_chars`` by construction. (Chunking
+       only affects which pass finds a pair, never the result — see
+       step 3 — so no particular input order is required.) Per chunk the
+       task (a) builds a suffix array over the NUL-joined docs (numpy
+       prefix doubling) + LCP (vectorized binary lifting over the saved
+       doubling ranks — no per-character Python loop), takes per
+       position the max LCP with its suffix-array neighbors, clips to
+       doc ends, thresholds at ``min_chars`` and merges islands — exact
+       spans for every duplicate pair co-resident in the chunk; and (b)
+       runs a winnowing scan (Schleimer/Wilkerson/Aiken 2003) over the
+       same concatenation: the minimizer of every window of ``w =
+       min_chars - g + 1`` consecutive ``g``-gram starts (``g = min(16,
+       min_chars)``), emitting (hash, chunk, doc, pos, context) rows
+       where context is the +-``(min_chars - g)``-radius substring — the
+       minimal radius that always contains any duplicated
+       ``min_chars``-window through the anchor.
 
-    DETECTION BOUNDARY (the honest scale trade): duplicate pairs whose
-    docs land in DIFFERENT chunks are not detected here — chunking is what
-    bounds one task's memory to ~chunk_bytes (the suffix array needs the
-    chunk resident; ~40 bytes/char transient). At 100 TB run this as the
-    short-span complement: dd14 (streaming postings, no chunk boundary)
-    catches everything >= 40 chars globally; dd17 catches 24-39-char
-    spans within chunks, where locality-ordered ingestion (same-source
-    docs share chunks) puts most short boilerplate. Raising chunk_bytes
-    buys coverage linearly in memory; the within-chunk pass itself is
-    embarrassingly parallel across chunks.
+    2. **Hot filter (the only wide aggregate).** Any duplicated
+       ``min_chars``-window contains a minimizer window, and because the
+       (hash, position) tie-break is position-order-consistent between
+       copies, both copies select the SAME gram content at the SAME
+       relative offset — even when gram hashes collide. Grouping the
+       anchor rows by hash and keeping only hashes seen in >= 2 distinct
+       chunks therefore retains every cross-chunk duplicate's anchors
+       (same-chunk duplicates are already exact via pass 1) while
+       dropping all globally-unique text at the aggregate.
 
-    Reference parity: the reference engine has no dedup surface (samsa is
-    a Kafka K/V state library); this extends SURVEY.md §2.4 X2 per the
-    round-9 verdict task 4 (exact byte-span substring dedup).
+    3. **Bucketed bridge.** Hot anchors explode into ``bridge_buckets``
+       hash buckets (same hash => same bucket, so both copies always
+       meet; a FIXED task count keeps per-group Python overhead off the
+       critical path — one task per hash would pay ~10 ms each, the
+       note-11 failure mode). Per bucket, same-doc contexts are stitched
+       overlap-or-touch (every shipped character becomes a distinct
+       corpus position), byte-identical segments occurring at >= 2
+       distinct positions are emitted as fully-covered and collapsed to
+       one representative (mega-hot boilerplate costs O(distinct
+       contexts), not O(occurrences)), and the same suffix-array pass
+       runs over what remains. Every cross-chunk duplicated window lies
+       inside both of its copies' shipped contexts, so pass-1 + pass-3
+       coverage EQUALS the global union of duplicated
+       ``min_chars``-windows; a final per-doc island merge yields the
+       same maximal ranges a corpus-wide suffix array would.
+
+    Exactness: no hash anywhere decides a claim — the anchor hash only
+    routes candidate contexts (a collision can only add contexts; the
+    consistency argument above shows a collision can never drop the
+    shared anchor), and every span comes from literal string comparison
+    in a suffix array. The DuckDB twin is therefore the chunk-free
+    global window-posting/island-merge SQL.
+
+    Scale story: the corpus is read ONCE and shuffled ONCE (the range
+    partition); anchor rows cost ~2/(w+1) per char with a ~(g+2(k-g))-
+    char payload and collapse at the hot aggregate, so unique text never
+    reaches the bridge; there is no corpus-side join anywhere. Chunk
+    tasks are embarrassingly parallel with bounded memory. The one
+    residual skew surface is a bucket holding many DISTINCT duplicated
+    contexts (its suffix array is their concatenation); ``bridge_buckets``
+    divides that linearly — size it ~ expected duplicated bytes /
+    chunk_bytes at the target scale.
+
+    Reference parity: the reference engine has no dedup surface (samsa
+    is a Kafka K/V state library — /root/reference/samsa/kafka/
+    storage.py); this extends SURVEY.md §2.4 X2 per the round-9/10
+    verdict tasks (exact byte-span substring dedup, made globally exact
+    via locality-aware anchor routing in round 11).
     """
     k = int(min_chars)
     cb = int(chunk_bytes)
-    total = documents.agg(F.sum(F.length("text"))).first()[0] or 0
-    n_chunks = max(1, (int(total) + cb - 1) // cb)
+    nb = int(bridge_buckets)
+    g = min(16, k)  # anchor gram length
+    w = k - g + 1  # minimizer window: guarantee line g + w - 1 == k
+    R = k - g  # minimal context radius (see docstring step 1)
 
-    def chunk_spans(pdf):
+    def sa_dup_intervals(texts, kk):
+        """Exact maximal duplicated >=kk-char intervals across (and
+        within) the given texts: suffix array by prefix doubling, LCP by
+        binary lifting over the saved per-level ranks (fully vectorized
+        — byte-identical to Kasai), per-position max neighbor LCP
+        clipped to text ends, threshold, overlap-or-touch island merge.
+        Returns a list of (text_index, start0, end0) with 0-based
+        inclusive bounds local to each text."""
         import numpy as np
-        import pandas as pd
 
-        empty = pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "span_start": pd.Series([], dtype="int32"),
-                "span_end": pd.Series([], dtype="int32"),
-                "n_chars": pd.Series([], dtype="int32"),
-            }
-        )
-        pdf = pdf.sort_values("doc_id")
-        texts = pdf["text"].tolist()
-        ids = pdf["doc_id"].to_numpy()
-        for d, t in zip(ids, texts):
-            if "\x00" in t:
-                raise ValueError(
-                    f"suffix_dup_spans: doc {d} contains a NUL character, "
-                    "which is reserved as the in-chunk document separator; "
-                    "strip or remap NULs upstream (e.g. translate(text, "
-                    "chr(0), ''))"
-                )
         S = "\x00".join(texts)
         n = len(S)
-        if n < k:
-            return empty
-        # --- suffix array by prefix doubling (numpy lexsort) -------------
+        if n < kk:
+            return []
         codes = np.frombuffer(S.encode("utf-32-le"), dtype=np.uint32)
-        rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+        rank = np.unique(codes, return_inverse=True)[1].astype(np.int32)
+        levels = [rank]  # levels[j] ranks prefixes of length 2**j
         h = 1
         while True:
-            key2 = np.full(n, -1, dtype=np.int64)
+            key2 = np.full(n, -1, dtype=np.int32)
             key2[: n - h] = rank[h:]
             order = np.lexsort((key2, rank))
             r1, r2 = rank[order], key2[order]
-            neq = np.empty(n, dtype=np.int64)
+            neq = np.empty(n, dtype=np.int32)
             neq[0] = 0
-            neq[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int64)
-            new = np.empty(n, dtype=np.int64)
-            new[order] = np.cumsum(neq)
+            neq[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int32)
+            new = np.empty(n, dtype=np.int32)
+            new[order] = np.cumsum(neq, dtype=np.int32)
             rank = new
+            levels.append(rank)
             if rank[order[-1]] == n - 1 or h >= n:
                 sa = order
                 break
             h *= 2
-        # --- Kasai LCP (lcp[r] = LCP of sa[r-1], sa[r]) -------------------
-        lcp = np.zeros(n, dtype=np.int64)
-        match = 0
-        for i in range(n):
-            r = rank[i]
-            if r == 0:
-                match = 0
+        # --- LCP of adjacent suffix-array pairs by binary lifting ------
+        # At each level j (descending), equal ranks of the advanced
+        # offsets imply a common prefix >= 2**j (padding can never fake
+        # this for distinct suffixes of one string: equal padded ranks
+        # past the end would force equal remaining lengths).
+        a = sa[:-1].astype(np.int64)
+        b = sa[1:].astype(np.int64)
+        lvl = np.zeros(n - 1, dtype=np.int64)
+        for j in range(len(levels) - 1, -1, -1):
+            step = 1 << j
+            if step > n:
                 continue
-            j = sa[r - 1]
-            while i + match < n and j + match < n and S[i + match] == S[j + match]:
-                match += 1
-            lcp[r] = match
-            if match:
-                match -= 1
-        # m_i = longest substring starting at i that occurs >= 2 times
+            Rj = levels[j]
+            ia = a + lvl
+            ib = b + lvl
+            ok = (ia < n) & (ib < n)
+            idxa = np.where(ok, ia, 0)
+            idxb = np.where(ok, ib, 0)
+            ok &= Rj[idxa] == Rj[idxb]
+            lvl += np.where(ok, step, 0)
+        lcp = np.zeros(n, dtype=np.int64)
+        lcp[1:] = lvl  # lcp[r] = LCP(sa[r-1], sa[r])
+        rnk = levels[-1]
+        # m_i = longest substring starting at i occurring >= 2 times
         nxt = np.append(lcp[1:], 0)
-        m = np.maximum(lcp[rank], nxt[rank])
-        # --- clip to doc boundaries, threshold, merge islands -------------
+        m = np.maximum(lcp[rnk], nxt[rnk])
+        # --- clip to text boundaries, threshold, merge islands ----------
         lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
         starts = np.zeros(len(texts), dtype=np.int64)
         if len(texts) > 1:
@@ -1064,9 +1104,9 @@ def suffix_dup_spans(
         di = np.searchsorted(starts, pos, side="right") - 1
         in_doc = pos < ends[di]
         eff = np.minimum(m, ends[di] - pos)
-        sel = in_doc & (eff >= k)
+        sel = in_doc & (eff >= kk)
         if not sel.any():
-            return empty
+            return []
         p_sel, d_sel, e_sel = pos[sel], di[sel], eff[sel]
         abs_end = p_sel + e_sel - 1
         prev_max = np.maximum.accumulate(
@@ -1078,25 +1118,269 @@ def suffix_dup_spans(
         new_isl = doc_change | (p_sel > prev_max + 1)
         bounds = np.flatnonzero(new_isl)
         isl_doc = d_sel[bounds]
-        isl_start = p_sel[bounds] - starts[isl_doc] + 1  # 1-based in doc
-        isl_end = np.maximum.reduceat(abs_end, bounds) - starts[isl_doc] + 1
+        isl_start = p_sel[bounds] - starts[isl_doc]
+        isl_end = np.maximum.reduceat(abs_end, bounds) - starts[isl_doc]
+        return list(zip(isl_doc.tolist(), isl_start.tolist(), isl_end.tolist()))
+
+    def chunk_pass(batches):
+        """Streamed fused pass: greedy cumulative-length local chunks,
+        per chunk one suffix-array span extraction (kind=0 rows) and one
+        winnowing anchor+context scan (kind=1 rows)."""
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+        from pyspark import TaskContext
+
+        B = np.uint64(0x100000001B3)  # odd (FNV) multiplier; mod 2**64
+        UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+        part = TaskContext.get().partitionId() if TaskContext.get() else 0
+        seq = 0
+
+        def process(ids, texts, chunk_id):
+            for d, t in zip(ids, texts):
+                if "\x00" in t:
+                    raise ValueError(
+                        f"suffix_dup_spans: doc {d} contains a NUL "
+                        "character, which is reserved as the in-chunk "
+                        "document separator; strip or remap NULs upstream "
+                        "(e.g. translate(text, chr(0), ''))"
+                    )
+            frames = []
+            ids_arr = np.asarray(ids, dtype=np.int64)
+            spans = sa_dup_intervals(texts, k)
+            if spans:
+                ti = np.fromiter((x[0] for x in spans), dtype=np.int64)
+                s0 = np.fromiter((x[1] for x in spans), dtype=np.int64)
+                e0 = np.fromiter((x[2] for x in spans), dtype=np.int64)
+                ns = len(spans)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.zeros(ns, dtype=np.int32),
+                            "doc_id": ids_arr[ti],
+                            "a": (s0 + 1).astype(np.int32),
+                            "b": (e0 + 1).astype(np.int32),
+                            "h": np.zeros(ns, dtype=np.int64),
+                            "chunk": np.zeros(ns, dtype=np.int64),
+                            "ctx": np.full(ns, None, dtype=object),
+                        }
+                    )
+                )
+            # --- winnowing anchors + contexts over the same concat -----
+            S = "\x00".join(texts)
+            n = len(S)
+            ng = n - g + 1
+            if n >= k and ng >= w:
+                codes = np.frombuffer(
+                    S.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    acc = np.zeros(ng, dtype=np.uint64)
+                    for j in range(g):
+                        acc = acc * B + codes[j : j + ng]
+                lens = np.fromiter(
+                    (len(t) for t in texts), dtype=np.int64, count=len(texts)
+                )
+                starts = np.zeros(len(texts), dtype=np.int64)
+                if len(texts) > 1:
+                    starts[1:] = np.cumsum(lens[:-1] + 1)
+                gpos = np.arange(ng, dtype=np.int64)
+                di = np.searchsorted(starts, gpos, side="right") - 1
+                in_doc = gpos + g - 1 < starts[di] + lens[di]
+                acc = np.where(in_doc, acc, UMAX)
+                wins = sliding_window_view(acc, w)
+                # whole window in one doc, incl. the last gram's end
+                ok = (di[: ng - w + 1] == di[w - 1 : ng]) & in_doc[w - 1 : ng]
+                sel = wins.argmin(axis=1) + np.arange(ng - w + 1, dtype=np.int64)
+                sel = np.unique(sel[ok])  # argmin = first (smallest pos)
+                if len(sel):
+                    dsel = di[sel]
+                    rel = sel - starts[dsel]
+                    lo = starts[dsel] + np.maximum(rel - R, 0)
+                    hi = np.minimum(sel + g + R, starts[dsel] + lens[dsel])
+                    na = len(sel)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "kind": np.ones(na, dtype=np.int32),
+                                "doc_id": ids_arr[dsel],
+                                "a": (lo - starts[dsel] + 1).astype(np.int32),
+                                "b": np.zeros(na, dtype=np.int32),
+                                "h": acc[sel].view(np.int64),
+                                "chunk": np.full(na, chunk_id, dtype=np.int64),
+                                "ctx": [
+                                    S[l:r]
+                                    for l, r in zip(lo.tolist(), hi.tolist())
+                                ],
+                            }
+                        )
+                    )
+            if not frames:
+                return None
+            return pd.concat(frames, ignore_index=True)
+
+        buf_ids, buf_texts, buf_chars = [], [], 0
+        for pdf in batches:
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                buf_ids.append(d)
+                buf_texts.append(t)
+                buf_chars += len(t)
+                if buf_chars >= cb:
+                    res = process(buf_ids, buf_texts, part * (1 << 32) + seq)
+                    seq += 1
+                    buf_ids, buf_texts, buf_chars = [], [], 0
+                    if res is not None:
+                        yield res
+        if buf_ids:
+            res = process(buf_ids, buf_texts, part * (1 << 32) + seq)
+            if res is not None:
+                yield res
+
+    def bridge(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int32"),
+                "span_end": pd.Series([], dtype="int32"),
+            }
+        )
+        n = len(pdf)
+        if n == 0:
+            return empty
+        # vectorized per-doc overlap-or-touch interval merge: one lexsort,
+        # then a cummax over doc-scoped composite keys (no pandas groupby —
+        # its ~0.1 ms/group is the note-11 cost all over again)
+        d = pdf["doc_id"].to_numpy()
+        s = pdf["ctx_start"].to_numpy().astype(np.int64)
+        t = pdf["ctx"].to_numpy()
+        tl = np.fromiter((len(x) for x in t), dtype=np.int64, count=n)
+        order = np.lexsort((s, d))
+        d, s, t, tl = d[order], s[order], t[order], tl[order]
+        e = s + tl - 1
+        BIGK = np.int64(1) << 40  # > any in-doc position
+        ckey = np.maximum.accumulate(d * BIGK + e)
+        prev_end = np.empty(n, dtype=np.int64)
+        prev_end[0] = np.iinfo(np.int64).min // 2
+        prev_end[1:] = ckey[:-1] - d[1:] * BIGK  # cross-doc => very negative
+        new_seg = s > prev_end + 1
+        new_seg[0] = True
+        # stitch: contexts of one doc agree on overlaps, so appending the
+        # non-overlapping tail reconstructs the merged substring
+        seg_docs, seg_starts, seg_parts = [], [], []
+        cur_end = -1
+        for i in range(n):
+            if new_seg[i]:
+                seg_docs.append(int(d[i]))
+                seg_starts.append(int(s[i]))
+                seg_parts.append([t[i]])
+                cur_end = int(e[i])
+            else:
+                tail = int(e[i]) - cur_end
+                if tail > 0:
+                    seg_parts[-1].append(t[i][len(t[i]) - tail :])
+                    cur_end = int(e[i])
+        segs = [
+            (dd, ss, "".join(parts))
+            for dd, ss, parts in zip(seg_docs, seg_starts, seg_parts)
+        ]
+        segs = [x for x in segs if len(x[2]) >= k]
+        if not segs:
+            return empty
+        # byte-identical segments at >= 2 distinct positions are fully
+        # duplicated: emit whole-segment coverage, SA sees one rep
+        bytext: dict = {}
+        for dd, ss, tt in segs:
+            bytext.setdefault(tt, []).append((dd, ss))
+        out_d, out_s, out_e = [], [], []
+        sa_texts, sa_meta = [], []
+        for tt, occ in bytext.items():
+            if len(occ) >= 2:
+                for dd, ss in occ:
+                    out_d.append(dd)
+                    out_s.append(ss)
+                    out_e.append(ss + len(tt) - 1)
+            sa_texts.append(tt)
+            sa_meta.append(occ[0])
+        for ti, s0, e0 in sa_dup_intervals(sa_texts, k):
+            dd, st = sa_meta[ti]
+            out_d.append(dd)
+            out_s.append(st + s0)
+            out_e.append(st + e0)
         return pd.DataFrame(
             {
-                "doc_id": ids[isl_doc].astype("int64"),
-                "span_start": isl_start.astype("int32"),
-                "span_end": isl_end.astype("int32"),
-                "n_chars": (isl_end - isl_start + 1).astype("int32"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "span_start": pd.Series(out_s, dtype="int32"),
+                "span_end": pd.Series(out_e, dtype="int32"),
             }
         )
 
-    return (
-        documents.select(
-            "doc_id", "text", F.pmod("doc_id", F.lit(n_chunks)).alias("_chunk")
+    tagged = (
+        documents.select("doc_id", "text")
+        .mapInPandas(
+            chunk_pass,
+            "kind int, doc_id bigint, a int, b int, h bigint, "
+            "chunk bigint, ctx string",
         )
-        .groupBy("_chunk")
-        .applyInPandas(
-            chunk_spans,
-            "doc_id bigint, span_start int, span_end int, n_chars int",
+        .localCheckpoint(eager=False)  # two consumers (note 12)
+    )
+    pass_a = tagged.where("kind = 0").select(
+        "doc_id",
+        F.col("a").alias("span_start"),
+        F.col("b").alias("span_end"),
+    )
+    # hot filter: one aggregate keeps each hash's occurrences (bounded by
+    # its occurrence count) and drops every hash confined to one chunk
+    cand = (
+        tagged.where("kind = 1")
+        .groupBy("h")
+        .agg(
+            F.countDistinct("chunk").alias("_nc"),
+            F.collect_list(F.struct("doc_id", "a", "ctx")).alias("_occ"),
+        )
+        .where(F.col("_nc") >= 2)
+        .select(
+            F.pmod("h", F.lit(nb)).alias("_b"),
+            F.explode("_occ").alias("_o"),
+        )
+        .select(
+            "_b",
+            F.col("_o.doc_id").alias("doc_id"),
+            F.col("_o.a").alias("ctx_start"),
+            F.col("_o.ctx").alias("ctx"),
+        )
+    )
+    bridge_spans = cand.groupBy("_b").applyInPandas(
+        bridge, "doc_id bigint, span_start int, span_end int"
+    )
+
+    spans = pass_a.unionByName(bridge_spans)
+    wd = Window.partitionBy("doc_id").orderBy("span_start", "span_end")
+    prev_end = F.max("span_end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "_new",
+        (F.col("span_start") > F.coalesce(prev_end, F.lit(-1)) + 1).cast("int"),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "_island")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("n_chars"),
         )
     )
 
@@ -1734,32 +2018,26 @@ SELECT doc_id,
 FROM s GROUP BY doc_id, island
 """
 
-# dd17: the per-chunk window-posting/island-merge twin of _DD14_SQL at
-# k=SUFFIX_SPAN_K. Equality with the suffix-array form is the window-cover
-# argument in suffix_dup_spans' docstring: the union of duplicated k-windows
+# dd17: the GLOBAL window-posting/island-merge twin at k=SUFFIX_SPAN_K —
+# no chunk term anywhere, because the operator's chunk pass + anchor bridge
+# is globally exact (suffix_dup_spans docstring). Equality is the
+# window-cover argument: the union of corpus-wide duplicated k-windows
 # equals the union of >=k repeated substrings, and both sides merge that
-# union into identical maximal ranges. The chunk term replicates the
-# operator's round-robin assignment (doc_id % ceil(total/chunk_bytes)) so
-# the twin stays exact at any scale, including multi-chunk sf0.1. Groups on
-# the window STRING where the operator compares actual characters — no hash
-# on either side.
+# union into identical maximal ranges. Groups on the window STRING where
+# the operator compares actual characters — no hash decides a claim on
+# either side.
 _DD17_SQL = f"""
-WITH nc AS (
-  SELECT greatest(CAST((coalesce(sum(length(text)), 0) + {SUFFIX_CHUNK_BYTES - 1})
-                  // {SUFFIX_CHUNK_BYTES} AS BIGINT), 1) AS n
-  FROM documents
-),
-i AS (
-  SELECT doc_id, text, doc_id % (SELECT n FROM nc) AS chunk,
+WITH i AS (
+  SELECT doc_id, text,
          unnest(generate_series(1, length(text) - {SUFFIX_SPAN_K - 1})) AS pos
   FROM documents
   WHERE length(text) >= {SUFFIX_SPAN_K}
 ),
 p AS (
-  SELECT chunk, doc_id, pos, substr(text, pos, {SUFFIX_SPAN_K}) AS span FROM i
+  SELECT doc_id, pos, substr(text, pos, {SUFFIX_SPAN_K}) AS span FROM i
 ),
-hot AS (SELECT chunk, span FROM p GROUP BY chunk, span HAVING count(*) > 1),
-d AS (SELECT doc_id, pos FROM p JOIN hot USING (chunk, span)),
+hot AS (SELECT span FROM p GROUP BY span HAVING count(*) > 1),
+d AS (SELECT doc_id, pos FROM p JOIN hot USING (span)),
 m AS (
   SELECT doc_id, pos,
          CASE WHEN pos > coalesce(lag(pos) OVER w, -{SUFFIX_SPAN_K}) + {SUFFIX_SPAN_K}

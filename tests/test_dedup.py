@@ -1013,6 +1013,13 @@ def test_dd17_model_check_random_corpora(spark):
         )
         got = {tuple(r) for r in suffix_dup_spans(docs, min_chars=6).collect()}
         assert got == _dd17_model(texts, 6), f"seed {seed}"
+        # chunk_bytes=25: several chunks, so most duplicate pairs cross a
+        # chunk boundary and the equality exercises the anchor bridge
+        multi = {
+            tuple(r)
+            for r in suffix_dup_spans(docs, min_chars=6, chunk_bytes=25).collect()
+        }
+        assert multi == _dd17_model(texts, 6), f"seed {seed} multi-chunk"
     unique = {  # no >=24-char run shared across docs (every token carries d)
         d: f"t{d}a{d} u{d}b{d} v{d}c{d} w{d}e{d} y{d}f{d} z{d}g{d} s{d}h{d}"
         for d in range(3)
@@ -1021,20 +1028,55 @@ def test_dd17_model_check_random_corpora(spark):
     assert suffix_dup_spans(docs, min_chars=24).count() == 0
 
 
-def test_dd17_chunk_boundary_contract(spark):
-    """The documented scale trade: duplicate docs split across chunks are
-    NOT detected (chunking bounds per-task memory); co-chunked they are.
-    chunk_bytes sized so total 2 chunks; doc_id parity picks the chunk."""
+def test_dd17_cross_chunk_bridge(spark):
+    """The round-10 verdict's planted gate: a 29-char duplicate whose two
+    docs live in DIFFERENT chunks. The pre-round-11 chunked dd17 (exact
+    only within a chunk) provably missed this by construction — with
+    chunk_bytes below a single doc's length, cumulative-size binning puts
+    every doc in its own chunk, so no within-chunk pass can pair them —
+    and the anchor bridge catches it with exact extents."""
+    from samsa_spark.operators.dedup import suffix_dup_spans
+
+    shared = "tracker=xyz123 utm=999 pix=77"  # 29 chars
+    assert len(shared) == 29
+    t1 = "alpha filler one two three " + shared + " omega end bit"
+    t2 = "totally unrelated lead-in wording " + shared + " closer words"
+    docs = spark.createDataFrame([(0, t1), (7, t2)], "doc_id long, text string")
+    # chunk_bytes=8 << any doc length: every doc is its own chunk
+    got = {
+        r.doc_id: r
+        for r in suffix_dup_spans(docs, min_chars=24, chunk_bytes=8).collect()
+    }
+    assert set(got) == {0, 7}
+    for doc_id, text in ((0, t1), (7, t2)):
+        r = got[doc_id]
+        start0 = text.index(" " + shared + " ")
+        assert r.span_start == start0 + 1
+        assert r.span_end == start0 + len(shared) + 2
+        assert r.n_chars == len(shared) + 2
+
+
+def test_dd17_full_duplicate_docs_across_chunks(spark):
+    """Whole-doc duplicates are reported full-extent whether the copies
+    share a chunk or not (the bridge's segment-stitch + full-coverage
+    path), and the result is chunk_bytes-invariant."""
     from samsa_spark.operators.dedup import suffix_dup_spans
 
     doc = "this exact boilerplate paragraph repeats verbatim in both docs"
-    n = len(doc)  # internally repeat-free, so a lone doc per chunk emits nothing
-    split = spark.createDataFrame([(0, doc), (1, doc)], "doc_id long, text string")
-    assert suffix_dup_spans(split, min_chars=24, chunk_bytes=n).count() == 0
-    together = spark.createDataFrame([(0, doc), (2, doc)], "doc_id long, text string")
-    got = {r.doc_id: r for r in suffix_dup_spans(together, min_chars=24, chunk_bytes=n).collect()}
-    assert set(got) == {0, 2}
-    assert all(r.span_start == 1 and r.span_end == n for r in got.values())
+    n = len(doc)
+    for cb in (8, n, 1 << 30):  # own-chunk / boundary / single-chunk
+        docs = spark.createDataFrame(
+            [(0, doc), (1, doc)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r
+            for r in suffix_dup_spans(docs, min_chars=24, chunk_bytes=cb).collect()
+        }
+        assert set(got) == {0, 1}, f"chunk_bytes={cb}"
+        assert all(
+            r.span_start == 1 and r.span_end == n and r.n_chars == n
+            for r in got.values()
+        ), f"chunk_bytes={cb}"
 
 
 def test_dd17_determinism_and_nul_rejection(spark):

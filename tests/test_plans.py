@@ -521,17 +521,20 @@ def test_dd18_winnow_plan_is_jvm_only_partial_count(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_dd17_single_pandas_stage_no_joins(spark):
-    """dd17 is exactly one grouped Pandas stage over the chunk key — the
-    suffix array runs inside the task; no posting shuffle, no join, no
-    cartesian anywhere in the plan."""
+def test_dd17_one_bridge_stage_no_joins(spark):
+    """dd17's visible plan is ONE grouped Pandas stage (the bucketed
+    anchor bridge) over the hot-anchor aggregate — the fused chunk pass
+    (suffix array + winnowing scan in one corpus read) hides behind its
+    localCheckpoint (note 12) — and there is NO join of any kind in the
+    whole plan: hot detection is an aggregate, contexts travel WITH the
+    anchor rows, so nothing ever joins back against the corpus."""
     p = _plan(spark, "dd17_exact_spans")
     # tree form "FlatMapGroupsInPandas (n)" appears once per physical node
     # (the details section prints "(n) FlatMapGroupsInPandas" instead)
     assert p.count("FlatMapGroupsInPandas (") == 1
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_gx1_graph_plan_bounded_pandas_stages_no_cartesian(spark):
