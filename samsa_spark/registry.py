@@ -846,10 +846,14 @@ _DEMOTED = (
     "dp1_noisy_counts",               # dq1/ka1 anchor the governance aggregate-report shape in-window; the seeded Laplace-mechanism release is pytest-oracle-checked + noise-calibration tested
     "qz6_binary_topk",                # sim1 anchors the probe-broadcast top-k scoring contract and qz5 the overfetch+exact-re-rank composition in-window (qz4); the 1-bit sign/Hamming scan is pytest-oracle-checked + recall-vs-exact tested
     # round-10 additions, born demoted (the window was already full)
-    "dd17_exact_spans",               # dd16/dd1 anchor the dedup family in-window; the chunked suffix-array exact-span form (closes dd14's 40-char floor) is pytest-oracle-checked + planted sub-window-span tested (dd14 provably misses, dd17 catches)
-    "dd18_winnow_spans",              # dd16/dd1 anchor the dedup family in-window; the winnowed minimizer-sampled global form (guaranteed >= k+w-1 detection at ~2/(w+1) posting density) is pytest-oracle-checked + independent-Python winnowing model-checked
-    "ppl1_perplexity_buckets",        # tf1 anchors the explode->vocab->score shape and qf1 the broadcast-cutpoint filter in-window; the CCNet per-lang head/middle/tail split composes lm1's score with sp2's percentile_disc rule and is pytest-oracle-checked + bucket-semantics tested
+    "dd17_exact_spans",               # dd18/dd1 anchor the dedup family in-window; the globally-exact anchor-bridged suffix-array form (closes dd14's 40-char floor corpus-wide) is pytest-oracle-checked at 3 scales + planted cross-chunk 29-char gate + model-checked
     "ev1_retrieval_metrics",          # sim1/sim4/qz4 anchor the retrieval stack in-window; the recall/MRR/nDCG grader joins their outputs at result-set cardinality and is pytest-oracle-checked + hand-computed metric tests
+    # round-11 rotation (the round-10 verdict's own ask): dd18 (winnowed
+    # minimizer-sampled global span detection) and ppl1 (CCNet-style
+    # per-language perplexity buckets) promote behind the driver's gate;
+    # two round-10-checked twins rotate out.
+    "dd16_prefix_jaccard",            # dd18 (global span detection) + dd1 (exact) + dc1 (cross-corpus) anchor the dedup family in-window; the prefix-filtered exact-Jaccard pair join was driver-green in CORRECTNESS_r10 and stays pytest-oracle-checked + planted-pair tested — slot went to dd18 (round-11 rotation)
+    "lm4_kneser_ney_logprob",         # ppl1 keeps LM scoring in-window (it composes lm1's interpolated score with the percentile_disc split); the Kneser-Ney form was driver-green in CORRECTNESS_r10 and stays pytest-oracle-checked + hand-model tested — slot went to ppl1 (round-11 rotation)
 )
 
 

@@ -36,13 +36,14 @@ MUST_BE_CHECKED = [
     # round-9 second-session rotation: the governance families behind the gate
     "dq1_constraint_report",
     "df1_snapshot_diff",
-    # round-10 rotation: the PPJoin prefix filter, the KenLM-default LM score
-    # and the RANGE-frame window behind the gate (dd7 rotated out behind dd16
-    # per the round-9 verdict's ask — its substring family stays
-    # pytest-oracle-checked via dd7/dd8/dd9/dd14)
-    "dd16_prefix_jaccard",
-    "lm4_kneser_ney_logprob",
+    # round-10 rotation: the RANGE-frame window behind the gate (dd16/lm4
+    # were checked in-window in round 10, then rotated out in round 11)
     "rw1_rolling_value",
+    # round-11 rotation: the winnowed global span detector and the CCNet
+    # perplexity-bucket split behind the gate (slots from dd16/lm4, both
+    # driver-green in CORRECTNESS_r10 and still sweep+pytest-checked)
+    "dd18_winnow_spans",
+    "ppl1_perplexity_buckets",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -131,7 +132,10 @@ SIBLINGS = {
     "ppl1_perplexity_buckets": ["tf1_tfidf_top_terms", "qf1_quality_quantile"],
     "ev1_retrieval_metrics": ["sim1_cosine_topk", "sim4_ivf_topk"],
     # round-10 rotation: demoted to make room for dd16/lm4/rw1
-    "dd7_substring_spans": ["dd16_prefix_jaccard", "dd1_exact_dedup"],
+    "dd7_substring_spans": ["dd18_winnow_spans", "dd1_exact_dedup"],
+    # round-11 rotation twins
+    "dd16_prefix_jaccard": ["dd18_winnow_spans", "dd1_exact_dedup", "dd6_dedup_clusters"],
+    "lm4_kneser_ney_logprob": ["ppl1_perplexity_buckets", "tf1_tfidf_top_terms"],
     "tx1_token_counts": ["tx2_quality_scores", "tf1_tfidf_top_terms", "udtf1_ngram_counts"],
     "da1_distinct_aggregates": ["h1_pricing_summary", "d8_key_stats", "dd1_exact_dedup"],
 }
