@@ -1114,30 +1114,58 @@ def drop_shards_where(spark: SparkSession, path: str, condition: str) -> DataFra
     Ordering: the manifest is patched FIRST (manifest-driven readers
     immediately stop scheduling the dropped files), then the files are
     deleted at the filesystem level. A crash in between leaves unlisted
-    files on disk — invisible to manifest readers, flagged as
-    ``unlisted_file`` by :func:`validate_shards`, reclaimed by re-running
-    the same drop (the usual at-least-once stance of the rewrite ops).
-    Returns the updated manifest.
+    files on disk — invisible to manifest readers and flagged as
+    ``unlisted_file`` by :func:`validate_shards`; every invocation
+    therefore ends with an ORPHAN RECLAIM that deletes any data file
+    present on disk but absent from the manifest, so re-running the same
+    drop (even when it matches zero manifest rows) removes the leftovers
+    — the usual at-least-once stance of the rewrite ops. The reclaim also
+    collects files an interrupted :func:`compact_shards` wrote before its
+    manifest commit (its outputs are uncommitted until the manifest says
+    so); like the other rewrite ops this assumes a single writer per
+    shard root. Returns the updated manifest.
     """
     manifest = spark.read.parquet(f"{path}/manifest")
     doomed = [
         r.file for r in manifest.where(condition).select("file").distinct().collect()
     ]
-    if not doomed:
-        return manifest
-    # Complement by FILE list, not by negating the condition: a NULL
-    # predicate row would fall out of BOTH sides of a where/~where split
-    # and silently vanish from the manifest without its file being dropped.
-    kept = manifest.where(~F.col("file").isin(doomed)).localCheckpoint()
-    kept.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
-    spark.catalog.refreshByPath(f"{path}/manifest")
     hconf = spark._jsc.hadoopConfiguration()
     jvm = spark._jvm
-    for f in doomed:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(hconf).delete(p, False)
-    spark.catalog.refreshByPath(f"{path}/data")
-    return spark.read.parquet(f"{path}/manifest")
+    if doomed:
+        # Complement by FILE list, not by negating the condition: a NULL
+        # predicate row would fall out of BOTH sides of a where/~where
+        # split and silently vanish from the manifest without its file
+        # being dropped.
+        kept = manifest.where(~F.col("file").isin(doomed)).localCheckpoint()
+        kept.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+        spark.catalog.refreshByPath(f"{path}/manifest")
+        for f in doomed:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(hconf).delete(p, False)
+    # orphan reclaim: filesystem listing minus manifest (metadata-only;
+    # compares URI paths so file:/ vs file:/// spellings can't mismatch)
+    mani = spark.read.parquet(f"{path}/manifest")
+    listed = {
+        jvm.org.apache.hadoop.fs.Path(r.file).toUri().getPath()
+        for r in mani.select("file").distinct().collect()
+    }
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
+    fs = root.getFileSystem(hconf)
+    orphaned = False
+    if fs.exists(root):
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            st = it.next()
+            fp = st.getPath()
+            name = fp.getName()
+            if not name.endswith(".parquet") or name.startswith((".", "_")):
+                continue
+            if fp.toUri().getPath() not in listed:
+                fs.delete(fp, False)
+                orphaned = True
+    if doomed or orphaned:
+        spark.catalog.refreshByPath(f"{path}/data")
+    return mani
 
 
 def read_shards_shuffled(

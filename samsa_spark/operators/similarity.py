@@ -2628,6 +2628,15 @@ def graph_topk(
     inline they must share one centroid table, which is why the default
     builds it here and hands it to :func:`nsw_cell_graph`.
     """
+    if graph is not None and centroids is None:
+        raise ValueError(
+            "graph_topk: a prebuilt `graph` must come with the `centroids` "
+            "table it was built against — rebuilding a default quantizer "
+            "here would probe cell ids that don't match the graph's cell "
+            "keys and silently degrade recall (the note-36 prebuilt-"
+            "artifact mismatch class). Pass both artifacts (e.g. from "
+            "save_graph_index/load_graph_index)."
+        )
     base = embeddings.select("vec_id", "embedding")
     cents = (
         centroids

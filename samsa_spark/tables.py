@@ -94,9 +94,11 @@ def _parquet_ts_is_utc_adjusted(path: str, col: str) -> bool:
 def _one_part(path: str):
     """The path itself for a single-file table, else the first part file of
     a directory-style parquet table (what Spark writes — all parts share one
-    schema, so any part answers a schema question). Keeps the metadata
-    probes working on production-shaped inputs, not just the single-file
-    testdata."""
+    schema, so any part answers a schema question). LOCAL filesystem paths
+    only (os.listdir): the testdata layout and local multi-part writes. A
+    URI-addressed store (hdfs://, s3a://) would need the Hadoop FileSystem
+    API or pyarrow.dataset here — out of scope for the schema probe, whose
+    callers all read local testdata."""
     import os
 
     if not os.path.isdir(path):

@@ -1277,6 +1277,29 @@ def test_gx1_recall_on_planted_clusters(spark):
     assert sum(same) / len(same) >= 0.9
 
 
+def test_gx1_prebuilt_graph_requires_centroids(spark):
+    """A prebuilt graph without its centroid table must raise (round-10
+    advice): rebuilding a default quantizer would probe cell ids that
+    don't match the graph's cells and silently degrade recall — the same
+    prebuilt-artifact mismatch class note 36 fixed for PQ codebooks."""
+    import pytest
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        graph_topk,
+        kmeans_centroids,
+        nsw_cell_graph,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    cents = kmeans_centroids(emb, k=8).localCheckpoint(eager=True)
+    g = nsw_cell_graph(emb, centroids=cents, cells=8)
+    with pytest.raises(ValueError, match="centroids"):
+        graph_topk(emb, graph=g)
+    # the supported prebuilt path still works
+    assert graph_topk(emb, graph=g, centroids=cents, k=3).count() > 0
+
+
 def test_gx1_deterministic_under_repartition(spark):
     """Quantizer seeds, graph edges, entry points and the walk itself are
     all hash/rounding deterministic — repartitioning moves nothing."""

@@ -495,6 +495,42 @@ def test_drop_shards_where_file_level_retention(spark):
     assert {r.file for r in m2.select("file").collect()} == after_files
 
 
+def test_drop_shards_where_reclaims_crash_orphans(spark):
+    """The crash-recovery contract (round-10 advice): a file left on disk
+    after the manifest was patched but before the FS delete ran (or an
+    interrupted compact's uncommitted output) is invisible to readers and
+    flagged unlisted by validate_shards — and ANY later drop_shards_where
+    run, including one whose predicate matches nothing, reclaims it."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        drop_shards_where,
+        validate_shards,
+        write_shards,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    path = tempfile.mkdtemp(prefix="shards-orphan-")
+    write_shards(docs, path, by_source=True, max_records_per_file=100)
+    manifest = spark.read.parquet(f"{path}/manifest")
+    some = manifest.first().file.removeprefix("file://").removeprefix("file:")
+    # simulate the crash window: a data file exists that no manifest row
+    # lists (copy a real part under an un-manifested name)
+    orphan = os.path.join(os.path.dirname(some), "part-orphan-crash.snappy.parquet")
+    shutil.copyfile(some, orphan)
+    bad = validate_shards(spark, path)
+    assert bad.where(F.col("problem") == "unlisted_file").count() == 1
+    before_files = {r.file for r in manifest.select("file").collect()}
+
+    m2 = drop_shards_where(spark, path, "n_rows < 0")  # matches nothing
+    assert {r.file for r in m2.select("file").collect()} == before_files
+    assert not os.path.exists(orphan)  # reclaimed
+    assert validate_shards(spark, path).count() == 0
+
+
 def test_drop_shards_where_id_epoch_on_clustered_layout(spark):
     """On a cluster_by='doc_id' layout an id-epoch retention predicate
     (max_doc_id < cut) drops only whole files strictly below the cut —
