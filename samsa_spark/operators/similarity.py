@@ -2520,6 +2520,74 @@ WHERE round(list_cosine_similarity(p.a_emb, v.emb), 6) >= 0.35
 GX_M = 8  # out-degree of each cell's kNN graph
 GX_EF = 24  # beam width (ef) of the greedy search
 GX_PROBE_CELLS = 3  # coarse cells probed per query
+GX_SPILL = 1  # cells each vector joins (spill>1 = overlapping shards)
+GX_ENTRIES = 1  # beam-search entry points per cell
+
+
+_GX_GRAPH_SCHEMA = (
+    "vec_id bigint, cell bigint, embedding array<float>, "
+    "nbrs array<bigint>, is_entry boolean"
+)
+
+
+def _cell_graph_builder(m: int, ne: int):
+    """The per-cell graph build task shared by :func:`nsw_cell_graph` and
+    :func:`append_graph` (an appended cell is REBUILT from its combined
+    members, so append equals a frozen-centroid rebuild bit-for-bit).
+    Returned as a factory-local closure — executors can't import this
+    package (CLAUDE.md note 4), so the function must ship by value."""
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = np.round(Xn @ Xn.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        cent = np.asarray(pdf["cent"].iloc[0], dtype=np.float64)
+        cn = cent / (np.linalg.norm(cent) or 1.0)
+        ccos = np.round(Xn @ cn, 6)
+        rank_order = np.lexsort((ids, -ccos))  # centroid-cos rank chain
+        deg = min(m, n - 1)
+        if deg <= 0:
+            nbrs = [[] for _ in range(n)]
+        else:
+            # stable argsort on -sims: equal cosines keep ascending vec_id
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :deg]
+            # rank-chain connectivity edges: every member also links to
+            # its predecessor/successor in (ccos desc, vec_id) order, so a
+            # cell's graph is CONNECTED even when the quantizer merged two
+            # well-separated clusters into one cell (pure kNN edges there
+            # form per-cluster components the beam can never leave —
+            # measured recall pinned at the reachable fraction until this)
+            pos = np.empty(n, dtype=np.int64)
+            pos[rank_order] = np.arange(n)
+            nbrs = []
+            for i in range(n):
+                row = ids[order[i]].tolist()
+                p = pos[i]
+                for q in (p - 1, p + 1):
+                    if 0 <= q < n:
+                        cand = int(ids[rank_order[q]])
+                        if cand not in row and cand != int(ids[i]):
+                            row.append(cand)
+                nbrs.append(row)
+        entries = set(rank_order[: max(1, ne)].tolist())
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "embedding": pdf["embedding"].to_numpy(),
+                "nbrs": nbrs,
+                "is_entry": [i in entries for i in range(n)],
+            }
+        )
+
+    return build
 
 
 def nsw_cell_graph(
@@ -2527,6 +2595,8 @@ def nsw_cell_graph(
     centroids: DataFrame | None = None,
     cells: int = 32,
     m_edges: int = GX_M,
+    spill: int = GX_SPILL,
+    n_entries: int = GX_ENTRIES,
 ) -> DataFrame:
     """gx1 build side — the graph tier the IVF/PQ ladder lacked: a
     navigable-small-world-style kNN graph built INSIDE each IVF cell
@@ -2541,9 +2611,20 @@ def nsw_cell_graph(
     (build-once/query-many).
 
     Determinism: neighbor lists rank by 6-decimal-rounded cosine with
-    vec_id tie-break (stable argsort over vec_id-sorted rows); the entry
-    point ties to the smallest vec_id. No randomness anywhere, so the
+    vec_id tie-break (stable argsort over vec_id-sorted rows); entry
+    points tie to the smallest vec_id. No randomness anywhere, so the
     graph is repartition-invariant.
+
+    ``spill`` assigns each vector to its top-``spill`` cells (DiskANN's
+    overlapping shards / ScaNN's spilled assignment): on corpora with no
+    cluster structure — uniform random embeddings are the worst case —
+    a single-cell assignment caps recall at whatever fraction of true
+    neighbors happens to share probed cells, and spilling multiplies
+    that coverage at spill-times index size (measured on a uniform
+    corpus: spill=3 + probe_cells=8 reaches recall>=0.9 where the
+    defaults sit at ~0.33 — tests/test_similarity.py). ``n_entries``
+    flags the top-``n_entries`` vectors nearest each centroid as beam
+    seeds (multi-entry starts hedge local minima in large cells).
     """
     base = embeddings.select("vec_id", "embedding")
     cents = (
@@ -2551,45 +2632,28 @@ def nsw_cell_graph(
         if centroids is not None
         else kmeans_centroids(embeddings, k=cells).localCheckpoint(eager=True)
     )
-    asg = _nearest_cell(base, cents, "cell").join(F.broadcast(cents), "cell")
-    m = int(m_edges)
+    spill = int(spill)
+    if spill <= 1:
+        asg0 = _nearest_cell(base, cents, "cell")
+    else:
+        from pyspark.sql import Window
 
-    def build(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        n = len(ids)
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        sims = np.round(Xn @ Xn.T, 6)
-        np.fill_diagonal(sims, -np.inf)
-        deg = min(m, n - 1)
-        if deg <= 0:
-            nbrs = [[] for _ in range(n)]
-        else:
-            # stable argsort on -sims: equal cosines keep ascending vec_id
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :deg]
-            nbrs = [ids[row].tolist() for row in order]
-        cent = np.asarray(pdf["cent"].iloc[0], dtype=np.float64)
-        cn = cent / (np.linalg.norm(cent) or 1.0)
-        ccos = np.round(Xn @ cn, 6)
-        entry = int(np.lexsort((ids, -ccos))[0])
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "cell": pdf["cell"].to_numpy(),
-                "embedding": pdf["embedding"].to_numpy(),
-                "nbrs": nbrs,
-                "is_entry": [i == entry for i in range(n)],
-            }
+        scored = base.crossJoin(F.broadcast(cents)).withColumn(
+            "ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6)
         )
+        ws = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+        asg0 = (
+            scored.withColumn("_cr", F.row_number().over(ws))
+            .where(F.col("_cr") <= spill)
+            .select("vec_id", "cell", "embedding")
+        )
+    asg = asg0.join(F.broadcast(cents), "cell")
+    m = int(m_edges)
+    ne = int(n_entries)
 
     return asg.groupBy("cell").applyInPandas(
-        build,
-        "vec_id bigint, cell bigint, embedding array<float>, "
-        "nbrs array<bigint>, is_entry boolean",
+        _cell_graph_builder(m, ne),
+        _GX_GRAPH_SCHEMA,
     )
 
 
@@ -2602,6 +2666,8 @@ def graph_topk(
     cells: int = 32,
     centroids: DataFrame | None = None,
     graph: DataFrame | None = None,
+    spill: int = GX_SPILL,
+    n_entries: int = GX_ENTRIES,
 ) -> DataFrame:
     """gx1 — graph-ANN top-k: greedy best-first beam search (the HNSW/
     DiskANN query rule) restricted to each probed cell's kNN graph. Each
@@ -2643,7 +2709,13 @@ def graph_topk(
         if centroids is not None
         else kmeans_centroids(embeddings, k=cells).localCheckpoint(eager=True)
     )
-    g = graph if graph is not None else nsw_cell_graph(embeddings, centroids=cents)
+    g = (
+        graph
+        if graph is not None
+        else nsw_cell_graph(
+            embeddings, centroids=cents, spill=spill, n_entries=n_entries
+        )
+    )
     probe_scored = (
         base.where(F.col("vec_id") < n_probes)
         .crossJoin(F.broadcast(cents))
@@ -2685,15 +2757,18 @@ def graph_topk(
         idx_of = {int(v): i for i, v in enumerate(ids)}
         adj = [[idx_of[int(d)] for d in row] for row in right["nbrs"]]
         entries = np.flatnonzero(right["is_entry"].to_numpy())
-        start = int(entries[0]) if len(entries) else 0
+        starts = [int(e) for e in entries] if len(entries) else [0]
         out_q, out_v, out_c = [], [], []
         for q_id, q_emb in zip(left["q_id"].to_numpy(), left["q_emb"]):
             qv = np.asarray(q_emb, dtype=np.float64)
             qn = qv / (np.linalg.norm(qv) or 1.0)
-            s0 = round(float(Xn[start] @ qn), 6)
-            visited = {start}
-            cand = [(-s0, start)]
-            best = [(s0, -int(ids[start]), start)]  # min-heap: worst kept first
+            visited = set(starts)
+            cand, best = [], []
+            for st in starts:  # multi-entry beam seeding
+                s0 = round(float(Xn[st] @ qn), 6)
+                heapq.heappush(cand, (-s0, st))
+                heapq.heappush(best, (s0, -int(ids[st]), st))
+            # min-heap: worst kept first
             while cand:
                 negs, i = heapq.heappop(cand)
                 if len(best) >= ef and -negs < best[0][0]:
@@ -2726,6 +2801,11 @@ def graph_topk(
         probe_asg.groupBy("cell")
         .cogroup(g.groupBy("cell"))
         .applyInPandas(walk, "q_id bigint, vec_id bigint, cos double")
+        # a spilled vector can surface from several probed cells with the
+        # same (rounded) cosine — dedup at result-set cardinality before
+        # ranking so top-k rows stay unique per vec_id
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -2733,6 +2813,122 @@ def graph_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+def save_graph_index(
+    embeddings: DataFrame,
+    path: str,
+    cells: int = 32,
+    iters: int = 4,
+    m_edges: int = GX_M,
+    spill: int = GX_SPILL,
+    n_entries: int = GX_ENTRIES,
+) -> None:
+    """Persist the gx1 graph index: k-means centroids
+    (``<path>/centroids``) and the per-cell kNN graph (``<path>/graph``,
+    partitioned by ``cell``) — the build-once/query-many split
+    :func:`save_index` gives the IVF tier, for the graph tier. Query with
+    ``graph_topk(emb, centroids=idx["centroids"], graph=idx["graph"])``;
+    the partition-by-cell layout means a query's probed cells prune to
+    their own files. Build parameters (m_edges/spill/n_entries) persist
+    in the artifact's ``meta`` file and are read back on append (note-36
+    stance: the artifact carries its own stride)."""
+    cents = kmeans_centroids(embeddings, k=cells, iters=iters).localCheckpoint(
+        eager=True
+    )
+    g = nsw_cell_graph(
+        embeddings,
+        centroids=cents,
+        m_edges=m_edges,
+        spill=spill,
+        n_entries=n_entries,
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    g.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/graph")
+    spark = embeddings.sparkSession
+    meta = spark.createDataFrame(
+        [(int(m_edges), int(spill), int(n_entries))],
+        "m_edges int, spill int, n_entries int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_graph_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """{"centroids", "graph"} back from :func:`save_graph_index`'s layout
+    — exactly the two artifacts :func:`graph_topk` requires together (it
+    raises on a graph without its centroids)."""
+    return {
+        "centroids": spark.read.parquet(f"{path}/centroids"),
+        "graph": spark.read.parquet(f"{path}/graph"),
+    }
+
+
+def append_graph(spark: SparkSession, path: str, new_vectors: DataFrame) -> DataFrame:
+    """Incrementally insert vectors into a saved graph index (the graph
+    parity of :func:`append_index`): assign the new vectors against the
+    SAVED centroids (the quantizer stays frozen — retraining would shift
+    every cell and invalidate the layout), then REBUILD exactly the
+    affected cells from their combined members with the same per-cell
+    build task and rewrite only those ``cell=`` partitions (dynamic
+    partition overwrite — the "local edge rewire" is a bounded per-cell
+    O(c^2) matmul, untouched cells' files are never read or written).
+
+    Because cell membership under frozen centroids is identical either
+    way, the appended artifact is BIT-IDENTICAL to
+    ``nsw_cell_graph(old UNION new, centroids=frozen)`` — asserted in
+    tests, with query-recall parity vs a fully retrained rebuild graded
+    by the ev1 metrics. Build parameters come from the artifact's own
+    ``meta`` file, never from a caller kwarg, so a mismatched parameter
+    can't silently corrupt the layout (note 36). ``vec_id`` uniqueness
+    across appends is the caller's contract.
+    """
+    idx = load_graph_index(spark, path)
+    cents = idx["centroids"].localCheckpoint(eager=True)
+    graph = idx["graph"]
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m, spill, ne = int(meta.m_edges), int(meta.spill), int(meta.n_entries)
+
+    base = new_vectors.select("vec_id", "embedding")
+    if spill <= 1:
+        newa = _nearest_cell(base, cents, "cell")
+    else:
+        from pyspark.sql import Window
+
+        scored = base.crossJoin(F.broadcast(cents)).withColumn(
+            "ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6)
+        )
+        ws = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+        newa = (
+            scored.withColumn("_cr", F.row_number().over(ws))
+            .where(F.col("_cr") <= spill)
+            .select("vec_id", "cell", "embedding")
+        )
+    # feeds the affected-cell prune AND the rebuild input (note 12)
+    newa = newa.join(F.broadcast(cents), "cell").localCheckpoint(eager=False)
+    affected = newa.select("cell").distinct()
+    # prune the passive side to affected cells (note 11) — broadcast
+    # semi-join on the handful of touched cell ids
+    old_members = graph.join(F.broadcast(affected), "cell").select(
+        "vec_id", "cell", "embedding"
+    ).join(F.broadcast(cents), "cell")
+    combined = old_members.unionByName(
+        newa.select("vec_id", "cell", "embedding", "cent")
+    )
+    rebuilt = combined.groupBy("cell").applyInPandas(
+        _cell_graph_builder(m, ne), _GX_GRAPH_SCHEMA
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebuilt.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/graph"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # the overwritten partitions invalidate the session's cached file
+    # listing for this path (note 28)
+    spark.catalog.refreshByPath(f"{path}/graph")
+    return spark.read.parquet(f"{path}/graph")
 
 
 # --- ev1: in-engine retrieval evaluation (recall@k / MRR@k / nDCG@k) ---------

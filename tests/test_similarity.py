@@ -1277,6 +1277,126 @@ def test_gx1_recall_on_planted_clusters(spark):
     assert sum(same) / len(same) >= 0.9
 
 
+def test_gx2_append_graph_equals_frozen_rebuild(spark):
+    """append_graph's contract (round-10 verdict task): inserting a batch
+    against frozen centroids rewrites only the affected cell partitions,
+    and the resulting artifact is BIT-IDENTICAL to rebuilding the whole
+    graph from the union corpus with the same frozen centroids — so
+    append-then-query equals rebuild-then-query exactly."""
+    import tempfile
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        append_graph,
+        load_graph_index,
+        nsw_cell_graph,
+        save_graph_index,
+    )
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    old_half = emb.where("vec_id < 300")
+    new_half = emb.where("vec_id >= 300")
+    path = tempfile.mkdtemp(prefix="gx-append-")
+    save_graph_index(old_half, path, cells=16, spill=2, n_entries=2)
+    idx = load_graph_index(spark, path)
+    cents = idx["centroids"].localCheckpoint(eager=True)
+    appended = append_graph(spark, path, new_half)
+    rebuilt = nsw_cell_graph(emb, centroids=cents, spill=2, n_entries=2)
+
+    def canon(df):
+        return {(r.vec_id, r.cell, tuple(r.nbrs), r.is_entry) for r in df.collect()}
+
+    assert canon(appended) == canon(rebuilt)
+    # derived-from-artifact params (note 36): spill and n_entries survive
+    reloaded = load_graph_index(spark, path)["graph"]
+    per_vec = reloaded.groupBy("vec_id").count().agg({"count": "max"}).first()[0]
+    assert per_vec == 2  # spill baked into the artifact, not the kwarg
+
+
+def test_gx2_append_graph_query_parity_ev1(spark):
+    """ev1-graded query parity on planted clusters: querying the appended
+    index matches a fully RETRAINED rebuild (fresh k-means over the union)
+    at >= 0.9 recall, and both clear the gx1 recall bar vs exact."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.similarity import (
+        append_graph,
+        cosine_topk,
+        graph_topk,
+        load_graph_index,
+        retrieval_metrics,
+        save_graph_index,
+    )
+
+    emb, _ = _clustered_embeddings(spark)
+    emb = emb.localCheckpoint(eager=True)
+    path = tempfile.mkdtemp(prefix="gx-append-ev1-")
+    save_graph_index(emb.where("vec_id % 3 != 0"), path, cells=10)
+    append_graph(spark, path, emb.where("vec_id % 3 = 0"))
+    idx = load_graph_index(spark, path)
+    # probe_cells=5: a frozen quantizer trained on 2/3 of the corpus sits
+    # slightly off the union's density, so the operational answer is wider
+    # probing until drift warrants a rebuild (same stance as append_index)
+    pred = graph_topk(
+        emb, centroids=idx["centroids"], graph=idx["graph"], k=3, probe_cells=5
+    )
+    retrained = graph_topk(emb, k=3, cells=10, probe_cells=5)
+    parity = retrieval_metrics(pred, retrained, k=3).agg(
+        F.avg("recall_at_k").alias("r")
+    ).first()
+    assert parity.r >= 0.9, f"appended vs retrained parity {parity.r}"
+    exact = cosine_topk(emb, k=3)
+    vs_exact = retrieval_metrics(pred, exact, k=3).agg(
+        F.avg("recall_at_k").alias("r")
+    ).first()
+    assert vs_exact.r >= 0.9, f"appended vs exact recall {vs_exact.r}"
+
+
+def test_gx1_uniform_corpus_recall_with_spill(spark):
+    """The round-10 verdict's hedge: on a UNIFORM corpus (no cluster
+    structure — the worst case for any coarse-quantized index, where the
+    per-cell graphs are weakest and default gx1 recall sits near probing
+    chance ~0.33) spilled assignment (each vector joins its top-3 cells)
+    plus wider probing reaches recall >= 0.9 vs exact sim1, graded by the
+    ev1 operator itself. Determinism preserved under repartition."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.similarity import (
+        cosine_topk,
+        graph_topk,
+        retrieval_metrics,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((2000, 64)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(2000)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint(eager=True)
+    truth = cosine_topk(emb, k=3).localCheckpoint(eager=True)
+    pred = graph_topk(emb, n_probes=20, k=3, probe_cells=8, spill=3)
+    m = retrieval_metrics(pred, truth, k=3).agg(
+        F.avg("recall_at_k").alias("r")
+    ).first()
+    assert m.r >= 0.9, f"uniform-corpus recall {m.r}"
+    # spilled top-k rows stay unique per (q_id, vec_id)
+    dup = (
+        pred.groupBy("q_id", "vec_id").count().where("count > 1").count()
+    )
+    assert dup == 0
+    a = {tuple(r) for r in pred.collect()}
+    b = {
+        tuple(r)
+        for r in graph_topk(
+            emb.repartition(7), n_probes=20, k=3, probe_cells=8, spill=3
+        ).collect()
+    }
+    assert a == b
+
+
 def test_gx1_prebuilt_graph_requires_centroids(spark):
     """A prebuilt graph without its centroid table must raise (round-10
     advice): rebuilding a default quantizer would probe cell ids that
@@ -1313,8 +1433,11 @@ def test_gx1_deterministic_under_repartition(spark):
 
 
 def test_gx1_graph_shape_invariants(spark):
-    """The build artifact: out-degree <= GX_M, no self-edges, neighbors stay
-    within the cell, exactly one entry point per cell."""
+    """The build artifact: out-degree <= GX_M + 2 (kNN edges plus the two
+    rank-chain connectivity edges), no self-edges, neighbors stay within
+    the cell, exactly one entry point per cell (default n_entries), and —
+    the property the chain exists for — every cell's graph is CONNECTED
+    even if the quantizer merged separate clusters into it."""
     from samsa_spark.operators.similarity import GX_M, nsw_cell_graph
 
     emb, _ = _clustered_embeddings(spark)
@@ -1323,11 +1446,21 @@ def test_gx1_graph_shape_invariants(spark):
     cell_of = {r.vec_id: r.cell for r in g}
     for r in g:
         by_cell.setdefault(r.cell, []).append(r)
-        assert len(r.nbrs) <= GX_M
+        assert len(r.nbrs) <= GX_M + 2
         assert r.vec_id not in r.nbrs
         assert all(cell_of[d] == r.cell for d in r.nbrs)
     for cell, rows in by_cell.items():
         assert sum(1 for r in rows if r.is_entry) == 1, f"cell {cell}"
+        adj = {r.vec_id: set(r.nbrs) for r in rows}
+        seen = set()
+        stack = [rows[0].vec_id]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(adj[v] - seen)
+        assert seen == set(adj), f"cell {cell} graph disconnected"
 
 
 def test_gx1_prebuilt_artifacts_match_inline(spark):
