@@ -38,7 +38,11 @@ Three sections:
   floors kept in BENCH_DETAIL.json. Prebuilt-regime members time only
   the query side: their index artifacts are built once per session
   before the timed region.
-- EXTRAS — the live roster (round 10+); same floor protocol, each member
+- EXTRAS_R10 — the round-10 cohort, graduated + frozen in round 11:
+  judged by its section floor (first recorded BENCH_r11); dd17/gx1
+  graduated carrying their round-11 algorithm upgrades, still inside the
+  2x budgets of their round-10 first floors.
+- EXTRAS — the live roster (round 11+); same floor protocol, each member
   judged against its own first floor until the cohort graduates
   (BASELINE.md graduation rule).
 """
@@ -228,23 +232,35 @@ EXTRAS_R9 = [
     "qz6_binary_topk",
 ]
 
-# Live roster (round 10+): same protocol — each member judged against its
+# Round-10 cohort, graduated + frozen in round 11 (every member held
+# within 2x of its own first floor across the round-10 close runs and the
+# round-11 run — BASELINE.md graduation rule): judged by its section floor
+# from BENCH_r11 onward. NOTE: dd17 graduated with its round-11 globally-
+# exact algorithm (anchor-bridged chunks), gx1 with rank-chain edges —
+# both held under their round-10 first floors' 2x budget through the
+# change (note 35: membership immutable from here).
+EXTRAS_R10 = [
+    # exact suffix-array span dedup, globally exact via the anchor bridge.
+    "dd17_exact_spans",
+    # graph-ANN tier (per-IVF-cell kNN graphs + beam search).
+    "gx1_graph_topk",
+    # winnowed global span dedup (minimizer-sampled postings).
+    "dd18_winnow_spans",
+    # graph-ANN query side against a once-per-session prebuilt cell graph.
+    "gx1_prebuilt_query",
+    # CCNet per-language perplexity head/middle/tail split.
+    "ppl1_perplexity_buckets",
+    # in-engine retrieval grading (IVF vs brute, recall/MRR/nDCG).
+    "ev1_retrieval_metrics",
+]
+
+# Live roster (round 11+): same protocol — each member judged against its
 # own first recorded floor until the cohort graduates (BASELINE.md rule).
 EXTRAS = [
-    # round 10: exact suffix-array span dedup inside size-bounded chunks
-    # (closes dd14's 40-char detection floor; multi-chunk at sf0.1).
-    "dd17_exact_spans",
-    # round 10: graph-ANN tier (per-IVF-cell kNN graphs + beam search).
-    "gx1_graph_topk",
-    # round 10: winnowed global span dedup (minimizer-sampled postings).
-    "dd18_winnow_spans",
-    # round 10: graph-ANN query side against a once-per-session prebuilt
-    # cell graph (the build-once/query-many regime, like qz4/bm2 prebuilt).
-    "gx1_prebuilt_query",
-    # round 10: CCNet per-language perplexity head/middle/tail split.
-    "ppl1_perplexity_buckets",
-    # round 10: in-engine retrieval grading (IVF vs brute, recall/MRR/nDCG).
-    "ev1_retrieval_metrics",
+    # round 11: graph-index append lifecycle end-to-end (save half, append
+    # the rest against frozen centroids — affected-cell partition rewrite —
+    # then one prebuilt query over the appended artifact).
+    "gx2_append_graph",
 ]
 
 
@@ -390,6 +406,32 @@ def main() -> None:
 
     qs["gx1_prebuilt_query"] = _gx1_prebuilt_query
 
+    # Graph-index append lifecycle (round-11 live EXTRAS): save an index
+    # over half the corpus, append the other half against the FROZEN
+    # centroids (rewrites only the affected cell partitions), query the
+    # appended artifact once. A fresh temp dir per call — append mutates
+    # its index, so re-timing the same path would grow it.
+    def _gx2_append_graph(spark, sf_dir):
+        import tempfile
+
+        from samsa_spark.operators.similarity import (
+            append_graph,
+            graph_topk,
+            load_graph_index,
+            save_graph_index,
+        )
+
+        emb = tables.load(spark, sf_dir, "embeddings")
+        p = tempfile.mkdtemp(prefix="bench-gx2-")
+        # iters=1 like the session's other prebuilt artifacts: the member
+        # times the append lifecycle, not Lloyd convergence
+        save_graph_index(emb.where("vec_id % 2 = 0"), p, cells=32, iters=1)
+        append_graph(spark, p, emb.where("vec_id % 2 = 1"))
+        idx = load_graph_index(spark, p)
+        return graph_topk(emb, centroids=idx["centroids"], graph=idx["graph"])
+
+    qs["gx2_append_graph"] = _gx2_append_graph
+
     # Text-side prebuilt regime: the BM25 index is saved to disk ONCE
     # before the timed region (tok-sorted postings), so bm2's floor guards
     # the query side — probe-term scan pushdown + scoring joins only.
@@ -440,6 +482,7 @@ def main() -> None:
     pipe, pipe_floor = run_section(PIPELINE)
     extras_r8, extras_r8_floor = run_section(EXTRAS_R8)
     extras_r9, extras_r9_floor = run_section(EXTRAS_R9)
+    extras_r10, extras_r10_floor = run_section(EXTRAS_R10)
     extras, extras_floor = run_section(EXTRAS)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -469,6 +512,8 @@ def main() -> None:
         "extras_r8_value": round(sum(extras_r8.values()), 3),
         "extras_r9_value_floor": round(sum(extras_r9_floor.values()), 3),
         "extras_r9_value": round(sum(extras_r9.values()), 3),
+        "extras_r10_value_floor": round(sum(extras_r10_floor.values()), 3),
+        "extras_r10_value": round(sum(extras_r10.values()), 3),
         "extras_value_floor": round(sum(extras_floor.values()), 3),
         "extras_value": round(sum(extras.values()), 3),
         "detail": "BENCH_DETAIL.json",
@@ -484,6 +529,8 @@ def main() -> None:
         extras_r8_queries=extras_r8,
         extras_r9_queries_floor=extras_r9_floor,
         extras_r9_queries=extras_r9,
+        extras_r10_queries_floor=extras_r10_floor,
+        extras_r10_queries=extras_r10,
         extras_queries_floor=extras_floor,
         extras_queries=extras,
         protocol=(

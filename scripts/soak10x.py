@@ -134,9 +134,14 @@ def build_corpus(spark, out_dir: str, factor: int) -> None:
     )
 
 
-def _free_persistent_rdds(spark) -> None:
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+def _free_persistent_rdds(spark, keep: set[int] = frozenset()) -> None:
+    # keep: RDD ids of session-prebuilt artifacts (gx1's graph) — an
+    # unpersisted localCheckpoint loses its blocks AND its lineage, so
+    # freeing one mid-session breaks every later query that reads it
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid, rdd in m.items():
+        if int(rid) not in keep:
+            rdd.unpersist(False)
 
 
 def main() -> None:
@@ -156,12 +161,44 @@ def main() -> None:
 
     qs = dict(registry.all_queries())
     qs["shards_roundtrip"] = bench._shards_roundtrip
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        graph_topk,
+        kmeans_centroids,
+        nsw_cell_graph,
+    )
+
+    emb0 = tables.load(spark, out, "embeddings")
+    gx_cents = kmeans_centroids(emb0, k=32, iters=1, round_cents=6).localCheckpoint(
+        eager=True
+    )
+    gx_graph = nsw_cell_graph(emb0, centroids=gx_cents).localCheckpoint(eager=True)
+
+    def _gx1_prebuilt_query(spark, sf_dir):
+        return graph_topk(
+            tables.load(spark, sf_dir, "embeddings"),
+            centroids=gx_cents,
+            graph=gx_graph,
+        )
+
+    qs["gx1_prebuilt_query"] = _gx1_prebuilt_query
+    gx_graph.count()  # materialize both artifacts before snapshotting ids
+    protected = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keys()}
     sections = {
         "headline": list(bench.HEADLINE),
         "pipeline": list(bench.PIPELINE),
         # the named scale claims from the verdict: dd16 candidate mass and
         # the composed IVF-PQ search at 10x corpus
         "claims": ["dd16_prefix_jaccard", "qz4_ivf_pq_topk"],
+        # round-11 additions (round-10 verdict task 8): the globally-exact
+        # span dedup (chunk count AND bridge volume scale with corpus),
+        # the winnowed detector, and the graph tier's build + query split
+        "r10_tier": [
+            "dd17_exact_spans",
+            "dd18_winnow_spans",
+            "gx1_graph_topk",
+            "gx1_prebuilt_query",
+        ],
     }
     # warm JVM codegen + the Python worker pool once
     qs["d2_state_table"](spark, out).write.mode("overwrite").format("noop").save()
@@ -176,7 +213,7 @@ def main() -> None:
             dt = round(time.time() - t0, 2)
             sec_total += dt
             print(json.dumps({"section": section, "query": name, "sec": dt}), flush=True)
-            _free_persistent_rdds(spark)
+            _free_persistent_rdds(spark, keep=protected)
         totals[section] = round(sec_total, 1)
     print(json.dumps({"factor": factor, "section_totals": totals}), flush=True)
     spark.stop()
