@@ -1011,10 +1011,14 @@ def suffix_dup_spans(
     in a suffix array. The DuckDB twin is therefore the chunk-free
     global window-posting/island-merge SQL.
 
-    Scale story: the corpus is read ONCE and shuffled ONCE (the range
-    partition); anchor rows cost ~2/(w+1) per char with a ~(g+2(k-g))-
-    char payload and collapse at the hot aggregate, so unique text never
-    reaches the bridge; there is no corpus-side join anywhere. Chunk
+    Scale story: the corpus is read ONCE with NO shuffle at all on the
+    data (chunks follow input partition order; the only shuffled rows
+    are the anchor stream); anchor rows cost ~2/(w+1) per char with a
+    ~(g+2(k-g))-char payload and collapse at the hot aggregate, so
+    unique text never reaches the bridge; there is no corpus-side join
+    anywhere (a note-47 measurement killed the range-repartition
+    variant: its sampling pass alone cost more than the whole
+    fused stage). Chunk
     tasks are embarrassingly parallel with bounded memory. The one
     residual skew surface is a bucket holding many DISTINCT duplicated
     contexts (its suffix array is their concatenation); ``bridge_buckets``
