@@ -261,6 +261,9 @@ EXTRAS = [
     # the rest against frozen centroids — affected-cell partition rewrite —
     # then one prebuilt query over the appended artifact).
     "gx2_append_graph",
+    # round 11: span-level benchmark decontamination with the strip applied
+    # (broadcast window join + island merge + JVM aggregate-fold rebuild).
+    "dc3_strip_contaminated_spans",
 ]
 
 

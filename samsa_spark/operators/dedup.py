@@ -932,6 +932,114 @@ def char_dup_spans(documents: DataFrame, min_chars: int = CHAR_SPAN_K) -> DataFr
     )
 
 
+def strip_contaminated_spans(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    probe_max_id: int = 20,
+    min_chars: int = CHAR_SPAN_K,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """dc3 — SPAN-level benchmark decontamination with the strip applied
+    (the Lee et al. 2022 decontamination rewrite): remove from every
+    corpus document each maximal character range all of whose
+    ``min_chars``-windows appear verbatim anywhere in the eval/benchmark
+    set. dc1 counts shingle hits and flags docs; dc3 locates the exact
+    leaked extents and returns the cleaned text — the form that keeps a
+    96%-clean document instead of dropping it. Output ``(doc_id,
+    n_chars, n_kept_chars, clean_text)`` for EVERY corpus doc (clean
+    docs come back verbatim; a fully-leaked doc comes back empty).
+
+    ``benchmark``: a separate (doc_id, text) frame of eval documents —
+    the production form. When None, docs with doc_id < ``probe_max_id``
+    stand in (dc1's self-contained oracle convention) and are excluded
+    from the rewritten corpus.
+
+    Plan shape: the benchmark's distinct k-char windows BROADCAST (eval
+    suites are thousands of docs against a corpus of billions; pass
+    ``broadcast_benchmark=False`` for the shuffle equi-join fallback,
+    dc1's beyond-broadcast stance); the corpus posting list streams
+    through one join, flagged positions island-merge per doc (dd14's
+    window-cover rule: every window of a leaked range hits, so merged
+    hit positions ARE the maximal leaked ranges), and the rebuild is a
+    single JVM ``aggregate`` fold over each doc's sorted range array
+    concatenating the gaps — O(ranges) per doc, shuffle-free after the
+    one (doc_id) join. Windows compare as STRINGS on both engines — no
+    hash anywhere, so not even dd2's collision caveat applies.
+
+    Reference parity: the reference engine has no text surface (samsa is
+    a Kafka K/V state library); extends SURVEY.md §2.4 X2/X4 alongside
+    dc1/dc2 (round 11).
+    """
+    k = int(min_chars)
+    if benchmark is None:
+        probes = documents.where(F.col("doc_id") < probe_max_id)
+        corpus = documents.where(F.col("doc_id") >= probe_max_id)
+    else:
+        probes, corpus = benchmark, documents
+    n = F.length("text")
+    win = F.when(
+        n >= k,
+        F.expr(
+            f"transform(sequence(1, length(text) - {k} + 1),"
+            f" i -> substring(text, i, {k}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bwin = probes.select(F.explode(win).alias("w")).distinct()
+    if broadcast_benchmark:
+        bwin = F.broadcast(bwin)
+    cwin = corpus.select("doc_id", F.posexplode(win).alias("i", "w")).select(
+        "doc_id", (F.col("i") + 1).alias("pos"), "w"
+    )
+    hits = cwin.join(bwin, "w").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_island",
+        (F.col("pos") > F.coalesce(F.lag("pos").over(wd), F.lit(-k)) + k).cast(
+            "int"
+        ),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    rng = (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("rs")
+        )
+    )
+    j = (
+        corpus.select("doc_id", "text")
+        .join(rng, "doc_id", "left")
+        .withColumn(
+            "rs", F.coalesce("rs", F.array().cast("array<struct<s:int,e:int>>"))
+        )
+    )
+    # fold over the sorted disjoint ranges, concatenating the gaps; the
+    # finish lambda appends the tail after the last range
+    clean = F.expr(
+        "aggregate(rs, named_struct('acc', '', 'prev', 0),"
+        " (a, r) -> named_struct("
+        "   'acc', concat(a.acc, substring(text, a.prev + 1, r.s - a.prev - 1)),"
+        "   'prev', CAST(r.e AS INT)),"
+        " a -> concat(a.acc, substring(text, a.prev + 1, length(text) - a.prev)))"
+    )
+    return j.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(clean).cast("bigint").alias("n_kept_chars"),
+        clean.alias("clean_text"),
+    )
+
+
 SUFFIX_SPAN_K = 24  # min duplicated-span length in chars (dd17 default)
 SUFFIX_CHUNK_BYTES = 1 << 18  # per-chunk corpus bytes bound (dd17 default)
 SUFFIX_BRIDGE_BUCKETS = 64  # cross-chunk bridge task count (dd17 default)
@@ -1918,6 +2026,7 @@ def build_queries():
             q(decontaminate, broadcast_benchmark=False, bloom_prefilter=True),
             _DC1_SQL,
         ),
+        "dc3_strip_contaminated_spans": (q(strip_contaminated_spans), _DC3_SQL),
         # dd16 = the exact threshold-Jaccard join; its oracle is dd2's SQL
         # with the threshold applied (prefix filtering is lossless).
         "dd16_prefix_jaccard": (
@@ -1936,6 +2045,62 @@ def build_queries():
         "dd18_winnow_spans": (q(winnow_dup_spans), _DD18_SQL),
         "dd15_cluster_canonicalize": (q(cluster_canonicalize), _DD15_SQL),
     }
+
+
+# dc3: benchmark windows as distinct STRINGS, corpus posting join, dd14's
+# island merge, then a per-character range anti-join rebuild (string_agg in
+# position order) — character semantics are codepoints on both engines.
+_DC3_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT substr(text, pos, {CHAR_SPAN_K}) AS w
+  FROM (SELECT text, unnest(generate_series(1, length(text) - {CHAR_SPAN_K - 1}))
+          AS pos
+        FROM documents WHERE doc_id < 20 AND length(text) >= {CHAR_SPAN_K})
+),
+corp AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+cw AS (
+  SELECT doc_id, pos, substr(text, pos, {CHAR_SPAN_K}) AS w
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {CHAR_SPAN_K - 1})) AS pos
+        FROM corp WHERE length(text) >= {CHAR_SPAN_K})
+),
+hits AS (SELECT doc_id, pos FROM cw JOIN bench USING (w)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER w2, -{CHAR_SPAN_K}) + {CHAR_SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+isl AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {CHAR_SPAN_K - 1} AS e
+  FROM s GROUP BY doc_id, island
+),
+chars AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text))) AS i
+  FROM corp
+),
+kept AS (
+  SELECT ch.doc_id, ch.i, substr(ch.text, ch.i, 1) AS c
+  FROM chars ch LEFT JOIN isl
+    ON ch.doc_id = isl.doc_id AND ch.i BETWEEN isl.s AND isl.e
+  WHERE isl.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, string_agg(c, '' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_kept_chars,
+       coalesce(a.txt, '') AS clean_text
+FROM corp c LEFT JOIN agg a USING (doc_id)
+"""
 
 
 _DD10_SQL = """

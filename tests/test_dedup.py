@@ -929,6 +929,60 @@ def test_dd16_prefix_length_theorem_on_planted_pairs(spark):
     assert all(2 not in k for k in got)
 
 
+# --- dc3: span-level decontamination strip -------------------------------------
+
+
+def test_dc3_oracle_match(spark):
+    ok, msg = check_query(spark, "dc3_strip_contaminated_spans", SF_SMALL)
+    assert ok, msg
+
+
+def test_dc3_planted_leak_stripped_exactly(spark):
+    """A corpus doc embedding a 45-char benchmark passage loses exactly
+    that passage (plus nothing else); clean docs come back verbatim; a
+    fully-leaked doc comes back empty."""
+    from samsa_spark.operators.dedup import strip_contaminated_spans
+
+    leak = "the quick brown foxes jump over the lazy dogs"
+    assert len(leak) == 45  # > the min_chars=40 window below
+    bench_doc = "benchmark question: " + leak + " benchmark answer text"
+    t_leaky = "lead-in words " + leak + " trailing corpus words"
+    t_clean = "entirely original corpus text with no benchmark overlap at all"
+    docs = spark.createDataFrame(
+        [(1, bench_doc), (100, t_leaky), (101, t_clean), (102, leak)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in strip_contaminated_spans(docs, min_chars=40).collect()
+    }
+    assert set(got) == {100, 101, 102}
+    assert got[101].clean_text == t_clean  # verbatim
+    assert got[101].n_kept_chars == len(t_clean)
+    assert got[102].clean_text == "" and got[102].n_kept_chars == 0
+    # the leaky doc keeps its lead-in and tail; the maximal stripped range
+    # is the shared run INCLUDING the shared space padding on both sides
+    r = got[100]
+    assert leak not in r.clean_text
+    assert r.clean_text.startswith("lead-in words")
+    assert r.clean_text.endswith("trailing corpus words")
+    assert r.n_chars == len(t_leaky)
+    assert r.n_kept_chars == len(r.clean_text) < len(t_leaky)
+
+
+def test_dc3_every_corpus_doc_returned_and_benchmark_excluded(spark):
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import strip_contaminated_spans
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    out = strip_contaminated_spans(docs)
+    n_corpus = docs.where("doc_id >= 20").count()
+    assert out.count() == n_corpus
+    assert out.where("doc_id < 20").count() == 0
+    # invariant: kept never exceeds original
+    assert out.where("n_kept_chars > n_chars").count() == 0
+
+
 # --- dd17: exact suffix-array span dedup --------------------------------------
 
 
