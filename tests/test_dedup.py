@@ -983,6 +983,47 @@ def test_dc3_every_corpus_doc_returned_and_benchmark_excluded(spark):
     assert out.where("n_kept_chars > n_chars").count() == 0
 
 
+def test_dc3_model_check_random_corpora(spark):
+    """Exact-equality model check: on dense-repeat random corpora (2-letter
+    alphabet, so benchmark/corpus window collisions are everywhere) the
+    stripped text equals an independent Python rebuild — union of leaked
+    k-windows, island-merged, gaps concatenated."""
+    import random
+
+    from samsa_spark.operators.dedup import strip_contaminated_spans
+
+    k = 6
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        texts = {
+            d: "".join(rng.choice("ab") for _ in range(rng.randint(10, 70)))
+            for d in list(range(0, 3)) + list(range(20, 28))
+        }
+        bench_windows = set()
+        for d, t in texts.items():
+            if d < 20:
+                for i in range(len(t) - k + 1):
+                    bench_windows.add(t[i : i + k])
+
+        def model_clean(t):
+            covered = [False] * len(t)
+            for i in range(len(t) - k + 1):
+                if t[i : i + k] in bench_windows:
+                    for j in range(i, i + k):
+                        covered[j] = True
+            return "".join(c for c, cov in zip(t, covered) if not cov)
+
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.clean_text
+            for r in strip_contaminated_spans(docs, min_chars=k).collect()
+        }
+        want = {d: model_clean(t) for d, t in texts.items() if d >= 20}
+        assert got == want, f"seed {seed}"
+
+
 # --- dd17: exact suffix-array span dedup --------------------------------------
 
 
@@ -1108,6 +1149,30 @@ def test_dd17_cross_chunk_bridge(spark):
         assert r.span_start == start0 + 1
         assert r.span_end == start0 + len(shared) + 2
         assert r.n_chars == len(shared) + 2
+
+
+def test_dd17_multibyte_cross_chunk(spark):
+    """Codepoint semantics: a duplicated span containing multibyte
+    characters (CJK + accents) crossing a chunk boundary gets exact
+    CODEPOINT extents — the utf-32 suffix-array/anchor path and Spark/
+    DuckDB string positions must agree on non-ASCII text."""
+    from samsa_spark.operators.dedup import suffix_dup_spans
+
+    shared = "数据清洗很重要 déduplication exacte"
+    assert len(shared) == 28  # codepoints, > the min_chars=24 below
+    t1 = "prefix one " + shared + " tail côté A"
+    t2 = "another léad " + shared + " end côté B"
+    docs = spark.createDataFrame([(0, t1), (9, t2)], "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in suffix_dup_spans(docs, min_chars=24, chunk_bytes=8).collect()
+    }
+    assert set(got) == {0, 9}
+    for doc_id, text in ((0, t1), (9, t2)):
+        r = got[doc_id]
+        start0 = text.index(" " + shared + " ")
+        assert r.span_start == start0 + 1
+        assert r.span_end == start0 + len(shared) + 2
 
 
 def test_dd17_full_duplicate_docs_across_chunks(spark):
