@@ -264,6 +264,10 @@ EXTRAS = [
     # round 11: span-level benchmark decontamination with the strip applied
     # (broadcast window join + island merge + JVM aggregate-fold rebuild).
     "dc3_strip_contaminated_spans",
+    # round 11: incremental exact-Jaccard dedup lifecycle (save the even-id
+    # index, prefix-dedup the odd-id batch against it under the frozen
+    # rarest-first order).
+    "dd19_incremental_dedup",
 ]
 
 

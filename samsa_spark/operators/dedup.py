@@ -932,6 +932,191 @@ def char_dup_spans(documents: DataFrame, min_chars: int = CHAR_SPAN_K) -> DataFr
     )
 
 
+def save_dedup_index(corpus: DataFrame, path: str) -> None:
+    """dd19 build side — persist the exact-Jaccard dedup index the
+    incremental batch path queries: per-doc shingle-hash SETS
+    (``<path>/sets`` — the verify side), the same postings RANKED under
+    the rarest-first canonical order (``<path>/ranked`` — prefix
+    selection for any threshold becomes a pushed filter
+    ``pos <= n_sh - ceil(t*n_sh) + 1``, no window at query time), and the
+    document-frequency table that DEFINES that order (``<path>/df`` —
+    FROZEN from here on, the dedup-family parity of append_index's
+    frozen centroids: appended batches rank their shingles under this
+    saved order, unseen shingles at df=0, so every doc ever indexed
+    shares one total order and prefix filtering stays EXACT; only
+    prefix selectivity decays with drift, never correctness)."""
+    g = (
+        shingle_postings(corpus)
+        .select("doc_id", F.xxhash64("sh").alias("sh_h"))
+        .localCheckpoint(eager=False)
+    )
+    dft = g.groupBy("sh_h").agg(F.count("*").alias("df"))
+    dft.write.mode("overwrite").parquet(f"{path}/df")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    ranked = (
+        g.join(dft, "sh_h")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .select("doc_id", "sh_h", "pos", "n_sh")
+    )
+    ranked.write.mode("overwrite").parquet(f"{path}/ranked")
+    sets = g.groupBy("doc_id").agg(
+        F.collect_set("sh_h").alias("shs"), F.count("*").alias("n_sh")
+    )
+    sets.write.mode("overwrite").parquet(f"{path}/sets")
+
+
+def _rank_under_frozen_order(spark: SparkSession, path: str, batch: DataFrame):
+    """(postings, ranked) for a batch under the index's FROZEN df order
+    (unseen shingles df=0 — ties broken by sh_h, so the order is total
+    and identical for every doc ever ranked against this index)."""
+    g = (
+        shingle_postings(batch)
+        .select("doc_id", F.xxhash64("sh").alias("sh_h"))
+        .localCheckpoint(eager=False)
+    )
+    dft = spark.read.parquet(f"{path}/df")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    ranked = (
+        g.join(dft, "sh_h", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .select("doc_id", "sh_h", "pos", "n_sh", "df")
+    )
+    return g, ranked
+
+
+def append_dedup_index(spark: SparkSession, path: str, batch: DataFrame) -> DataFrame:
+    """Incrementally add a batch to a saved dedup index (run AFTER
+    :func:`dedup_against_index` has vetted it): append the batch's sets
+    and frozen-order ranked postings, leave ``df`` untouched (the order
+    stays frozen — correctness forever, note 36's stance), and record
+    per-append drift: the fraction of batch shingle occurrences unseen
+    in the frozen df. Rising unseen fractions mean early (df=0) prefix
+    ranks get crowded and prefix selectivity decays — the rebuild
+    signal, exactly append_index's falling-assignment-cosine role.
+    ``doc_id`` uniqueness across the index and all appends is the
+    caller's contract. Returns the cumulative drift table."""
+    g, ranked = _rank_under_frozen_order(spark, path, batch)
+    ranked.select("doc_id", "sh_h", "pos", "n_sh").write.mode("append").parquet(
+        f"{path}/ranked"
+    )
+    sets = g.groupBy("doc_id").agg(
+        F.collect_set("sh_h").alias("shs"), F.count("*").alias("n_sh")
+    )
+    sets.write.mode("append").parquet(f"{path}/sets")
+    # a same-session reader of these paths must not serve the stale
+    # pre-append file listing (note 28)
+    spark.catalog.refreshByPath(f"{path}/ranked")
+    spark.catalog.refreshByPath(f"{path}/sets")
+    from pyspark.errors import AnalysisException
+
+    try:
+        prev = spark.read.parquet(f"{path}/drift")
+    except AnalysisException:
+        next_id = 0
+    else:
+        last = prev.agg(F.max("append_id")).collect()[0][0]
+        next_id = 0 if last is None else last + 1
+    drift = ranked.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_postings"),
+        F.round(F.avg((F.col("df") == 0).cast("double")), 6).alias(
+            "unseen_fraction"
+        ),
+    ).withColumn("append_id", F.lit(next_id))
+    drift.coalesce(1).write.mode("append").parquet(f"{path}/drift")
+    spark.catalog.refreshByPath(f"{path}/drift")
+    return spark.read.parquet(f"{path}/drift")
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    min_jaccard: float = DD16_MIN_JACCARD,
+) -> DataFrame:
+    """dd19 — incremental EXACT threshold-Jaccard dedup of a new batch
+    against a persisted corpus index (plus within-batch pairs): the
+    production ingest path — the already-indexed corpus is never
+    re-shingled, re-ranked or self-joined; only its PREFIX rows (a
+    pushed ``pos`` filter on the ranked parquet) and the candidate
+    docs' set arrays are read. Same exactness as dd16 (prefix filtering
+    under one total order loses nothing; candidates verify against full
+    sets), so the output equals ``prefix_jaccard_pairs(index UNION
+    batch)`` restricted to pairs touching the batch — the equivalence a
+    pytest locks, and what makes the DuckDB twin dd2's SQL with the
+    threshold and a batch-membership filter.
+
+    Output ``(doc_a, doc_b, n_inter, jaccard)`` with ``doc_a < doc_b``
+    and at least one side in the batch.
+
+    Scale shape: per ingest batch the cost is the batch's shingling, one
+    broadcast-sized df lookup join, a prefix equi-join whose INDEX side
+    is a pushed-filter parquet scan (~(1-t) of index postings), and a
+    verify join semi-pruned to candidate doc ids. Re-ranking the corpus
+    under fresh df would be cheaper prefixes but a full re-index —
+    dd16 is that batch form; dd19 is the incremental one.
+    """
+    t = float(min_jaccard)
+    bg, branked = _rank_under_frozen_order(spark, path, batch)
+    plen = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    bpref = branked.where(F.col("pos") <= plen).select("doc_id", "sh_h")
+    ipref = (
+        spark.read.parquet(f"{path}/ranked")
+        .where(F.col("pos") <= plen)
+        .select("doc_id", "sh_h")
+    )
+    cross = (
+        bpref.alias("b")
+        .join(ipref.alias("a"), "sh_h")
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+    )
+    within = (
+        bpref.alias("x")
+        .join(
+            bpref.alias("y"),
+            (F.col("x.sh_h") == F.col("y.sh_h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    cand = cross.unionByName(within).where(F.col("doc_a") < F.col("doc_b")).distinct()
+    bsets = bg.groupBy("doc_id").agg(
+        F.collect_set("sh_h").alias("shs"), F.count("*").alias("n_sh")
+    )
+    sets = spark.read.parquet(f"{path}/sets").unionByName(bsets)
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= t)
+    )
+
+
 def strip_contaminated_spans(
     documents: DataFrame,
     benchmark: DataFrame | None = None,
@@ -2008,6 +2193,17 @@ def propagate_min_labels(nodes: DataFrame, edges: DataFrame, max_iter: int = 15)
 # --- registry wiring -------------------------------------------------------
 
 
+def _dd19_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry form of dd19: build the index over even doc_ids in a fresh
+    temp dir, dedup the odd-id batch against it."""
+    import tempfile
+
+    docs = tables.load(spark, sf, "documents", spread=True)
+    p = tempfile.mkdtemp(prefix="dd19-")
+    save_dedup_index(docs.where("doc_id % 2 = 0"), p)
+    return dedup_against_index(spark, p, docs.where("doc_id % 2 = 1"))
+
+
 def build_queries():
     def q(fn, **kw):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -2035,6 +2231,16 @@ def build_queries():
             _DC1_SQL,
         ),
         "dc3_strip_contaminated_spans": (q(strip_contaminated_spans), _DC3_SQL),
+        # dd19 = the incremental form of dd16: index the even-id half, dedup
+        # the odd-id batch against it; exactness equals dd16 on the union
+        # restricted to batch-touching pairs, so the oracle is dd2's SQL
+        # with the threshold and a parity filter.
+        "dd19_incremental_dedup": (
+            _dd19_query,
+            "SELECT * FROM (" + _DD2_SQL + ") WHERE jaccard >= "
+            + str(DD16_MIN_JACCARD)
+            + " AND NOT (doc_a % 2 = 0 AND doc_b % 2 = 0)",
+        ),
         # dd16 = the exact threshold-Jaccard join; its oracle is dd2's SQL
         # with the threshold applied (prefix filtering is lossless).
         "dd16_prefix_jaccard": (

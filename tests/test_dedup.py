@@ -1024,6 +1024,76 @@ def test_dc3_model_check_random_corpora(spark):
         assert got == want, f"seed {seed}"
 
 
+# --- dd19: incremental exact-Jaccard dedup index --------------------------------
+
+
+def test_dd19_oracle_match(spark):
+    ok, msg = check_query(spark, "dd19_incremental_dedup", SF_SMALL)
+    assert ok, msg
+
+
+def test_dd19_equals_batch_form_on_union(spark):
+    """The incremental path's exactness contract: dedup_against_index over
+    a frozen-order index equals prefix_jaccard_pairs on the union corpus,
+    restricted to pairs touching the batch — prefix filtering is lossless
+    under ANY single total order, so the frozen save-time order changes
+    selectivity but never the verified output."""
+    import tempfile
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import (
+        dedup_against_index,
+        prefix_jaccard_pairs,
+        save_dedup_index,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    idx = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    p = tempfile.mkdtemp(prefix="dd19-eq-")
+    save_dedup_index(idx, p)
+    got = {tuple(r) for r in dedup_against_index(spark, p, batch).collect()}
+    want = {
+        tuple(r)
+        for r in prefix_jaccard_pairs(docs).collect()
+        if r.doc_a % 2 == 1 or r.doc_b % 2 == 1
+    }
+    assert got == want and got
+
+
+def test_dd19_append_matches_fresh_rebuild(spark):
+    """append_dedup_index keeps the index exact: after appending batch 1,
+    querying batch 2 returns EXACTLY what a fresh index built over
+    (corpus UNION batch 1) returns — the frozen df order differs from the
+    rebuild's, but verified outputs are order-invariant. Drift rows
+    accumulate with monotone append ids."""
+    import tempfile
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import (
+        append_dedup_index,
+        dedup_against_index,
+        save_dedup_index,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    base = docs.where("doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    b2 = docs.where("doc_id % 3 = 2")
+    p1 = tempfile.mkdtemp(prefix="dd19-app-")
+    save_dedup_index(base, p1)
+    drift = append_dedup_index(spark, p1, b1)
+    assert {r.append_id for r in drift.collect()} == {0}
+    assert drift.where("unseen_fraction < 0 OR unseen_fraction > 1").count() == 0
+    got = {tuple(r) for r in dedup_against_index(spark, p1, b2).collect()}
+    p2 = tempfile.mkdtemp(prefix="dd19-fresh-")
+    save_dedup_index(docs.where("doc_id % 3 != 2"), p2)
+    want = {tuple(r) for r in dedup_against_index(spark, p2, b2).collect()}
+    assert got == want and got
+    drift2 = append_dedup_index(spark, p1, b2)
+    assert {r.append_id for r in drift2.collect()} == {0, 1}
+
+
 # --- dd17: exact suffix-array span dedup --------------------------------------
 
 
