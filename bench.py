@@ -268,6 +268,8 @@ EXTRAS = [
     # index, prefix-dedup the odd-id batch against it under the frozen
     # rarest-first order).
     "dd19_incremental_dedup",
+    # round 11: paired exact sign test of IVF vs IVF-PQ vs brute truth.
+    "ev2_ranker_sign_test",
 ]
 
 

@@ -2364,6 +2364,18 @@ def build_queries():
             ),
             _EV1_SQL.format(sim4=_SIM4_SQL),
         ),
+        # ev2: the statistical half of the eval harness — IVF (pred A) vs
+        # IVF-PQ (pred B) against the brute-force truth, integer hit-count
+        # wins/losses and the exact sign-test p; all three chains embed as
+        # nested CTEs in the oracle.
+        "ev2_ranker_sign_test": (
+            lambda spark, sf: ranker_sign_test(
+                ivf_topk(tables.load(spark, sf, "embeddings")),
+                ivf_pq_topk(tables.load(spark, sf, "embeddings")),
+                cosine_topk(tables.load(spark, sf, "embeddings"), k=3),
+            ),
+            _EV2_SQL,
+        ),
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
@@ -2931,6 +2943,96 @@ def append_graph(spark: SparkSession, path: str, new_vectors: DataFrame) -> Data
     return spark.read.parquet(f"{path}/graph")
 
 
+def ranker_sign_test(
+    pred_a: DataFrame, pred_b: DataFrame, truth: DataFrame, k: int = 3
+) -> DataFrame:
+    """ev2 — paired statistical comparison of two rankers against one
+    ground-truth top-k: per-query hit counts (the integer numerator of
+    recall@k, so the comparison never touches floating point), win/tie/
+    loss tallies over the shared query set, and the EXACT two-sided sign
+    test p-value — the standard "is ranker A actually better or is this
+    noise" question ev1's per-query metrics leave open. One row out:
+    ``(n_queries, n_wins, n_losses, n_ties, p_sign)``; wins count
+    queries where A hits strictly more truth items than B.
+
+    The p-value is the exact binomial tail: with ``nn = wins + losses``
+    (ties dropped, the standard sign-test treatment) and ``m = min(wins,
+    losses)``, ``p = min(1, 2 * sum_{i<=m} C(nn, i) / 2^nn)`` — computed
+    with INTEGER binomials via ``factorial`` (exact through nn = 20,
+    both engines; larger non-tie counts raise an actionable error rather
+    than silently overflowing — at that size run a normal-approximation
+    test outside the engine). All inputs are any frames with ``(q_id,
+    vec_id, rank)``; rows with rank > k are ignored.
+
+    Cost: three result-set-cardinality joins and one single-row
+    aggregate — nothing touches the corpus (ev1's scale shape).
+    """
+    t = truth.where(F.col("rank") <= k).select("q_id", "vec_id")
+    tq = t.select("q_id").distinct()
+
+    def hitcount(pred, name):
+        return (
+            pred.where(F.col("rank") <= k)
+            .select("q_id", "vec_id")
+            .join(t, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    j = (
+        tq.join(hitcount(pred_a, "h_a"), "q_id", "left")
+        .join(hitcount(pred_b, "h_b"), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("h_a", F.lit(0)).alias("h_a"),
+            F.coalesce("h_b", F.lit(0)).alias("h_b"),
+        )
+    )
+    s = j.agg(
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("h_a") > F.col("h_b")).cast("long")).alias("n_wins"),
+        F.sum((F.col("h_a") < F.col("h_b")).cast("long")).alias("n_losses"),
+        F.sum((F.col("h_a") == F.col("h_b")).cast("long")).alias("n_ties"),
+    )
+    nn = F.col("n_wins") + F.col("n_losses")
+    guard = F.when(
+        nn > 20,
+        F.raise_error(
+            F.lit(
+                "ranker_sign_test: > 20 non-tied queries — the exact "
+                "integer-binomial p-value would overflow factorial's "
+                "domain; compute a normal-approximation sign test for "
+                "query sets this large"
+            )
+        ).cast("double"),
+    )
+    m = F.least(F.col("n_wins"), F.col("n_losses"))
+    tail = F.expr(
+        "aggregate(sequence(0, int(least(n_wins, n_losses))), 0L,"
+        " (acc, i) -> acc + factorial(int(n_wins + n_losses))"
+        " div (factorial(i) * factorial(int(n_wins + n_losses) - i)))"
+    )
+    p = F.when(nn == 0, F.lit(1.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(2.0)
+                * tail.cast("double")
+                / F.pow(F.lit(2.0), nn.cast("double")),
+                6,
+            ),
+        )
+    )
+    _ = m  # m folded into the tail expression above
+    return s.select(
+        "n_queries",
+        "n_wins",
+        "n_losses",
+        "n_ties",
+        F.coalesce(guard, p).alias("p_sign"),
+    )
+
+
 # --- ev1: in-engine retrieval evaluation (recall@k / MRR@k / nDCG@k) ---------
 
 
@@ -3030,3 +3132,40 @@ SELECT nt.q_id, nt.n_truth,
        round(coalesce(agg.dcg, 0.0) / idcg.v, 6) AS ndcg_at_k
 FROM nt LEFT JOIN agg USING (q_id) JOIN idcg USING (q_id)
 """
+
+# ev2: both ranker chains + the truth chain as nested CTEs; win/loss on
+# integer hit counts; p via exact integer binomials (factorial is exact
+# through 20! on both engines; the probe set is 20 queries, so the
+# non-tie count can never exceed the domain).
+_EV2_SQL = f"""
+WITH pred_a AS (SELECT * FROM ({_SIM4_SQL})),
+pred_b AS (SELECT * FROM ({_QZ4_SQL})),
+truth AS (SELECT * FROM ({_EV1_TRUTH_SQL})),
+tq AS (SELECT DISTINCT q_id FROM truth),
+ha AS (SELECT p.q_id, count(*) AS h FROM pred_a p JOIN truth t
+       USING (q_id, vec_id) WHERE p.rank <= 3 GROUP BY p.q_id),
+hb AS (SELECT p.q_id, count(*) AS h FROM pred_b p JOIN truth t
+       USING (q_id, vec_id) WHERE p.rank <= 3 GROUP BY p.q_id),
+j AS (SELECT tq.q_id, coalesce(ha.h, 0) AS h_a, coalesce(hb.h, 0) AS h_b
+      FROM tq LEFT JOIN ha USING (q_id) LEFT JOIN hb USING (q_id)),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(coalesce(sum(CASE WHEN h_a > h_b THEN 1 END), 0) AS BIGINT) AS n_wins,
+             CAST(coalesce(sum(CASE WHEN h_a < h_b THEN 1 END), 0) AS BIGINT) AS n_losses,
+             CAST(coalesce(sum(CASE WHEN h_a = h_b THEN 1 END), 0) AS BIGINT) AS n_ties
+      FROM j),
+series AS (SELECT unnest(generate_series(0, 20)) AS i),
+tl AS (
+  SELECT sum(factorial(CAST(s.n_wins + s.n_losses AS INT))
+             // (factorial(CAST(series.i AS INT))
+                 * factorial(CAST(s.n_wins + s.n_losses - series.i AS INT)))) AS v
+  FROM s CROSS JOIN series
+  WHERE series.i <= least(s.n_wins, s.n_losses)
+)
+SELECT n_queries, n_wins, n_losses, n_ties,
+       CASE WHEN n_wins + n_losses = 0 THEN 1.0
+            ELSE least(1.0, round(2.0 * (SELECT v FROM tl)
+                                  / pow(2.0, s.n_wins + s.n_losses), 6))
+       END AS p_sign
+FROM s
+"""
+

@@ -854,6 +854,7 @@ _DEMOTED = (
     # two round-10-checked twins rotate out.
     "dd16_prefix_jaccard",            # dd18 (global span detection) + dd1 (exact) + dc1 (cross-corpus) anchor the dedup family in-window; the prefix-filtered exact-Jaccard pair join was driver-green in CORRECTNESS_r10 and stays pytest-oracle-checked + planted-pair tested — slot went to dd18 (round-11 rotation)
     # round-11 additions, born demoted (the window is full)
+    "ev2_ranker_sign_test",           # ev1 anchors retrieval grading and sim4/qz4 the compared tiers in-window; the paired exact sign test compares them on integer hit counts (no floats before the p-value) and is pytest hand-model tested + oracle-checked with integer binomials
     "dd19_incremental_dedup",         # dd18/dd1 anchor the dedup family in-window; the incremental frozen-order prefix-Jaccard batch path equals dd16 on the union (pytest-locked) and is oracle-checked via dd2's SQL with a parity filter + append-vs-rebuild tested
     "dc3_strip_contaminated_spans",   # dc1 anchors benchmark decontamination in-window and dd18/dd1 the span-dedup family; the span-level strip rewrite composes dc1's broadcast-window join with dd14's island merge + dd9's rebuild shape and is pytest-oracle-checked + planted leak/verbatim/full-containment tested
     "lm4_kneser_ney_logprob",         # ppl1 keeps LM scoring in-window (it composes lm1's interpolated score with the percentile_disc split); the Kneser-Ney form was driver-green in CORRECTNESS_r10 and stays pytest-oracle-checked + hand-model tested — slot went to ppl1 (round-11 rotation)

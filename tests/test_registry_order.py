@@ -137,6 +137,7 @@ SIBLINGS = {
     "dd16_prefix_jaccard": ["dd18_winnow_spans", "dd1_exact_dedup", "dd6_dedup_clusters"],
     "dc3_strip_contaminated_spans": ["dc1_decontaminate", "dd18_winnow_spans"],
     "dd19_incremental_dedup": ["dd1_exact_dedup", "dd18_winnow_spans", "dc1_decontaminate"],
+    "ev2_ranker_sign_test": ["sim1_cosine_topk", "sim4_ivf_topk", "qz4_ivf_pq_topk"],
     "lm4_kneser_ney_logprob": ["ppl1_perplexity_buckets", "tf1_tfidf_top_terms"],
     "tx1_token_counts": ["tx2_quality_scores", "tf1_tfidf_top_terms", "udtf1_ngram_counts"],
     "da1_distinct_aggregates": ["h1_pricing_summary", "d8_key_stats", "dd1_exact_dedup"],

@@ -1482,6 +1482,80 @@ def test_gx1_prebuilt_artifacts_match_inline(spark):
     assert pre == inline and pre
 
 
+# --- ev2: paired sign-test ranker comparison ------------------------------------
+
+
+def test_ev2_oracle_match(spark):
+    ok, msg = check_query(spark, "ev2_ranker_sign_test", SF_SMALL)
+    assert ok, msg
+
+
+def test_ev2_hand_computed_sign_test(spark):
+    """Synthetic rankings with known outcomes: truth = items 1..3 per
+    query; ranker A hits all three, ranker B hits only one, on 5 of 6
+    queries (1 tie where both hit everything). n=5 non-ties, all wins:
+    p = 2 * C(5,0) / 2^5 = 0.0625. Swapping A and B flips wins/losses
+    but not p; identical rankers give all ties and p = 1."""
+    from samsa_spark.operators.similarity import ranker_sign_test
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "q_id long, vec_id long, rank long")
+
+    truth = frame([(q, v, r) for q in range(6) for r, v in enumerate((1, 2, 3), 1)])
+    a_rows = [(q, v, r) for q in range(6) for r, v in enumerate((1, 2, 3), 1)]
+    b_rows = []
+    for q in range(6):
+        if q == 5:  # the tie: B hits everything too
+            b_rows += [(q, v, r) for r, v in enumerate((1, 2, 3), 1)]
+        else:  # B hits only item 1
+            b_rows += [(q, 1, 1), (q, 90, 2), (q, 91, 3)]
+    got = ranker_sign_test(frame(a_rows), frame(b_rows), truth, k=3).collect()[0]
+    assert (got.n_queries, got.n_wins, got.n_losses, got.n_ties) == (6, 5, 0, 1)
+    assert got.p_sign == 0.0625
+    rev = ranker_sign_test(frame(b_rows), frame(a_rows), truth, k=3).collect()[0]
+    assert (rev.n_wins, rev.n_losses, rev.p_sign) == (0, 5, 0.0625)
+    same = ranker_sign_test(frame(a_rows), frame(a_rows), truth, k=3).collect()[0]
+    assert (same.n_wins, same.n_losses, same.n_ties, same.p_sign) == (0, 0, 6, 1.0)
+
+
+def test_ev2_mixed_outcome_two_sided_p(spark):
+    """w=4, l=1 over 5 non-ties: p = 2*(C(5,0)+C(5,1))/32 = 0.375."""
+    from samsa_spark.operators.similarity import ranker_sign_test
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "q_id long, vec_id long, rank long")
+
+    truth = frame([(q, v, r) for q in range(5) for r, v in enumerate((1, 2, 3), 1)])
+    a_rows, b_rows = [], []
+    for q in range(5):
+        if q == 4:  # B wins this one
+            a_rows += [(q, 1, 1), (q, 80, 2), (q, 81, 3)]
+            b_rows += [(q, v, r) for r, v in enumerate((1, 2, 3), 1)]
+        else:  # A wins
+            a_rows += [(q, v, r) for r, v in enumerate((1, 2, 3), 1)]
+            b_rows += [(q, 1, 1), (q, 90, 2), (q, 91, 3)]
+    got = ranker_sign_test(frame(a_rows), frame(b_rows), truth, k=3).collect()[0]
+    assert (got.n_wins, got.n_losses) == (4, 1)
+    assert got.p_sign == 0.375
+
+
+def test_ev2_large_n_raises_actionable(spark):
+    """More than 20 non-tied queries must raise (the exact integer
+    binomial would overflow factorial's domain), not silently mis-score."""
+    import pytest
+
+    from samsa_spark.operators.similarity import ranker_sign_test
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "q_id long, vec_id long, rank long")
+
+    truth = frame([(q, v, r) for q in range(25) for r, v in enumerate((1, 2, 3), 1)])
+    a_rows = [(q, v, r) for q in range(25) for r, v in enumerate((1, 2, 3), 1)]
+    b_rows = [(q, 90 + r, r) for q in range(25) for r in (1, 2, 3)]
+    with pytest.raises(Exception, match="non-tied|normal-approximation"):
+        ranker_sign_test(frame(a_rows), frame(b_rows), truth, k=3).collect()
+
+
 # --- ev1: in-engine retrieval metrics -----------------------------------------
 
 
