@@ -192,6 +192,18 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
 DD16_MIN_JACCARD = 0.5
 
 
+def _exact_ceil_mul(t: float) -> F.Column:
+    """``ceil(t * n_sh)`` computed FP-exactly: for thresholds whose product
+    is mathematically integral but not float-exact (t=0.8, n_sh=5 →
+    4.000000000000001) a raw ceil lands one too high, shortening the prefix
+    by one and silently dropping a qualifying candidate pair from an
+    operator documented as EXACT. Rounding the product to 9 dp first
+    absorbs the ~1 ulp error (thresholds are human-entered constants with
+    far fewer than 9 significant decimals) while leaving every genuinely
+    fractional product untouched."""
+    return F.ceil(F.round(F.lit(float(t)) * F.col("n_sh"), 9))
+
+
 def prefix_jaccard_pairs(
     documents: DataFrame, min_jaccard: float = DD16_MIN_JACCARD
 ) -> DataFrame:
@@ -232,7 +244,7 @@ def prefix_jaccard_pairs(
         .withColumn("pos", F.row_number().over(w))
         .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     )
-    plen = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    plen = F.col("n_sh") - _exact_ceil_mul(t) + 1
     pref = ranked.where(F.col("pos") <= plen).select("doc_id", "sh_h")
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
@@ -1061,7 +1073,7 @@ def dedup_against_index(
     """
     t = float(min_jaccard)
     bg, branked = _rank_under_frozen_order(spark, path, batch)
-    plen = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    plen = F.col("n_sh") - _exact_ceil_mul(t) + 1
     bpref = branked.where(F.col("pos") <= plen).select("doc_id", "sh_h")
     ipref = (
         spark.read.parquet(f"{path}/ranked")
@@ -1275,11 +1287,17 @@ def suffix_dup_spans(
        ``min_chars``-window contains a minimizer window, and because the
        (hash, position) tie-break is position-order-consistent between
        copies, both copies select the SAME gram content at the SAME
-       relative offset — even when gram hashes collide. Grouping the
-       anchor rows by hash and keeping only hashes seen in >= 2 distinct
-       chunks therefore retains every cross-chunk duplicate's anchors
-       (same-chunk duplicates are already exact via pass 1) while
-       dropping all globally-unique text at the aggregate.
+       relative offset — even when gram hashes collide. A
+       ``countDistinct(chunk)`` aggregate per hash finds the hashes seen
+       in >= 2 distinct chunks (map-side partials collapse per-chunk
+       repetition; no per-group row ever holds more than a count), and
+       the surviving hot-hash SET joins back onto the anchor stream —
+       so a boilerplate anchor with millions of occurrences never
+       builds an O(occurrences) aggregate row; its occurrences stay
+       distributed until the bucketed bridge. This retains every
+       cross-chunk duplicate's anchors (same-chunk duplicates are
+       already exact via pass 1) while dropping all globally-unique
+       text at the aggregate.
 
     3. **Bucketed bridge.** Hot anchors explode into ``bridge_buckets``
        hash buckets (same hash => same bucket, so both copies always
@@ -1315,8 +1333,12 @@ def suffix_dup_spans(
     tasks are embarrassingly parallel with bounded memory. The one
     residual skew surface is a bucket holding many DISTINCT duplicated
     contexts (its suffix array is their concatenation); ``bridge_buckets``
-    divides that linearly — size it ~ expected duplicated bytes /
-    chunk_bytes at the target scale.
+    divides that linearly. By default it is AUTO-SIZED from the measured
+    hot-anchor byte mass (``ceil(duplicated context chars / chunk_bytes)``,
+    floored at 3x the session parallelism) — one small aggregate over the
+    already-materialized hot rows — so a duplication-heavy corpus gets
+    proportionally more bridge tasks and per-bucket suffix-array work
+    stays ~chunk-bounded without the caller guessing a count.
 
     Reference parity: the reference engine has no dedup surface (samsa
     is a Kafka K/V state library — /root/reference/samsa/kafka/
@@ -1326,15 +1348,13 @@ def suffix_dup_spans(
     """
     k = int(min_chars)
     cb = int(chunk_bytes)
-    # default bucket count: 3x the session parallelism — bucket loads are
+    # bucket-count floor: 3x the session parallelism — bucket loads are
     # hash-uniform (measured), so the wall is bucket->reducer collision
     # stragglers; 3 buckets per reducer smooths them (sf0.1: 4.0 s at 2x
-    # cores -> 2.8 s at 3x), and the count scales with the cluster
-    nb = int(
-        bridge_buckets
-        if bridge_buckets is not None
-        else 3 * documents.sparkSession.sparkContext.defaultParallelism
-    )
+    # cores -> 2.8 s at 3x), and the count scales with the cluster. The
+    # actual count is auto-sized below from the hot-anchor byte mass
+    # unless the caller pins one.
+    nb_floor = 3 * documents.sparkSession.sparkContext.defaultParallelism
     g = min(16, k)  # anchor gram length
     w = k - g + 1  # minimizer window: guarantee line g + w - 1 == k
     R = k - g  # minimal context radius (see docstring step 1)
@@ -1636,29 +1656,36 @@ def suffix_dup_spans(
         F.col("a").alias("span_start"),
         F.col("b").alias("span_end"),
     )
-    # hot filter: one aggregate keeps each hash's occurrences (bounded by
-    # its occurrence count) and drops every hash confined to one chunk
-    cand = (
-        tagged.where("kind = 1")
-        .groupBy("h")
-        .agg(
-            F.countDistinct("chunk").alias("_nc"),
-            F.collect_list(F.struct("doc_id", "a", "ctx")).alias("_occ"),
-        )
+    # hot filter, two steps so no aggregate row is ever O(occurrences)
+    # (a mega-hot boilerplate anchor would otherwise collect_list millions
+    # of contexts into one multi-GB row): (1) count-only aggregate finds
+    # hashes spanning >= 2 chunks (map-side partials, bounded state);
+    # (2) the hot-hash set joins back onto the anchor stream — AQE turns
+    # this into a broadcast join when the hot set is small, so occurrences
+    # stay distributed all the way to the bucketed bridge.
+    anchors = tagged.where("kind = 1")
+    hot = (
+        anchors.groupBy("h")
+        .agg(F.countDistinct("chunk").alias("_nc"))
         .where(F.col("_nc") >= 2)
-        .select(
-            F.pmod("h", F.lit(nb)).alias("_b"),
-            F.explode("_occ").alias("_o"),
-        )
-        .select(
-            "_b",
-            F.col("_o.doc_id").alias("doc_id"),
-            F.col("_o.a").alias("ctx_start"),
-            F.col("_o.ctx").alias("ctx"),
-        )
+        .select("h")
     )
-    bridge_spans = cand.groupBy("_b").applyInPandas(
-        bridge, "doc_id bigint, span_start int, span_end int"
+    cand = (
+        anchors.join(hot, "h")
+        .select("h", "doc_id", F.col("a").alias("ctx_start"), "ctx")
+        .localCheckpoint(eager=False)  # feeds the sizing agg + the bridge
+    )
+    if bridge_buckets is not None:
+        nb = int(bridge_buckets)
+    else:
+        # auto-size: per-bucket SA input ~ chunk-sized, floored for
+        # straggler smoothing (docstring scale story)
+        dup_chars = cand.agg(F.sum(F.length("ctx"))).first()[0] or 0
+        nb = max(nb_floor, -(-int(dup_chars) // cb))
+    bridge_spans = (
+        cand.select(F.pmod("h", F.lit(nb)).alias("_b"), "doc_id", "ctx_start", "ctx")
+        .groupBy("_b")
+        .applyInPandas(bridge, "doc_id bigint, span_start int, span_end int")
     )
 
     spans = pass_a.unionByName(bridge_spans)

@@ -1153,14 +1153,24 @@ def drop_shards_where(spark: SparkSession, path: str, condition: str) -> DataFra
     fs = root.getFileSystem(hconf)
     orphaned = False
     if fs.exists(root):
+        root_uri = root.getFileSystem(hconf).makeQualified(root).toUri().getPath()
         it = fs.listFiles(root, True)
         while it.hasNext():
             st = it.next()
             fp = st.getPath()
-            name = fp.getName()
-            if not name.endswith(".parquet") or name.startswith((".", "_")):
+            # Skip when ANY path component below the data root is hidden
+            # ('.'/'_' prefix) — not just the file name: part files inside a
+            # Hadoop committer's '_temporary/...' staging tree of an
+            # in-flight write would otherwise pass a name-only filter and a
+            # concurrent compact/write overlap would turn from "stale
+            # listing" into silent data-file deletion.
+            fpath = fp.toUri().getPath()
+            rel = fpath[len(root_uri):].lstrip("/") if fpath.startswith(root_uri) else fpath
+            if not fpath.endswith(".parquet") or any(
+                c.startswith((".", "_")) for c in rel.split("/")
+            ):
                 continue
-            if fp.toUri().getPath() not in listed:
+            if fpath not in listed:
                 fs.delete(fp, False)
                 orphaned = True
     if doomed or orphaned:

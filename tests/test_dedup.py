@@ -1478,3 +1478,63 @@ def test_dd18_anchors_are_subset_of_dd14_coverage(spark):
             r.span_start,
             r.span_end,
         )
+
+
+def test_prefix_ceil_fp_exact_boundary_pair(spark):
+    """Round-11 advice regression: ceil(t*n_sh) must be computed FP-exactly.
+    With t=0.8 and n_sh=5, 0.8*5 floats to 4.000000000000001, a raw ceil
+    gives 5 and the prefix shrinks to 1 element — dropping this planted
+    subset pair (jaccard exactly 0.8: A's 4 shingles all inside B's 5,
+    where B's one unique shingle has df smaller than every shared one and
+    monopolizes a length-1 prefix). Both dd16 and dd19 must find it."""
+    import tempfile
+
+    from samsa_spark.operators.dedup import (
+        dedup_against_index,
+        prefix_jaccard_pairs,
+        save_dedup_index,
+    )
+
+    a = "a b c d e f"        # 4 shingles
+    b = "a b c d e f g"      # 5 shingles = A's 4 + "e f g"
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = prefix_jaccard_pairs(docs, min_jaccard=0.8).collect()
+    assert [(r.doc_a, r.doc_b, r.n_inter, r.jaccard) for r in got] == [(1, 2, 4, 0.8)]
+
+    # incremental form: index holds A, the batch brings B (B's unique
+    # shingle has frozen df=0, so it leads B's ranked order — exactly the
+    # arrangement where a one-short prefix loses the pair)
+    p = tempfile.mkdtemp(prefix="dd19-ceil-")
+    save_dedup_index(docs.where("doc_id = 1"), p)
+    inc = dedup_against_index(
+        spark, p, docs.where("doc_id = 2"), min_jaccard=0.8
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.n_inter, r.jaccard) for r in inc] == [(1, 2, 4, 0.8)]
+
+
+def test_dd17_mega_hot_boilerplate(spark):
+    """The round-11 verdict's residual skew case: ONE boilerplate string
+    duplicated across many docs and many chunks. The hot filter must route
+    it without building an O(occurrences) aggregate row (two-step
+    countDistinct + join), the bridge must collapse the identical contexts
+    to one suffix-array representative, and every copy must still report
+    the exact span. bridge_buckets=None exercises the auto-sizing path."""
+    from samsa_spark.operators.dedup import suffix_dup_spans
+
+    boiler = "COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED."
+    assert len(boiler) == 48
+    rows = []
+    for i in range(60):
+        filler = f"u{i}q{i} v{i}r{i} w{i}s{i} x{i}t{i} y{i}z{i}"
+        rows.append((i, filler + " " + boiler + " " + f"tail{i}end{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # tiny chunks force nearly every copy into its own chunk
+    got = {r.doc_id: r for r in suffix_dup_spans(docs, chunk_bytes=128).collect()}
+    assert set(got) == set(range(60))
+    for i in range(60):
+        text = rows[i][1]
+        s0 = text.index(boiler)  # expected island: " <boiler> " with pads
+        r = got[i]
+        sub = text[r.span_start - 1 : r.span_end]
+        assert boiler in sub, (i, sub)
+        assert r.span_start - 1 <= s0 and s0 + len(boiler) <= r.span_end, (i, r)

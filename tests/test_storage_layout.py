@@ -561,3 +561,35 @@ def test_drop_shards_where_id_epoch_on_clustered_layout(spark):
     # files straddling the boundary, but no surviving FILE is fully below)
     assert manifest.where(F.col("max_doc_id") < cut).count() == 0
     assert validate_shards(spark, path).count() == 0
+
+
+def test_drop_shards_where_never_reclaims_committer_staging(spark):
+    """Round-11 advice regression: part files inside a Hadoop committer's
+    '_temporary/...' staging tree (an in-flight write) end in .parquet with
+    an innocuous NAME — the reclaim must skip them by checking every path
+    component under {path}/data, or any drop_shards_where call overlapping
+    a running write silently deletes its output. A genuinely orphaned file
+    in the same run must still be reclaimed."""
+    import shutil
+
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import drop_shards_where, write_shards
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    path = tempfile.mkdtemp(prefix="shards-staging-")
+    write_shards(docs, path, by_source=True, max_records_per_file=100)
+    manifest = spark.read.parquet(f"{path}/manifest")
+    some = manifest.first().file.removeprefix("file://").removeprefix("file:")
+    staging_dir = os.path.join(
+        path, "data", "_temporary", "0", "_temporary", "attempt_0001"
+    )
+    os.makedirs(staging_dir)
+    staged = os.path.join(staging_dir, "part-00000-inflight.snappy.parquet")
+    shutil.copyfile(some, staged)
+    orphan = os.path.join(os.path.dirname(some), "part-orphan-xyz.snappy.parquet")
+    shutil.copyfile(some, orphan)
+
+    drop_shards_where(spark, path, "n_rows < 0")  # matches nothing
+    assert os.path.exists(staged)  # staging output untouched
+    assert not os.path.exists(orphan)  # true orphan still reclaimed
+    shutil.rmtree(os.path.join(path, "data", "_temporary"))
