@@ -2376,6 +2376,19 @@ def build_queries():
             ),
             _EV2_SQL,
         ),
+        # ev3: ev2 with the probe set widened to 60 queries, so the
+        # non-tie count clears 20 and the NO-CEILING log-space exact
+        # sign-test branch (round-11 verdict task 3) runs inside the
+        # three-scale oracle gate — the DuckDB twin mirrors the fold as
+        # a recursive CTE with the identical ascending-i double order.
+        "ev3_sign_test_wide": (
+            lambda spark, sf: ranker_sign_test(
+                ivf_topk(tables.load(spark, sf, "embeddings"), n_probes=60),
+                ivf_pq_topk(tables.load(spark, sf, "embeddings"), n_probes=60),
+                cosine_topk(tables.load(spark, sf, "embeddings"), n_probes=60, k=3),
+            ),
+            _ev2_sql(60),
+        ),
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
@@ -2957,11 +2970,18 @@ def ranker_sign_test(
 
     The p-value is the exact binomial tail: with ``nn = wins + losses``
     (ties dropped, the standard sign-test treatment) and ``m = min(wins,
-    losses)``, ``p = min(1, 2 * sum_{i<=m} C(nn, i) / 2^nn)`` — computed
-    with INTEGER binomials via ``factorial`` (exact through nn = 20,
-    both engines; larger non-tie counts raise an actionable error rather
-    than silently overflowing — at that size run a normal-approximation
-    test outside the engine). All inputs are any frames with ``(q_id,
+    losses)``, ``p = min(1, 2 * sum_{i<=m} C(nn, i) / 2^nn)``. Through
+    nn = 20 it is computed with INTEGER binomials via ``factorial``
+    (bit-exact on both engines). Past 20 (where 64-bit factorial
+    overflows) the SAME exact tail is evaluated in log space with a
+    backward-ratio fold: ``ln C(nn,m)/2^nn`` accumulates term ratios
+    ``(nn-i+1)/i`` and the remaining tail terms enter as the descending
+    ratio series ``K = 1 + r_1 + r_1 r_2 + ...`` (every ratio < 1 since
+    m <= nn/2, so K <= m+1 — no overflow, no underflow until p itself
+    underflows to a 6-dp zero). No ceiling: a thousand-query eval set
+    grades in-engine; determinism comes from a FIXED fold order (both
+    engines sum ascending i in IEEE doubles) plus the repo-wide 6-dp
+    round before comparison. All inputs are any frames with ``(q_id,
     vec_id, rank)``; rows with rank > k are ignored.
 
     Cost: three result-set-cardinality joins and one single-row
@@ -2994,42 +3014,54 @@ def ranker_sign_test(
         F.sum((F.col("h_a") < F.col("h_b")).cast("long")).alias("n_losses"),
         F.sum((F.col("h_a") == F.col("h_b")).cast("long")).alias("n_ties"),
     )
-    nn = F.col("n_wins") + F.col("n_losses")
-    guard = F.when(
-        nn > 20,
-        F.raise_error(
-            F.lit(
-                "ranker_sign_test: > 20 non-tied queries — the exact "
-                "integer-binomial p-value would overflow factorial's "
-                "domain; compute a normal-approximation sign test for "
-                "query sets this large"
-            )
-        ).cast("double"),
+    s2 = s.withColumn("nn", F.col("n_wins") + F.col("n_losses")).withColumn(
+        "m", F.least(F.col("n_wins"), F.col("n_losses"))
     )
-    m = F.least(F.col("n_wins"), F.col("n_losses"))
     tail = F.expr(
         "aggregate(sequence(0, int(least(n_wins, n_losses))), 0L,"
         " (acc, i) -> acc + factorial(int(n_wins + n_losses))"
         " div (factorial(i) * factorial(int(n_wins + n_losses) - i)))"
     )
-    p = F.when(nn == 0, F.lit(1.0)).otherwise(
-        F.least(
-            F.lit(1.0),
-            F.round(
-                F.lit(2.0)
-                * tail.cast("double")
-                / F.pow(F.lit(2.0), nn.cast("double")),
-                6,
-            ),
-        )
+    p_small = F.least(
+        F.lit(1.0),
+        F.round(
+            F.lit(2.0) * tail.cast("double") / F.pow(F.lit(2.0), F.col("nn").cast("double")),
+            6,
+        ),
     )
-    _ = m  # m folded into the tail expression above
-    return s.select(
+    # log-space exact tail for nn > 20 — the fold order below is mirrored
+    # verbatim by the DuckDB oracle's recursive CTE (ascending i, same
+    # expression shapes), so both engines run the identical IEEE-double
+    # operation sequence before the 6-dp round
+    p_large = F.expr(
+        "least(CAST(1.0 AS DOUBLE), round("
+        " aggregate("
+        "   filter(sequence(0L, m), x -> x > 0L),"
+        "   named_struct("
+        "     'lt', CAST(0.0 AS DOUBLE),"
+        "     'ratio', CAST(1.0 AS DOUBLE),"
+        "     'ksum', CAST(0.0 AS DOUBLE)),"
+        "   (a, i) -> named_struct("
+        "     'lt', a.lt + ln(CAST(nn - i + 1 AS DOUBLE) / CAST(i AS DOUBLE)),"
+        "     'ratio', a.ratio * (CAST(m - i + 1 AS DOUBLE)"
+        "                         / CAST(nn - m + i AS DOUBLE)),"
+        "     'ksum', a.ksum + a.ratio * (CAST(m - i + 1 AS DOUBLE)"
+        "                                 / CAST(nn - m + i AS DOUBLE))),"
+        "   a -> 2.0 * exp(CAST(nn AS DOUBLE) * ln(0.5) + a.lt)"
+        "        * (1.0 + a.ksum)"
+        " ), 6))"
+    )
+    p = (
+        F.when(F.col("nn") == 0, F.lit(1.0))
+        .when(F.col("nn") <= 20, p_small)
+        .otherwise(p_large)
+    )
+    return s2.select(
         "n_queries",
         "n_wins",
         "n_losses",
         "n_ties",
-        F.coalesce(guard, p).alias("p_sign"),
+        p.alias("p_sign"),
     )
 
 
@@ -3134,13 +3166,22 @@ FROM nt LEFT JOIN agg USING (q_id) JOIN idcg USING (q_id)
 """
 
 # ev2: both ranker chains + the truth chain as nested CTEs; win/loss on
-# integer hit counts; p via exact integer binomials (factorial is exact
-# through 20! on both engines; the probe set is 20 queries, so the
-# non-tie count can never exceed the domain).
-_EV2_SQL = f"""
-WITH pred_a AS (SELECT * FROM ({_SIM4_SQL})),
-pred_b AS (SELECT * FROM ({_QZ4_SQL})),
-truth AS (SELECT * FROM ({_EV1_TRUTH_SQL})),
+# integer hit counts; p via exact integer binomials through nn = 20
+# (factorial is exact through 20! on both engines) and via the SAME
+# exact tail in log space past it — a recursive CTE running the
+# identical ascending-i double fold as the Spark expression (same
+# operation order, 6-dp round), so the no-ceiling branch stays inside
+# the exact-oracle gate.
+def _ev2_sql(n_probes: int = 20) -> str:
+    """The ev2 oracle with all three ranker chains' probe sets widened to
+    ``n_probes`` (the chains hardcode the default probe filter
+    ``vec_id < 20``; a literal replace keeps them in lockstep with the
+    Spark calls' n_probes argument)."""
+    rep = lambda sql: sql.replace("vec_id < 20", f"vec_id < {n_probes}")  # noqa: E731
+    return f"""
+WITH RECURSIVE pred_a AS (SELECT * FROM ({rep(_SIM4_SQL)})),
+pred_b AS (SELECT * FROM ({rep(_QZ4_SQL)})),
+truth AS (SELECT * FROM ({rep(_EV1_TRUTH_SQL)})),
 tq AS (SELECT DISTINCT q_id FROM truth),
 ha AS (SELECT p.q_id, count(*) AS h FROM pred_a p JOIN truth t
        USING (q_id, vec_id) WHERE p.rank <= 3 GROUP BY p.q_id),
@@ -3153,19 +3194,44 @@ s AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
              CAST(coalesce(sum(CASE WHEN h_a < h_b THEN 1 END), 0) AS BIGINT) AS n_losses,
              CAST(coalesce(sum(CASE WHEN h_a = h_b THEN 1 END), 0) AS BIGINT) AS n_ties
       FROM j),
+s2 AS (SELECT *, n_wins + n_losses AS nn, least(n_wins, n_losses) AS m FROM s),
 series AS (SELECT unnest(generate_series(0, 20)) AS i),
 tl AS (
   SELECT sum(factorial(CAST(s.n_wins + s.n_losses AS INT))
              // (factorial(CAST(series.i AS INT))
                  * factorial(CAST(s.n_wins + s.n_losses - series.i AS INT)))) AS v
   FROM s CROSS JOIN series
-  WHERE series.i <= least(s.n_wins, s.n_losses)
+  WHERE s.n_wins + s.n_losses <= 20
+    AND series.i <= least(s.n_wins, s.n_losses)
+),
+fold(i, lt, ratio, ksum) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT f.i + 1,
+         f.lt + ln(CAST(s2.nn - (f.i + 1) + 1 AS DOUBLE)
+                   / CAST(f.i + 1 AS DOUBLE)),
+         f.ratio * (CAST(s2.m - (f.i + 1) + 1 AS DOUBLE)
+                    / CAST(s2.nn - s2.m + (f.i + 1) AS DOUBLE)),
+         f.ksum + f.ratio * (CAST(s2.m - (f.i + 1) + 1 AS DOUBLE)
+                             / CAST(s2.nn - s2.m + (f.i + 1) AS DOUBLE))
+  FROM fold f, s2 WHERE s2.nn > 20 AND f.i < s2.m
+),
+plarge AS (
+  SELECT least(CAST(1.0 AS DOUBLE),
+               round(2.0 * exp(CAST(s2.nn AS DOUBLE) * ln(0.5) + f.lt)
+                     * (1.0 + f.ksum), 6)) AS v
+  FROM fold f, s2 WHERE f.i = s2.m
 )
 SELECT n_queries, n_wins, n_losses, n_ties,
-       CASE WHEN n_wins + n_losses = 0 THEN 1.0
-            ELSE least(1.0, round(2.0 * (SELECT v FROM tl)
-                                  / pow(2.0, s.n_wins + s.n_losses), 6))
+       CASE WHEN nn = 0 THEN 1.0
+            WHEN nn <= 20 THEN least(1.0, round(2.0 * (SELECT v FROM tl)
+                                                / pow(2.0, nn), 6))
+            ELSE (SELECT v FROM plarge)
        END AS p_sign
-FROM s
+FROM s2
 """
+
+
+_EV2_SQL = _ev2_sql()
 

@@ -855,9 +855,15 @@ _DEMOTED = (
     "dd16_prefix_jaccard",            # dd18 (global span detection) + dd1 (exact) + dc1 (cross-corpus) anchor the dedup family in-window; the prefix-filtered exact-Jaccard pair join was driver-green in CORRECTNESS_r10 and stays pytest-oracle-checked + planted-pair tested — slot went to dd18 (round-11 rotation)
     # round-11 additions, born demoted (the window is full)
     "ev2_ranker_sign_test",           # ev1 anchors retrieval grading and sim4/qz4 the compared tiers in-window; the paired exact sign test compares them on integer hit counts (no floats before the p-value) and is pytest hand-model tested + oracle-checked with integer binomials
-    "dd19_incremental_dedup",         # dd18/dd1 anchor the dedup family in-window; the incremental frozen-order prefix-Jaccard batch path equals dd16 on the union (pytest-locked) and is oracle-checked via dd2's SQL with a parity filter + append-vs-rebuild tested
-    "dc3_strip_contaminated_spans",   # dc1 anchors benchmark decontamination in-window and dd18/dd1 the span-dedup family; the span-level strip rewrite composes dc1's broadcast-window join with dd14's island merge + dd9's rebuild shape and is pytest-oracle-checked + planted leak/verbatim/full-containment tested
     "lm4_kneser_ney_logprob",         # ppl1 keeps LM scoring in-window (it composes lm1's interpolated score with the percentile_disc split); the Kneser-Ney form was driver-green in CORRECTNESS_r10 and stays pytest-oracle-checked + hand-model tested — slot went to ppl1 (round-11 rotation)
+    # round-12 rotation (the round-11 verdict's own ask): dc3 (span-level
+    # decontamination strip) and dd19 (incremental dedup against a
+    # persisted index) promote behind the driver's gate; two covered
+    # twins rotate out.
+    "dc1_decontaminate",              # dc3 (in-window, round-12 rotation) embeds dc1's entire detection join — the span strip's hit stage IS the broadcast window probe — and dd1/dd18 keep the dedup family anchored; the count-level flag form was driver-green in CORRECTNESS_r04-r11 and stays pytest-oracle-checked — slot went to dc3
+    "mm3_resized_stats",              # mm1 keeps the media metadata surface in-window and mm2/mm4 share the decode-stub plumbing in pytest; the resize-stats twin was driver-green since round 5 and stays pytest-oracle-checked — slot went to dd19 (round-12 rotation)
+    # round-12 additions, born demoted (the window is full)
+    "ev3_sign_test_wide",             # ev2's demotion rationale carries; the 60-probe wide variant exists to run the no-ceiling log-space sign-test branch through the three-scale oracle sweep (nn > 20), and is pytest hand-model tested against exact Python rationals
 )
 
 

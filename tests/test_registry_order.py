@@ -19,7 +19,8 @@ MUST_BE_CHECKED = [
     "sim1_cosine_topk",
     "sim4_ivf_topk",
     "mm1_media_metadata",
-    "mm3_resized_stats",
+    # mm3 rotated out round 12 (mm1 keeps the media surface in-window;
+    # mm3 stays sweep+pytest-checked) — slot went to dd19
     "pp1_prep_pipeline",
     "pk2_pack_chunked",
     "sql1_revenue_by_segment",
@@ -44,6 +45,11 @@ MUST_BE_CHECKED = [
     # driver-green in CORRECTNESS_r10 and still sweep+pytest-checked)
     "dd18_winnow_spans",
     "ppl1_perplexity_buckets",
+    # round-12 rotation: span-level decontamination strip and incremental
+    # index dedup behind the gate (slots from dc1/mm3, both driver-green
+    # for many consecutive rounds and still sweep+pytest-checked)
+    "dc3_strip_contaminated_spans",
+    "dd19_incremental_dedup",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -121,7 +127,7 @@ SIBLINGS = {
     # round-9 second-session additions, born demoted
     "qz5_refined_topk": ["qz4_ivf_pq_topk", "sim1_cosine_topk"],
     "tx8_collapse_runs": ["w1_segment_top_orders", "tx2_quality_scores"],
-    "dc2_decontaminate_bloom": ["dc1_decontaminate"],
+    "dc2_decontaminate_bloom": ["dc3_strip_contaminated_spans", "dc1_decontaminate"],
     # round-9 second-session rotation: demoted to make room for dq1/df1
     "d3_replay_prefix": ["d2_state_table", "d4_point_lookup"],
     "sim2_embedding_near_dups": ["sim1_cosine_topk"],
@@ -141,6 +147,11 @@ SIBLINGS = {
     "lm4_kneser_ney_logprob": ["ppl1_perplexity_buckets", "tf1_tfidf_top_terms"],
     "tx1_token_counts": ["tx2_quality_scores", "tf1_tfidf_top_terms", "udtf1_ngram_counts"],
     "da1_distinct_aggregates": ["h1_pricing_summary", "d8_key_stats", "dd1_exact_dedup"],
+    # round-12 rotation twins
+    "dc1_decontaminate": ["dc3_strip_contaminated_spans", "dd1_exact_dedup"],
+    "mm3_resized_stats": ["mm1_media_metadata"],
+    # round-12 addition, born demoted (the window is full)
+    "ev3_sign_test_wide": ["sim4_ivf_topk", "qz4_ivf_pq_topk", "sim1_cosine_topk"],
 }
 
 

@@ -1539,21 +1539,62 @@ def test_ev2_mixed_outcome_two_sided_p(spark):
     assert got.p_sign == 0.375
 
 
-def test_ev2_large_n_raises_actionable(spark):
-    """More than 20 non-tied queries must raise (the exact integer
-    binomial would overflow factorial's domain), not silently mis-score."""
-    import pytest
+def test_ev2_no_ceiling_large_n_exact(spark):
+    """Round-11 verdict task 3: past 20 non-tied queries the p-value no
+    longer raises — the log-space backward-ratio fold evaluates the SAME
+    exact binomial tail. Planted 50-query fixture (35 wins / 10 losses /
+    5 ties): p must equal the Python-rational exact value rounded to 6 dp
+    (2*sum_{i<=10} C(45,i)/2^45 = 0.000247); 25 straight wins (m=0 edge
+    at nn>20) gives 2*0.5^25 -> 0.0 at 6 dp."""
+    import math
+    from fractions import Fraction
 
     from samsa_spark.operators.similarity import ranker_sign_test
 
     def frame(rows):
         return spark.createDataFrame(rows, "q_id long, vec_id long, rank long")
 
-    truth = frame([(q, v, r) for q in range(25) for r, v in enumerate((1, 2, 3), 1)])
-    a_rows = [(q, v, r) for q in range(25) for r, v in enumerate((1, 2, 3), 1)]
-    b_rows = [(q, 90 + r, r) for q in range(25) for r in (1, 2, 3)]
-    with pytest.raises(Exception, match="non-tied|normal-approximation"):
-        ranker_sign_test(frame(a_rows), frame(b_rows), truth, k=3).collect()
+    hit = lambda q: [(q, v, r) for r, v in enumerate((1, 2, 3), 1)]  # noqa: E731
+    miss = lambda q: [(q, 90 + r, r) for r in (1, 2, 3)]  # noqa: E731
+    truth = frame([row for q in range(50) for row in hit(q)])
+    # q 0-34: A wins; q 35-44: B wins; q 45-49: tie (both hit)
+    a_rows = [row for q in range(35) for row in hit(q)]
+    a_rows += [row for q in range(35, 45) for row in miss(q)]
+    a_rows += [row for q in range(45, 50) for row in hit(q)]
+    b_rows = [row for q in range(35) for row in miss(q)]
+    b_rows += [row for q in range(35, 50) for row in hit(q)]
+    got = ranker_sign_test(frame(a_rows), frame(b_rows), truth, k=3).collect()[0]
+    assert (got.n_queries, got.n_wins, got.n_losses, got.n_ties) == (50, 35, 10, 5)
+    exact = min(
+        1.0,
+        round(float(2 * Fraction(sum(math.comb(45, i) for i in range(11)), 2**45)), 6),
+    )
+    assert got.p_sign == exact == 0.000247
+
+    # m = 0 at nn > 20: 25 straight wins
+    t25 = frame([row for q in range(25) for row in hit(q)])
+    a25 = [row for q in range(25) for row in hit(q)]
+    b25 = [row for q in range(25) for row in miss(q)]
+    g25 = ranker_sign_test(frame(a25), frame(b25), t25, k=3).collect()[0]
+    assert (g25.n_wins, g25.n_losses, g25.p_sign) == (25, 0, 0.0)
+
+    # balanced large: 15/15 -> tail > 1/2, p clamps to 1.0
+    t30 = frame([row for q in range(30) for row in hit(q)])
+    a30 = [row for q in range(15) for row in hit(q)] + [
+        row for q in range(15, 30) for row in miss(q)
+    ]
+    b30 = [row for q in range(15) for row in miss(q)] + [
+        row for q in range(15, 30) for row in hit(q)
+    ]
+    g30 = ranker_sign_test(frame(a30), frame(b30), t30, k=3).collect()[0]
+    assert (g30.n_wins, g30.n_losses, g30.p_sign) == (15, 15, 1.0)
+
+
+def test_ev3_wide_oracle_match(spark):
+    """The registered 60-probe variant (nn > 20 on the sf fixtures) runs
+    the no-ceiling branch against its recursive-CTE DuckDB twin."""
+    ok, msg = check_query(spark, "ev3_sign_test_wide", SF_SMALL)
+    assert ok, msg
 
 
 # --- ev1: in-engine retrieval metrics -----------------------------------------
