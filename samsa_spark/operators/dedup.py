@@ -1152,16 +1152,27 @@ def strip_contaminated_spans(
     from the rewritten corpus.
 
     Plan shape: the benchmark's distinct k-char windows BROADCAST (eval
-    suites are thousands of docs against a corpus of billions; pass
-    ``broadcast_benchmark=False`` for the shuffle equi-join fallback,
-    dc1's beyond-broadcast stance); the corpus posting list streams
-    through one join, flagged positions island-merge per doc (dd14's
-    window-cover rule: every window of a leaked range hits, so merged
-    hit positions ARE the maximal leaked ranges), and the rebuild is a
-    single JVM ``aggregate`` fold over each doc's sorted range array
-    concatenating the gaps — O(ranges) per doc, shuffle-free after the
-    one (doc_id) join. Windows compare as STRINGS on both engines — no
-    hash anywhere, so not even dd2's collision caveat applies.
+    suites are thousands of docs against a corpus of billions); the
+    corpus posting list streams through one join, flagged positions
+    island-merge per doc (dd14's window-cover rule: every window of a
+    leaked range hits, so merged hit positions ARE the maximal leaked
+    ranges), and the rebuild is a single JVM ``aggregate`` fold over
+    each doc's sorted range array concatenating the gaps — O(ranges)
+    per doc, shuffle-free after the one (doc_id) join. In this default
+    path windows compare as STRINGS on both engines — no hash anywhere,
+    so not even dd2's collision caveat applies.
+
+    ``broadcast_benchmark=False`` is the beyond-broadcast fallback
+    (round-11 verdict task 2), and it never ships raw corpus windows
+    through an exchange: (1) an in-scan Bloom digest of the benchmark
+    windows (dc2's builder — no false negatives) drops ~every clean
+    window before any shuffle, (2) survivors route through the equi-join
+    on ``xxhash64(window)`` ONLY (8-byte keys; the corpus-side exchange
+    carries (doc_id, pos, h), never the string — plan-asserted), and
+    (3) candidates verify by STRING against the corpus text via a
+    broadcast join at contamination cardinality, so a hash collision or
+    Bloom false positive can only ADD candidates that the verify kills —
+    the output is identical to the broadcast path (shared exact oracle).
 
     Reference parity: the reference engine has no text surface (samsa is
     a Kafka K/V state library); extends SURVEY.md §2.4 X2/X4 alongside
@@ -1182,12 +1193,26 @@ def strip_contaminated_spans(
         ),
     ).otherwise(F.array().cast("array<string>"))
     bwin = probes.select(F.explode(win).alias("w")).distinct()
-    if broadcast_benchmark:
-        bwin = F.broadcast(bwin)
     cwin = corpus.select("doc_id", F.posexplode(win).alias("i", "w")).select(
         "doc_id", (F.col("i") + 1).alias("pos"), "w"
     )
-    hits = cwin.join(bwin, "w").select("doc_id", "pos")
+    if broadcast_benchmark:
+        hits = cwin.join(F.broadcast(bwin), "w").select("doc_id", "pos")
+    else:
+        bwin = bwin.localCheckpoint(eager=False)  # digest build + join reuse
+        dig = bloom_digest(bwin, col="w")
+        surv = cwin.where(bloom_contains("w", dig)).select(
+            "doc_id", "pos", F.xxhash64("w").alias("h")
+        )
+        cand = surv.join(bwin.select(F.xxhash64("w").alias("h"), "w"), "h").select(
+            "doc_id", "pos", "w"
+        )
+        hits = (
+            corpus.select("doc_id", "text")
+            .join(F.broadcast(cand), "doc_id")
+            .where(F.expr(f"substring(text, pos, {k}) = w"))
+            .select("doc_id", "pos")
+        )
     wd = Window.partitionBy("doc_id").orderBy("pos")
     flagged = hits.withColumn(
         "new_island",
@@ -1213,9 +1238,13 @@ def strip_contaminated_spans(
             ).alias("rs")
         )
     )
+    # rng holds ranges for CONTAMINATED docs only (contamination-sized, the
+    # same bound the fallback's candidate broadcast rides) — broadcasting it
+    # keeps the rebuild a narrow corpus scan instead of shuffling every
+    # doc's text on doc_id for a sort-merge join
     j = (
         corpus.select("doc_id", "text")
-        .join(rng, "doc_id", "left")
+        .join(F.broadcast(rng), "doc_id", "left")
         .withColumn(
             "rs", F.coalesce("rs", F.array().cast("array<struct<s:int,e:int>>"))
         )

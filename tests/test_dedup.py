@@ -1538,3 +1538,47 @@ def test_dd17_mega_hot_boilerplate(spark):
         sub = text[r.span_start - 1 : r.span_end]
         assert boiler in sub, (i, sub)
         assert r.span_start - 1 <= s0 and s0 + len(boiler) <= r.span_end, (i, r)
+
+
+def test_dc3_beyond_broadcast_fallback_equivalent_and_hash_routed(spark):
+    """Round-11 verdict task 2: dc3's broadcast_benchmark=False regime must
+    (a) return EXACTLY the broadcast path's output (Bloom prefilter has no
+    false negatives; hash routing only adds candidates the string verify
+    kills), and (b) never ship a raw window string through the corpus-side
+    exchange — every Exchange whose input carries the posting position
+    must carry the 8-byte hash, not the 25-char window."""
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import strip_contaminated_spans
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    want = {
+        (r.doc_id, r.n_chars, r.n_kept_chars, r.clean_text)
+        for r in strip_contaminated_spans(docs).collect()
+    }
+    fb = strip_contaminated_spans(docs, broadcast_benchmark=False)
+    got = {
+        (r.doc_id, r.n_chars, r.n_kept_chars, r.clean_text) for r in fb.collect()
+    }
+    assert got == want and got
+
+    import re
+
+    p = fb._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted explain: each node prints "(n) <Node>" then "Input [n]:
+    # [cols]". No SHUFFLE exchange may carry the raw window string — the
+    # only place w crosses executors is the contamination-sized verify
+    # BroadcastExchange. (The corpus-survivor side routes as (doc_id,
+    # pos, h); whether Spark shuffles or broadcasts it by size, w never
+    # rides along.)
+    lines = p.split("\n")
+    shuffles = 0
+    for i, ln in enumerate(lines):
+        if not re.match(r"^\(\d+\) Exchange\b", ln.strip()):
+            continue  # plain Exchange = shuffle; BroadcastExchange exempt
+        shuffles += 1
+        inp = lines[i + 1]
+        assert inp.lstrip().startswith("Input"), inp
+        assert "w#" not in inp, inp
+    assert shuffles >= 1, "expected at least one shuffle exchange in the plan"
