@@ -2001,7 +2001,12 @@ def save_index(
     assign.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
 
 
-def append_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> DataFrame:
+def append_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    append_id: int | None = None,
+) -> DataFrame:
     """Incrementally append vectors to a saved IVF index (save_index is
     build-once; a production ingest appends daily batches without
     re-training): assign the new vectors against the SAVED centroids (the
@@ -2023,7 +2028,21 @@ def append_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> Data
     IDENTICAL to one against an index of the union corpus sharing these
     centroids (asserted in tests/test_similarity.py). ``vec_id``
     uniqueness across appends is the caller's contract, as with any
-    re-ingest."""
+    re-ingest.
+
+    IDEMPOTENT under re-delivery (round-11 verdict task 4): already-
+    present vec_ids are skipped via an anti-join against the TOUCHED
+    cells' stored ids (frozen centroids assign a vec_id to the same cell
+    every time, so the lookup partition-prunes to the batch's cells) —
+    re-appending a batch writes zero new rows. With an explicit
+    ``append_id`` (the streaming path: pass the micro-batch id) the
+    drift row set for that id is written with dynamic partition
+    overwrite into its own ``append_id=`` partition, replacing itself
+    on retry — data + drift together are then EXACTLY-ONCE under
+    foreachBatch's at-least-once replay. Without it (the batch API)
+    drift appends under ``max+1`` as before. Drift stats describe the
+    incoming batch (recomputable on retry even when every row is
+    skipped as already present)."""
     from pyspark.sql.types import ByteType
 
     cents, assign0 = load_index(spark, path)
@@ -2032,7 +2051,14 @@ def append_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> Data
     # Feeds the data write AND the drift aggregate — materialize once
     # (multi-branch rule, CLAUDE.md note 12).
     newa = _nearest_cell(base, cents, "cell").localCheckpoint(eager=False)
-    to_write = _with_int8_codes(newa, cast_to="tinyint") if quantized else newa
+    # idempotency: skip ids already stored in the touched cells (partition-
+    # pruned lookup; frozen centroids make the cell deterministic per id)
+    touched = newa.select("cell").distinct()
+    existing = (
+        assign0.join(F.broadcast(touched), "cell").select("vec_id").distinct()
+    )
+    fresh = newa.join(existing, "vec_id", "left_anti")
+    to_write = _with_int8_codes(fresh, cast_to="tinyint") if quantized else fresh
     to_write.write.mode("append").partitionBy("cell").parquet(f"{path}/assignments")
     # Only the path-missing case (first append) may fall back to id 0: a
     # TRANSIENT drift-read failure swallowed here would silently restart
@@ -2041,13 +2067,16 @@ def append_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> Data
     # missing-path error; anything else propagates.
     from pyspark.errors import AnalysisException
 
-    try:
-        prev = spark.read.parquet(f"{path}/drift")
-    except AnalysisException:
-        next_id = 0
+    if append_id is not None:
+        next_id = int(append_id)
     else:
-        last = prev.agg(F.max("append_id")).collect()[0][0]
-        next_id = 0 if last is None else last + 1
+        try:
+            prev = spark.read.parquet(f"{path}/drift")
+        except AnalysisException:
+            next_id = 0
+        else:
+            last = prev.agg(F.max("append_id")).collect()[0][0]
+            next_id = 0 if last is None else last + 1
     drift = (
         newa.join(F.broadcast(cents), "cell")
         .withColumn("ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6))
@@ -2059,7 +2088,21 @@ def append_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> Data
         )
         .withColumn("append_id", F.lit(next_id))
     )
-    drift.coalesce(1).write.mode("append").parquet(f"{path}/drift")
+    if append_id is not None:
+        # replace exactly this append's rows on retry, touch no others
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            drift.coalesce(1).write.mode("overwrite").partitionBy(
+                "append_id"
+            ).parquet(f"{path}/drift")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    else:
+        drift.coalesce(1).write.mode("append").partitionBy("append_id").parquet(
+            f"{path}/drift"
+        )
+    spark.catalog.refreshByPath(f"{path}/drift")
     return spark.read.parquet(f"{path}/drift")
 
 
@@ -2906,6 +2949,14 @@ def append_graph(spark: SparkSession, path: str, new_vectors: DataFrame) -> Data
     ``meta`` file, never from a caller kwarg, so a mismatched parameter
     can't silently corrupt the layout (note 36). ``vec_id`` uniqueness
     across appends is the caller's contract.
+
+    IDEMPOTENT under re-delivery (round-11 verdict task 4, shared with
+    append_index): ids already present in the candidate cells are
+    anti-joined away — frozen centroids assign deterministically, so a
+    retried batch finds every id in place, the fresh set comes back
+    empty, and the rebuild is skipped entirely (the graph is returned
+    unchanged). This is what makes :class:`StreamingGraphAppender`
+    exactly-once under foreachBatch's at-least-once replay.
     """
     idx = load_graph_index(spark, path)
     cents = idx["centroids"].localCheckpoint(eager=True)
@@ -2928,16 +2979,25 @@ def append_graph(spark: SparkSession, path: str, new_vectors: DataFrame) -> Data
             .where(F.col("_cr") <= spill)
             .select("vec_id", "cell", "embedding")
         )
-    # feeds the affected-cell prune AND the rebuild input (note 12)
+    # feeds the id-skip anti-join, the affected-cell prune AND the
+    # rebuild input (note 12)
     newa = newa.join(F.broadcast(cents), "cell").localCheckpoint(eager=False)
-    affected = newa.select("cell").distinct()
+    # idempotency: drop ids the graph already holds in the batch's cells
+    # (cell assignment under frozen centroids is deterministic, so a
+    # replayed batch maps to the same cells and skips completely)
+    cand_cells = newa.select("cell").distinct()
+    present = graph.join(F.broadcast(cand_cells), "cell").select("vec_id").distinct()
+    fresh = newa.join(present, "vec_id", "left_anti").localCheckpoint(eager=False)
+    if fresh.isEmpty():
+        return graph
+    affected = fresh.select("cell").distinct()
     # prune the passive side to affected cells (note 11) — broadcast
     # semi-join on the handful of touched cell ids
     old_members = graph.join(F.broadcast(affected), "cell").select(
         "vec_id", "cell", "embedding"
     ).join(F.broadcast(cents), "cell")
     combined = old_members.unionByName(
-        newa.select("vec_id", "cell", "embedding", "cent")
+        fresh.select("vec_id", "cell", "embedding", "cent")
     )
     rebuilt = combined.groupBy("cell").applyInPandas(
         _cell_graph_builder(m, ne), _GX_GRAPH_SCHEMA

@@ -157,18 +157,35 @@ class IncrementalDedupIndex:
 
     The index is parquet keyed by (band, bh); at scale it would be written
     bucketed on bh so the per-batch join is co-located.
+
+    EXACTLY-ONCE (round-11 verdict task 4): both sinks write into their
+    own ``batch_id=<n>`` directory with overwrite — a retried batch
+    replaces itself byte-for-byte instead of appending a duplicate
+    (MaterializedStateSink / StreamingCardAccumulator's generation
+    pattern). The accumulated-index join reads only ``batch_id <
+    current`` (partition-pruned), so a retry joins against exactly the
+    index state its first attempt saw and emits exactly the same pairs.
+    Readers of either root see the ``batch_id`` partition column
+    alongside the data columns.
     """
 
     def __init__(self, index_path: str, pairs_path: str, min_est_jaccard: float = 0.5) -> None:
         self.index_path = index_path
         self.pairs_path = pairs_path
         self.min_est_jaccard = min_est_jaccard
-        # Recovered from disk so a restart keeps joining against the
-        # accumulated index instead of treating the corpus as empty. (Note:
-        # unlike MaterializedStateSink, the appends here are at-least-once —
-        # a batch retried after its append lands would duplicate pairs.)
-        self._has_index = os.path.isdir(index_path) and any(
-            f.endswith(".parquet") for f in os.listdir(index_path)
+
+    def _batches_before(self, batch_id: int) -> list[int]:
+        # Discovered from disk, never from sink-object memory: a restart
+        # from an existing checkpoint with a FRESH sink object keeps
+        # joining against the accumulated index.
+        try:
+            names = os.listdir(self.index_path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n.split("=", 1)[1])
+            for n in names
+            if n.startswith("batch_id=") and int(n.split("=", 1)[1]) < batch_id
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -197,8 +214,11 @@ class IncrementalDedupIndex:
         )
         candidates = within
         sig_sources = [bands.select("doc_id", "sig").dropDuplicates(["doc_id"])]
-        if self._has_index:
-            idx = spark.read.parquet(self.index_path)
+        prior = self._batches_before(batch_id)
+        if prior:
+            idx = spark.read.parquet(
+                *[os.path.join(self.index_path, f"batch_id={g}") for g in prior]
+            )
             cross = (
                 slim.alias("n")
                 .join(
@@ -225,9 +245,12 @@ class IncrementalDedupIndex:
             .select("doc_a", "doc_b", est_jaccard_col())
             .where(F.col("est_jaccard") >= self.min_est_jaccard)
         )
-        pairs.write.mode("append").parquet(self.pairs_path)
-        bands.write.mode("append").parquet(self.index_path)
-        self._has_index = True
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
+        )
+        bands.write.mode("overwrite").parquet(
+            os.path.join(self.index_path, f"batch_id={int(batch_id)}")
+        )
 
 
 def run_incremental_dedup(stream_df: DataFrame, checkpoint_dir: str, index: IncrementalDedupIndex):
@@ -255,12 +278,15 @@ class StreamingIndexAppender:
     cosines across batches are the live signal that the frozen quantizer no
     longer fits the incoming distribution and a rebuild is due.
 
-    Exactly like the dedup index, appends are at-least-once: a batch
-    retried after its files landed would duplicate vectors (callers that
-    need exactly-once keep vec_id-keyed dedup downstream or rebuild from
-    the source of truth). Readers (``ivf_topk_prebuilt``) see each append
-    atomically at the file level and the same partition pruning as a
-    batch-built index."""
+    EXACTLY-ONCE (round-11 verdict task 4): ``append_index`` skips
+    vec_ids already stored in the touched cells (frozen centroids assign
+    deterministically, so a replayed batch lands on the same cells and
+    writes zero rows), and the micro-batch id is passed through as the
+    drift ``append_id`` so the drift rows overwrite their own partition
+    on retry — a batch delivered twice leaves the index and drift table
+    byte-identical to once (pytest-locked). Readers
+    (``ivf_topk_prebuilt``) see each append atomically at the file level
+    and the same partition pruning as a batch-built index."""
 
     def __init__(self, index_path: str) -> None:
         self.index_path = index_path
@@ -270,13 +296,58 @@ class StreamingIndexAppender:
 
         if batch_df.isEmpty():
             return
-        append_index(batch_df.sparkSession, self.index_path, batch_df)
+        append_index(
+            batch_df.sparkSession, self.index_path, batch_df, append_id=int(batch_id)
+        )
 
 
 def run_streaming_index_append(
     stream_df: DataFrame, checkpoint_dir: str, appender: StreamingIndexAppender
 ):
     """Drain a vector stream into the saved index with AvailableNow."""
+    q = (
+        stream_df.writeStream.foreachBatch(appender)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+class StreamingGraphAppender:
+    """foreachBatch sink growing a saved gx1 graph index from a live
+    vector stream — the graph-tier parity of :class:`StreamingIndexAppender`
+    (round-11 verdict task 6): each micro-batch runs
+    :func:`samsa_spark.operators.similarity.append_graph`, which assigns
+    the batch against the SAVED centroids (frozen quantizer), rebuilds
+    exactly the affected cells from their combined members, and rewrites
+    only those ``cell=`` partitions.
+
+    EXACTLY-ONCE: append_graph anti-joins already-present vec_ids inside
+    the batch's candidate cells — a replayed batch finds every id in
+    place and skips the rebuild entirely, so a batch delivered twice
+    leaves the graph byte-identical to once. A multi-batch stream over a
+    split corpus equals one-shot ``append_graph`` of the whole split
+    (pytest-locked), because cell membership under frozen centroids is
+    batch-order-invariant and each cell rebuild is a pure function of
+    its final member set."""
+
+    def __init__(self, index_path: str) -> None:
+        self.index_path = index_path
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from samsa_spark.operators.similarity import append_graph
+
+        if batch_df.isEmpty():
+            return
+        append_graph(batch_df.sparkSession, self.index_path, batch_df)
+
+
+def run_streaming_graph_append(
+    stream_df: DataFrame, checkpoint_dir: str, appender: StreamingGraphAppender
+):
+    """Drain a vector stream into the saved graph index with AvailableNow."""
     q = (
         stream_df.writeStream.foreachBatch(appender)
         .option("checkpointLocation", checkpoint_dir)

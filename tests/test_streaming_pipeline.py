@@ -503,3 +503,148 @@ def test_streaming_card_accumulator_equals_one_pass_card(spark, tmp_path):
     after_once = card_rows(acc.merged(spark))
     acc(extra, 99)
     assert card_rows(acc.merged(spark)) == after_once
+
+
+def test_incremental_dedup_index_retry_replay_exactly_once(spark, tmp_path):
+    """Round-11 verdict task 4: the dedup index sink is exactly-once —
+    delivering the SAME micro-batch twice (foreachBatch's at-least-once
+    retry) leaves both the pairs ledger and the band index identical to a
+    single delivery, because each batch overwrites its own batch_id
+    directory and joins only against strictly-older batches."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.streaming.pipeline import IncrementalDedupIndex
+
+    docs = tables.load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.where("doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    sink = IncrementalDedupIndex(
+        str(tmp_path / "index"), str(tmp_path / "pairs"), min_est_jaccard=0.05
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def snap():
+        pairs = {
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        }
+        idx = {
+            (r.doc_id, r.band, r.bh)
+            for r in spark.read.parquet(str(tmp_path / "index"))
+            .select("doc_id", "band", "bh")
+            .collect()
+        }
+        return pairs, idx
+
+    once = snap()
+    assert once[0] and once[1]
+    sink(b1, 1)  # the retry
+    spark.catalog.refreshByPath(str(tmp_path / "pairs"))
+    spark.catalog.refreshByPath(str(tmp_path / "index"))
+    assert snap() == once
+    # a restart with a FRESH sink object still joins against old batches:
+    # batch 2 must find cross-batch pairs vs b0/b1, matching a by-hand join
+    fresh_sink = IncrementalDedupIndex(
+        str(tmp_path / "index"), str(tmp_path / "pairs"), min_est_jaccard=0.05
+    )
+    b2 = docs.where("doc_id % 3 = 2")
+    fresh_sink(b2, 2)
+    pairs_after = spark.read.parquet(str(tmp_path / "pairs"))
+    cross = pairs_after.where(F.col("batch_id") == 2).count()
+    assert cross > 0
+
+
+def test_streaming_index_appender_retry_replay_exactly_once(spark, tmp_path):
+    """The IVF appender's exactly-once contract: replaying a micro-batch
+    writes zero new assignment rows (already-present vec_ids anti-joined
+    away in the touched cells) and the drift rows for that batch overwrite
+    themselves — index and drift byte-identical to a single delivery."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import load_index, save_index
+    from samsa_spark.streaming.pipeline import StreamingIndexAppender
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    save_index(half1, path, cells=8)
+    app = StreamingIndexAppender(path)
+    app(half2, 0)
+
+    def snap():
+        _, assign = load_index(spark, path)
+        a = {(r.vec_id, r.cell) for r in assign.select("vec_id", "cell").collect()}
+        d = {
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/drift")
+            .select("append_id", "cell", "n_appended", "avg_assign_cos")
+            .collect()
+        }
+        return a, d
+
+    once = snap()
+    app(half2, 0)  # the retry
+    spark.catalog.refreshByPath(f"{path}/assignments")
+    assert snap() == once
+
+
+def test_append_graph_idempotent_and_streaming_matches_oneshot(spark, tmp_path):
+    """Round-11 verdict task 6: (a) append_graph re-delivered the same
+    batch rewrites nothing (ids found in place, rebuild skipped); (b) a
+    multi-batch stream through StreamingGraphAppender equals one-shot
+    append_graph of the whole split — cell membership under frozen
+    centroids is batch-order-invariant and each cell rebuild is a pure
+    function of its final member set."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import (
+        append_graph,
+        load_graph_index,
+        save_graph_index,
+    )
+    from samsa_spark.streaming.pipeline import (
+        StreamingGraphAppender,
+        run_streaming_graph_append,
+    )
+    from samsa_spark.streaming.sources import file_stream
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    def graph_snap(path):
+        g = load_graph_index(spark, path)["graph"]
+        return {
+            (r.vec_id, r.cell, tuple(r.nbrs)) for r in g.select("vec_id", "cell", "nbrs").collect()
+        }
+
+    # (a) idempotency of the batch op
+    p1 = str(tmp_path / "g1")
+    save_graph_index(half1, p1, cells=8)
+    append_graph(spark, p1, half2)
+    once = graph_snap(p1)
+    again = append_graph(spark, p1, half2)  # re-delivery: must change nothing
+    assert graph_snap(p1) == once
+    assert {tuple(sorted((r.vec_id, r.cell) for r in again.select("vec_id", "cell").collect()))}
+
+    # (b) streaming multi-batch == one-shot append
+    p2 = str(tmp_path / "g2")
+    save_graph_index(half1, p2, cells=8)
+    src = str(tmp_path / "src")
+    half2.repartition(4).write.parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_streaming_graph_append(
+            file_stream(spark, src, half2.schema, max_files_per_trigger=1),
+            str(tmp_path / "chk"),
+            StreamingGraphAppender(p2),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert graph_snap(p2) == once
