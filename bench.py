@@ -42,7 +42,10 @@ Three sections:
   judged by its section floor (first recorded BENCH_r11); dd17/gx1
   graduated carrying their round-11 algorithm upgrades, still inside the
   2x budgets of their round-10 first floors.
-- EXTRAS — the live roster (round 11+); same floor protocol, each member
+- EXTRAS_R11 — the round-11 cohort, graduated + frozen in round 12:
+  judged by its section floor (first recorded BENCH_r12); every member
+  closed round 11 at or below its own first floor.
+- EXTRAS — the live roster (round 12+); same floor protocol, each member
   judged against its own first floor until the cohort graduates
   (BASELINE.md graduation rule).
 """
@@ -254,22 +257,37 @@ EXTRAS_R10 = [
     "ev1_retrieval_metrics",
 ]
 
-# Live roster (round 11+): same protocol — each member judged against its
-# own first recorded floor until the cohort graduates (BASELINE.md rule).
-EXTRAS = [
-    # round 11: graph-index append lifecycle end-to-end (save half, append
-    # the rest against frozen centroids — affected-cell partition rewrite —
-    # then one prebuilt query over the appended artifact).
+# EXTRAS_R11 — the round-11 cohort, graduated + frozen in round 12: every
+# member at or below its own first floor in BENCH_r11 (worst 1.03x, ev2)
+# and stable across two same-day round-11 runs (BASELINE.md rule); judged
+# by its section floor from BENCH_r12 on. Membership is FROZEN (note 31).
+EXTRAS_R11 = [
+    # graph-index append lifecycle end-to-end (save half, append the rest
+    # against frozen centroids — affected-cell partition rewrite — then
+    # one prebuilt query over the appended artifact).
     "gx2_append_graph",
-    # round 11: span-level benchmark decontamination with the strip applied
+    # span-level benchmark decontamination with the strip applied
     # (broadcast window join + island merge + JVM aggregate-fold rebuild).
     "dc3_strip_contaminated_spans",
-    # round 11: incremental exact-Jaccard dedup lifecycle (save the even-id
-    # index, prefix-dedup the odd-id batch against it under the frozen
+    # incremental exact-Jaccard dedup lifecycle (save the even-id index,
+    # prefix-dedup the odd-id batch against it under the frozen
     # rarest-first order).
     "dd19_incremental_dedup",
-    # round 11: paired exact sign test of IVF vs IVF-PQ vs brute truth.
+    # paired exact sign test of IVF vs IVF-PQ vs brute truth.
     "ev2_ranker_sign_test",
+]
+
+# Live roster (round 12+): same protocol — each member judged against its
+# own first recorded floor until the cohort graduates (BASELINE.md rule).
+EXTRAS = [
+    # round 12: the no-ceiling paired sign test at a 60-probe query set —
+    # nn > 20 on the fixtures, so the log-space exact branch is the timed
+    # path (round-11 verdict task 3).
+    "ev3_sign_test_wide",
+    # round 12: dc3's beyond-broadcast regime — in-scan Bloom prefilter,
+    # xxhash64-routed shuffle, contamination-sized broadcast string verify
+    # (round-11 verdict task 2).
+    "dc3_fallback_strip",
 ]
 
 
@@ -459,6 +477,18 @@ def main() -> None:
         return bm25_query(_ti, probes, pushdown=True)
 
     qs["bm2_prebuilt_query"] = _bm2_prebuilt_query
+
+    # dc3's beyond-broadcast fallback (round-12 live EXTRAS): same output
+    # as the broadcast form by construction; the timed plan is the Bloom
+    # digest build + hash-routed join + broadcast string verify.
+    def _dc3_fallback_strip(spark, sf_dir):
+        from samsa_spark.operators.dedup import strip_contaminated_spans
+
+        return strip_contaminated_spans(
+            tables.load(spark, sf_dir, "documents"), broadcast_benchmark=False
+        )
+
+    qs["dc3_fallback_strip"] = _dc3_fallback_strip
     # Warm both execution paths before timing: JVM/codegen (flagship) and
     # the Python worker pool (an Arrow pandas-UDF query) — steady-state
     # throughput is what the headline measures, not process spin-up.
@@ -492,6 +522,7 @@ def main() -> None:
     extras_r8, extras_r8_floor = run_section(EXTRAS_R8)
     extras_r9, extras_r9_floor = run_section(EXTRAS_R9)
     extras_r10, extras_r10_floor = run_section(EXTRAS_R10)
+    extras_r11, extras_r11_floor = run_section(EXTRAS_R11)
     extras, extras_floor = run_section(EXTRAS)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -523,6 +554,8 @@ def main() -> None:
         "extras_r9_value": round(sum(extras_r9.values()), 3),
         "extras_r10_value_floor": round(sum(extras_r10_floor.values()), 3),
         "extras_r10_value": round(sum(extras_r10.values()), 3),
+        "extras_r11_value_floor": round(sum(extras_r11_floor.values()), 3),
+        "extras_r11_value": round(sum(extras_r11.values()), 3),
         "extras_value_floor": round(sum(extras_floor.values()), 3),
         "extras_value": round(sum(extras.values()), 3),
         "detail": "BENCH_DETAIL.json",
@@ -540,6 +573,8 @@ def main() -> None:
         extras_r9_queries=extras_r9,
         extras_r10_queries_floor=extras_r10_floor,
         extras_r10_queries=extras_r10,
+        extras_r11_queries_floor=extras_r11_floor,
+        extras_r11_queries=extras_r11,
         extras_queries_floor=extras_floor,
         extras_queries=extras,
         protocol=(
