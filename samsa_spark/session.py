@@ -23,6 +23,17 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # Local mode runs the whole engine in ONE JVM whose default heap is
+        # spark.driver.memory = 1g — an accident on a 128 GiB box, and the
+        # root cause of the note-39 "not enough memory to build and
+        # broadcast" class: checkpoint blocks + one broadcast build exceed
+        # 1g long before any real limit. Applies only when THIS factory
+        # launches the JVM (the external driver's own vanilla session is
+        # untouched); verified effective via Runtime.maxMemory.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
