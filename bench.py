@@ -288,6 +288,10 @@ EXTRAS = [
     # xxhash64-routed shuffle, contamination-sized broadcast string verify
     # (round-11 verdict task 2).
     "dc3_fallback_strip",
+    # round 12: the dd19 lifecycle as an exactly-once stream — bootstrap
+    # the frozen order, per-batch exact pairs vs everything prior, id
+    # anti-join appends (timed end-to-end incl. checkpoint + triggers).
+    "st10_streaming_exact_jaccard",
 ]
 
 

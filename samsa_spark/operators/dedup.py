@@ -999,7 +999,9 @@ def _rank_under_frozen_order(spark: SparkSession, path: str, batch: DataFrame):
     return g, ranked
 
 
-def append_dedup_index(spark: SparkSession, path: str, batch: DataFrame) -> DataFrame:
+def append_dedup_index(
+    spark: SparkSession, path: str, batch: DataFrame, append_id: int | None = None
+) -> DataFrame:
     """Incrementally add a batch to a saved dedup index (run AFTER
     :func:`dedup_against_index` has vetted it): append the batch's sets
     and frozen-order ranked postings, leave ``df`` untouched (the order
@@ -1009,13 +1011,25 @@ def append_dedup_index(spark: SparkSession, path: str, batch: DataFrame) -> Data
     ranks get crowded and prefix selectivity decays — the rebuild
     signal, exactly append_index's falling-assignment-cosine role.
     ``doc_id`` uniqueness across the index and all appends is the
-    caller's contract. Returns the cumulative drift table."""
+    caller's contract. Returns the cumulative drift table.
+
+    IDEMPOTENT under re-delivery (append_index's note-50 pattern):
+    doc_ids the index already holds are anti-joined away (one pruned
+    column scan of the stored sets), so a replayed batch appends zero
+    rows; with an explicit ``append_id`` (the streaming path) the drift
+    rows — computed over the FULL incoming batch, hence recomputable on
+    retry — overwrite their own ``append_id=`` partition."""
     g, ranked = _rank_under_frozen_order(spark, path, batch)
-    ranked.select("doc_id", "sh_h", "pos", "n_sh").write.mode("append").parquet(
+    ranked = ranked.localCheckpoint(eager=False)  # fresh-write + drift (note 12)
+    have = spark.read.parquet(f"{path}/sets").select("doc_id")
+    fresh = ranked.join(have, "doc_id", "left_anti")
+    fresh.select("doc_id", "sh_h", "pos", "n_sh").write.mode("append").parquet(
         f"{path}/ranked"
     )
-    sets = g.groupBy("doc_id").agg(
-        F.collect_set("sh_h").alias("shs"), F.count("*").alias("n_sh")
+    sets = (
+        g.join(have, "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh_h").alias("shs"), F.count("*").alias("n_sh"))
     )
     sets.write.mode("append").parquet(f"{path}/sets")
     # a same-session reader of these paths must not serve the stale
@@ -1024,13 +1038,16 @@ def append_dedup_index(spark: SparkSession, path: str, batch: DataFrame) -> Data
     spark.catalog.refreshByPath(f"{path}/sets")
     from pyspark.errors import AnalysisException
 
-    try:
-        prev = spark.read.parquet(f"{path}/drift")
-    except AnalysisException:
-        next_id = 0
+    if append_id is not None:
+        next_id = int(append_id)
     else:
-        last = prev.agg(F.max("append_id")).collect()[0][0]
-        next_id = 0 if last is None else last + 1
+        try:
+            prev = spark.read.parquet(f"{path}/drift")
+        except AnalysisException:
+            next_id = 0
+        else:
+            last = prev.agg(F.max("append_id")).collect()[0][0]
+            next_id = 0 if last is None else last + 1
     drift = ranked.agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_postings"),
@@ -1038,7 +1055,19 @@ def append_dedup_index(spark: SparkSession, path: str, batch: DataFrame) -> Data
             "unseen_fraction"
         ),
     ).withColumn("append_id", F.lit(next_id))
-    drift.coalesce(1).write.mode("append").parquet(f"{path}/drift")
+    if append_id is not None:
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            drift.coalesce(1).write.mode("overwrite").partitionBy(
+                "append_id"
+            ).parquet(f"{path}/drift")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    else:
+        drift.coalesce(1).write.mode("append").partitionBy("append_id").parquet(
+            f"{path}/drift"
+        )
     spark.catalog.refreshByPath(f"{path}/drift")
     return spark.read.parquet(f"{path}/drift")
 
@@ -1103,7 +1132,15 @@ def dedup_against_index(
     bsets = bg.groupBy("doc_id").agg(
         F.collect_set("sh_h").alias("shs"), F.count("*").alias("n_sh")
     )
-    sets = spark.read.parquet(f"{path}/sets").unionByName(bsets)
+    # dropDuplicates: a batch REPLAYED after its append landed exists on
+    # both sides of this union (identical shingle sets); without the
+    # dedup every pair touching it would verify twice and the output
+    # would carry duplicate rows (the st10 exactly-once contract)
+    sets = (
+        spark.read.parquet(f"{path}/sets")
+        .unionByName(bsets)
+        .dropDuplicates(["doc_id"])
+    )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("shs_a"),

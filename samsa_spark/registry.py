@@ -736,6 +736,60 @@ FROM p LEFT JOIN c ON p.p_user_id = c.user_id
 _register("st9_streaming_outer_join", _streaming_outer_join, _ST9_SQL)
 
 
+def _streaming_exact_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """st10 — the dd19 lifecycle as a STREAM inside the exact gate: the
+    documents corpus replays as a multi-trigger file backlog through
+    :class:`streaming.pipeline.StreamingExactDedupIndex` (first batch
+    bootstraps the frozen rarest-first order; each later batch emits its
+    exact threshold-Jaccard pairs against everything prior + itself,
+    then appends into the index exactly-once). Every pair lands at the
+    batch where its LATER side arrives, so the union of per-batch pair
+    files equals ``prefix_jaccard_pairs`` over the whole corpus — the
+    oracle is dd16's (dd2's SQL + threshold), because prefix filtering
+    is lossless under ANY single total order including the
+    bootstrap-batch's frozen one."""
+    import os
+    import tempfile
+
+    from samsa_spark.streaming.pipeline import (
+        StreamingExactDedupIndex,
+        run_streaming_exact_dedup,
+    )
+    from samsa_spark.streaming.sources import file_stream
+
+    docs = tables.load(spark, sf, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="samsa-st10-")
+    src = os.path.join(base, "src")
+    docs.repartition(4).write.parquet(src)
+    sink = StreamingExactDedupIndex(
+        os.path.join(base, "index"), os.path.join(base, "pairs")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_streaming_exact_dedup(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=2),
+            os.path.join(base, "chk"),
+            sink,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(os.path.join(base, "pairs")).select(
+        "doc_a", "doc_b", "n_inter", "jaccard"
+    )
+
+
+def _st10_sql() -> str:
+    from samsa_spark.operators.dedup import DD16_MIN_JACCARD, _DD2_SQL
+
+    return (
+        "SELECT * FROM (" + _DD2_SQL + ") WHERE jaccard >= " + str(DD16_MIN_JACCARD)
+    )
+
+
+_register("st10_streaming_exact_jaccard", _streaming_exact_jaccard, _st10_sql())
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:
@@ -864,6 +918,7 @@ _DEMOTED = (
     "mm3_resized_stats",              # mm1 keeps the media metadata surface in-window and mm2/mm4 share the decode-stub plumbing in pytest; the resize-stats twin was driver-green since round 5 and stays pytest-oracle-checked — slot went to dd19 (round-12 rotation)
     # round-12 additions, born demoted (the window is full)
     "ev3_sign_test_wide",             # ev2's demotion rationale carries; the 60-probe wide variant exists to run the no-ceiling log-space sign-test branch through the three-scale oracle sweep (nn > 20), and is pytest hand-model tested against exact Python rationals
+    "st10_streaming_exact_jaccard",   # st1/st2/st3 keep the streaming engine in-window and dd19/dd18/dd1 the dedup family; the exactly-once streaming dd19 lifecycle shares dd16's lossless-prefix oracle by construction and is pytest retry/equivalence tested
 )
 
 

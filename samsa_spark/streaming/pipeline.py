@@ -315,6 +315,102 @@ def run_streaming_index_append(
     return q
 
 
+class StreamingExactDedupIndex:
+    """foreachBatch sink: EXACT threshold-Jaccard incremental dedup over a
+    live document stream — the dd19 lifecycle as a streaming pipeline
+    (the exact-guarantee sibling of :class:`IncrementalDedupIndex`'s
+    MinHash estimates). The FIRST batch bootstraps the index and with it
+    the frozen rarest-first shingle order (``save_dedup_index``; its
+    within-batch pairs come from ``prefix_jaccard_pairs``). Every later
+    batch emits its exact pairs against everything prior + itself
+    (``dedup_against_index`` — the indexed corpus is never re-shingled),
+    then appends itself under the frozen order
+    (``append_dedup_index``). Each pair lands exactly once, at the batch
+    where its LATER side arrives, so the union of per-batch pair files
+    equals ``prefix_jaccard_pairs`` over the whole streamed corpus
+    (pytest-locked; prefix filtering is lossless under ANY single total
+    order, so the bootstrap-batch df order changes selectivity, never
+    output).
+
+    EXACTLY-ONCE: pairs write into their own ``batch_id=<n>`` dir with
+    overwrite; the index append anti-joins already-present doc_ids and
+    keys its drift row by the batch id (note-50 patterns a + b). A
+    bootstrap-batch retry is detected via the recorded bootstrap batch
+    id and re-runs the idempotent overwrite build; a later batch retried
+    after its append landed re-emits an identical pair set, because
+    every cross/within candidate it saw the first time reappears (its
+    own docs now answer from the index side) and candidates are
+    verified + distinct'd."""
+
+    def __init__(
+        self, index_path: str, pairs_path: str, min_jaccard: float | None = None
+    ) -> None:
+        from samsa_spark.operators.dedup import DD16_MIN_JACCARD
+
+        self.index_path = index_path
+        self.pairs_path = pairs_path
+        self.min_jaccard = DD16_MIN_JACCARD if min_jaccard is None else float(min_jaccard)
+
+    def _bootstrap_batch(self, spark: SparkSession) -> int | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(f"{self.index_path}/bootstrap").first().batch_id
+        except AnalysisException:
+            return None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from samsa_spark.operators.dedup import (
+            append_dedup_index,
+            dedup_against_index,
+            prefix_jaccard_pairs,
+            save_dedup_index,
+        )
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        boot = self._bootstrap_batch(spark)
+        pair_dir = os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
+        if boot is None or boot == int(batch_id):
+            # first delivery OR a retry of the bootstrap batch: both the
+            # index build and the pair write are pure overwrites
+            save_dedup_index(batch_df, self.index_path)
+            spark.createDataFrame(
+                [(int(batch_id),)], "batch_id bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{self.index_path}/bootstrap"
+            )
+            for sub in ("df", "ranked", "sets"):
+                spark.catalog.refreshByPath(f"{self.index_path}/{sub}")
+            pairs = prefix_jaccard_pairs(batch_df, min_jaccard=self.min_jaccard)
+            pairs.write.mode("overwrite").parquet(pair_dir)
+            return
+        pairs = dedup_against_index(
+            spark, self.index_path, batch_df, min_jaccard=self.min_jaccard
+        )
+        # materialize pairs BEFORE the append mutates the index this lazy
+        # plan reads (note 28: a post-append action would list post-append
+        # files)
+        pairs.write.mode("overwrite").parquet(pair_dir)
+        append_dedup_index(spark, self.index_path, batch_df, append_id=int(batch_id))
+
+
+def run_streaming_exact_dedup(
+    stream_df: DataFrame, checkpoint_dir: str, sink: StreamingExactDedupIndex
+):
+    """Drain a document stream through the exact dedup index with
+    AvailableNow."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 class StreamingGraphAppender:
     """foreachBatch sink growing a saved gx1 graph index from a live
     vector stream — the graph-tier parity of :class:`StreamingIndexAppender`

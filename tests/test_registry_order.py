@@ -150,8 +150,13 @@ SIBLINGS = {
     # round-12 rotation twins
     "dc1_decontaminate": ["dc3_strip_contaminated_spans", "dd1_exact_dedup"],
     "mm3_resized_stats": ["mm1_media_metadata"],
-    # round-12 addition, born demoted (the window is full)
+    # round-12 additions, born demoted (the window is full)
     "ev3_sign_test_wide": ["sim4_ivf_topk", "qz4_ivf_pq_topk", "sim1_cosine_topk"],
+    "st10_streaming_exact_jaccard": [
+        "st1_streaming_state",
+        "dd19_incremental_dedup",
+        "dd1_exact_dedup",
+    ],
 }
 
 

@@ -648,3 +648,66 @@ def test_append_graph_idempotent_and_streaming_matches_oneshot(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert graph_snap(p2) == once
+
+
+def test_st10_streaming_exact_jaccard_oracle(spark):
+    """st10 (exactly-once streaming dd19 lifecycle) vs dd16's oracle: the
+    union of per-batch exact pair emissions must equal the batch
+    prefix-Jaccard join over the whole corpus — every pair exactly once,
+    at the batch where its later side arrived."""
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st10_streaming_exact_jaccard", SF_SMALL)
+    assert ok, msg
+
+
+def test_streaming_exact_dedup_sink_retry_exactly_once(spark, tmp_path):
+    """Direct foreachBatch re-delivery simulation for the st10 sink: a
+    bootstrap-batch retry re-runs the idempotent overwrite build; a later
+    batch retried AFTER its append landed re-emits an identical pair set
+    (its own docs now answer from the index side, dropDuplicates collapses
+    the double-sided sets) and appends zero rows; drift stays one row per
+    batch id."""
+    from samsa_spark import tables
+    from samsa_spark.streaming.pipeline import StreamingExactDedupIndex
+
+    docs = tables.load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.where("doc_id % 2 = 0")
+    b1 = docs.where("doc_id % 2 = 1")
+    sink = StreamingExactDedupIndex(
+        str(tmp_path / "index"), str(tmp_path / "pairs"), min_jaccard=0.3
+    )
+
+    def snap():
+        import pandas as pd  # noqa: F401
+
+        pairs = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "pairs"))
+            .select("batch_id", "doc_a", "doc_b", "n_inter", "jaccard")
+            .collect()
+        )
+        ranked = spark.read.parquet(str(tmp_path / "index") + "/ranked").count()
+        sets = spark.read.parquet(str(tmp_path / "index") + "/sets").count()
+        return pairs, ranked, sets
+
+    sink(b0, 0)
+    first = snap()
+    sink(b0, 0)  # bootstrap retry (engine replays it only before batch 1)
+    spark.catalog.refreshByPath(str(tmp_path / "pairs"))
+    assert snap() == first
+
+    sink(b1, 1)
+    second = snap()
+    assert len(second[0]) > len(first[0])  # cross-batch pairs appeared
+    drift = spark.read.parquet(str(tmp_path / "index") + "/drift")
+    assert {r.append_id for r in drift.collect()} == {1}
+
+    sink(b1, 1)  # retry AFTER the append landed
+    spark.catalog.refreshByPath(str(tmp_path / "pairs"))
+    for sub in ("ranked", "sets", "drift"):
+        spark.catalog.refreshByPath(str(tmp_path / "index") + f"/{sub}")
+    assert snap() == second
+    drift2 = spark.read.parquet(str(tmp_path / "index") + "/drift")
+    assert {r.append_id for r in drift2.collect()} == {1}
+    assert drift2.count() == 1
