@@ -1303,6 +1303,114 @@ def strip_contaminated_spans(
     )
 
 
+def contamination_report(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    probe_max_id: int = 20,
+    min_chars: int = CHAR_SPAN_K,
+) -> DataFrame:
+    """dc4 — BENCHMARK-side contamination report: dc1/dc3 answer "which
+    corpus docs are dirty"; dc4 answers the eval owner's question —
+    "which of MY benchmark items are compromised, and how badly". One
+    row per benchmark doc: ``(bench_id, n_windows, n_corpus_docs,
+    n_leaked_windows, leaked_frac)`` where n_windows counts its distinct
+    ``min_chars``-char windows, n_corpus_docs counts corpus documents
+    sharing at least one of them verbatim, n_leaked_windows counts how
+    many of ITS windows appear anywhere in the corpus, and leaked_frac
+    = n_leaked_windows / n_windows (6 dp; 0.0 for docs too short to
+    window). A leaked_frac near 1 means the eval item is memorizable
+    from training data even after doc-level dedup; per-item reports are
+    what lets a suite drop compromised items instead of whole tasks.
+
+    ``benchmark``: a separate (doc_id, text) frame; when None, docs with
+    doc_id < ``probe_max_id`` stand in (dc1's oracle convention).
+
+    Plan shape: benchmark windows BROADCAST (dc1's stance — eval suites
+    are small next to any corpus); the corpus side posts DISTINCT
+    (doc_id, window) pairs through one in-scan join; both aggregates
+    run at hit cardinality. Windows compare as STRINGS on both engines.
+    """
+    k = int(min_chars)
+    if benchmark is None:
+        probes = documents.where(F.col("doc_id") < probe_max_id)
+        corpus = documents.where(F.col("doc_id") >= probe_max_id)
+    else:
+        probes, corpus = benchmark, documents
+    n = F.length("text")
+    win = F.when(
+        n >= k,
+        F.expr(
+            f"transform(sequence(1, length(text) - {k} + 1),"
+            f" i -> substring(text, i, {k}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bwin = (
+        probes.select(F.col("doc_id").alias("bench_id"), F.explode(win).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the totals agg + the join
+    )
+    btot = bwin.groupBy("bench_id").agg(F.count("*").alias("n_windows"))
+    cw = corpus.select("doc_id", F.explode(win).alias("w")).distinct()
+    hits = cw.join(F.broadcast(bwin), "w")
+    agg = hits.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").alias("n_corpus_docs"),
+        F.countDistinct("w").alias("n_leaked_windows"),
+    )
+    ids = probes.select(F.col("doc_id").alias("bench_id"))
+    return (
+        ids.join(btot, "bench_id", "left")
+        .join(agg, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_corpus_docs", F.lit(0)).cast("bigint").alias("n_corpus_docs"),
+            F.coalesce("n_leaked_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_leaked_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_leaked_windows", F.lit(0)) / F.col("n_windows"), 6
+                )
+            )
+            .alias("leaked_frac"),
+        )
+    )
+
+
+_DC4_SQL = f"""
+WITH probes AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+corp AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+bw AS (
+  SELECT DISTINCT doc_id AS bench_id, substr(text, pos, {CHAR_SPAN_K}) AS w
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {CHAR_SPAN_K - 1})) AS pos
+        FROM probes WHERE length(text) >= {CHAR_SPAN_K})
+),
+bt AS (SELECT bench_id, count(*) AS n_windows FROM bw GROUP BY bench_id),
+cw AS (
+  SELECT DISTINCT doc_id, substr(text, pos, {CHAR_SPAN_K}) AS w
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {CHAR_SPAN_K - 1})) AS pos
+        FROM corp WHERE length(text) >= {CHAR_SPAN_K})
+),
+h AS (SELECT bw.bench_id, cw.doc_id, bw.w FROM cw JOIN bw USING (w)),
+a AS (SELECT bench_id, count(DISTINCT doc_id) AS n_corpus_docs,
+             count(DISTINCT w) AS n_leaked_windows
+      FROM h GROUP BY bench_id)
+SELECT p.doc_id AS bench_id,
+       CAST(coalesce(bt.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(a.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+       CAST(coalesce(a.n_leaked_windows, 0) AS BIGINT) AS n_leaked_windows,
+       CASE WHEN coalesce(bt.n_windows, 0) = 0 THEN 0.0
+            ELSE round(coalesce(a.n_leaked_windows, 0) / bt.n_windows, 6)
+       END AS leaked_frac
+FROM probes p
+LEFT JOIN bt ON p.doc_id = bt.bench_id
+LEFT JOIN a ON p.doc_id = a.bench_id
+"""
+
+
 SUFFIX_SPAN_K = 24  # min duplicated-span length in chars (dd17 default)
 SUFFIX_CHUNK_BYTES = 1 << 18  # per-chunk corpus bytes bound (dd17 default)
 SUFFIX_BRIDGE_BUCKETS = None  # bridge task count; None = 3x parallelism
@@ -2324,6 +2432,9 @@ def build_queries():
             _DC1_SQL,
         ),
         "dc3_strip_contaminated_spans": (q(strip_contaminated_spans), _DC3_SQL),
+        # dc4 = the benchmark-side report over dc3's window-hit stage:
+        # which eval items leak, into how many corpus docs, what fraction.
+        "dc4_contamination_report": (q(contamination_report), _DC4_SQL),
         # dd19 = the incremental form of dd16: index the even-id half, dedup
         # the odd-id batch against it; exactness equals dd16 on the union
         # restricted to batch-touching pairs, so the oracle is dd2's SQL

@@ -2432,6 +2432,17 @@ def build_queries():
             ),
             _ev2_sql(60),
         ),
+        # ev4: effect size for the same comparison — deterministic
+        # percentile-bootstrap CI on the mean hit-count difference
+        # (portable-hash resamples, integer sums, discrete quantiles).
+        "ev4_bootstrap_ci": (
+            lambda spark, sf: ranker_bootstrap_ci(
+                ivf_topk(tables.load(spark, sf, "embeddings")),
+                ivf_pq_topk(tables.load(spark, sf, "embeddings")),
+                cosine_topk(tables.load(spark, sf, "embeddings"), k=3),
+            ),
+            _ev4_sql(),
+        ),
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
@@ -3125,6 +3136,99 @@ def ranker_sign_test(
     )
 
 
+def ranker_bootstrap_ci(
+    pred_a: DataFrame,
+    pred_b: DataFrame,
+    truth: DataFrame,
+    k: int = 3,
+    n_replicates: int = 200,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """ev4 — deterministic bootstrap confidence interval for the mean
+    per-query hit-count difference between two rankers (the effect-SIZE
+    companion to ev2's sign-test significance: "A beats B" is only
+    actionable with "by how much, plus-or-minus"). One row out:
+    ``(n_queries, n_replicates, mean_diff, ci_lo, ci_hi)`` — mean_diff is
+    the observed mean of ``h_a - h_b`` over the shared truth query set
+    and [ci_lo, ci_hi] the percentile bootstrap interval at level
+    ``1 - alpha``.
+
+    Determinism / cross-engine exactness: resampling uses NO RNG — draw
+    ``j`` of replicate ``r`` selects the query ranked
+    ``((r*100003 + j) * 2654435761) % 1000003 % Q`` under the q_id order
+    (the library's portable masked-multiplicative hash family; keys here
+    are < 2^31 by construction so the ANSI bound holds), per-replicate
+    sums are INTEGERS, and the interval endpoints come from
+    ``percentile_disc`` — a discrete quantile IS a data value (note 41),
+    so Spark and DuckDB agree exactly and the 6-dp round only normalizes
+    the final division by Q.
+
+    Cost model: everything runs at result-set cardinality (ev1's
+    stance); the draw table is n_replicates x Q rows of two integers and
+    the resample join broadcasts the Q-row diff table. Nothing touches
+    the corpus.
+    """
+    B = int(n_replicates)
+    lo_q, hi_q = alpha / 2.0, 1.0 - alpha / 2.0
+    t = truth.where(F.col("rank") <= k).select("q_id", "vec_id")
+    tq = t.select("q_id").distinct()
+
+    def hitcount(pred, name):
+        return (
+            pred.where(F.col("rank") <= k)
+            .select("q_id", "vec_id")
+            .join(t, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    j = (
+        tq.join(hitcount(pred_a, "h_a"), "q_id", "left")
+        .join(hitcount(pred_b, "h_b"), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("h_a", F.lit(0)).alias("h_a"),
+            F.coalesce("h_b", F.lit(0)).alias("h_b"),
+        )
+    )
+    d = j.select("q_id", (F.col("h_a") - F.col("h_b")).alias("d")).localCheckpoint(
+        eager=False  # feeds rank, totals and the resample join (note 12)
+    )
+    from pyspark.sql import Window
+
+    # single-partition window: query-set cardinality by construction
+    rk = d.withColumn("idx", F.row_number().over(Window.orderBy("q_id")) - 1)
+    qc = d.agg(F.count("*").alias("q"), F.sum("d").alias("sum_obs"))
+    draws = (
+        qc.select("q", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("r"))
+        .select("q", "r", F.explode(F.sequence(F.lit(0), F.col("q") - 1)).alias("jj"))
+        .select(
+            "r",
+            (
+                ((F.col("r") * 100003 + F.col("jj")) * F.lit(2654435761))
+                % 1000003
+                % F.col("q")
+            ).alias("idx"),
+        )
+    )
+    rep = (
+        draws.join(F.broadcast(rk.select("idx", "d")), "idx")
+        .groupBy("r")
+        .agg(F.sum("d").alias("sum_d"))
+    )
+    ci = rep.agg(
+        F.expr(f"percentile_disc({lo_q}) WITHIN GROUP (ORDER BY sum_d)").alias("lo"),
+        F.expr(f"percentile_disc({hi_q}) WITHIN GROUP (ORDER BY sum_d)").alias("hi"),
+    )
+    return qc.crossJoin(ci).select(
+        F.col("q").cast("bigint").alias("n_queries"),
+        F.lit(B).cast("bigint").alias("n_replicates"),
+        F.round(F.col("sum_obs") / F.col("q"), 6).alias("mean_diff"),
+        F.round(F.col("lo") / F.col("q"), 6).alias("ci_lo"),
+        F.round(F.col("hi") / F.col("q"), 6).alias("ci_hi"),
+    )
+
+
 # --- ev1: in-engine retrieval evaluation (recall@k / MRR@k / nDCG@k) ---------
 
 
@@ -3294,4 +3398,44 @@ FROM s2
 
 
 _EV2_SQL = _ev2_sql()
+
+
+# ev4: the same three ranker chains; per-query integer diffs, the
+# portable multiplicative hash drawing identical resamples on both
+# engines, integer per-replicate sums, discrete quantiles (note 41).
+def _ev4_sql(n_probes: int = 20, n_replicates: int = 200) -> str:
+    b = int(n_replicates)
+    rep = lambda sql: sql.replace("vec_id < 20", f"vec_id < {n_probes}")  # noqa: E731
+    return f"""
+WITH pred_a AS (SELECT * FROM ({rep(_SIM4_SQL)})),
+pred_b AS (SELECT * FROM ({rep(_QZ4_SQL)})),
+truth AS (SELECT * FROM ({rep(_EV1_TRUTH_SQL)})),
+tq AS (SELECT DISTINCT q_id FROM truth),
+ha AS (SELECT p.q_id, count(*) AS h FROM pred_a p JOIN truth t
+       USING (q_id, vec_id) WHERE p.rank <= 3 GROUP BY p.q_id),
+hb AS (SELECT p.q_id, count(*) AS h FROM pred_b p JOIN truth t
+       USING (q_id, vec_id) WHERE p.rank <= 3 GROUP BY p.q_id),
+jj AS (SELECT tq.q_id, coalesce(ha.h, 0) AS h_a, coalesce(hb.h, 0) AS h_b
+       FROM tq LEFT JOIN ha USING (q_id) LEFT JOIN hb USING (q_id)),
+d AS (SELECT q_id, h_a - h_b AS d FROM jj),
+rk AS (SELECT q_id, d, row_number() OVER (ORDER BY q_id) - 1 AS idx FROM d),
+qc AS (SELECT CAST(count(*) AS BIGINT) AS q,
+              CAST(sum(d) AS BIGINT) AS sum_obs FROM d),
+draws AS (
+  SELECT r, ((r * 100003 + j) * 2654435761) % 1000003
+            % (SELECT q FROM qc) AS idx
+  FROM (SELECT unnest(generate_series(0, {b - 1})) AS r)
+  CROSS JOIN (SELECT unnest(generate_series(0,
+                CAST((SELECT q FROM qc) AS INT) - 1)) AS j)
+),
+rp AS (SELECT r, CAST(sum(d) AS BIGINT) AS sum_d
+       FROM draws JOIN rk USING (idx) GROUP BY r),
+ci AS (SELECT quantile_disc(sum_d, 0.025) AS lo,
+              quantile_disc(sum_d, 0.975) AS hi FROM rp)
+SELECT qc.q AS n_queries, CAST({b} AS BIGINT) AS n_replicates,
+       round(sum_obs / qc.q, 6) AS mean_diff,
+       round(ci.lo / qc.q, 6) AS ci_lo,
+       round(ci.hi / qc.q, 6) AS ci_hi
+FROM qc CROSS JOIN ci
+"""
 

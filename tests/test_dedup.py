@@ -1582,3 +1582,57 @@ def test_dc3_beyond_broadcast_fallback_equivalent_and_hash_routed(spark):
         assert inp.lstrip().startswith("Input"), inp
         assert "w#" not in inp, inp
     assert shuffles >= 1, "expected at least one shuffle exchange in the plan"
+
+
+def test_dc4_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "dc4_contamination_report", SF_SMALL)
+    assert ok, msg
+
+
+def test_dc4_planted_leak_fractions(spark):
+    """Benchmark-side report with hand-computable fractions: a fully
+    quoted eval item reports leaked_frac 1.0 and counts both quoting
+    corpus docs; a partially quoted one reports exactly its leaked
+    window count; a clean one reports zeros; a too-short one reports
+    n_windows 0 and frac 0.0. Explicit benchmark frame (production
+    form)."""
+    from samsa_spark.operators.dedup import CHAR_SPAN_K, contamination_report
+
+    k = CHAR_SPAN_K  # 40
+    secret = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
+    leak2 = "every good boy deserves fudge and the cat sat quietly"  # 54 chars
+    partial = leak2 + " plus an unquoted unique tail z9"
+    bench = spark.createDataFrame(
+        [
+            (0, secret),
+            (1, partial),
+            (2, "completely clean benchmark item nothing quotes this one"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "intro " + secret + " outro"),     # full quote
+            (101, "other lead-in " + secret),        # full quote again
+            (102, "xx " + leak2 + "#yy"),            # quotes only leak2 (distinct continuation so the boundary window cannot leak)
+            (103, "unrelated corpus text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.bench_id: (r.n_windows, r.n_corpus_docs, r.n_leaked_windows, r.leaked_frac)
+        for r in contamination_report(corpus, benchmark=bench).collect()
+    }
+    nw0 = len(secret) - k + 1
+    assert got[0] == (nw0, 2, nw0, 1.0)
+    # partial: corpus doc 102 quotes leak2 whole -> the bench windows
+    # fully inside leak2 leak (positions 1..len(leak2)-k+1), the ones
+    # crossing into the unique tail don't
+    nw1 = len(partial) - k + 1
+    leaked1 = len(leak2) - k + 1
+    assert got[1] == (nw1, 1, leaked1, round(leaked1 / nw1, 6))
+    assert got[2][1:] == (0, 0, 0.0)
+    assert got[3] == (0, 0, 0, 0.0)

@@ -157,6 +157,8 @@ SIBLINGS = {
         "dd19_incremental_dedup",
         "dd1_exact_dedup",
     ],
+    "dc4_contamination_report": ["dc3_strip_contaminated_spans", "dd1_exact_dedup"],
+    "ev4_bootstrap_ci": ["sim4_ivf_topk", "qz4_ivf_pq_topk", "sim1_cosine_topk"],
 }
 
 

@@ -1710,3 +1710,55 @@ def test_ev1_matches_python_model_on_random_rankings(spark):
             for r in retrieval_metrics(pred_df, truth_df, k=k).collect()
         }
         assert got == model, f"seed {seed}"
+
+
+def test_ev4_oracle_match(spark):
+    ok, msg = check_query(spark, "ev4_bootstrap_ci", SF_SMALL)
+    assert ok, msg
+
+
+def test_ev4_bootstrap_matches_python_model(spark):
+    """The deterministic bootstrap is fully reproducible outside the
+    engine: per-query integer diffs, the portable-hash draw index, and
+    discrete quantiles reimplemented in ~15 lines of Python must equal
+    the engine's output exactly (no RNG anywhere)."""
+    import math
+
+    from samsa_spark.operators.similarity import ranker_bootstrap_ci
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "q_id long, vec_id long, rank long")
+
+    hit = lambda q: [(q, v, r) for r, v in enumerate((1, 2, 3), 1)]  # noqa: E731
+    one = lambda q: [(q, 1, 1), (q, 90, 2), (q, 91, 3)]  # noqa: E731
+    miss = lambda q: [(q, 80 + r, r) for r in (1, 2, 3)]  # noqa: E731
+    Q, B = 12, 200
+    truth = frame([row for q in range(Q) for row in hit(q)])
+    # diffs by construction: q 0-5 -> +2 (A all, B one); 6-8 -> -3
+    # (A none, B all); 9-11 -> 0 (both all)
+    a_rows = [row for q in range(6) for row in hit(q)]
+    a_rows += [row for q in range(6, 9) for row in miss(q)]
+    a_rows += [row for q in range(9, Q) for row in hit(q)]
+    b_rows = [row for q in range(6) for row in one(q)]
+    b_rows += [row for q in range(6, Q) for row in hit(q)]
+    got = ranker_bootstrap_ci(
+        frame(a_rows), frame(b_rows), truth, k=3, n_replicates=B
+    ).collect()[0]
+
+    d = [2] * 6 + [-3] * 3 + [0] * 3  # indexed by q_id rank order
+    sums = []
+    for r in range(B):
+        s = 0
+        for j in range(Q):
+            s += d[((r * 100003 + j) * 2654435761) % 1000003 % Q]
+        sums.append(s)
+    sums.sort()
+
+    def qdisc(p):  # SQL-standard discrete quantile: smallest cume_dist >= p
+        return sums[math.ceil(p * B) - 1]
+
+    assert got.n_queries == Q and got.n_replicates == B
+    assert got.mean_diff == round(sum(d) / Q, 6)
+    assert got.ci_lo == round(qdisc(0.025) / Q, 6)
+    assert got.ci_hi == round(qdisc(0.975) / Q, 6)
+    assert got.ci_lo <= got.mean_diff <= got.ci_hi
