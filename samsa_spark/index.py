@@ -26,14 +26,20 @@ meta file adds the human/audit copy and cross-version validation
 (append_dedup refuses an index whose recorded shingle width no longer
 matches the library's).
 
-All functions are THIN delegates: no new plan shapes, no new semantics.
-The original names keep working everywhere (this module is the
-consolidation, not a migration); roundtrip tests drive each kind through
-the unified names in tests/test_index_surface.py.
+All lifecycle functions are THIN delegates: no new plan shapes, no new
+semantics. The original names keep working everywhere (this module is
+the consolidation, not a migration); roundtrip tests drive each kind
+through the unified names in tests/test_index_surface.py.
+
+:func:`validate` is the one NEW capability here — a per-kind
+consistency check (the ``validate_shards`` of index lifecycles)
+returning a problems frame that is empty when the layout is
+trustworthy; run it before serving a restored or appended artifact.
 """
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from samsa_spark.operators import dedup as _dedup
@@ -297,3 +303,196 @@ def query_dedup(
 
 def drift_dedup(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/drift")
+
+
+# --- validate ----------------------------------------------------------------
+
+
+def validate(spark: SparkSession, path: str, kind: str | None = None) -> DataFrame:
+    """Consistency check for any saved index — the ``validate_shards`` of
+    the index lifecycles: one row per violated invariant ``(kind,
+    problem, n)``; an empty frame means the layout is trustworthy. Run
+    it before serving a restored/appended artifact. ``kind`` comes from
+    the unified meta file when present; pass it explicitly for
+    pre-unified artifacts.
+
+    Checked invariants (all metadata-cardinality aggregates or
+    partition-pruned column scans — no payload reads beyond ids):
+
+    - ivf: centroids nonempty; every assignment cell has a centroid;
+      no duplicate vec_id across assignments.
+    - pq: ivf checks + codebook stride dense per subspace (cids are
+      exactly 0..n_cents-1 for every s); every coded vec has an
+      assignment row and vice versa.
+    - graph: typed build-param meta present; every graph cell has a
+      centroid; no duplicate (vec_id, cell); every neighbor id is a
+      member of the SAME cell (the locality invariant the beam walk
+      assumes).
+    - text: every posting doc has a doclens row; per-token docfreq
+      partials sum to the posting list's distinct-doc count.
+    - dedup: ranked and sets agree on the doc set; per-doc ranked
+      positions are exactly 1..n_sh (dense, no gaps/dups).
+    """
+    if kind is None:
+        kind = read_meta(spark, path)["kind"]
+    probs: list[DataFrame] = []
+
+    def add(name: str, df_n: DataFrame) -> None:
+        probs.append(
+            df_n.select(
+                F.lit(kind).alias("kind"),
+                F.lit(name).alias("problem"),
+                F.col("n").cast("bigint").alias("n"),
+            ).where(F.col("n") > 0)
+        )
+
+    if kind in ("ivf", "pq"):
+        cents, assign = _sim.load_index(spark, path)
+        cent_ids = cents.select("cell").distinct()
+        if cents.count() == 0:
+            probs.append(
+                spark.createDataFrame(
+                    [(kind, "no_centroids", 1)], "kind string, problem string, n bigint"
+                )
+            )
+        add(
+            "assignment_cell_without_centroid",
+            assign.select("cell")
+            .distinct()
+            .join(cent_ids, "cell", "left_anti")
+            .agg(F.count("*").alias("n")),
+        )
+        add(
+            "duplicate_vec_id",
+            assign.groupBy("vec_id")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .agg(F.count("*").alias("n")),
+        )
+        if kind == "pq":
+            idx = _sim.load_pq_index(spark, path)
+            cb, codes = idx["codebooks"], idx["codes"]
+            per_s = cb.groupBy("s").agg(
+                F.countDistinct("cid").alias("k"),
+                F.min("cid").alias("lo"),
+                F.max("cid").alias("hi"),
+            )
+            ks = per_s.select("k").distinct()
+            add(
+                "codebook_stride_ragged",
+                ks.agg((F.count("*") - 1).alias("n")),
+            )
+            add(
+                "codebook_cids_not_dense",
+                per_s.where(
+                    (F.col("lo") != 0) | (F.col("hi") != F.col("k") - 1)
+                ).agg(F.count("*").alias("n")),
+            )
+            add(
+                "coded_vec_without_assignment",
+                codes.select("vec_id")
+                .join(assign.select("vec_id"), "vec_id", "left_anti")
+                .agg(F.count("*").alias("n")),
+            )
+            add(
+                "assigned_vec_without_codes",
+                assign.select("vec_id")
+                .join(codes.select("vec_id"), "vec_id", "left_anti")
+                .agg(F.count("*").alias("n")),
+            )
+    elif kind == "graph":
+        idx = _sim.load_graph_index(spark, path)
+        cents, graph = idx["centroids"], idx["graph"]
+        from pyspark.errors import AnalysisException
+
+        try:
+            spark.read.parquet(f"{path}/meta").first()
+        except AnalysisException:
+            probs.append(
+                spark.createDataFrame(
+                    [(kind, "missing_build_meta", 1)],
+                    "kind string, problem string, n bigint",
+                )
+            )
+        add(
+            "graph_cell_without_centroid",
+            graph.select("cell")
+            .distinct()
+            .join(cents.select("cell").distinct(), "cell", "left_anti")
+            .agg(F.count("*").alias("n")),
+        )
+        add(
+            "duplicate_member_row",
+            graph.groupBy("vec_id", "cell")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .agg(F.count("*").alias("n")),
+        )
+        members = graph.select("cell", F.col("vec_id").alias("nbr"))
+        add(
+            "neighbor_outside_cell",
+            graph.select("cell", F.explode("nbrs").alias("nbr"))
+            .join(members, ["cell", "nbr"], "left_anti")
+            .agg(F.count("*").alias("n")),
+        )
+    elif kind == "text":
+        idx = _text.load_text_index(spark, path)
+        postings, doclens, docfreq = idx["postings"], idx["doclens"], idx["docfreq"]
+        add(
+            "posting_doc_without_doclen",
+            postings.select("doc_id")
+            .distinct()
+            .join(doclens.select("doc_id"), "doc_id", "left_anti")
+            .agg(F.count("*").alias("n")),
+        )
+        true_df = postings.groupBy("tok").agg(
+            F.countDistinct("doc_id").alias("true_df")
+        )
+        merged = docfreq.groupBy("tok").agg(F.sum("df").alias("df"))
+        add(
+            "docfreq_mismatch",
+            merged.join(true_df, "tok", "full")
+            .where(
+                F.coalesce("df", F.lit(0)) != F.coalesce("true_df", F.lit(0))
+            )
+            .agg(F.count("*").alias("n")),
+        )
+    elif kind == "dedup":
+        ranked = spark.read.parquet(f"{path}/ranked")
+        sets = spark.read.parquet(f"{path}/sets")
+        add(
+            "ranked_doc_without_set",
+            ranked.select("doc_id")
+            .distinct()
+            .join(sets.select("doc_id"), "doc_id", "left_anti")
+            .agg(F.count("*").alias("n")),
+        )
+        add(
+            "set_doc_without_ranked",
+            sets.select("doc_id")
+            .join(ranked.select("doc_id").distinct(), "doc_id", "left_anti")
+            .agg(F.count("*").alias("n")),
+        )
+        per_doc = ranked.groupBy("doc_id").agg(
+            F.count("*").alias("c"),
+            F.countDistinct("pos").alias("cd"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.max("n_sh").alias("n_sh"),
+        )
+        add(
+            "ranked_positions_not_dense",
+            per_doc.where(
+                (F.col("lo") != 1)
+                | (F.col("hi") != F.col("c"))
+                | (F.col("cd") != F.col("c"))
+                | (F.col("n_sh") != F.col("c"))
+            ).agg(F.count("*").alias("n")),
+        )
+    else:
+        raise ValueError(f"validate: unknown index kind {kind!r}")
+
+    import functools
+
+    out = functools.reduce(lambda a, b: a.unionByName(b), probs)
+    return out
