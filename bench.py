@@ -292,6 +292,12 @@ EXTRAS = [
     # the frozen order, per-batch exact pairs vs everything prior, id
     # anti-join appends (timed end-to-end incl. checkpoint + triggers).
     "st10_streaming_exact_jaccard",
+    # round 12: benchmark-side contamination report (which eval items
+    # leak, into how many corpus docs, what fraction).
+    "dc4_contamination_report",
+    # round 12: deterministic percentile-bootstrap CI on the mean
+    # hit-count difference (portable-hash resamples, integer sums).
+    "ev4_bootstrap_ci",
 ]
 
 
