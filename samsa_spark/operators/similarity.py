@@ -3136,6 +3136,20 @@ def ranker_sign_test(
     )
 
 
+# Poisson(1) CDF cutpoints for the deterministic Poisson-bootstrap weight
+# (weights capped at len+1 = 8; P(X > 7) ~ 1e-5 at lambda=1). LITERALS so
+# both engines compare u against byte-identical doubles.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
 def ranker_bootstrap_ci(
     pred_a: DataFrame,
     pred_b: DataFrame,
@@ -3144,29 +3158,38 @@ def ranker_bootstrap_ci(
     n_replicates: int = 200,
     alpha: float = 0.05,
 ) -> DataFrame:
-    """ev4 — deterministic bootstrap confidence interval for the mean
-    per-query hit-count difference between two rankers (the effect-SIZE
-    companion to ev2's sign-test significance: "A beats B" is only
-    actionable with "by how much, plus-or-minus"). One row out:
+    """ev4 — deterministic POISSON-bootstrap confidence interval for the
+    mean per-query hit-count difference between two rankers (the
+    effect-SIZE companion to ev2's sign-test significance: "A beats B"
+    is only actionable with "by how much, plus-or-minus"). One row out:
     ``(n_queries, n_replicates, mean_diff, ci_lo, ci_hi)`` — mean_diff is
     the observed mean of ``h_a - h_b`` over the shared truth query set
     and [ci_lo, ci_hi] the percentile bootstrap interval at level
     ``1 - alpha``.
 
-    Determinism / cross-engine exactness: resampling uses NO RNG — draw
-    ``j`` of replicate ``r`` selects the query ranked
-    ``((r*100003 + j) * 2654435761) % 1000003 % Q`` under the q_id order
-    (the library's portable masked-multiplicative hash family; keys here
-    are < 2^31 by construction so the ANSI bound holds), per-replicate
-    sums are INTEGERS, and the interval endpoints come from
-    ``percentile_disc`` — a discrete quantile IS a data value (note 41),
-    so Spark and DuckDB agree exactly and the 6-dp round only normalizes
-    the final division by Q.
+    The resampling scheme is the Poisson bootstrap (Hanley & MacGibbon
+    2006; the per-row-weight form production systems use on distributed
+    data): replicate ``r`` weighs query ``q`` by a Poisson(1)-distributed
+    integer instead of drawing indices — so there is NO global row
+    numbering and NO resample join anywhere in the plan; each diff row
+    expands to its B weights in place and one aggregate per replicate
+    finishes the job (a partitionless row_number would serialize the
+    query set through one reducer — the invariant test_plans locks
+    repo-wide).
+
+    Determinism / cross-engine exactness: no RNG — the weight comes from
+    inverting the Poisson(1) CDF at ``u(r, q) = portable_hash(r, q) /
+    1000003`` (the library's masked multiplicative family; double-mod
+    keeps every product under the ANSI bigint bound), per-replicate
+    sums are INTEGERS, and the interval endpoints are
+    ``percentile_disc`` values — a discrete quantile IS a data value
+    (note 41) — so Spark and DuckDB produce identical doubles before
+    the 6-dp round. Mean uses the fixed denominator Q (the standard
+    Poisson-bootstrap normalization).
 
     Cost model: everything runs at result-set cardinality (ev1's
-    stance); the draw table is n_replicates x Q rows of two integers and
-    the resample join broadcasts the Q-row diff table. Nothing touches
-    the corpus.
+    stance) — Q x B weight rows of two integers, one hash aggregate,
+    one single-row quantile. Nothing touches the corpus.
     """
     B = int(n_replicates)
     lo_q, hi_q = alpha / 2.0, 1.0 - alpha / 2.0
@@ -3192,29 +3215,27 @@ def ranker_bootstrap_ci(
         )
     )
     d = j.select("q_id", (F.col("h_a") - F.col("h_b")).alias("d")).localCheckpoint(
-        eager=False  # feeds rank, totals and the resample join (note 12)
+        eager=False  # feeds the totals AND the replicate expansion (note 12)
     )
-    from pyspark.sql import Window
-
-    # single-partition window: query-set cardinality by construction
-    rk = d.withColumn("idx", F.row_number().over(Window.orderBy("q_id")) - 1)
     qc = d.agg(F.count("*").alias("q"), F.sum("d").alias("sum_obs"))
-    draws = (
-        qc.select("q", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("r"))
-        .select("q", "r", F.explode(F.sequence(F.lit(0), F.col("q") - 1)).alias("jj"))
-        .select(
-            "r",
-            (
-                ((F.col("r") * 100003 + F.col("jj")) * F.lit(2654435761))
-                % 1000003
-                % F.col("q")
-            ).alias("idx"),
+    mixed = "((q_id >> 31) ^ q_id) & 2147483647"
+    u = (
+        f"((({mixed}) * 211 + r) % 1000003) * 2654435761 % 1000003"
+        f" / CAST(1000003 AS DOUBLE)"
+    )
+    w = (
+        f"CASE WHEN {u} < {_POIS1_CDF[0]!r} THEN 0"
+        + "".join(
+            f" WHEN {u} < {c!r} THEN {i + 1}"
+            for i, c in enumerate(_POIS1_CDF[1:])
         )
+        + f" ELSE {len(_POIS1_CDF)} END"
     )
     rep = (
-        draws.join(F.broadcast(rk.select("idx", "d")), "idx")
+        d.select("q_id", "d", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("r"))
+        .select("r", (F.expr(w) * F.col("d")).alias("wd"))
         .groupBy("r")
-        .agg(F.sum("d").alias("sum_d"))
+        .agg(F.sum("wd").alias("sum_d"))
     )
     ci = rep.agg(
         F.expr(f"percentile_disc({lo_q}) WITHIN GROUP (ORDER BY sum_d)").alias("lo"),
@@ -3401,11 +3422,22 @@ _EV2_SQL = _ev2_sql()
 
 
 # ev4: the same three ranker chains; per-query integer diffs, the
-# portable multiplicative hash drawing identical resamples on both
-# engines, integer per-replicate sums, discrete quantiles (note 41).
+# portable-hash Poisson(1) weights (identical double literals on both
+# engines), integer per-replicate sums, discrete quantiles (note 41).
 def _ev4_sql(n_probes: int = 20, n_replicates: int = 200) -> str:
     b = int(n_replicates)
     rep = lambda sql: sql.replace("vec_id < 20", f"vec_id < {n_probes}")  # noqa: E731
+    u = (
+        "(((xor(q_id >> 31, q_id) & 2147483647) * 211 + r) % 1000003)"
+        " * 2654435761 % 1000003 / CAST(1000003 AS DOUBLE)"
+    )
+    w = (
+        f"CASE WHEN {u} < {_POIS1_CDF[0]!r} THEN 0"
+        + "".join(
+            f" WHEN {u} < {c!r} THEN {i + 1}" for i, c in enumerate(_POIS1_CDF[1:])
+        )
+        + f" ELSE {len(_POIS1_CDF)} END"
+    )
     return f"""
 WITH pred_a AS (SELECT * FROM ({rep(_SIM4_SQL)})),
 pred_b AS (SELECT * FROM ({rep(_QZ4_SQL)})),
@@ -3418,18 +3450,13 @@ hb AS (SELECT p.q_id, count(*) AS h FROM pred_b p JOIN truth t
 jj AS (SELECT tq.q_id, coalesce(ha.h, 0) AS h_a, coalesce(hb.h, 0) AS h_b
        FROM tq LEFT JOIN ha USING (q_id) LEFT JOIN hb USING (q_id)),
 d AS (SELECT q_id, h_a - h_b AS d FROM jj),
-rk AS (SELECT q_id, d, row_number() OVER (ORDER BY q_id) - 1 AS idx FROM d),
 qc AS (SELECT CAST(count(*) AS BIGINT) AS q,
               CAST(sum(d) AS BIGINT) AS sum_obs FROM d),
-draws AS (
-  SELECT r, ((r * 100003 + j) * 2654435761) % 1000003
-            % (SELECT q FROM qc) AS idx
-  FROM (SELECT unnest(generate_series(0, {b - 1})) AS r)
-  CROSS JOIN (SELECT unnest(generate_series(0,
-                CAST((SELECT q FROM qc) AS INT) - 1)) AS j)
+rep0 AS (
+  SELECT r, ({w}) * d.d AS wd
+  FROM d CROSS JOIN (SELECT unnest(generate_series(0, {b - 1})) AS r)
 ),
-rp AS (SELECT r, CAST(sum(d) AS BIGINT) AS sum_d
-       FROM draws JOIN rk USING (idx) GROUP BY r),
+rp AS (SELECT r, CAST(sum(wd) AS BIGINT) AS sum_d FROM rep0 GROUP BY r),
 ci AS (SELECT quantile_disc(sum_d, 0.025) AS lo,
               quantile_disc(sum_d, 0.975) AS hi FROM rp)
 SELECT qc.q AS n_queries, CAST({b} AS BIGINT) AS n_replicates,

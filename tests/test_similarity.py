@@ -1718,10 +1718,10 @@ def test_ev4_oracle_match(spark):
 
 
 def test_ev4_bootstrap_matches_python_model(spark):
-    """The deterministic bootstrap is fully reproducible outside the
-    engine: per-query integer diffs, the portable-hash draw index, and
-    discrete quantiles reimplemented in ~15 lines of Python must equal
-    the engine's output exactly (no RNG anywhere)."""
+    """The deterministic Poisson bootstrap is fully reproducible outside
+    the engine: per-query integer diffs, the portable-hash Poisson(1)
+    weights, and discrete quantiles reimplemented in ~15 lines of Python
+    must equal the engine's output exactly (no RNG anywhere)."""
     import math
 
     from samsa_spark.operators.similarity import ranker_bootstrap_ci
@@ -1745,13 +1745,19 @@ def test_ev4_bootstrap_matches_python_model(spark):
         frame(a_rows), frame(b_rows), truth, k=3, n_replicates=B
     ).collect()[0]
 
-    d = [2] * 6 + [-3] * 3 + [0] * 3  # indexed by q_id rank order
-    sums = []
-    for r in range(B):
-        s = 0
-        for j in range(Q):
-            s += d[((r * 100003 + j) * 2654435761) % 1000003 % Q]
-        sums.append(s)
+    from samsa_spark.operators.similarity import _POIS1_CDF
+
+    d = [2] * 6 + [-3] * 3 + [0] * 3  # indexed by q_id
+
+    def weight(r, q):
+        mixed = ((q >> 31) ^ q) & 2147483647
+        u = ((mixed * 211 + r) % 1000003) * 2654435761 % 1000003 / 1000003.0
+        for i, c in enumerate(_POIS1_CDF):
+            if u < c:
+                return i
+        return len(_POIS1_CDF)
+
+    sums = [sum(weight(r, q) * d[q] for q in range(Q)) for r in range(B)]
     sums.sort()
 
     def qdisc(p):  # SQL-standard discrete quantile: smallest cume_dist >= p
