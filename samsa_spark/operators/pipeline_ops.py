@@ -1403,6 +1403,104 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def prep_funnel(
+    documents: DataFrame,
+    min_chars: int = 50,
+    min_alpha_ratio: float = 0.5,
+    train_pct: int = 80,
+) -> DataFrame:
+    """pp3 — the stage-by-stage survivor FUNNEL for pp1's default chain
+    (ingest -> quality filter -> exact dedup -> split): one row per
+    stage with ``(stage_idx, stage, n_docs, kept_frac)`` where kept_frac
+    is against ingest. This is the audit a data team reads after every
+    prep run — pp1 reports the final shard stats; pp3 answers "WHERE did
+    the other 38% go", which is how both over-aggressive filters and
+    silently-broken ones get caught (a dedup stage suddenly keeping
+    99.9% is as alarming as one keeping 20%). Stage rules are
+    byte-identical to pp1's (same quality expression, same
+    min-doc_id-per-sha canonical rule, same masked-hash split), so the
+    funnel's final two rows always sum to its dedup row.
+
+    Plan shape: the chained stage frames share the filtered scan via one
+    localCheckpoint (note 12); each stage contributes a single count
+    aggregate and the union is five 1-row branches — cost is one corpus
+    scan + the dd1 hash aggregate, nothing new.
+    """
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    quality = F.round(alpha / n_chars, 6)
+    base = documents.select("doc_id", "text")
+    filtered = base.where(
+        (n_chars >= min_chars) & (quality >= min_alpha_ratio)
+    ).localCheckpoint(eager=False)  # canon + semi-join + count (note 12)
+    canon = filtered.groupBy(F.sha2("text", 256).alias("sha")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    kept = filtered.join(
+        canon, filtered.doc_id == canon.keep_id, "left_semi"
+    ).localCheckpoint(eager=False)  # split branches + count (note 12)
+    is_train = _key_hash("doc_id") * 100 < train_pct * _SPLIT_MOD
+    stages = [
+        (0, "ingest", base),
+        (1, "quality_filter", filtered),
+        (2, "exact_dedup", kept),
+        (3, "split_train", kept.where(is_train)),
+        (4, "split_test", kept.where(~is_train)),
+    ]
+    import functools
+
+    counts = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.agg(F.count("*").alias("n_docs")).select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+            )
+            for i, name, df in stages
+        ],
+    )
+    ingest = base.agg(F.count("*").alias("_n_ingest"))
+    return counts.crossJoin(F.broadcast(ingest)).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n_ingest"), 6).alias("kept_frac"),
+    )
+
+
+_PP3_SQL = f"""
+WITH i AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+f AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 50
+    AND round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) >= 0.5
+),
+canon AS (
+  SELECT sha256(text) AS sha, min(doc_id) AS keep_id FROM f GROUP BY sha256(text)
+),
+kept AS (SELECT f.* FROM f WHERE f.doc_id IN (SELECT keep_id FROM canon)),
+cf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+ck AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept),
+ct AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept
+       WHERE ({_KEY_HASH_SQL.format(col="doc_id")}) * 100 < 80 * 1000003),
+ce AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept
+       WHERE NOT (({_KEY_HASH_SQL.format(col="doc_id")}) * 100 < 80 * 1000003))
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'ingest' AS stage, i.n AS n_docs,
+         round(i.n / i.n, 6) AS kept_frac FROM i
+  UNION ALL
+  SELECT 1, 'quality_filter', cf.n, round(cf.n / i.n, 6) FROM cf, i
+  UNION ALL
+  SELECT 2, 'exact_dedup', ck.n, round(ck.n / i.n, 6) FROM ck, i
+  UNION ALL
+  SELECT 3, 'split_train', ct.n, round(ct.n / i.n, 6) FROM ct, i
+  UNION ALL
+  SELECT 4, 'split_test', ce.n, round(ce.n / i.n, 6) FROM ce, i
+)
+"""
+
+
 _PP1_SQL = f"""
 WITH f AS (
   SELECT doc_id, lang, text, round(
@@ -1905,6 +2003,8 @@ def build_queries():
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
         "qf1_quality_quantile": (q(quality_quantile_report, "documents"), _qf1_sql()),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
+        # pp3 = pp1's default chain as a stage-by-stage survivor audit.
+        "pp3_prep_funnel": (q(prep_funnel, "documents"), _PP3_SQL),
         "ck1_chunk_overlap": (q(chunk_overlap, "documents"), _CK1_SQL),
         "lm1_unigram_logprob": (q(unigram_logprob, "documents", spread=True), _LM1_SQL),
         "ppl1_perplexity_buckets": (q(perplexity_buckets, "documents", spread=True), _PPL1_SQL),

@@ -246,6 +246,75 @@ ORDER BY n_rows DESC, key LIMIT 5
 """
 
 
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    anti: bool = False,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+) -> DataFrame:
+    """js2 — Bloom-accelerated semi/anti join, generalized from dc2's
+    machinery into a first-class scale primitive: the regime where the
+    right side's raw rows are too big to broadcast but its MEMBERSHIP
+    fits a digest (~1 bit per key at the default sizing). The digest is
+    built once from the right side's distinct keys and probed IN-SCAN on
+    the left, so the shuffle exchange ships only Bloom-positive left
+    rows (true matches + the digest's fpp) instead of the whole left
+    table — on a 100 TB fact table probed against a selective dimension
+    this is the difference between shuffling terabytes and shuffling the
+    answer.
+
+    Exactness (the dc2 argument): a Bloom has NO false negatives. For
+    the SEMI form, positives verify through the ordinary exact semi-join
+    against the right keys; false positives die there. For the ANTI
+    form, Bloom-negative rows are DEFINITELY absent from the right and
+    pass immediately with no join at all; only the positives run the
+    exact anti-join. Either way the output equals the plain semi/anti
+    join row-for-row — which is the registered oracle.
+
+    Keys hash as their canonical string form (CAST(key AS STRING)), so
+    any key type both engines render identically works.
+    """
+    from samsa_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_contains,
+        bloom_digest,
+    )
+
+    nb = BLOOM_BITS if n_bits is None else int(n_bits)
+    nh = BLOOM_HASHES if n_hashes is None else int(n_hashes)
+    rk = right.select(F.col(key).cast("string").alias("_k")).distinct()
+    dig = bloom_digest(rk, col="_k", n_bits=nb, n_hashes=nh)
+    probed = left.withColumn("_k", F.col(key).cast("string"))
+    member = bloom_contains("_k", dig, n_bits=nb, n_hashes=nh)
+    rkeys = right.select(key).distinct()
+    if not anti:
+        return probed.where(member).drop("_k").join(rkeys, key, "left_semi")
+    neg = probed.where(~member).drop("_k")
+    verified = probed.where(member).drop("_k").join(rkeys, key, "left_anti")
+    return neg.unionByName(verified)
+
+
+def _js2_query(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Registered js2 form: events of high-balance customers via the
+    Bloom semi-join (the selective-dimension probe)."""
+    dim = customer.where(F.col("c_acctbal") > 7000).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return bloom_semi_join(
+        events.select("event_id", "user_id", "event_type", "value"), dim, "user_id"
+    )
+
+
+_JS2_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+"""
+
+
 def build_queries():
     def q(fn, name, spread=False):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -262,6 +331,7 @@ def build_queries():
     return {
         "d2s_salted_compaction": (q(compact_latest_salted, "events"), state_ops.ORACLE_SQL["d2_state_table"]),
         "js1_salted_join": (q2(salted_enrich_stats, "events", "customer"), _JS1_SQL),
+        "js2_bloom_semi_join": (q2(_js2_query, "events", "customer"), _JS2_SQL),
         "sk1_key_skew_report": (q(key_skew_report, "events"), _SK1_SQL),
         "pc1_percentiles": (q(value_percentiles, "lineitem", spread=True), _PC1_SQL),
         "hist1_doc_lengths": (q(doc_length_histogram, "documents"), _HIST1_SQL),

@@ -920,7 +920,9 @@ _DEMOTED = (
     "ev3_sign_test_wide",             # ev2's demotion rationale carries; the 60-probe wide variant exists to run the no-ceiling log-space sign-test branch through the three-scale oracle sweep (nn > 20), and is pytest hand-model tested against exact Python rationals
     "st10_streaming_exact_jaccard",   # st1/st2/st3 keep the streaming engine in-window and dd19/dd18/dd1 the dedup family; the exactly-once streaming dd19 lifecycle shares dd16's lossless-prefix oracle by construction and is pytest retry/equivalence tested
     "dc4_contamination_report",       # dc3 (in-window) runs the same benchmark-window hit stage; the benchmark-side per-item leak report is its one-aggregate mirror and is pytest planted-leak tested
-    "ev4_bootstrap_ci",               # ev1/ev2's demotion rationale carries (sim4/qz4 anchor the compared tiers in-window); the deterministic percentile-bootstrap effect-size CI is pytest hand-model tested with portable-hash resamples
+    "ev4_bootstrap_ci",               # ev1/ev2's demotion rationale carries (sim4/qz4 anchor the compared tiers in-window); the deterministic Poisson-bootstrap effect-size CI is pytest hand-model tested with portable-hash weights
+    "js2_bloom_semi_join",            # js1 keeps skew/join handling in-window and d9 the dim-probe shape; the Bloom-accelerated semi-join (dc2's digest generalized to a first-class primitive) shares the plain semi-join oracle and is pytest anti-form/equivalence tested
+    "pp3_prep_funnel",                # pp1 (in-window) runs the same default chain end-to-end; the per-stage survivor audit reuses its exact stage rules and is pytest invariant-tested (train+test == dedup row)
 )
 
 

@@ -1223,3 +1223,32 @@ def test_ppl1_deterministic_under_repartition(spark):
     a = {tuple(r) for r in perplexity_buckets(docs).collect()}
     b = {tuple(r) for r in perplexity_buckets(docs.repartition(7)).collect()}
     assert a == b and a
+
+
+def test_pp3_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "pp3_prep_funnel", SF_SMALL)
+    assert ok, msg
+
+
+def test_pp3_funnel_invariants(spark):
+    """Stage counts must be monotone through the filters, the split rows
+    must sum to the dedup row, and every rule must agree with pp1's own
+    building blocks (same quality expression, same canonical rule, same
+    masked-hash split) on a planted corpus with known drop counts."""
+    from samsa_spark.operators.pipeline_ops import prep_funnel
+
+    rows = [
+        (1, "a" * 60),                      # passes quality; unique
+        (2, "a" * 60),                      # exact dup of 1 -> dropped at dedup
+        (3, "b" * 60),                      # unique
+        (4, "x" * 10),                      # too short -> quality drop
+        (5, "1234567890" * 6),              # alpha ratio 0 -> quality drop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.stage: (r.stage_idx, r.n_docs, r.kept_frac) for r in prep_funnel(docs).collect()}
+    assert got["ingest"] == (0, 5, 1.0)
+    assert got["quality_filter"] == (1, 3, 0.6)
+    assert got["exact_dedup"] == (2, 2, 0.4)
+    assert got["split_train"][1] + got["split_test"][1] == got["exact_dedup"][1]

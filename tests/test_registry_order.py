@@ -159,6 +159,8 @@ SIBLINGS = {
     ],
     "dc4_contamination_report": ["dc3_strip_contaminated_spans", "dd1_exact_dedup"],
     "ev4_bootstrap_ci": ["sim4_ivf_topk", "qz4_ivf_pq_topk", "sim1_cosine_topk"],
+    "js2_bloom_semi_join": ["js1_salted_join", "d9_enrich", "j2_order_priority_stats"],
+    "pp3_prep_funnel": ["pp1_prep_pipeline", "sp1_deterministic_split"],
 }
 
 

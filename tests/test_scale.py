@@ -189,3 +189,33 @@ def test_key_skew_report_flags_planted_hot_key(spark):
     # partition-count-relative: at 8 partitions the max possible ratio is 8
     rep8 = {r.key: r for r in key_skew_report(df, shuffle_partitions=8).collect()}
     assert not any(r.salting_advised for r in rep8.values())
+
+
+def test_js2_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "js2_bloom_semi_join", SF_SMALL)
+    assert ok, msg
+
+
+def test_bloom_semi_and_anti_join_equal_plain_joins(spark):
+    """The Bloom digest is a pure prefilter: semi and anti forms must
+    equal the plain left_semi / left_anti joins row-for-row (no false
+    negatives; positives verified exactly), and the two outputs must
+    partition the left side."""
+    from samsa_spark import tables
+    from samsa_spark.operators.scale import bloom_semi_join
+
+    ev = tables.load(spark, SF_SMALL, "events").select("event_id", "user_id")
+    cust = tables.load(spark, SF_SMALL, "customer")
+    dim = cust.where("c_acctbal > 7000").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    semi = {tuple(r) for r in bloom_semi_join(ev, dim, "user_id").collect()}
+    anti = {tuple(r) for r in bloom_semi_join(ev, dim, "user_id", anti=True).collect()}
+    want_semi = {tuple(r) for r in ev.join(dim, "user_id", "left_semi").collect()}
+    want_anti = {tuple(r) for r in ev.join(dim, "user_id", "left_anti").collect()}
+    assert semi == want_semi and anti == want_anti
+    assert semi and anti
+    assert not (semi & anti)
+    assert len(semi) + len(anti) == ev.count()
