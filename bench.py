@@ -296,8 +296,13 @@ EXTRAS = [
     # leak, into how many corpus docs, what fraction).
     "dc4_contamination_report",
     # round 12: deterministic percentile-bootstrap CI on the mean
-    # hit-count difference (portable-hash resamples, integer sums).
+    # hit-count difference (portable-hash Poisson weights, integer sums).
     "ev4_bootstrap_ci",
+    # round 12: Bloom-accelerated semi-join (events probed against the
+    # high-balance customer dim through the in-scan membership digest).
+    "js2_bloom_semi_join",
+    # round 12: pp1's default chain as a per-stage survivor audit.
+    "pp3_prep_funnel",
 ]
 
 

@@ -290,10 +290,15 @@ def bloom_semi_join(
     probed = left.withColumn("_k", F.col(key).cast("string"))
     member = bloom_contains("_k", dig, n_bits=nb, n_hashes=nh)
     rkeys = right.select(key).distinct()
+    cols = list(left.columns)  # a USING join moves the key first; restore
     if not anti:
-        return probed.where(member).drop("_k").join(rkeys, key, "left_semi")
-    neg = probed.where(~member).drop("_k")
-    verified = probed.where(member).drop("_k").join(rkeys, key, "left_anti")
+        return (
+            probed.where(member).drop("_k").join(rkeys, key, "left_semi").select(*cols)
+        )
+    neg = probed.where(~member).drop("_k").select(*cols)
+    verified = (
+        probed.where(member).drop("_k").join(rkeys, key, "left_anti").select(*cols)
+    )
     return neg.unionByName(verified)
 
 

@@ -192,8 +192,6 @@ def test_key_skew_report_flags_planted_hot_key(spark):
 
 
 def test_js2_oracle_match(spark):
-    from tests.oracle import check_query
-
     ok, msg = check_query(spark, "js2_bloom_semi_join", SF_SMALL)
     assert ok, msg
 
@@ -203,6 +201,8 @@ def test_bloom_semi_and_anti_join_equal_plain_joins(spark):
     equal the plain left_semi / left_anti joins row-for-row (no false
     negatives; positives verified exactly), and the two outputs must
     partition the left side."""
+    import pyspark.sql.functions as F
+
     from samsa_spark import tables
     from samsa_spark.operators.scale import bloom_semi_join
 
@@ -213,8 +213,18 @@ def test_bloom_semi_and_anti_join_equal_plain_joins(spark):
     )
     semi = {tuple(r) for r in bloom_semi_join(ev, dim, "user_id").collect()}
     anti = {tuple(r) for r in bloom_semi_join(ev, dim, "user_id", anti=True).collect()}
-    want_semi = {tuple(r) for r in ev.join(dim, "user_id", "left_semi").collect()}
-    want_anti = {tuple(r) for r in ev.join(dim, "user_id", "left_anti").collect()}
+    want_semi = {
+        tuple(r)
+        for r in ev.join(dim, "user_id", "left_semi")
+        .select("event_id", "user_id")
+        .collect()
+    }
+    want_anti = {
+        tuple(r)
+        for r in ev.join(dim, "user_id", "left_anti")
+        .select("event_id", "user_id")
+        .collect()
+    }
     assert semi == want_semi and anti == want_anti
     assert semi and anti
     assert not (semi & anti)
