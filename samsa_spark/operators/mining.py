@@ -1,0 +1,423 @@
+"""Pattern-mining / graph-analytics / IR operators the reference engine has
+no counterpart for (SURVEY.md §2.3 absence list — "iterative algorithms"
+and the training-data extension surface):
+
+- fp1  frequent co-purchase pairs with association-rule lift (apriori-pruned
+  market-basket mining, the classic MLlib FPGrowth use case re-expressed as
+  pure DataFrame algebra);
+- pr1  weighted PageRank over the customer<->supplier purchase graph
+  (fixed-iteration power method — the canonical *iterative* DataFrame
+  algorithm beyond dd6's connected components);
+- w2v1 skip-gram (center, context) training-pair extraction with unigram^0.75
+  negative-sampling weights (the word2vec data-prep stage);
+- ph1  exact phrase search over positional postings (the IR counterpart of
+  bm1's bag-of-words ranking: term-filtered postings + consecutive-position
+  equi-joins).
+
+All four are SQL-expressible and carry exact DuckDB oracles.
+
+Scale shapes:
+
+- fp1 never self-joins the basket table: kept items are re-assembled into
+  per-basket sorted arrays (basket size is bounded — TPC-H max 13 distinct
+  parts) and pairs come from an in-task array comb2, so the only shuffles
+  are the two keyed aggregates, both with map-side combine. The apriori
+  item prune is a MEAN-RELATIVE frequency floor (integer-exact — CLAUDE.md
+  note 29; see the function docstring for why it is mean-relative and not
+  basket-fraction-relative here) applied before any pair exists.
+- pr1 materializes the normalized edge list once (localCheckpoint — it
+  feeds all five iterations, note 12) and broadcasts the rank vector into
+  every iteration (node count ~ 1% of edge count here; at cluster scale the
+  rank side stays broadcast-able far longer than the edge side is small).
+  Each iteration is one map-side-combining aggregate over edges; dangling
+  mass cannot exist because the graph is symmetrized.
+- w2v1 enumerates contexts with an in-row array `get` per offset (no
+  token self-join on the Spark side) and aggregates (center, context)
+  counts with map-side combine; vocabulary-factorized output (note 29's
+  bounded-cardinality argument: the corpus vocab, not the corpus, sizes
+  the result).
+- ph1 filters postings to the phrase's terms BEFORE any shuffle (a tiny
+  fraction of corpus tokens) and chains (doc_id, pos) equi-joins — never a
+  LIKE scan over full text at query time.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from samsa_spark import tables
+
+
+# --------------------------------------------------------------------------
+# fp1 — frequent co-purchase pairs + association-rule lift
+# --------------------------------------------------------------------------
+
+def copurchase_rules(
+    lineitem: DataFrame,
+    avg_ratio_num: int = 6,
+    avg_ratio_den: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """fp1 — apriori-pruned frequent-pair mining over order baskets with
+    association-rule lift: ``(item_a, item_b, pair_count, count_a, count_b,
+    lift)``, the ``top_n`` most frequent pairs (ties broken by item ids).
+
+    A basket is an order's DISTINCT part set. Items below the MEAN-relative
+    frequency floor — keep iff ``den * cnt * n_items >= num * total_item
+    occurrences`` (i.e. cnt >= (num/den) x the average item frequency,
+    integer-exact per the note-29 discipline) — are pruned BEFORE pair
+    generation: the apriori step that makes pair mining feasible at scale,
+    since pairs of infrequent items can never be frequent. The floor is
+    mean-relative rather than basket-count-relative because the item
+    UNIVERSE grows with the data here (TPC-H parts scale with sf): a fixed
+    fraction-of-baskets support goes degenerate as the catalog widens (the
+    first fp1 cut returned 0 rows at sf0.1 exactly that way), while the
+    over-the-mean band keeps a stable quantile of items at every scale.
+    Kept items are grouped back into per-basket sorted arrays and pairs
+    come from an in-task comb2 over each array (bounded by basket size),
+    then one combining aggregate counts pair support.
+
+    ``lift = n_baskets * pair_count / (count_a * count_b)`` — > 1 means the
+    items co-occur more than independence predicts. Evaluated in the exact
+    double-op order the oracle uses, rounded to 6 dp (note 6).
+    """
+    # b feeds three branches (nb, items, kb) and items two more — Spark gives
+    # no ReusedExchange across aggregate branches (note 12), so materialize
+    # both once. b is (order, part) pairs — a few MB at gate scales, and at
+    # cluster scale a persisted frame you'd cache anyway.
+    b = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    nb = b.agg(F.countDistinct("l_orderkey").alias("nb"))
+    items = (
+        b.groupBy("l_partkey").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
+    tot = items.agg(
+        F.count("*").alias("n_items"), F.sum("c").cast("bigint").alias("occ")
+    )
+    keep = (
+        items.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .where(
+            F.lit(avg_ratio_den) * F.col("c") * F.col("n_items")
+            >= F.lit(avg_ratio_num) * F.col("occ")
+        )
+        .select("l_partkey", "c", "nb")
+    )
+    kb = b.join(F.broadcast(keep.select("l_partkey")), "l_partkey", "left_semi")
+    baskets = kb.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    # comb2 inside the task: slice(items, i+2, ...) is every element after
+    # position i (transform's i is 0-based, slice start is 1-based).
+    pair_structs = F.flatten(
+        F.expr(
+            "transform(items, (x, i) -> "
+            "transform(slice(items, i + 2, size(items)), y -> struct(x AS item_a, y AS item_b)))"
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .agg(F.count("*").alias("pair_count"))
+    )
+    dim = keep.select(
+        F.col("l_partkey"), F.col("c").cast("bigint").alias("cnt"), F.col("nb")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(dim.select(F.col("l_partkey").alias("item_a"), F.col("cnt").alias("count_a"), "nb")),
+            "item_a",
+        )
+        .join(
+            F.broadcast(dim.select(F.col("l_partkey").alias("item_b"), F.col("cnt").alias("count_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            "count_a",
+            "count_b",
+            # exact left-to-right double-op order replicated in the oracle
+            F.round(
+                F.col("nb").cast("double") * F.col("pair_count") / F.col("count_a") / F.col("count_b"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("pair_count"), "item_a", "item_b").limit(top_n)
+
+
+_FP1_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b),
+items AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY l_partkey),
+tot AS (SELECT count(*) AS n_items, CAST(sum(c) AS BIGINT) AS occ FROM items),
+keep AS (SELECT l_partkey, c FROM items, tot WHERE 5 * c * n_items >= 6 * occ),
+kb AS (SELECT b.l_orderkey, b.l_partkey FROM b JOIN keep USING (l_partkey)),
+pairs AS (
+  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b, count(*) AS pc
+  FROM kb x JOIN kb y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2)
+SELECT item_a, item_b, CAST(pc AS BIGINT) AS pair_count,
+       CAST(ka.c AS BIGINT) AS count_a, CAST(kb2.c AS BIGINT) AS count_b,
+       round(CAST((SELECT nb FROM n) AS DOUBLE) * pc / CAST(ka.c AS BIGINT) / CAST(kb2.c AS BIGINT), 6) AS lift
+FROM pairs
+JOIN keep ka ON ka.l_partkey = item_a
+JOIN keep kb2 ON kb2.l_partkey = item_b
+ORDER BY pair_count DESC, item_a, item_b
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# pr1 — weighted PageRank over the customer<->supplier purchase graph
+# --------------------------------------------------------------------------
+
+def pagerank(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """pr1 — weighted PageRank, fixed-iteration power method:
+    ``(node, rank)`` over the symmetrized customer<->supplier purchase
+    graph (edge weight = lineitem count between the pair; nodes are
+    ``c:<custkey>`` / ``s:<suppkey>``).
+
+    Symmetrizing removes dangling nodes by construction (every node's
+    in-set equals its out-set), so the update is exactly
+
+        r'(v) = (1 - d)/N + d * sum_in r(u) * w(u,v)/outw(u)
+
+    from a uniform start. The normalized edge list is localCheckpoint-ed
+    once (it feeds every iteration — note 12) and the rank vector is
+    broadcast into each iteration's join, so one combining aggregate per
+    iteration is the only shuffle. Ranks are rounded to 6 dp only at the
+    end (note 6); the oracle unrolls the same iterations as CTEs with the
+    identical double-op order.
+    """
+    # Internal node ids stay BIGINT (customer -> 2k, supplier -> 2k+1): the
+    # per-iteration joins and aggregates run on longs, and the readable
+    # 'c:<k>' / 's:<k>' label is minted only in the final projection.
+    li = lineitem.select("l_orderkey", "l_suppkey")
+    od = orders.select("o_orderkey", "o_custkey")
+    e0 = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+            "w",
+        )
+        # e0 feeds both union branches and, through them, outw + esh — one
+        # materialization instead of four recomputed join+agg passes (note 12).
+        .localCheckpoint(eager=True)
+    )
+    e = e0.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w").unionByName(
+        e0.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
+    )
+    # outw is node-cardinality — broadcast it back onto the edge list.
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    esh = (
+        e.join(F.broadcast(outw), "src")
+        .select("src", "dst", (F.col("w").cast("double") / F.col("ow").cast("double")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    n = esh.select("dst").distinct().count()
+    r = esh.select("dst").distinct().select(F.col("dst").alias("node"), F.lit(1.0 / n).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            esh.join(F.broadcast(r), esh.src == r.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("share")).alias("s"))
+        )
+        r = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("s")).alias("r"),
+        )
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c:"), F.expr("CAST(node DIV 2 AS STRING)"))
+    ).otherwise(F.concat(F.lit("s:"), F.expr("CAST((node - 1) DIV 2 AS STRING)")))
+    return (
+        r.select(label.alias("node"), F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+    )
+
+
+def _pr1_sql(iterations: int = 5) -> str:
+    head = """
+WITH e0 AS (
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst, count(*) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+o AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+esh AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS share
+        FROM e JOIN o ON o.src = e.src),
+nd AS (SELECT DISTINCT dst AS node FROM esh),
+n AS (SELECT count(*) AS cnt FROM nd),
+r0 AS (SELECT node, 1.0 / (SELECT cnt FROM n) AS r FROM nd)"""
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f""",
+s{i} AS (SELECT esh.dst AS node, sum(r{i-1}.r * esh.share) AS s
+        FROM esh JOIN r{i-1} ON r{i-1}.node = esh.src GROUP BY esh.dst),
+r{i} AS (SELECT node, 0.15 / (SELECT cnt FROM n) + 0.85 * s AS r FROM s{i})"""
+        )
+    tail = f"""
+SELECT node, round(r, 6) AS rank FROM r{iterations}
+ORDER BY rank DESC, node
+"""
+    return head + "".join(iters) + tail
+
+
+_PR1_SQL = _pr1_sql()
+
+
+# --------------------------------------------------------------------------
+# w2v1 — skip-gram training pairs with negative-sampling weights
+# --------------------------------------------------------------------------
+
+def skipgram_pairs(documents: DataFrame, window: int = 2, top_n: int = 100) -> DataFrame:
+    """w2v1 — word2vec data prep: ``(center, context, pair_count,
+    ctx_ns_weight)``, the ``top_n`` most frequent skip-gram pairs with the
+    context token's unigram^0.75 negative-sampling weight.
+
+    Contexts are enumerated in-row (``get(toks, pos + off)`` for
+    ``off in ±1..±window`` — 0-based, null out of range, never a token
+    self-join), then one combining aggregate counts pairs.
+
+    The ^0.75 is computed as ``sqrt(sqrt(c^3))`` — sqrt is correctly
+    rounded under IEEE 754 on both engines, unlike ``pow`` which may
+    differ in the last ulp; c^3 stays double-exact for any plausible
+    corpus vocabulary count (< 2^17.6 would be needed to overflow 2^53
+    only past 200k occurrences^3 — the triple product here is formed in
+    doubles from counts far below that bound at gate scales).
+    """
+    d = documents.select("doc_id", F.split("text", " ").alias("toks"))
+    ex = d.select(F.posexplode("toks").alias("pos", "center"), "toks")
+    offs = [o for o in range(-window, window + 1) if o != 0]
+    ctx = F.array(*[F.get("toks", F.col("pos") + o) for o in offs])
+    pairs = (
+        ex.select("center", F.explode(ctx).alias("context"))
+        .where(F.col("context").isNotNull())
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    vocab = ex.groupBy("center").agg(F.count("*").alias("c"))
+    pw = vocab.select(
+        F.col("center").alias("tok"),
+        F.sqrt(F.sqrt(F.col("c").cast("double") * F.col("c") * F.col("c"))).alias("p"),
+    )
+    z = pw.agg(F.sum("p").alias("z"))
+    w = pw.crossJoin(F.broadcast(z)).select(
+        "tok", F.round(F.col("p") / F.col("z"), 6).alias("ctx_ns_weight")
+    )
+    out = pairs.join(F.broadcast(w), pairs.context == w.tok).select(
+        "center",
+        "context",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+        "ctx_ns_weight",
+    )
+    return out.orderBy(F.desc("pair_count"), "center", "context").limit(top_n)
+
+
+_W2V1_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+u AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+off(o) AS (VALUES (-2), (-1), (1), (2)),
+cand AS (SELECT u.doc_id, u.tok AS center, u.pos + off.o AS cpos FROM u, off),
+pairs AS (
+  SELECT cand.center, b.tok AS context, count(*) AS pc
+  FROM cand JOIN u b ON b.doc_id = cand.doc_id AND b.pos = cand.cpos
+  GROUP BY 1, 2),
+vocab AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+pw AS (SELECT tok, sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) AS p FROM vocab),
+z AS (SELECT sum(p) AS z FROM pw)
+SELECT center, context, CAST(pc AS BIGINT) AS pair_count,
+       round(pw.p / (SELECT z FROM z), 6) AS ctx_ns_weight
+FROM pairs JOIN pw ON pw.tok = context
+ORDER BY pair_count DESC, center, context
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# ph1 — exact phrase search over positional postings
+# --------------------------------------------------------------------------
+
+def phrase_search(documents: DataFrame, phrase: str) -> DataFrame:
+    """ph1 — exact phrase match via positional postings: ``(doc_id,
+    n_matches, first_pos)`` for every document containing ``phrase`` as
+    consecutive tokens (0-based token position; overlapping occurrences
+    all count — 'key order key order' is two matches of 'key order').
+
+    Postings are filtered to the phrase's terms before any shuffle, then
+    the match set is the chained (doc_id, pos) equi-join of term i's
+    postings shifted by -i — the standard positional-index AND plan. At
+    corpus scale the filtered postings are a vanishing fraction of token
+    volume; no LIKE scan of raw text happens at query time.
+    """
+    terms = phrase.split(" ")
+    if not terms or any(not t for t in terms):
+        raise ValueError(f"phrase must be non-empty space-separated tokens, got {phrase!r}")
+    d = documents.select("doc_id", F.split("text", " ").alias("toks"))
+    ex = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    m = ex.where(F.col("tok") == terms[0]).select("doc_id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        pi = ex.where(F.col("tok") == t).select("doc_id", (F.col("pos") - i).alias("pos"))
+        m = m.join(pi, ["doc_id", "pos"])
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# DuckDB positions are 1-based (generate_subscripts), the operator's are
+# 0-based posexplode — the -1 at the end reconciles.
+_PH1_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+u AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+m AS (
+  SELECT a.doc_id, a.pos
+  FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'key' AND b.tok = 'order')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) - 1 AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def build_queries():
+    def _fp1(spark: SparkSession, sf: str) -> DataFrame:
+        return copurchase_rules(tables.load(spark, sf, "lineitem"))
+
+    def _pr1(spark: SparkSession, sf: str) -> DataFrame:
+        # lineitem arrives as one row group (note 5); the edge build is a
+        # broadcast join + partial agg that would otherwise run single-task.
+        return pagerank(
+            tables.load(spark, sf, "orders"),
+            tables.load(spark, sf, "lineitem", spread=True),
+        )
+
+    def _w2v1(spark: SparkSession, sf: str) -> DataFrame:
+        return skipgram_pairs(tables.load(spark, sf, "documents"))
+
+    def _ph1(spark: SparkSession, sf: str) -> DataFrame:
+        return phrase_search(tables.load(spark, sf, "documents"), "key order")
+
+    return {
+        "fp1_copurchase_rules": (_fp1, _FP1_SQL),
+        "pr1_pagerank": (_pr1, _PR1_SQL),
+        "w2v1_skipgram_pairs": (_w2v1, _W2V1_SQL),
+        "ph1_phrase_search": (_ph1, _PH1_SQL),
+    }

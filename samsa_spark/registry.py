@@ -16,6 +16,7 @@ from samsa_spark import tables
 from samsa_spark.operators import (
     advanced,
     governance,
+    mining,
     pipeline_ops,
     scale,
     dedup,
@@ -137,6 +138,10 @@ for _name, (_fn, _sql) in multimodal.build_queries().items():
 
 # --- governance (dq1 constraint battery, df1 snapshot diff) -----------------
 for _name, (_fn, _sql) in governance.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- pattern mining / graph analytics / IR (fp1, pr1, w2v1, ph1) ------------
+for _name, (_fn, _sql) in mining.build_queries().items():
     _register(_name, _fn, _sql)
 
 
@@ -923,6 +928,11 @@ _DEMOTED = (
     "ev4_bootstrap_ci",               # ev1/ev2's demotion rationale carries (sim4/qz4 anchor the compared tiers in-window); the deterministic Poisson-bootstrap effect-size CI is pytest hand-model tested with portable-hash weights
     "js2_bloom_semi_join",            # js1 keeps skew/join handling in-window and d9 the dim-probe shape; the Bloom-accelerated semi-join (dc2's digest generalized to a first-class primitive) shares the plain semi-join oracle and is pytest anti-form/equivalence tested
     "pp3_prep_funnel",                # pp1 (in-window) runs the same default chain end-to-end; the per-stage survivor audit reuses its exact stage rules and is pytest invariant-tested (train+test == dedup row)
+    # round-12 continuation additions, born demoted (the window is full)
+    "fp1_copurchase_rules",           # h1/j2 anchor join-aggregate shapes in-window and hh1 the relative-support-floor sketch family; the apriori-pruned market-basket pair miner (in-task comb2, never a basket self-join) is pytest planted-pair tested + three-scale oracle-checked
+    "pr1_pagerank",                   # dd6's recursive-CTE connected components keeps iterative algorithms in-window; the fixed-iteration weighted PageRank power method (broadcast rank vector, checkpointed edge shares) is pytest hand-graph tested + unrolled-CTE oracle-checked
+    "w2v1_skipgram_pairs",            # tf1/udtf1/tok1 anchor the explode->count->rank token shapes in-window; the skip-gram pair extraction with unigram^0.75 negative-sampling weights (in-row context enumeration, no token self-join) is pytest hand-computed tested + oracle-checked
+    "ph1_phrase_search",              # bm1 anchors retrieval in-window; the positional-postings exact phrase AND (term-pruned postings, chained (doc,pos) equi-joins) is pytest overlapping-occurrence tested + oracle-checked
 )
 
 

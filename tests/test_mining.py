@@ -1,0 +1,186 @@
+"""Pattern-mining / graph / IR operators (mining.py): oracle checks plus
+hand-computed planted fixtures driving the semantics the clean tables
+cannot (apriori prune boundaries, PageRank recurrence, skip-gram window
+edges, overlapping phrase occurrences)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from tests.oracle import check_query
+
+
+def test_fp1_oracle_match(spark):
+    ok, msg = check_query(spark, "fp1_copurchase_rules", SF_SMALL)
+    assert ok, msg
+
+
+def test_pr1_oracle_match(spark):
+    ok, msg = check_query(spark, "pr1_pagerank", SF_SMALL)
+    assert ok, msg
+
+
+def test_w2v1_oracle_match(spark):
+    ok, msg = check_query(spark, "w2v1_skipgram_pairs", SF_SMALL)
+    assert ok, msg
+
+
+def test_ph1_oracle_match(spark):
+    ok, msg = check_query(spark, "ph1_phrase_search", SF_SMALL)
+    assert ok, msg
+
+
+def test_fp1_planted_frequent_pair_and_apriori_prune(spark):
+    """Hand-checkable baskets: items 1 and 2 (count 3 each) clear the
+    1.2x-mean floor (mean = 9/5), items 3/4/5 (count 1) are pruned before
+    any pair exists — so the single surviving pair is (1,2) with support 3
+    and lift 4*3/(3*3)."""
+    from samsa_spark.operators.mining import copurchase_rules
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1), (3, 2), (3, 4), (4, 5)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = copurchase_rules(li).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.item_a, r.item_b, r.pair_count, r.count_a, r.count_b) == (1, 2, 3, 3, 3)
+    assert r.lift == round(4.0 * 3 / 3 / 3, 6)
+
+
+def test_fp1_duplicate_lineitems_are_one_basket_membership(spark):
+    """A basket is the order's DISTINCT part set: the same part twice in an
+    order must not double pair support."""
+    from samsa_spark.operators.mining import copurchase_rules
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (4, 9)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = copurchase_rules(li).collect()
+    assert len(rows) == 1
+    assert (rows[0].pair_count, rows[0].count_a, rows[0].count_b) == (3, 3, 3)
+
+
+def _model_pagerank(edges, iterations=5, damping=0.85):
+    """Reference recurrence on a weighted symmetrized edge dict
+    {(src, dst): w} with string node labels."""
+    sym = {}
+    for (s, d), w in edges.items():
+        sym[(s, d)] = sym.get((s, d), 0) + w
+        sym[(d, s)] = sym.get((d, s), 0) + w
+    nodes = sorted({s for s, _ in sym} | {d for _, d in sym})
+    outw = {}
+    for (s, _), w in sym.items():
+        outw[s] = outw.get(s, 0) + w
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        nxt = {v: 0.0 for v in nodes}
+        for (s, d), w in sym.items():
+            nxt[d] += r[s] * (w / outw[s])
+        r = {v: (1 - damping) / n + damping * nxt[v] for v in nodes}
+    return {v: round(r[v], 6) for v in nodes}
+
+
+def test_pr1_hand_graph_matches_python_model(spark):
+    """Tiny purchase graph: c1 buys twice from s1 and once from s2, c2 once
+    from s1 — engine ranks must equal the Python recurrence bit-for-6dp,
+    and total rank mass must stay 1 (symmetric graph has no dangling
+    leakage)."""
+    from samsa_spark.operators.mining import pagerank
+
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 1), (10, 2), (11, 1)], "l_orderkey long, l_suppkey long"
+    )
+    got = {r.node: r["rank"] for r in pagerank(orders, lineitem).collect()}
+    want = _model_pagerank({("c:1", "s:1"): 2, ("c:1", "s:2"): 1, ("c:2", "s:1"): 1})
+    assert got == want
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-5)
+    # the heavier-degree pair should outrank the light one
+    assert got["s:1"] > got["s:2"] and got["c:1"] > got["c:2"]
+
+
+def test_pr1_iterations_change_ranks(spark):
+    """The power method must actually iterate: 1 and 5 iterations disagree
+    on an asymmetric graph."""
+    from samsa_spark.operators.mining import pagerank
+
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (12, 1)], "l_orderkey long, l_suppkey long"
+    )
+    r1 = {r.node: r["rank"] for r in pagerank(orders, lineitem, iterations=1).collect()}
+    r5 = {r.node: r["rank"] for r in pagerank(orders, lineitem, iterations=5).collect()}
+    assert r1 != r5
+
+
+def test_w2v1_hand_doc(spark):
+    """'a b a' with window 2: every (center, context) pair enumerated by
+    hand, ns weights = unigram^0.75 via the sqrt(sqrt(c^3)) form."""
+    from samsa_spark.operators.mining import skipgram_pairs
+
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    rows = skipgram_pairs(docs).collect()
+    got = {(r.center, r.context): (r.pair_count, r.ctx_ns_weight) for r in rows}
+    pa = math.sqrt(math.sqrt(2.0 * 2 * 2))
+    pb = math.sqrt(math.sqrt(1.0))
+    z = pa + pb
+    wa, wb = round(pa / z, 6), round(pb / z, 6)
+    assert got == {
+        ("a", "b"): (2, wb),
+        ("a", "a"): (2, wa),
+        ("b", "a"): (2, wa),
+    }
+
+
+def test_w2v1_window_respects_bounds(spark):
+    """Tokens 3+ apart never pair (window=2), and out-of-range offsets at
+    document edges produce no null contexts."""
+    from samsa_spark.operators.mining import skipgram_pairs
+
+    docs = spark.createDataFrame([(0, "a x y z b")], "doc_id long, text string")
+    got = {(r.center, r.context) for r in skipgram_pairs(docs).collect()}
+    assert ("a", "b") not in got and ("b", "a") not in got
+    assert ("a", "x") in got and ("a", "y") in got and ("a", "z") not in got
+
+
+def test_ph1_overlapping_occurrences_all_count(spark):
+    """'key order key order' contains the phrase at token positions 0 AND 2
+    — a non-overlapping substring count would report 1."""
+    from samsa_spark.operators.mining import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "key order key order"), (1, "key value order"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    rows = phrase_search(docs, "key order").collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_id, rows[0].n_matches, rows[0].first_pos) == (0, 2, 0)
+
+
+def test_ph1_three_term_phrase(spark):
+    from samsa_spark.operators.mining import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "x a b c y a b"), (1, "a b x c")], "doc_id long, text string"
+    )
+    rows = phrase_search(docs, "a b c").collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_id, rows[0].n_matches, rows[0].first_pos) == (0, 1, 1)
+
+
+def test_ph1_rejects_malformed_phrase(spark):
+    from samsa_spark.operators.mining import phrase_search
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_search(docs, "a  b")
