@@ -172,6 +172,41 @@ LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# shared purchase-graph build (pr1 / lp1)
+# --------------------------------------------------------------------------
+
+def _purchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Symmetrized weighted customer<->supplier purchase graph as
+    ``(src, dst, w)`` with BIGINT node ids (customer -> 2k, supplier ->
+    2k+1; weight = lineitem count between the pair). The aggregated edge
+    frame is localCheckpoint-ed — every consumer fans it into several
+    branches/iterations (note 12)."""
+    li = lineitem.select("l_orderkey", "l_suppkey")
+    od = orders.select("o_orderkey", "o_custkey")
+    e0 = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+            "w",
+        )
+        .localCheckpoint(eager=True)
+    )
+    return e0.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w").unionByName(
+        e0.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
+    )
+
+
+def _node_label(col: str = "node") -> F.Column:
+    """Readable 'c:<custkey>' / 's:<suppkey>' label for a BIGINT node id."""
+    return F.when(
+        F.col(col) % 2 == 0, F.concat(F.lit("c:"), F.expr(f"CAST({col} DIV 2 AS STRING)"))
+    ).otherwise(F.concat(F.lit("s:"), F.expr(f"CAST(({col} - 1) DIV 2 AS STRING)")))
+
+
+# --------------------------------------------------------------------------
 # pr1 — weighted PageRank over the customer<->supplier purchase graph
 # --------------------------------------------------------------------------
 
@@ -201,24 +236,7 @@ def pagerank(
     # Internal node ids stay BIGINT (customer -> 2k, supplier -> 2k+1): the
     # per-iteration joins and aggregates run on longs, and the readable
     # 'c:<k>' / 's:<k>' label is minted only in the final projection.
-    li = lineitem.select("l_orderkey", "l_suppkey")
-    od = orders.select("o_orderkey", "o_custkey")
-    e0 = (
-        od.join(li, od.o_orderkey == li.l_orderkey)
-        .groupBy("o_custkey", "l_suppkey")
-        .agg(F.count("*").alias("w"))
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-            "w",
-        )
-        # e0 feeds both union branches and, through them, outw + esh — one
-        # materialization instead of four recomputed join+agg passes (note 12).
-        .localCheckpoint(eager=True)
-    )
-    e = e0.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w").unionByName(
-        e0.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
-    )
+    e = _purchase_edges(orders, lineitem)
     # outw is node-cardinality — broadcast it back onto the edge list.
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     esh = (
@@ -238,11 +256,8 @@ def pagerank(
             F.col("dst").alias("node"),
             (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("s")).alias("r"),
         )
-    label = F.when(
-        F.col("node") % 2 == 0, F.concat(F.lit("c:"), F.expr("CAST(node DIV 2 AS STRING)"))
-    ).otherwise(F.concat(F.lit("s:"), F.expr("CAST((node - 1) DIV 2 AS STRING)")))
     return (
-        r.select(label.alias("node"), F.round("r", 6).alias("rank"))
+        r.select(_node_label().alias("node"), F.round("r", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
     )
 
@@ -277,6 +292,90 @@ ORDER BY rank DESC, node
 
 
 _PR1_SQL = _pr1_sql()
+
+
+# --------------------------------------------------------------------------
+# lp1 — synchronous label propagation (community detection)
+# --------------------------------------------------------------------------
+
+def label_propagation(
+    orders: DataFrame, lineitem: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """lp1 — synchronous weighted label propagation over the purchase
+    graph: ``(node, community, community_size)``. Every node starts as its
+    own community; each iteration it adopts the label with the greatest
+    incident edge weight (ties -> smallest label — the deterministic LPA
+    variant), all nodes updating simultaneously.
+
+    Unlike pr1 the whole computation is INTEGER: edge weights are counts,
+    the argmax is a row_number over (sum(w) DESC, label ASC), so the
+    oracle parity is exact with no rounding discipline needed. Per
+    iteration: one broadcast of the node-cardinality label frame into the
+    edge list, one combining (dst, label) aggregate, one per-dst top-1
+    window (WindowGroupLimit caps buffering at 1 — note 37's bounded-scan
+    argument). Fixed iteration count, synchronous updates — the only LPA
+    form that is deterministic enough to sit behind an exact oracle.
+    """
+    e = _purchase_edges(orders, lineitem)
+    labels = e.select("dst").distinct().select(
+        F.col("dst").alias("node"), F.col("dst").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        mass = (
+            e.join(F.broadcast(labels), e.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.sum("w").alias("m"))
+        )
+        top = Window.partitionBy("dst").orderBy(F.desc("m"), F.asc("label"))
+        labels = (
+            mass.withColumn("rn", F.row_number().over(top))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    sized = labels.withColumn(
+        "community_size", F.count("*").over(Window.partitionBy("label")).cast("bigint")
+    )
+    return sized.select(
+        _node_label("node").alias("node"),
+        _node_label("label").alias("community"),
+        "community_size",
+    ).orderBy("node")
+
+
+def _lp1_sql(iterations: int = 3) -> str:
+    head = """
+WITH e0 AS (
+  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode, count(*) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+e AS (SELECT cnode AS src, snode AS dst, w FROM e0
+      UNION ALL SELECT snode AS src, cnode AS dst, w FROM e0),
+l0 AS (SELECT DISTINCT dst AS node, dst AS label FROM e)"""
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f""",
+g{i} AS (SELECT e.dst, l.label, sum(e.w) AS m
+        FROM e JOIN l{i-1} l ON l.node = e.src GROUP BY e.dst, l.label),
+l{i} AS (SELECT dst AS node, label FROM (
+          SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY m DESC, label) AS rn
+          FROM g{i}) WHERE rn = 1)"""
+        )
+    tail = f""",
+sized AS (SELECT node, label, count(*) OVER (PARTITION BY label) AS community_size FROM l{iterations})
+SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+            ELSE 's:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+       CASE WHEN label % 2 = 0 THEN 'c:' || CAST(label // 2 AS VARCHAR)
+            ELSE 's:' || CAST((label - 1) // 2 AS VARCHAR) END AS community,
+       CAST(community_size AS BIGINT) AS community_size
+FROM sized ORDER BY node
+"""
+    return head + "".join(iters) + tail
+
+
+_LP1_SQL = _lp1_sql()
 
 
 # --------------------------------------------------------------------------
@@ -409,6 +508,12 @@ def build_queries():
             tables.load(spark, sf, "lineitem", spread=True),
         )
 
+    def _lp1(spark: SparkSession, sf: str) -> DataFrame:
+        return label_propagation(
+            tables.load(spark, sf, "orders"),
+            tables.load(spark, sf, "lineitem", spread=True),
+        )
+
     def _w2v1(spark: SparkSession, sf: str) -> DataFrame:
         return skipgram_pairs(tables.load(spark, sf, "documents"))
 
@@ -418,6 +523,7 @@ def build_queries():
     return {
         "fp1_copurchase_rules": (_fp1, _FP1_SQL),
         "pr1_pagerank": (_pr1, _PR1_SQL),
+        "lp1_label_propagation": (_lp1, _LP1_SQL),
         "w2v1_skipgram_pairs": (_w2v1, _W2V1_SQL),
         "ph1_phrase_search": (_ph1, _PH1_SQL),
     }

@@ -15,6 +15,7 @@ from samsa_spark import sql as sql_surface
 from samsa_spark import tables
 from samsa_spark.operators import (
     advanced,
+    factorization,
     governance,
     mining,
     pipeline_ops,
@@ -140,8 +141,12 @@ for _name, (_fn, _sql) in multimodal.build_queries().items():
 for _name, (_fn, _sql) in governance.build_queries().items():
     _register(_name, _fn, _sql)
 
-# --- pattern mining / graph analytics / IR (fp1, pr1, w2v1, ph1) ------------
+# --- pattern mining / graph analytics / IR (fp1, pr1, lp1, w2v1, ph1) ------
 for _name, (_fn, _sql) in mining.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- matrix factorization (mf1 ALS — rows-only, model-checked in pytest) ----
+for _name, (_fn, _sql) in factorization.build_queries().items():
     _register(_name, _fn, _sql)
 
 
@@ -931,6 +936,7 @@ _DEMOTED = (
     # round-12 continuation additions, born demoted (the window is full)
     "fp1_copurchase_rules",           # h1/j2 anchor join-aggregate shapes in-window and hh1 the relative-support-floor sketch family; the apriori-pruned market-basket pair miner (in-task comb2, never a basket self-join) is pytest planted-pair tested + three-scale oracle-checked
     "pr1_pagerank",                   # dd6's recursive-CTE connected components keeps iterative algorithms in-window; the fixed-iteration weighted PageRank power method (broadcast rank vector, checkpointed edge shares) is pytest hand-graph tested + unrolled-CTE oracle-checked
+    "lp1_label_propagation",          # dd6 keeps iterative graph algorithms in-window; the synchronous deterministic LPA community detector shares pr1's checkpointed purchase-graph build and is ALL-INTEGER (exact oracle, no rounding discipline) — pytest hand-graph tested + unrolled-CTE oracle-checked
     "w2v1_skipgram_pairs",            # tf1/udtf1/tok1 anchor the explode->count->rank token shapes in-window; the skip-gram pair extraction with unigram^0.75 negative-sampling weights (in-row context enumeration, no token self-join) is pytest hand-computed tested + oracle-checked
     "ph1_phrase_search",              # bm1 anchors retrieval in-window; the positional-postings exact phrase AND (term-pruned postings, chained (doc,pos) equi-joins) is pytest overlapping-occurrence tested + oracle-checked
 )

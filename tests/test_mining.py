@@ -123,6 +123,63 @@ def test_pr1_iterations_change_ranks(spark):
     assert r1 != r5
 
 
+def test_lp1_oracle_match(spark):
+    ok, msg = check_query(spark, "lp1_label_propagation", SF_SMALL)
+    assert ok, msg
+
+
+def _model_lpa(edges, iterations=3):
+    """Synchronous deterministic LPA on {(src, dst): w} (bigint node ids,
+    already symmetrized by the caller)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    lab = {v: v for v in nodes}
+    for _ in range(iterations):
+        mass = {}
+        for (s, d), w in edges.items():
+            mass.setdefault(d, {})
+            mass[d][lab[s]] = mass[d].get(lab[s], 0) + w
+        lab = {v: min(m, key=lambda k: (-m[k], k)) for v, m in mass.items()}
+    return lab
+
+
+def test_lp1_hand_graph_matches_python_model(spark):
+    """c1 buys twice from s1, c2 once — sync LPA on the bipartite graph
+    (including its characteristic oscillation) must equal the Python model,
+    and community sizes must count the final labels."""
+    from samsa_spark.operators.mining import label_propagation
+
+    orders = spark.createDataFrame([(10, 1), (11, 2)], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 1), (11, 1)], "l_orderkey long, l_suppkey long"
+    )
+    # bigint graph: c1=2, c2=4, s1=3
+    edges = {(2, 3): 2, (3, 2): 2, (4, 3): 1, (3, 4): 1}
+    lab = _model_lpa(edges)
+
+    def pretty(v):
+        return f"c:{v // 2}" if v % 2 == 0 else f"s:{(v - 1) // 2}"
+
+    want = {pretty(v): pretty(l) for v, l in lab.items()}
+    sizes = {}
+    for l in want.values():
+        sizes[l] = sizes.get(l, 0) + 1
+    got = {r.node: (r.community, r.community_size) for r in label_propagation(orders, lineitem).collect()}
+    assert got == {v: (l, sizes[l]) for v, l in want.items()}
+
+
+def test_lp1_equal_mass_tie_takes_smallest_label(spark):
+    """s1 sees equal weight from c1 (node 2) and c2 (node 4) — after one
+    iteration it must adopt the smaller label."""
+    from samsa_spark.operators.mining import label_propagation
+
+    orders = spark.createDataFrame([(10, 1), (11, 2)], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(
+        [(10, 1), (11, 1)], "l_orderkey long, l_suppkey long"
+    )
+    got = {r.node: r.community for r in label_propagation(orders, lineitem, iterations=1).collect()}
+    assert got["s:1"] == "c:1"
+
+
 def test_w2v1_hand_doc(spark):
     """'a b a' with window 2: every (center, context) pair enumerated by
     hand, ns weights = unigram^0.75 via the sqrt(sqrt(c^3)) form."""

@@ -241,6 +241,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "rrf2_hybrid_fusion_ann",  # PQ-quantized dense ranks; brute-twin recall pytest
         "cls2_train_classifier",  # gradient fit, float-order partials; numpy-trainer pytest
         "gx1_graph_topk",  # Lloyd quantizer + graph beam walk; recall-vs-exact pytest
+        "mf1_als_convergence",  # iterative alternating least squares; bit-exact numpy-model pytest
     }, f"unexpected rows-only queries: {rows_only}"
 
 
