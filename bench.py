@@ -303,6 +303,22 @@ EXTRAS = [
     "js2_bloom_semi_join",
     # round 12: pp1's default chain as a per-stage survivor audit.
     "pp3_prep_funnel",
+    # round 12 (continuation): apriori-pruned market-basket pair mining
+    # (in-task comb2, mean-relative item floor).
+    "fp1_copurchase_rules",
+    # round 12 (continuation): 5-iteration weighted PageRank — checkpointed
+    # edge shares, broadcast rank vector, one combining agg per iteration.
+    "pr1_pagerank",
+    # round 12 (continuation): synchronous integer LPA community detection
+    # (same graph build, per-iteration top-1 window).
+    "lp1_label_propagation",
+    # round 12 (continuation): distributed ALS — bucketed batched normal
+    # equations over the checkpointed ratings, 3 iterations + RMSE passes.
+    "mf1_als_convergence",
+    # round 12 (continuation): skip-gram pair extraction + phrase-postings
+    # search (both sub-second; the token-shape members of the cohort).
+    "w2v1_skipgram_pairs",
+    "ph1_phrase_search",
 ]
 
 
