@@ -447,6 +447,83 @@ LIMIT 100
 
 
 # --------------------------------------------------------------------------
+# sq1 — sequential-pattern support on first occurrences (adoption order)
+# --------------------------------------------------------------------------
+
+def adoption_order_support(events: DataFrame) -> DataFrame:
+    """sq1 — sequential pattern mining, the 2-element funnel form: for every
+    ordered event-type pair (a, b), the number of users whose FIRST ``a``
+    precedes their FIRST ``b`` — ``(type_a, type_b, support,
+    support_frac)``. The order-of-adoption statistic (AprioriAll/SPADE's
+    length-2 sequence support, restricted to first occurrences so a user
+    counts once per pattern).
+
+    Scale shape: first occurrences are one map-side-combining (user, type)
+    aggregate; the pattern join is per-user with at most |event types| rows
+    per side — output is bounded by users x T^2 with T a domain constant,
+    never by event volume. Ordering uses (ts_us, event_id) exactly like
+    every state operator (CLAUDE.md note 1); ties between two types'
+    firsts cannot happen because event_id is unique and strictly ordered.
+    """
+    ev = events.select("user_id", "event_type", "ts_us", "event_id")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts_us", "event_id")).alias("f")
+    )
+    nu = events.select("user_id").distinct().count()
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("f").alias("fa")
+    )
+    b = firsts.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("f").alias("fb")
+    )
+    j = a.join(b, "user_id").where(
+        (F.col("type_a") != F.col("type_b"))
+        & (
+            (F.col("fa.ts_us") < F.col("fb.ts_us"))
+            | (
+                (F.col("fa.ts_us") == F.col("fb.ts_us"))
+                & (F.col("fa.event_id") < F.col("fb.event_id"))
+            )
+        )
+    )
+    return (
+        j.groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.round(F.col("support").cast("double") / F.lit(float(nu)), 6).alias(
+                "support_frac"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# DuckDB twin: first occurrence per (user, type) via min over the
+# (ts_us, event_id) pair — note 22: tuple arg_min doesn't bind, a named
+# struct's field order IS its comparison order.
+_SQ1_SQL = """
+WITH f AS (
+  SELECT user_id, event_type, min({'t': epoch_us(ts), 'e': event_id}) AS f
+  FROM events GROUP BY user_id, event_type
+),
+n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM f a JOIN f b ON a.user_id = b.user_id
+  WHERE a.event_type <> b.event_type
+    AND (a.f.t < b.f.t OR (a.f.t = b.f.t AND a.f.e < b.f.e))
+)
+SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS support,
+       round(CAST(count(*) AS DOUBLE) / (SELECT CAST(nu AS DOUBLE) FROM n), 6) AS support_frac
+FROM j GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+"""
+
+
+# --------------------------------------------------------------------------
 # ph1 — exact phrase search over positional postings
 # --------------------------------------------------------------------------
 
@@ -520,10 +597,14 @@ def build_queries():
     def _ph1(spark: SparkSession, sf: str) -> DataFrame:
         return phrase_search(tables.load(spark, sf, "documents"), "key order")
 
+    def _sq1(spark: SparkSession, sf: str) -> DataFrame:
+        return adoption_order_support(tables.load(spark, sf, "events"))
+
     return {
         "fp1_copurchase_rules": (_fp1, _FP1_SQL),
         "pr1_pagerank": (_pr1, _PR1_SQL),
         "lp1_label_propagation": (_lp1, _LP1_SQL),
         "w2v1_skipgram_pairs": (_w2v1, _W2V1_SQL),
         "ph1_phrase_search": (_ph1, _PH1_SQL),
+        "sq1_adoption_order": (_sq1, _SQ1_SQL),
     }

@@ -2375,6 +2375,115 @@ FROM v CROSS JOIN s
 _RP1_SQL = _rp1_sql()
 
 
+def cluster_quality(embeddings: DataFrame, k: int = 32) -> DataFrame:
+    """cl1 — clustering-quality report over the sim6 quantizer (one exact
+    Lloyd step, rounded centroids): per cell ``(cell, n, mean_own_cos,
+    mean_margin, nn_cent_cos)`` — membership count, mean cosine to the own
+    centroid, mean (own - runner-up) assignment margin (the centroid-based
+    silhouette surrogate: small margin = points sitting on a cell border),
+    and the nearest-other-centroid cosine (high = the two cells should
+    probably merge). The embedding-governance audit a pipeline runs before
+    trusting an IVF/SemDeDup partitioning.
+
+    Scale: one broadcast-centroid crossJoin streamed into a per-vector
+    top-2 window (WindowGroupLimit bounds the buffer at 2) + one cell
+    aggregate; the centroid-separation stage is k x k on the driver-sized
+    centroid frame. Rounded-before-use cosines (note 6) make the oracle
+    exact; the means round at 6 dp after aggregation (sum-order last-ulp
+    noise sits ~7 orders below the rounding step).
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(embeddings, k=k, iters=1, round_cents=6)
+    base = embeddings.select("vec_id", "embedding")
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(_cos_sim_udf()("cent", "embedding"), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    top2 = scored.withColumn("crank", F.row_number().over(w)).where(F.col("crank") <= 2)
+    per_vec = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("crank") == 1, F.col("cell"))).alias("cell"),
+        F.max(F.when(F.col("crank") == 1, F.col("ccos"))).alias("own"),
+        F.max(F.when(F.col("crank") == 2, F.col("ccos"))).alias("second"),
+    )
+    rep = per_vec.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("own"), 6).alias("mean_own_cos"),
+        F.round(F.avg(F.col("own") - F.col("second")), 6).alias("mean_margin"),
+    )
+    other = cents.select(F.col("cell").alias("ocell"), F.col("cent").alias("ocent"))
+    cc = (
+        cents.crossJoin(F.broadcast(other))
+        .where(F.col("cell") != F.col("ocell"))
+        .withColumn("ccos", F.round(_cos_sim_udf()("cent", "ocent"), 6))
+        .groupBy("cell")
+        .agg(F.max("ccos").alias("nn_cent_cos"))
+    )
+    return rep.join(F.broadcast(cc), "cell").orderBy("cell")
+
+
+# cl1's twin reuses _SIM6_SQL's quantizer stages verbatim (seeds -> one
+# rounded Lloyd step -> cents), then folds the per-vector top-2 assignment
+# into the report aggregates.
+_CL1_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+h AS (
+  SELECT vec_id, emb,
+         row_number() OVER (
+           ORDER BY ((xor(vec_id >> 31, vec_id) & 2147483647) * 2654435761) % 1000003 ASC,
+                    vec_id ASC) AS rk
+  FROM v
+),
+seeds AS (SELECT vec_id AS cell, emb AS cent FROM h WHERE rk <= 32),
+a0 AS (
+  SELECT v.vec_id, v.emb, s.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(s.cent, v.emb), 6) DESC,
+                                     s.cell ASC) AS crank
+  FROM v CROSS JOIN seeds s
+),
+asg0 AS (SELECT vec_id, emb, cell FROM a0 WHERE crank = 1),
+pe AS (
+  SELECT cell, i AS pos, round(avg(emb[i]), 6) AS c
+  FROM (SELECT cell, emb, unnest(generate_series(1, len(emb))) AS i FROM asg0)
+  GROUP BY cell, i
+),
+m AS (SELECT cell, list(c ORDER BY pos) AS cent FROM pe GROUP BY cell),
+cents AS (
+  SELECT s.cell, coalesce(m.cent, s.cent) AS cent
+  FROM seeds s LEFT JOIN m USING (cell)
+),
+sc AS (
+  SELECT v.vec_id, c.cell,
+         round(list_cosine_similarity(c.cent, v.emb), 6) AS ccos,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(c.cent, v.emb), 6) DESC,
+                                     c.cell ASC) AS crank
+  FROM v CROSS JOIN cents c
+),
+pv AS (
+  SELECT vec_id,
+         max(CASE WHEN crank = 1 THEN cell END) AS cell,
+         max(CASE WHEN crank = 1 THEN ccos END) AS own,
+         max(CASE WHEN crank = 2 THEN ccos END) AS second
+  FROM sc WHERE crank <= 2 GROUP BY vec_id
+),
+rep AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         round(avg(own), 6) AS mean_own_cos,
+         round(avg(own - second), 6) AS mean_margin
+  FROM pv GROUP BY cell
+),
+cc AS (
+  SELECT a.cell, max(round(list_cosine_similarity(a.cent, b.cent), 6)) AS nn_cent_cos
+  FROM cents a JOIN cents b ON a.cell <> b.cell GROUP BY a.cell
+)
+SELECT rep.cell, rep.n, rep.mean_own_cos, rep.mean_margin, cc.nn_cent_cos
+FROM rep JOIN cc ON cc.cell = rep.cell
+ORDER BY rep.cell
+"""
+
+
 def build_queries():
     def q(fn, **kw):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -2445,6 +2554,7 @@ def build_queries():
         ),
         # fixed-1-iteration Lloyd: the k-means code path WITH an exact twin.
         "sim6_ivf_kmeans1_topk": (q(ivf_topk_kmeans1), _SIM6_SQL),
+        "cl1_cluster_quality": (q(cluster_quality), _CL1_SQL),
         "qz1_quantization_report": (q(quantization_report), _QZ1_SQL),
         "rp1_random_projection": (q(random_projection), _RP1_SQL),
         # PCA basis depends on float-sum partial order in the last ulp ->

@@ -939,6 +939,8 @@ _DEMOTED = (
     "lp1_label_propagation",          # dd6 keeps iterative graph algorithms in-window; the synchronous deterministic LPA community detector shares pr1's checkpointed purchase-graph build and is ALL-INTEGER (exact oracle, no rounding discipline) — pytest hand-graph tested + unrolled-CTE oracle-checked
     "w2v1_skipgram_pairs",            # tf1/udtf1/tok1 anchor the explode->count->rank token shapes in-window; the skip-gram pair extraction with unigram^0.75 negative-sampling weights (in-row context enumeration, no token self-join) is pytest hand-computed tested + oracle-checked
     "ph1_phrase_search",              # bm1 anchors retrieval in-window; the positional-postings exact phrase AND (term-pruned postings, chained (doc,pos) equi-joins) is pytest overlapping-occurrence tested + oracle-checked
+    "sq1_adoption_order",             # fu1/mk1's in-window siblings anchor per-user ordered-event shapes; the first-occurrence sequential-pattern support (bounded user x T^2 join, note-22 struct-min oracle) is pytest planted-order tested + oracle-checked
+    "cl1_cluster_quality",            # sim4/qz4 anchor the IVF quantizer stack in-window (cl1 reuses sim6's exact one-Lloyd-step cents verbatim); the per-cell membership/margin/separation audit is pytest planted-geometry tested + oracle-checked
 )
 
 

@@ -235,6 +235,45 @@ def test_ph1_three_term_phrase(spark):
     assert (rows[0].doc_id, rows[0].n_matches, rows[0].first_pos) == (0, 1, 1)
 
 
+def test_sq1_oracle_match(spark):
+    ok, msg = check_query(spark, "sq1_adoption_order", SF_SMALL)
+    assert ok, msg
+
+
+def test_sq1_planted_adoption_orders(spark):
+    """u1 adopts a then b, u2 adopts b then a, u3 has only a:
+    support(a,b)=1, support(b,a)=1; repeated later events never change
+    first occurrences; a type a user lacks contributes nothing."""
+    from samsa_spark.operators.mining import adoption_order_support
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 1, 100),
+            (1, "b", 5, 101),
+            (1, "a", 9, 102),  # later repeat, irrelevant
+            (2, "b", 2, 200),
+            (2, "a", 9, 201),
+            (3, "a", 4, 300),
+        ],
+        "user_id long, event_type string, ts_us long, event_id long",
+    )
+    got = {(r.type_a, r.type_b): (r.support, r.support_frac) for r in adoption_order_support(ev).collect()}
+    assert got == {("a", "b"): (1, round(1 / 3.0, 6)), ("b", "a"): (1, round(1 / 3.0, 6))}
+
+
+def test_sq1_same_ts_breaks_on_event_id(spark):
+    """Two firsts at the same microsecond order by event_id (note-1
+    discipline): a(id 10) precedes b(id 11)."""
+    from samsa_spark.operators.mining import adoption_order_support
+
+    ev = spark.createDataFrame(
+        [(1, "a", 7, 10), (1, "b", 7, 11)],
+        "user_id long, event_type string, ts_us long, event_id long",
+    )
+    got = {(r.type_a, r.type_b): r.support for r in adoption_order_support(ev).collect()}
+    assert got == {("a", "b"): 1}
+
+
 def test_ph1_rejects_malformed_phrase(spark):
     from samsa_spark.operators.mining import phrase_search
 

@@ -1768,3 +1768,55 @@ def test_ev4_bootstrap_matches_python_model(spark):
     assert got.ci_lo == round(qdisc(0.025) / Q, 6)
     assert got.ci_hi == round(qdisc(0.975) / Q, 6)
     assert got.ci_lo <= got.mean_diff <= got.ci_hi
+
+
+# --- cl1: clustering-quality report ------------------------------------------
+
+
+def test_cl1_oracle_match(spark):
+    ok, msg = check_query(spark, "cl1_cluster_quality", SF_SMALL)
+    assert ok, msg
+
+
+def _seed_hash(vec_id: int) -> int:
+    """The kmeans_centroids seed-ranking hash (engine formula)."""
+    return (((vec_id >> 31) ^ vec_id) & 2147483647) * 2654435761 % 1000003
+
+
+def test_cl1_planted_separated_clusters(spark):
+    """Two orthogonal clusters, membership arranged so the two smallest-hash
+    ids (the k=2 Lloyd seeds) land one per cluster: every vector must sit in
+    its own cluster's cell with a wide assignment margin and near-zero
+    centroid cross-similarity."""
+    from samsa_spark.operators.similarity import cluster_quality
+
+    ids = sorted(range(8), key=_seed_hash)
+    a_ids = {ids[0]} | set(ids[2:5])   # seed A + 3 more
+    rows = []
+    for v in range(8):
+        base = [1.0, 0.0, 0.0, 0.01 * v] if v in a_ids else [0.0, 1.0, 0.0, 0.01 * v]
+        rows.append((v, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rep = {r.cell: r for r in cluster_quality(emb, k=2).collect()}
+    assert set(rep) == {ids[0], ids[1]}
+    for r in rep.values():
+        assert r.n == 4
+        assert r.mean_own_cos > 0.99
+        assert r.mean_margin > 0.9
+        assert r.nn_cent_cos < 0.1
+
+
+def test_cl1_duplicate_centroids_flag_merge(spark):
+    """All-identical vectors: the two seeds collapse to the same centroid —
+    everything lands in the smaller cell, margin 0, nn_cent_cos 1 (the
+    merge-these-cells signal)."""
+    from samsa_spark.operators.similarity import cluster_quality
+
+    emb = spark.createDataFrame(
+        [(v, [1.0, 2.0, 3.0]) for v in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cluster_quality(emb, k=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n == 6 and r.mean_margin == 0.0 and r.nn_cent_cos == 1.0
