@@ -319,6 +319,13 @@ EXTRAS = [
     # search (both sub-second; the token-shape members of the cohort).
     "w2v1_skipgram_pairs",
     "ph1_phrase_search",
+    # round 12 (continuation): first-occurrence sequential-pattern support
+    # (bounded user x T^2 join) and the sim6-quantizer cluster-quality audit.
+    "sq1_adoption_order",
+    "cl1_cluster_quality",
+    # round 12 (continuation): degree-oriented triangle census (41M oriented
+    # wedges at sf0.1 — the heaviest shuffle of the cohort by design).
+    "tc1_triangle_stats",
 ]
 
 

@@ -274,6 +274,55 @@ def test_sq1_same_ts_breaks_on_event_id(spark):
     assert got == {("a", "b"): 1}
 
 
+def test_tc1_oracle_match(spark):
+    ok, msg = check_query(spark, "tc1_triangle_stats", SF_SMALL)
+    assert ok, msg
+
+
+def test_tc1_hand_graphs(spark):
+    """A triangle closed across three 2-item baskets: 3 nodes, 3 edges,
+    3 wedges, 1 triangle, transitivity 1. A 4-cycle: 4 wedges, 0
+    triangles. One 3-item basket alone also forms a triangle."""
+    from samsa_spark.operators.mining import triangle_stats
+
+    tri = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    r = triangle_stats(tri).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (3, 3, 3, 1)
+    assert r.global_clustering == 1.0
+
+    cyc = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4), (4, 4), (4, 1)],
+        "l_orderkey long, l_partkey long",
+    )
+    r = triangle_stats(cyc).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 4, 0)
+    assert r.global_clustering == 0.0
+
+    one_basket = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (1, 3)], "l_orderkey long, l_partkey long"
+    )
+    r = triangle_stats(one_basket).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_tc1_repeated_copurchase_is_one_edge(spark):
+    """The same pair in many baskets is still ONE edge of the graph."""
+    from samsa_spark.operators.mining import triangle_stats
+
+    li = spark.createDataFrame(
+        [(o, p) for o in range(1, 6) for p in (1, 2)],
+        "l_orderkey long, l_partkey long",
+    )
+    r = triangle_stats(li).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (2, 1, 0, 0)
+    # transitivity of a wedge-free graph is undefined -> NULL (ANSI Spark
+    # would otherwise raise divideByZero on the constant-folded ratio)
+    assert r.global_clustering is None
+
+
 def test_ph1_rejects_malformed_phrase(spark):
     from samsa_spark.operators.mining import phrase_search
 
