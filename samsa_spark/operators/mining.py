@@ -458,14 +458,18 @@ def triangle_stats(lineitem: DataFrame) -> DataFrame:
 
     Scale shape: the ONLY known-safe distributed triangle plan — orient
     every edge from its lower (degree, id) endpoint to the higher, so each
-    triangle is counted exactly once from its lowest-degree corner and the
-    wedge self-join's fan-out is bounded by the ORIENTED out-degree
-    (sum odeg^2 ~= m^1.5 worst case instead of sum deg^2, 3.6x fewer
-    wedge rows on this data; hub nodes never enumerate their neighbor
-    pairs). Edges and the oriented list are each materialized once
-    (note 12 — both feed multiple branches); the wedge join and the
-    closing-edge join are plain equi-joins with map-side-combining counts.
-    All-integer except the final transitivity ratio (round 6, note 6).
+    triangle is counted exactly once (from the edge between its two
+    lowest corners) and per-node work is bounded by the ORIENTED
+    out-degree (<= ~sqrt(2m) by construction; hub nodes never enumerate
+    their neighbor pairs). The count is the EDGE-ITERATOR form: per
+    oriented edge (u, v), |N_out(u) /\ N_out(v)| via array_intersect of
+    the sorted out-adjacency arrays — the O(sum odeg^2) work rides INSIDE
+    array payloads instead of materializing one row per wedge (the first
+    cut's wedge join shipped 41M rows at sf0.1 and 410M at 10x, where it
+    spilled past the 32-partition layout and went 2x superlinear;
+    measured in PLANS.md). Edges and the oriented list are each
+    materialized once (note 12). All-integer except the final
+    transitivity ratio (round 6, note 6).
     """
     b = lineitem.select("l_orderkey", "l_partkey").distinct()
     baskets = b.groupBy("l_orderkey").agg(
@@ -498,16 +502,20 @@ def triangle_stats(lineitem: DataFrame) -> DataFrame:
         ed.select(
             F.when(ka < kc, F.col("a")).otherwise(F.col("c")).alias("src"),
             F.when(ka < kc, F.col("c")).otherwise(F.col("a")).alias("dst"),
-            F.when(ka < kc, kc).otherwise(ka).alias("dk"),
         )
         .localCheckpoint(eager=True)
     )
-    o1 = o.select("src", F.col("dst").alias("u"), F.col("dk").alias("ku"))
-    o2 = o.select("src", F.col("dst").alias("v"), F.col("dk").alias("kv"))
-    wedges = o1.join(o2, "src").where(F.col("ku") < F.col("kv")).select("u", "v")
-    closing = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    tri = wedges.join(closing, ["u", "v"]).agg(
-        F.count("*").cast("bigint").alias("n_triangles")
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+    ev = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # a sink v (no out-edges) is dropped by the inner join — it cannot
+    # close a triangle from this edge anyway
+    tri = (
+        ev.join(au, "u")
+        .join(av, "v")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
     stats = deg.agg(
         F.count("*").cast("bigint").alias("n_nodes"),
