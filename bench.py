@@ -326,6 +326,9 @@ EXTRAS = [
     # round 12 (continuation): degree-oriented triangle census (41M oriented
     # wedges at sf0.1 — the heaviest shuffle of the cohort by design).
     "tc1_triangle_stats",
+    # round 12 (continuation): deterministic DeepWalk corpus (walk_len
+    # adjacency joins, node-shaped frontier).
+    "gw1_deepwalk_corpus",
 ]
 
 

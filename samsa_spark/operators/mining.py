@@ -447,6 +447,116 @@ LIMIT 100
 
 
 # --------------------------------------------------------------------------
+# gw1 — DeepWalk-style deterministic random-walk corpus (graph-embedding prep)
+# --------------------------------------------------------------------------
+
+def deepwalk_corpus(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+) -> DataFrame:
+    """gw1 — the DeepWalk/node2vec data-prep stage (Perozzi et al. 2014):
+    ``walks_per_node`` fixed-length walks from every node of the purchase
+    graph, as ``(start, walk_id, walk)`` with the walk an array of node
+    labels. The emitted corpus is exactly what w2v1's skip-gram extractor
+    consumes — sentence = walk.
+
+    Walks are DETERMINISTIC (so a DuckDB twin replays them step by step):
+    the next hop from ``cur`` at ``step`` in walk ``wid`` is
+    ``nbrs[((cur * 2654435761 + wid * 40503 + step * 104729) & 2^31-1)
+    % |nbrs|]`` over the SORTED distinct neighbor array — integer
+    arithmetic masked below any overflow (note 2), no RNG state.
+
+    Scale shape: the frontier is nodes x walks_per_node rows for the whole
+    run (never edge-shaped); each of the ``walk_len`` steps is one
+    equi-join against the adjacency frame, whose payload is the edge list
+    packed per node (tc1's bound: the array rides the join instead of a
+    row per neighbor). At cluster scale both sides hash-partition on the
+    node key; nothing here is quadratic.
+    """
+    e = _purchase_edges(orders, lineitem)
+    # adjacency feeds every step's join (note 12) — and the checkpoint's
+    # fresh lineage keeps the repeated self-referencing joins unambiguous
+    adj = (
+        e.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    walks = F.array(*[F.lit(w) for w in range(walks_per_node)])
+    cur = adj.select(F.col("src").alias("start")).select(
+        "start",
+        F.explode(walks).alias("wid"),
+        F.col("start").alias("cur"),
+        F.array(F.col("start")).alias("path"),
+    )
+    for step in range(walk_len):
+        idx = (
+            (F.col("cur") * 2654435761 + F.col("wid") * 40503 + F.lit(step) * 104729)
+            .bitwiseAND(F.lit(2147483647))
+            % F.size("nbrs")
+        )
+        cur = (
+            cur.join(adj, cur.cur == adj.src)
+            .select(
+                "start",
+                "wid",
+                F.get("nbrs", idx.cast("int")).alias("nxt"),
+                F.concat("path", F.array(F.get("nbrs", idx.cast("int")))).alias("path"),
+            )
+            .select("start", "wid", F.col("nxt").alias("cur"), "path")
+        )
+    # the walk is emitted as the space-joined "sentence" (exactly what a
+    # word2vec trainer or w2v1 consumes), which also keeps every output
+    # column scalar for the driver's value-hash
+    lbl = "CASE WHEN x % 2 = 0 THEN 'c:' || CAST(x DIV 2 AS STRING) ELSE 's:' || CAST((x - 1) DIV 2 AS STRING) END"
+    return cur.select(
+        _node_label("start").alias("start"),
+        F.col("wid").cast("bigint").alias("walk_id"),
+        F.expr(f"array_join(transform(path, x -> {lbl}), ' ')").alias("walk"),
+    ).orderBy("start", "walk_id")
+
+
+def _gw1_sql(walk_len: int = 4, walks_per_node: int = 2) -> str:
+    head = f"""
+WITH e0 AS (
+  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+e AS (SELECT cnode AS src, snode AS dst FROM e0
+      UNION ALL SELECT snode AS src, cnode AS dst FROM e0),
+adj AS (SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM e GROUP BY src),
+wid(wid) AS (VALUES {", ".join(f"({w})" for w in range(walks_per_node))}),
+s0 AS (SELECT src AS start, wid, src AS cur, [src] AS path FROM adj, wid)"""
+    steps = []
+    for i in range(walk_len):
+        steps.append(
+            f""",
+s{i+1} AS (
+  SELECT start, wid,
+         nbrs[CAST(((cur * 2654435761 + wid * 40503 + {i} * 104729) & 2147483647)
+              % len(nbrs) AS BIGINT) + 1] AS cur,
+         list_append(path,
+           nbrs[CAST(((cur * 2654435761 + wid * 40503 + {i} * 104729) & 2147483647)
+                % len(nbrs) AS BIGINT) + 1]) AS path
+  FROM s{i} JOIN adj ON adj.src = s{i}.cur)"""
+        )
+    tail = f"""
+SELECT CASE WHEN start % 2 = 0 THEN 'c:' || CAST(start // 2 AS VARCHAR)
+            ELSE 's:' || CAST((start - 1) // 2 AS VARCHAR) END AS start,
+       CAST(wid AS BIGINT) AS walk_id,
+       array_to_string(list_transform(path, x -> CASE WHEN x % 2 = 0 THEN 'c:' || CAST(x // 2 AS VARCHAR)
+                                      ELSE 's:' || CAST((x - 1) // 2 AS VARCHAR) END), ' ') AS walk
+FROM s{walk_len}
+ORDER BY start, walk_id
+"""
+    return head + "".join(steps) + tail
+
+
+_GW1_SQL = _gw1_sql()
+
+
+# --------------------------------------------------------------------------
 # tc1 — degree-oriented triangle census of the co-purchase graph
 # --------------------------------------------------------------------------
 
@@ -726,6 +836,12 @@ def build_queries():
     def _tc1(spark: SparkSession, sf: str) -> DataFrame:
         return triangle_stats(tables.load(spark, sf, "lineitem"))
 
+    def _gw1(spark: SparkSession, sf: str) -> DataFrame:
+        return deepwalk_corpus(
+            tables.load(spark, sf, "orders"),
+            tables.load(spark, sf, "lineitem", spread=True),
+        )
+
     return {
         "fp1_copurchase_rules": (_fp1, _FP1_SQL),
         "pr1_pagerank": (_pr1, _PR1_SQL),
@@ -734,4 +850,5 @@ def build_queries():
         "ph1_phrase_search": (_ph1, _PH1_SQL),
         "sq1_adoption_order": (_sq1, _SQ1_SQL),
         "tc1_triangle_stats": (_tc1, _TC1_SQL),
+        "gw1_deepwalk_corpus": (_gw1, _GW1_SQL),
     }

@@ -942,6 +942,7 @@ _DEMOTED = (
     "sq1_adoption_order",             # fu1/mk1's in-window siblings anchor per-user ordered-event shapes; the first-occurrence sequential-pattern support (bounded user x T^2 join, note-22 struct-min oracle) is pytest planted-order tested + oracle-checked
     "cl1_cluster_quality",            # sim4/qz4 anchor the IVF quantizer stack in-window (cl1 reuses sim6's exact one-Lloyd-step cents verbatim); the per-cell membership/margin/separation audit is pytest planted-geometry tested + oracle-checked
     "tc1_triangle_stats",             # dd6/pr1/lp1 keep graph algorithms covered; the degree-oriented triangle census (each triangle counted once from its lowest-degree corner — the only wedge-join plan whose fan-out survives hub nodes) is pytest hand-graph tested + oracle-checked
+    "gw1_deepwalk_corpus",            # pr1/lp1 keep the graph tier covered and w2v1 its consumer; the deterministic DeepWalk corpus (hash-selected steps over sorted adjacency, frontier stays node-shaped) is pytest hand-walk tested + unrolled-step oracle-checked
 )
 
 

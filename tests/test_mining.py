@@ -323,6 +323,75 @@ def test_tc1_repeated_copurchase_is_one_edge(spark):
     assert r.global_clustering is None
 
 
+def test_gw1_oracle_match(spark):
+    ok, msg = check_query(spark, "gw1_deepwalk_corpus", SF_SMALL)
+    assert ok, msg
+
+
+def test_gw1_hand_walks_match_python_model(spark):
+    """Tiny graph, every walk replayed by a Python model using the same
+    hash-step rule over the same sorted adjacency."""
+    from samsa_spark.operators.mining import deepwalk_corpus
+
+    orders = spark.createDataFrame([(10, 1), (11, 2)], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1)], "l_orderkey long, l_suppkey long"
+    )
+    # bigint graph: c1=2, c2=4, s1=3, s2=5; symmetric edges
+    adj = {2: [3, 5], 4: [3], 3: [2, 4], 5: [2]}
+
+    def pretty(v):
+        return f"c:{v // 2}" if v % 2 == 0 else f"s:{(v - 1) // 2}"
+
+    def model_walk(start, wid, L=4):
+        cur, path = start, [start]
+        for step in range(L):
+            nbrs = adj[cur]
+            i = ((cur * 2654435761 + wid * 40503 + step * 104729) & 2147483647) % len(nbrs)
+            cur = nbrs[i]
+            path.append(cur)
+        return " ".join(pretty(x) for x in path)
+
+    got = {
+        (r.start, r.walk_id): r.walk
+        for r in deepwalk_corpus(orders, lineitem).collect()
+    }
+    want = {
+        (pretty(n), w): model_walk(n, w) for n in adj for w in (0, 1)
+    }
+    assert got == want
+
+
+def test_gw1_every_hop_is_an_edge(spark):
+    """On the small fixture corpus: every consecutive label pair of every
+    walk must be a real edge, and walks start at their start node."""
+    from samsa_spark import tables
+    from samsa_spark.operators.mining import deepwalk_corpus
+
+    orders = tables.load(spark, SF_SMALL, "orders")
+    lineitem = tables.load(spark, SF_SMALL, "lineitem")
+    walks = deepwalk_corpus(orders, lineitem, walk_len=3, walks_per_node=1).collect()
+    li = lineitem.select("l_orderkey", "l_suppkey")
+    od = orders.select("o_orderkey", "o_custkey")
+    pairs = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    edges = set()
+    for r in pairs:
+        a, b = f"c:{r.o_custkey}", f"s:{r.l_suppkey}"
+        edges.add((a, b))
+        edges.add((b, a))
+    assert walks
+    for r in walks:
+        toks = r.walk.split(" ")
+        assert toks[0] == r.start
+        for x, y in zip(toks, toks[1:]):
+            assert (x, y) in edges
+
+
 def test_ph1_rejects_malformed_phrase(spark):
     from samsa_spark.operators.mining import phrase_search
 
