@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pyspark.sql.functions as F
 import pytest
 
 from tests.conftest import SF_SMALL
@@ -390,6 +391,38 @@ def test_gw1_every_hop_is_an_edge(spark):
         assert toks[0] == r.start
         for x, y in zip(toks, toks[1:]):
             assert (x, y) in edges
+
+
+def test_gw1_w2v1_composition(spark):
+    """The DeepWalk corpus IS w2v input: skip-gram pairs extracted from the
+    walk sentences must all be within 2 graph hops (window=2 over a walk
+    path), and the graph's actual edges must appear as pairs."""
+    from samsa_spark import tables
+    from samsa_spark.operators.mining import deepwalk_corpus, skipgram_pairs
+
+    orders = tables.load(spark, SF_SMALL, "orders")
+    lineitem = tables.load(spark, SF_SMALL, "lineitem")
+    walks = deepwalk_corpus(orders, lineitem, walk_len=3, walks_per_node=1)
+    docs = walks.select(
+        F.xxhash64("start", "walk_id").alias("doc_id"), F.col("walk").alias("text")
+    )
+    pairs = {(r.center, r.context) for r in skipgram_pairs(docs, top_n=10000).collect()}
+    assert pairs
+    # window=2 on a bipartite walk: odd offsets cross sides (must be real
+    # edges), even offsets stay same-side (2-hop, reachable by construction)
+    li = lineitem.select("l_orderkey", "l_suppkey")
+    od = orders.select("o_orderkey", "o_custkey")
+    edges = set()
+    for r in (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    ):
+        edges.add((f"c:{r.o_custkey}", f"s:{r.l_suppkey}"))
+        edges.add((f"s:{r.l_suppkey}", f"c:{r.o_custkey}"))
+    cross_side = {(c, x) for c, x in pairs if (c[0] == "c") != (x[0] == "c")}
+    assert cross_side and cross_side <= edges
 
 
 def test_ph1_rejects_malformed_phrase(spark):
