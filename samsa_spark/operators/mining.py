@@ -757,6 +757,107 @@ ORDER BY type_a, type_b
 
 
 # --------------------------------------------------------------------------
+# kx1 — TextRank keyword extraction (PageRank over word co-occurrence)
+# --------------------------------------------------------------------------
+
+def textrank_keywords(
+    documents: DataFrame,
+    window: int = 2,
+    iterations: int = 5,
+    damping: float = 0.85,
+    top_n: int = 20,
+) -> DataFrame:
+    """kx1 — TextRank (Mihalcea & Tarau 2004), the unsupervised keyword
+    extractor: PageRank over the word co-occurrence graph (edge weight =
+    co-occurrence count within ``window`` token positions), top ``top_n``
+    words — ``(word, rank)``. The corpus-tagging stage a training
+    pipeline runs to label document collections with salient terms.
+
+    The co-occurrence enumeration is w2v1's in-row offset form (no token
+    self-join); because the offset set is symmetric the graph is
+    symmetric, so no dangling mass exists (a word with no neighbor —
+    single-token documents only — never enters the graph). The iteration
+    machinery is pr1's: normalized edge shares checkpointed once, the
+    vocabulary-sized rank vector broadcast per iteration, one combining
+    aggregate each. Ranks round at 6 dp only in the final projection
+    (note 6); the oracle unrolls the same iterations as CTEs.
+    """
+    d = documents.select(F.split("text", " ").alias("toks"))
+    ex = d.select(F.posexplode("toks").alias("pos", "w"), "toks")
+    offs = [o for o in range(-window, window + 1) if o != 0]
+    ctx = F.array(*[F.get("toks", F.col("pos") + o) for o in offs])
+    e = (
+        ex.select(F.col("w").alias("src"), F.explode(ctx).alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    outw = e.groupBy("src").agg(F.sum("cnt").alias("ow"))
+    esh = (
+        e.join(F.broadcast(outw), "src")
+        .select(
+            "src", "dst",
+            (F.col("cnt").cast("double") / F.col("ow").cast("double")).alias("share"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = esh.select("dst").distinct().count()
+    r = esh.select("dst").distinct().select(
+        F.col("dst").alias("word"), F.lit(1.0 / n).alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            esh.join(F.broadcast(r), esh.src == r.word)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("share")).alias("s"))
+        )
+        r = contrib.select(
+            F.col("dst").alias("word"),
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("s")).alias("r"),
+        )
+    return (
+        r.select("word", F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "word")
+        .limit(top_n)
+    )
+
+
+def _kx1_sql(iterations: int = 5) -> str:
+    head = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+u AS (SELECT t, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+off(o) AS (VALUES (-2), (-1), (1), (2)),
+cand AS (SELECT u.t, u.tok AS src, u.pos + off.o AS cpos FROM u, off),
+e AS (
+  SELECT cand.src, cand.t[cand.cpos] AS dst, count(*) AS cnt
+  FROM cand WHERE cand.cpos BETWEEN 1 AND len(cand.t)
+  GROUP BY 1, 2),
+o AS (SELECT src, sum(cnt) AS ow FROM e GROUP BY src),
+esh AS (SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / CAST(o.ow AS DOUBLE) AS share
+        FROM e JOIN o ON o.src = e.src),
+nd AS (SELECT DISTINCT dst AS word FROM esh),
+n AS (SELECT count(*) AS cnt FROM nd),
+r0 AS (SELECT word, 1.0 / (SELECT cnt FROM n) AS r FROM nd)"""
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f""",
+s{i} AS (SELECT esh.dst AS word, sum(r{i-1}.r * esh.share) AS s
+        FROM esh JOIN r{i-1} ON r{i-1}.word = esh.src GROUP BY esh.dst),
+r{i} AS (SELECT word, 0.15 / (SELECT cnt FROM n) + 0.85 * s AS r FROM s{i})"""
+        )
+    tail = f"""
+SELECT word, round(r, 6) AS rank FROM r{iterations}
+ORDER BY rank DESC, word
+LIMIT 20
+"""
+    return head + "".join(iters) + tail
+
+
+_KX1_SQL = _kx1_sql()
+
+
+# --------------------------------------------------------------------------
 # ph1 — exact phrase search over positional postings
 # --------------------------------------------------------------------------
 
@@ -842,6 +943,9 @@ def build_queries():
             tables.load(spark, sf, "lineitem", spread=True),
         )
 
+    def _kx1(spark: SparkSession, sf: str) -> DataFrame:
+        return textrank_keywords(tables.load(spark, sf, "documents"))
+
     return {
         "fp1_copurchase_rules": (_fp1, _FP1_SQL),
         "pr1_pagerank": (_pr1, _PR1_SQL),
@@ -851,4 +955,5 @@ def build_queries():
         "sq1_adoption_order": (_sq1, _SQ1_SQL),
         "tc1_triangle_stats": (_tc1, _TC1_SQL),
         "gw1_deepwalk_corpus": (_gw1, _GW1_SQL),
+        "kx1_textrank_keywords": (_kx1, _KX1_SQL),
     }

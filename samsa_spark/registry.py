@@ -943,6 +943,7 @@ _DEMOTED = (
     "cl1_cluster_quality",            # sim4/qz4 anchor the IVF quantizer stack in-window (cl1 reuses sim6's exact one-Lloyd-step cents verbatim); the per-cell membership/margin/separation audit is pytest planted-geometry tested + oracle-checked
     "tc1_triangle_stats",             # dd6/pr1/lp1 keep graph algorithms covered; the degree-oriented triangle census (each triangle counted once from its lowest-degree corner — the only wedge-join plan whose fan-out survives hub nodes) is pytest hand-graph tested + oracle-checked
     "gw1_deepwalk_corpus",            # pr1/lp1 keep the graph tier covered and w2v1 its consumer; the deterministic DeepWalk corpus (hash-selected steps over sorted adjacency, frontier stays node-shaped) is pytest hand-walk tested + unrolled-step oracle-checked
+    "kx1_textrank_keywords",          # tf1/hh1 anchor term-salience shapes in-window; the TextRank keyword extractor (w2v1's in-row co-occurrence windowing + pr1's broadcast-rank power iteration) is pytest salience-ordering tested + unrolled-CTE oracle-checked
 )
 
 

@@ -425,6 +425,33 @@ def test_gw1_w2v1_composition(spark):
     assert cross_side and cross_side <= edges
 
 
+def test_kx1_oracle_match(spark):
+    ok, msg = check_query(spark, "kx1_textrank_keywords", SF_SMALL)
+    assert ok, msg
+
+
+def test_kx1_hub_word_ranks_first(spark):
+    """A word co-occurring with every other word (the salient term) must
+    out-rank the leaf words that only ever co-occur with it."""
+    from samsa_spark.operators.mining import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(i, f"hub leaf{i}") for i in range(6)], "doc_id long, text string"
+    )
+    rows = textrank_keywords(docs).collect()
+    assert rows[0].word == "hub"
+    assert all(rows[0]["rank"] > r["rank"] for r in rows[1:])
+
+
+def test_kx1_symmetric_pair_splits_evenly(spark):
+    """One two-word document: by symmetry both words must end at rank 0.5."""
+    from samsa_spark.operators.mining import textrank_keywords
+
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    got = {r.word: r["rank"] for r in textrank_keywords(docs).collect()}
+    assert got == {"alpha": 0.5, "beta": 0.5}
+
+
 def test_ph1_rejects_malformed_phrase(spark):
     from samsa_spark.operators.mining import phrase_search
 
