@@ -329,6 +329,9 @@ EXTRAS = [
     # round 12 (continuation): deterministic DeepWalk corpus (walk_len
     # adjacency joins, node-shaped frontier).
     "gw1_deepwalk_corpus",
+    # round 12 (continuation): TextRank keyword extraction (co-occurrence
+    # graph + 5 broadcast-rank power iterations).
+    "kx1_textrank_keywords",
 ]
 
 
