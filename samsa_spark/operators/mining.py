@@ -629,7 +629,10 @@ def triangle_stats(lineitem: DataFrame) -> DataFrame:
     )
     stats = deg.agg(
         F.count("*").cast("bigint").alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("bigint").alias("n_wedges"),
+        # coalesce: sum over an edge-free graph's empty degree table is NULL
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
     )
     ecnt = e.agg(F.count("*").cast("bigint").alias("n_edges"))
     return (
@@ -669,7 +672,7 @@ w AS (SELECT o1.dst AS u, o2.dst AS v
       WHERE (o1.ddeg, o1.dst) < (o2.ddeg, o2.dst)),
 t AS (SELECT count(*) AS n_triangles FROM w JOIN o ON o.src = w.u AND o.dst = w.v),
 s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum(CAST(deg AS BIGINT) * (deg - 1) // 2) AS BIGINT) AS n_wedges
+             CAST(coalesce(sum(CAST(deg AS BIGINT) * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
       FROM d),
 ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
 SELECT s.n_nodes, ec.n_edges, s.n_wedges,
