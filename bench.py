@@ -332,6 +332,9 @@ EXTRAS = [
     # round 12 (continuation): TextRank keyword extraction (co-occurrence
     # graph + 5 broadcast-rank power iterations).
     "kx1_textrank_keywords",
+    # round 12 (continuation): sq1 as a first-occurrence fold stream
+    # (timed end-to-end incl. checkpoint + multi-trigger replay).
+    "st11_streaming_adoption_order",
 ]
 
 

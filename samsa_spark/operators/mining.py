@@ -706,6 +706,14 @@ def adoption_order_support(events: DataFrame) -> DataFrame:
         F.min(F.struct("ts_us", "event_id")).alias("f")
     )
     nu = events.select("user_id").distinct().count()
+    return adoption_support_from_firsts(firsts, nu)
+
+
+def adoption_support_from_firsts(firsts: DataFrame, n_users: int) -> DataFrame:
+    """sq1's pattern-join half over a prepared first-occurrence table
+    ``(user_id, event_type, f struct<ts_us, event_id>)`` — shared with the
+    streaming form (st11), whose state store IS that table."""
+    nu = n_users
     a = firsts.select(
         "user_id", F.col("event_type").alias("type_a"), F.col("f").alias("fa")
     )

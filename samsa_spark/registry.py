@@ -292,6 +292,45 @@ FROM events GROUP BY user_id
 _register("st3_streaming_custom_fold", _streaming_custom_fold, _ST3_SQL)
 
 
+def _streaming_adoption_order(spark: SparkSession, sf: str) -> DataFrame:
+    """st11 — sq1's sequential-pattern support maintained as a STREAM: the
+    event backlog replays multi-trigger (unordered files, so 'earlier'
+    events routinely arrive late) into a per-(user, type) first-occurrence
+    fold; the final state store IS the firsts table, and the same pattern
+    join as batch sq1 runs over it. Shares sq1's oracle by construction —
+    the min fold is idempotent/commutative, so replay order cannot move
+    the result."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.mining import adoption_support_from_firsts
+    from samsa_spark.streaming.pipeline import run_first_occurrence_stream
+
+    ev = tables.load(spark, sf, "events").select(
+        F.concat_ws("|", F.col("user_id").cast("string"), "event_type").alias("k"),
+        "ts_us",
+        "event_id",
+    )
+    base = tempfile.mkdtemp(prefix="samsa-st11-")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    st = run_first_occurrence_stream(spark, src, os.path.join(base, "chk"), ev.schema)
+    firsts = st.select(
+        F.split("k", "\\|").getItem(0).cast("long").alias("user_id"),
+        F.split("k", "\\|").getItem(1).alias("event_type"),
+        F.struct("ts_us", "event_id").alias("f"),
+    )
+    nu = firsts.select("user_id").distinct().count()
+    return adoption_support_from_firsts(firsts, nu)
+
+
+from samsa_spark.operators.mining import _SQ1_SQL as _SQ1_SQL_TWIN
+
+_register("st11_streaming_adoption_order", _streaming_adoption_order, _SQ1_SQL_TWIN)
+
+
 def _streaming_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """st4 — the native streaming-dedup operator inside the gate: the
     documents corpus replays as a multi-trigger file backlog, first
@@ -944,6 +983,7 @@ _DEMOTED = (
     "tc1_triangle_stats",             # dd6/pr1/lp1 keep graph algorithms covered; the degree-oriented triangle census (each triangle counted once from its lowest-degree corner — the only wedge-join plan whose fan-out survives hub nodes) is pytest hand-graph tested + oracle-checked
     "gw1_deepwalk_corpus",            # pr1/lp1 keep the graph tier covered and w2v1 its consumer; the deterministic DeepWalk corpus (hash-selected steps over sorted adjacency, frontier stays node-shaped) is pytest hand-walk tested + unrolled-step oracle-checked
     "kx1_textrank_keywords",          # tf1/hh1 anchor term-salience shapes in-window; the TextRank keyword extractor (w2v1's in-row co-occurrence windowing + pr1's broadcast-rank power iteration) is pytest salience-ordering tested + unrolled-CTE oracle-checked
+    "st11_streaming_adoption_order",  # st1/st2/st3 keep the streaming engine in-window; the first-occurrence fold stream (state store == sq1's firsts table; min fold idempotent under replay) shares sq1's oracle by construction and is pytest late-arrival tested
 )
 
 

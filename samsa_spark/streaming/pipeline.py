@@ -504,3 +504,56 @@ def run_streaming_card(
     )
     q.awaitTermination()
     return q
+
+
+def run_first_occurrence_stream(
+    spark,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 2,
+):
+    """st11's engine half: fold a keyed event backlog into per-key FIRST
+    occurrences — state per composite key ``k`` is the lexicographic min
+    (ts_us, event_id), so an 'earlier' event arriving in a LATER trigger
+    (out-of-order files are the norm) must overwrite the stored first.
+    Returns the final state as ``(k, ts_us, event_id)``.
+
+    The min fold is idempotent and commutative, which is what makes the
+    multi-trigger replay exactly equal to the batch groupBy-min — and a
+    retried trigger harmless (same min twice)."""
+    from samsa_spark.streaming.sources import file_stream
+    from samsa_spark.streaming.state_stream import read_state, stateful_transform
+
+    stream = file_stream(
+        spark, src_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def fold(key, prior, pdf):
+        row = pdf.sort_values(["ts_us", "event_id"]).iloc[0]
+        cand = (int(row["ts_us"]), int(row["event_id"]))
+        if prior is not None and (int(prior[0]), int(prior[1])) <= cand:
+            return (int(prior[0]), int(prior[1])), None
+        return cand, None
+
+    out = stateful_transform(
+        stream,
+        "k",
+        fold,
+        state_ddl="ts_us bigint, event_id bigint",
+        output_ddl="k string",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_state(spark, checkpoint_dir)

@@ -711,3 +711,50 @@ def test_streaming_exact_dedup_sink_retry_exactly_once(spark, tmp_path):
     drift2 = spark.read.parquet(str(tmp_path / "index") + "/drift")
     assert {r.append_id for r in drift2.collect()} == {1}
     assert drift2.count() == 1
+
+
+def test_first_occurrence_stream_late_arrival_overwrites(spark, tmp_path):
+    """st11's fold: a LATER trigger delivering an EARLIER event must
+    overwrite the stored first occurrence. File processing order is forced
+    via modification times (FileStreamSource picks oldest-mtime first)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from samsa_spark.streaming.pipeline import run_first_occurrence_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # file a (processed first): the LATE-timestamped event; file b
+    # (processed second): the true first occurrence
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": ["7|view"], "ts_us": [100], "event_id": [9]})),
+        str(src / "a.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": ["7|view"], "ts_us": [5], "event_id": [3]})),
+        str(src / "b.parquet"),
+    )
+    os.utime(str(src / "a.parquet"), (1_000, 1_000))
+    os.utime(str(src / "b.parquet"), (2_000, 2_000))
+    schema = spark.createDataFrame(
+        [("7|view", 100, 9)], "k string, ts_us long, event_id long"
+    ).schema
+    st = run_first_occurrence_stream(
+        spark, str(src), str(tmp_path / "chk"), schema, max_files_per_trigger=1
+    )
+    rows = st.collect()
+    assert len(rows) == 1
+    assert (rows[0].k, rows[0].ts_us, rows[0].event_id) == ("7|view", 5, 3)
+
+
+def test_streaming_adoption_order_equals_batch(spark):
+    """The registered st11 stream must reproduce batch sq1 exactly on the
+    fixture log (shared oracle by construction — this locks the two
+    implementations against each other directly)."""
+    from samsa_spark import registry, tables
+    from samsa_spark.operators.mining import adoption_order_support
+
+    got = registry.all_queries()["st11_streaming_adoption_order"](spark, SF_SMALL)
+    want = adoption_order_support(tables.load(spark, SF_SMALL, "events"))
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
