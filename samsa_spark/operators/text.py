@@ -1770,6 +1770,118 @@ FROM terms GROUP BY source, n
 """
 
 
+def train_unigram_pieces(
+    documents: DataFrame,
+    max_piece_len: int = 6,
+    iterations: int = 2,
+    top_n: int = 50,
+    floor_num: int = 1,
+    floor_den: int = 1000,
+) -> DataFrame:
+    """uni1 — unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    default, the tokenizer family Llama/T5 ship), simplified to the core
+    EM loop: candidate pieces are all word substrings up to
+    ``max_piece_len`` chars above a RELATIVE occurrence floor (note 29;
+    single chars always kept for coverage); each iteration Viterbi-
+    segments every vocabulary word under the current piece log-probs and
+    recounts pieces from the best segmentations (hard-EM). Returns the
+    ``top_n`` surviving pieces as ``(piece, piece_count, logprob)``.
+
+    Scale shape (tok2's factorization): the corpus is touched once — one
+    explode + word-frequency aggregate; candidate generation and every EM
+    pass run over the word VOCABULARY (type-level). The piece table is
+    the bounded model artifact (chars + above-floor substrings — the same
+    driver-sized class as BPE merge tables and k-means centroids); it
+    rides each segmentation pass as a closure over an Arrow-batched
+    mapInPandas (defined in-closure per note 4). Deterministic: Viterbi
+    ties prefer the longest final piece (smallest split point, scanned
+    ascending with strict improvement), and only used pieces survive a
+    pass, so every word stays segmentable by construction. Rows-only on
+    the driver surface (iterative EM); ground truth is an independent
+    pure-Python trainer in pytest plus the mass-conservation invariant
+    (sum piece_count x len(piece) == total corpus chars).
+    """
+    import math
+
+    spark = documents.sparkSession
+    words = (
+        documents.select(F.explode(_toks()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    subs = F.expr(
+        f"flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(i, least(length(w), i + {int(max_piece_len)} - 1)), j -> "
+        f"substring(w, i, j - i + 1))))"
+    )
+    cand = (
+        words.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    tot = int(cand.agg(F.sum("cnt").alias("t")).collect()[0].t)
+    kept = cand.where(
+        (F.length("piece") == 1)
+        | (F.col("cnt") * floor_den >= F.lit(floor_num) * F.lit(tot))
+    ).collect()
+    total = sum(r.cnt for r in kept)
+    logp = {r.piece: math.log(r.cnt / total) for r in kept}
+    counts = {r.piece: int(r.cnt) for r in kept}
+
+    for _ in range(iterations):
+        pieces = dict(logp)
+        lmax = max(len(p) for p in pieces)
+
+        def seg_fn(batches):
+            import pandas as pd
+
+            def viterbi(w):
+                n = len(w)
+                dp = [0.0] + [float("-inf")] * n
+                back = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    for j in range(max(0, i - lmax), i):
+                        if dp[j] == float("-inf"):
+                            continue
+                        lp = pieces.get(w[j:i])
+                        if lp is None:
+                            continue
+                        s = dp[j] + lp
+                        if s > dp[i]:
+                            dp[i], back[i] = s, j
+                out, i = [], n
+                while i > 0:
+                    out.append(w[back[i]:i])
+                    i = back[i]
+                return out[::-1]
+
+            for pdf in batches:
+                ps, wt = [], []
+                for w, fr in zip(pdf["w"], pdf["freq"]):
+                    for p in viterbi(w):
+                        ps.append(p)
+                        wt.append(int(fr))
+                yield pd.DataFrame({"piece": ps, "wt": wt})
+
+        used = (
+            words.mapInPandas(seg_fn, "piece string, wt long")
+            .groupBy("piece")
+            .agg(F.sum("wt").cast("bigint").alias("cnt"))
+            .collect()
+        )
+        total = sum(r.cnt for r in used)
+        logp = {r.piece: math.log(r.cnt / total) for r in used}
+        counts = {r.piece: int(r.cnt) for r in used}
+
+    out = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    return spark.createDataFrame(
+        [(p, c, round(logp[p], 6)) for p, c in out],
+        "piece string, piece_count bigint, logprob double",
+    )
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -1827,6 +1939,7 @@ def build_queries():
         # ground truth is an independent pure-Python BPE trainer in pytest
         # plus determinism-under-repartition and tok1-first-merge checks.
         "tok2_bpe_train": (q(train_bpe_merges), None),
+        "uni1_unigram_tokenizer": (q(train_unigram_pieces), None),
         # theta-sketch set algebra has no DuckDB twin -> rows-only; pytest
         # locks exact parity below nominal entries (planted overlapping
         # sources) and repartition-invariance.

@@ -242,6 +242,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "cls2_train_classifier",  # gradient fit, float-order partials; numpy-trainer pytest
         "gx1_graph_topk",  # Lloyd quantizer + graph beam walk; recall-vs-exact pytest
         "mf1_als_convergence",  # iterative alternating least squares; bit-exact numpy-model pytest
+        "uni1_unigram_tokenizer",  # iterative hard-EM Viterbi loop; independent pure-Python trainer pytest + mass-conservation invariant
     }, f"unexpected rows-only queries: {rows_only}"
 
 

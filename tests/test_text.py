@@ -1474,3 +1474,85 @@ def test_tx10_planted_typos_and_blocking_completeness(spark):
     }
     got2 = {(r.word_a, r.word_b, r.dist) for r in typo_pairs(vdocs).collect()}
     assert got2 == want
+
+
+# --- uni1: unigram-LM tokenizer training -------------------------------------
+
+
+def _model_unigram(word_freqs, max_piece_len=6, iterations=2, floor_num=1, floor_den=1000):
+    """Independent single-node trainer: same candidate floor, hard-EM and
+    ascending-split strict-improvement Viterbi as the engine contract."""
+    import math
+
+    cand = {}
+    for w, fr in word_freqs.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_piece_len) + 1):
+                cand[w[i:j]] = cand.get(w[i:j], 0) + fr
+    tot = sum(cand.values())
+    kept = {p: c for p, c in cand.items() if len(p) == 1 or c * floor_den >= floor_num * tot}
+    total = sum(kept.values())
+    logp = {p: math.log(c / total) for p, c in kept.items()}
+    counts = dict(kept)
+
+    def viterbi(w, pieces, lmax):
+        n = len(w)
+        dp = [0.0] + [float("-inf")] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for j in range(max(0, i - lmax), i):
+                if dp[j] == float("-inf") or w[j:i] not in pieces:
+                    continue
+                s = dp[j] + pieces[w[j:i]]
+                if s > dp[i]:
+                    dp[i], back[i] = s, j
+        out, i = [], n
+        while i > 0:
+            out.append(w[back[i]:i])
+            i = back[i]
+        return out[::-1]
+
+    for _ in range(iterations):
+        lmax = max(len(p) for p in logp)
+        used = {}
+        for w, fr in word_freqs.items():
+            for p in viterbi(w, logp, lmax):
+                used[p] = used.get(p, 0) + fr
+        total = sum(used.values())
+        logp = {p: math.log(c / total) for p, c in used.items()}
+        counts = used
+    return counts, logp
+
+
+def test_uni1_matches_independent_trainer(spark):
+    from samsa_spark.operators.text import train_unigram_pieces
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "abab cd cd x"), (2, "ababx abab")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.piece: (r.piece_count, r.logprob)
+        for r in train_unigram_pieces(docs, top_n=1000).collect()
+    }
+    wf = {"abab": 4, "cd": 3, "x": 1, "ababx": 1}
+    counts, logp = _model_unigram(wf)
+    want = {p: (c, round(logp[p], 6)) for p, c in counts.items()}
+    assert got == want
+    # the repeated whole word must survive as one piece at full frequency
+    assert got["abab"][0] >= 4
+
+
+def test_uni1_mass_conservation_on_fixture(spark):
+    """Hard-EM segmentations partition every word: sum(count x len(piece))
+    must equal the corpus' total token characters."""
+    from samsa_spark import tables
+    from samsa_spark.operators.text import train_unigram_pieces
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    rows = train_unigram_pieces(docs, top_n=100000).collect()
+    got_chars = sum(r.piece_count * len(r.piece) for r in rows)
+    want_chars = docs.selectExpr(
+        "sum(length(replace(text, ' ', ''))) AS c"
+    ).collect()[0].c
+    assert got_chars == want_chars
