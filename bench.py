@@ -335,6 +335,9 @@ EXTRAS = [
     # round 12 (continuation): sq1 as a first-occurrence fold stream
     # (timed end-to-end incl. checkpoint + multi-trigger replay).
     "st11_streaming_adoption_order",
+    # round 12 (continuation): unigram-LM tokenizer hard-EM training
+    # (vocabulary-factorized; warm floor ~2.4s, cold dominated by codegen).
+    "uni1_unigram_tokenizer",
 ]
 
 
