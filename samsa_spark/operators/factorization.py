@@ -8,41 +8,59 @@ The reference engine has nothing in this family (SURVEY.md §2.3 absence
 list: iterative algorithms); mf1 extends the iterative tier (dd6 connected
 components, pr1 PageRank, lp1 LPA) with distributed least squares.
 
-Scale shape: the RATINGS table (the part that grows) stays distributed and
-is localCheckpoint-ed once (it feeds 2 passes per iteration — note 12).
-Each half-step solves one side's k x k normal equations per entity inside
-``applyInPandas`` — grouped NOT by entity but by ``pmod(entity, buckets)``
-(note 43: ~10 ms per Python group would make per-user groups the
-bottleneck), with batched ``np.linalg.solve`` over all entities of a
-bucket at once (note 44: no per-entity pandas groupby either — one
-np.add.at segment accumulation per bucket). The fixed side's factors ride
-into the closure as a (sorted-ids, matrix) pair — factor state is
-entity-cardinality, orders of magnitude below the ratings volume, the same
-bounded-broadcast class as every centroid/codebook artifact here; a
-trillion-edge deployment would swap the closure broadcast for a
-co-partitioned block join, which changes the transport, not the algebra.
+Scale shape — the co-partitioned BLOCK-JOIN form (MLlib ALS's layout): the
+RATINGS table (the part that grows) stays distributed and is
+localCheckpoint-ed once (it feeds 2 joins + 1 RMSE pass per iteration —
+note 12). Factor state is likewise a DISTRIBUTED ``(id, factors)`` frame —
+never collected to the driver inside the loop (the round-12 verdict's
+cliff: entity cardinality grows with the data, so a per-half-step
+``collect()`` + closure re-broadcast is GBs of serial driver traffic at
+100x). Each half-step JOINS the fixed side's factors onto the ratings by
+the other-entity id (a plain shuffle join both of whose sides already hash
+by that key; AQE broadcasts it at runtime only while it is actually small —
+the size-conditional behavior pr1/lp1 hand-roll), then solves one side's
+k x k normal equations per entity inside ``applyInPandas`` — grouped NOT
+by entity but by ``pmod(entity, buckets)`` (note 43: ~10 ms per Python
+group would make per-user groups the bottleneck), with batched
+``np.linalg.solve`` over all entities of a bucket at once (note 44: no
+per-entity pandas groupby either — one np.add.at segment accumulation per
+bucket). Every half-step output is eagerly checkpointed (iterative lineage
+would otherwise grow exponentially) and the superseded generation's blocks
+are freed immediately (notes 34/39).
 
 Determinism: init factors are a pure integer-arithmetic hash of
-(id, component); every bucket sorts its rows by (entity, other-entity)
+(id, component), computed distributively inside a mapInPandas closure
+(note 4 — the identical formula lives in :func:`_init_factors` for the
+single-node model). Every bucket sorts its rows by (entity, other-entity)
 before accumulating, so np.add.at order — and therefore every float64 op —
 is reproducible bit-for-bit and replicated by the single-node numpy model
-in tests. Only the final RMSE reduction crosses partitions (sum of 64-ish
-partial sums), which is why the convergence report rounds to 6 dp
-(note 6 discipline) and the model test uses a 1e-9 tolerance there while
-demanding bit-equality on the factors themselves.
+in tests: the join transports the exact same doubles the closure broadcast
+did (array<double> round-trips exactly through Arrow), and each entity's
+k x k solve depends only on its own rows, so the bucket fan-out and the
+join are transport, not algebra. Only the final RMSE reduction crosses
+partitions (sum of 64-ish partial sums), which is why the convergence
+report rounds to 6 dp (note 6 discipline) and the model test uses a 1e-9
+tolerance there while demanding bit-equality on the factors themselves.
 """
 
 from __future__ import annotations
+
+import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from samsa_spark import tables
 
+_FACTOR_SCHEMA = "id long, factors array<double>"
+
 
 def _init_factors(ids, k: int):
     """Deterministic small init in [-0.1, 0.1): pure integer arithmetic on
-    (id, component) — reproducible in any engine, no RNG state."""
+    (id, component) — reproducible in any engine, no RNG state. This is the
+    single-node MODEL's form; the engine computes the identical formula
+    inside :func:`_init_factor_frame`'s closure (note 4: executors cannot
+    import samsa_spark, so the engine must not reference this symbol)."""
     import numpy as np
 
     ids = np.asarray(ids, dtype=np.int64)
@@ -51,9 +69,29 @@ def _init_factors(ids, k: int):
     return (h.astype(np.float64) / 1000003.0 - 0.5) * 0.2
 
 
-def _make_solver(fixed_ids, fixed_fac, gcol: str, ocol: str, k: int, reg: float):
+def _init_factor_frame(ids_df: DataFrame, k: int) -> DataFrame:
+    """Distributed ``(id, factors)`` init frame: the `_init_factors` hash
+    evaluated per batch inside a closure — entity cardinality never touches
+    the driver."""
+
+    def init(batches):
+        import numpy as np
+        import pandas as pd
+
+        comps = np.arange(k, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            h = (ids[:, None] * 2654435761 + comps[None, :] * 40503) % 1000003
+            fac = (h.astype(np.float64) / 1000003.0 - 0.5) * 0.2
+            yield pd.DataFrame({"id": ids, "factors": list(fac)})
+
+    return ids_df.mapInPandas(init, _FACTOR_SCHEMA)
+
+
+def _make_solver(gcol: str, ocol: str, k: int, reg: float):
     """Closure (note 4) solving one side's normal equations for every
-    entity in a bucket with one batched np.linalg.solve."""
+    entity in a bucket with one batched np.linalg.solve. The fixed side's
+    factors arrive as the joined ``_f`` column, not a driver closure."""
 
     def solve(pdf):
         import numpy as np
@@ -61,9 +99,8 @@ def _make_solver(fixed_ids, fixed_fac, gcol: str, ocol: str, k: int, reg: float)
 
         pdf = pdf.sort_values([gcol, ocol], kind="mergesort")
         g = pdf[gcol].to_numpy(np.int64)
-        o = pdf[ocol].to_numpy(np.int64)
         rt = pdf["rating"].to_numpy(np.float64)
-        q = fixed_fac[np.searchsorted(fixed_ids, o)]  # (n, k)
+        q = np.stack(pdf["_f"].to_numpy())  # (n, k)
         uids, uidx = np.unique(g, return_inverse=True)
         A = np.zeros((len(uids), k, k))
         B = np.zeros((len(uids), k))
@@ -76,20 +113,39 @@ def _make_solver(fixed_ids, fixed_fac, gcol: str, ocol: str, k: int, reg: float)
     return solve
 
 
+def _collect_factor_frame(df: DataFrame):
+    """(sorted ids, row-aligned matrix) numpy view of a factor frame — the
+    array-returning API's final materialization, outside the loop."""
+    import numpy as np
+
+    rows = df.collect()
+    rows.sort(key=lambda x: x.id)
+    ids = np.array([x.id for x in rows], dtype=np.int64)
+    fac = np.array([x.factors for x in rows], dtype=np.float64)
+    return ids, fac
+
+
 def als_factorize(
     ratings: DataFrame,
     k: int = 4,
     iterations: int = 3,
     reg: float = 0.1,
     buckets: int | None = None,
+    return_frames: bool = False,
 ):
-    """mf1 core — ALS over ``(user, item, rating)``. Returns
-    ``(user_ids, user_factors, item_ids, item_factors, rmse_history)`` as
-    numpy arrays (ids sorted ascending; factors row-aligned) plus the
-    per-iteration RMSE list. See the module docstring for the scale and
-    determinism contract."""
-    import numpy as np
+    """mf1 core — ALS over ``(user, item, rating)``.
 
+    Default return: ``(user_ids, user_factors, item_ids, item_factors,
+    rmse_history)`` as numpy arrays (ids sorted ascending; factors
+    row-aligned) — one collect at the very END, for callers that want the
+    model in hand. ``return_frames=True`` instead returns
+    ``(user_df, item_df, rmse_history)`` with the factors still distributed
+    (both frames localCheckpoint-ed; the caller owns their blocks —
+    ``tables.free_checkpoint`` when done) — the form a 100x deployment and
+    the registered query use, since entity cardinality grows with the data.
+    See the module docstring for the scale and determinism contract."""
+    if iterations < 1:
+        raise ValueError(f"als_factorize needs iterations >= 1, got {iterations}")
     spark = ratings.sparkSession
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism * 2
@@ -101,51 +157,67 @@ def als_factorize(
         )
         .localCheckpoint(eager=True)
     )
-    item_ids = np.array(
-        sorted(x[0] for x in r.select("item").distinct().collect()), dtype=np.int64
-    )
-    item_fac = _init_factors(item_ids, k)
-    user_ids = item_ids  # placeholder; set by the first user solve
-    user_fac = None
-    out_schema = f"id long, factors array<double>"
+    item_df = _init_factor_frame(
+        r.select(F.col("item").alias("id")).distinct(), k
+    ).localCheckpoint(eager=True)
+    user_df: DataFrame | None = None
 
-    def _solve_side(gcol, ocol, fixed_ids, fixed_fac):
-        solver = _make_solver(fixed_ids, fixed_fac, gcol, ocol, k, reg)
-        rows = (
-            r.groupBy(F.pmod(F.col(gcol), F.lit(buckets)))
-            .applyInPandas(solver, out_schema)
-            .collect()
+    def _solve_side(gcol: str, ocol: str, fixed_df: DataFrame) -> DataFrame:
+        joined = r.join(
+            fixed_df.select(F.col("id").alias(ocol), F.col("factors").alias("_f")),
+            ocol,
         )
-        rows.sort(key=lambda x: x.id)
-        ids = np.array([x.id for x in rows], dtype=np.int64)
-        fac = np.array([x.factors for x in rows], dtype=np.float64)
-        return ids, fac
+        return (
+            joined.groupBy(F.pmod(F.col(gcol), F.lit(buckets)))
+            .applyInPandas(_make_solver(gcol, ocol, k, reg), _FACTOR_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
 
-    def _rmse(u_ids, u_fac, i_ids, i_fac):
+    def _rmse(u_df: DataFrame, i_df: DataFrame) -> float:
+        j = r.join(
+            u_df.select(F.col("id").alias("user"), F.col("factors").alias("_uf")),
+            "user",
+        ).join(
+            i_df.select(F.col("id").alias("item"), F.col("factors").alias("_if")),
+            "item",
+        )
+
         def err(batches):
             import numpy as np
             import pandas as pd
 
             for pdf in batches:
-                u = u_fac[np.searchsorted(u_ids, pdf["user"].to_numpy(np.int64))]
-                q = i_fac[np.searchsorted(i_ids, pdf["item"].to_numpy(np.int64))]
+                if not len(pdf):
+                    continue
+                u = np.stack(pdf["_uf"].to_numpy())
+                q = np.stack(pdf["_if"].to_numpy())
                 e = pdf["rating"].to_numpy(np.float64) - (u * q).sum(axis=1)
                 yield pd.DataFrame({"se": [float((e * e).sum())], "n": [len(e)]})
 
         tot = (
-            r.mapInPandas(err, "se double, n long")
+            j.mapInPandas(err, "se double, n long")
             .agg(F.sum("se").alias("se"), F.sum("n").alias("n"))
             .collect()[0]
         )
-        import math
-
         return math.sqrt(tot.se / tot.n)
 
     history = []
     for _ in range(iterations):
-        user_ids, user_fac = _solve_side("user", "item", item_ids, item_fac)
-        item_ids, item_fac = _solve_side("item", "user", user_ids, user_fac)
-        history.append(_rmse(user_ids, user_fac, item_ids, item_fac))
+        prev_user = user_df
+        user_df = _solve_side("user", "item", item_df)
+        if prev_user is not None:
+            tables.free_checkpoint(prev_user)
+        prev_item = item_df
+        item_df = _solve_side("item", "user", user_df)
+        tables.free_checkpoint(prev_item)
+        history.append(_rmse(user_df, item_df))
+    tables.free_checkpoint(r)
+    if return_frames:
+        return user_df, item_df, history
+    user_ids, user_fac = _collect_factor_frame(user_df)
+    item_ids, item_fac = _collect_factor_frame(item_df)
+    tables.free_checkpoint(user_df)
+    tables.free_checkpoint(item_df)
     return user_ids, user_fac, item_ids, item_fac, history
 
 
@@ -154,7 +226,8 @@ def als_convergence(orders: DataFrame, lineitem: DataFrame, **kw) -> DataFrame:
     log1p(purchase-count) matrix and report per-iteration RMSE:
     ``(iteration, rmse)``. Rows-only (iterative least squares is not
     SQL-expressible); the numerics are locked by the bit-exact
-    single-node-model pytest instead."""
+    single-node-model pytest instead. Uses the distributed-frame form —
+    entity factors never land on the driver."""
     spark = orders.sparkSession
     li = lineitem.select("l_orderkey", "l_suppkey")
     od = orders.select("o_orderkey", "o_custkey")
@@ -168,7 +241,9 @@ def als_convergence(orders: DataFrame, lineitem: DataFrame, **kw) -> DataFrame:
             "rating",
         )
     )
-    *_, history = als_factorize(ratings, **kw)
+    user_df, item_df, history = als_factorize(ratings, return_frames=True, **kw)
+    tables.free_checkpoint(user_df)
+    tables.free_checkpoint(item_df)
     return spark.createDataFrame(
         [(i + 1, round(v, 6)) for i, v in enumerate(history)],
         "iteration long, rmse double",

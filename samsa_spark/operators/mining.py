@@ -210,11 +210,30 @@ def _node_label(col: str = "node") -> F.Column:
 # pr1 — weighted PageRank over the customer<->supplier purchase graph
 # --------------------------------------------------------------------------
 
+# Node-cardinality frames (rank vector, outweights, LPA labels) are broadcast
+# into the per-iteration edge join only below this node count. ~2M nodes x
+# ~24 B/row ≈ 50 MB built + shipped per broadcast — comfortably inside
+# executor heaps; past it the node universe GROWS with the data (customers +
+# suppliers scale with sf), so a forced broadcast is an OOM cliff at 100x and
+# the join must fall back to a co-partitioned shuffle. The fallback hints
+# shuffle_hash with the node frame as build side: node rows are ~1% of edge
+# rows here, and a hash join skips the sort a merge join would impose on the
+# edge side every iteration.
+BROADCAST_MAX_NODES = 2_000_000
+
+
+def _node_side(df: DataFrame, small: bool) -> DataFrame:
+    """The node-cardinality side of a per-iteration edge join: broadcast in
+    the small regime, shuffle-hash build side in the big one."""
+    return F.broadcast(df) if small else df.hint("shuffle_hash")
+
+
 def pagerank(
     orders: DataFrame,
     lineitem: DataFrame,
     iterations: int = 5,
     damping: float = 0.85,
+    broadcast_max_nodes: int | None = BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """pr1 — weighted PageRank, fixed-iteration power method:
     ``(node, rank)`` over the symmetrized customer<->supplier purchase
@@ -227,28 +246,35 @@ def pagerank(
         r'(v) = (1 - d)/N + d * sum_in r(u) * w(u,v)/outw(u)
 
     from a uniform start. The normalized edge list is localCheckpoint-ed
-    once (it feeds every iteration — note 12) and the rank vector is
-    broadcast into each iteration's join, so one combining aggregate per
-    iteration is the only shuffle. Ranks are rounded to 6 dp only at the
-    end (note 6); the oracle unrolls the same iterations as CTEs with the
+    once (it feeds every iteration — note 12). The rank vector joins the
+    edge list SIZE-CONDITIONALLY (``broadcast_max_nodes``, None = never
+    broadcast): nodes grow with the data, so the broadcast that wins at
+    gate scale is an OOM cliff at 100x — above the threshold the edge list
+    is repartitioned on ``src`` once (localCheckpoint preserves the
+    partitioning, so no edge-side shuffle recurs per iteration) and each
+    iteration shuffles only the rank vector. Either regime: one combining
+    aggregate per iteration. Ranks are rounded to 6 dp only at the end
+    (note 6); the oracle unrolls the same iterations as CTEs with the
     identical double-op order.
     """
     # Internal node ids stay BIGINT (customer -> 2k, supplier -> 2k+1): the
     # per-iteration joins and aggregates run on longs, and the readable
     # 'c:<k>' / 's:<k>' label is minted only in the final projection.
     e = _purchase_edges(orders, lineitem)
-    # outw is node-cardinality — broadcast it back onto the edge list.
+    n = e.select("dst").distinct().count()
+    small = broadcast_max_nodes is not None and n <= broadcast_max_nodes
+    # outw is node-cardinality — same regime rule as the rank vector.
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    esh = (
-        e.join(F.broadcast(outw), "src")
-        .select("src", "dst", (F.col("w").cast("double") / F.col("ow").cast("double")).alias("share"))
-        .localCheckpoint(eager=True)
+    esh = e.join(_node_side(outw, small), "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("ow").cast("double")).alias("share")
     )
-    n = esh.select("dst").distinct().count()
+    if not small:
+        esh = esh.repartition("src")
+    esh = esh.localCheckpoint(eager=True)
     r = esh.select("dst").distinct().select(F.col("dst").alias("node"), F.lit(1.0 / n).alias("r"))
     for _ in range(iterations):
         contrib = (
-            esh.join(F.broadcast(r), esh.src == r.node)
+            esh.join(_node_side(r, small), esh.src == r.node)
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("share")).alias("s"))
         )
@@ -299,7 +325,10 @@ _PR1_SQL = _pr1_sql()
 # --------------------------------------------------------------------------
 
 def label_propagation(
-    orders: DataFrame, lineitem: DataFrame, iterations: int = 3
+    orders: DataFrame,
+    lineitem: DataFrame,
+    iterations: int = 3,
+    broadcast_max_nodes: int | None = BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """lp1 — synchronous weighted label propagation over the purchase
     graph: ``(node, community, community_size)``. Every node starts as its
@@ -310,8 +339,11 @@ def label_propagation(
     Unlike pr1 the whole computation is INTEGER: edge weights are counts,
     the argmax is a row_number over (sum(w) DESC, label ASC), so the
     oracle parity is exact with no rounding discipline needed. Per
-    iteration: one broadcast of the node-cardinality label frame into the
-    edge list, one combining (dst, label) aggregate, one per-dst top-1
+    iteration: one join of the node-cardinality label frame into the edge
+    list — broadcast only under ``broadcast_max_nodes`` (nodes grow with
+    the data; see pr1 — above the threshold the edge list is repartitioned
+    on ``src`` once and each iteration shuffles only the label frame) —
+    then one combining (dst, label) aggregate and one per-dst top-1
     window (WindowGroupLimit caps buffering at 1 — note 37's bounded-scan
     argument). Fixed iteration count, synchronous updates — the only LPA
     form that is deterministic enough to sit behind an exact oracle.
@@ -320,11 +352,14 @@ def label_propagation(
     labels = e.select("dst").distinct().select(
         F.col("dst").alias("node"), F.col("dst").alias("label")
     )
+    small = broadcast_max_nodes is not None and labels.count() <= broadcast_max_nodes
+    if not small:
+        e = e.repartition("src").localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     for _ in range(iterations):
         mass = (
-            e.join(F.broadcast(labels), e.src == labels.node)
+            e.join(_node_side(labels, small), e.src == labels.node)
             .groupBy("dst", "label")
             .agg(F.sum("w").alias("m"))
         )
@@ -561,7 +596,7 @@ _GW1_SQL = _gw1_sql()
 # --------------------------------------------------------------------------
 
 def triangle_stats(lineitem: DataFrame) -> DataFrame:
-    """tc1 — global triangle census of the part co-purchase graph (edge =
+    r"""tc1 — global triangle census of the part co-purchase graph (edge =
     two parts sharing a basket): one row ``(n_nodes, n_edges, n_wedges,
     n_triangles, global_clustering)`` with ``global_clustering =
     3 * triangles / wedges`` (transitivity).

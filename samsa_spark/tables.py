@@ -172,3 +172,19 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> D
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def free_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks of a localCheckpoint-ed frame.
+
+    ``df.rdd.unpersist()`` does NOT work here — it unpersists a derived
+    conversion RDD, not the checkpointed blocks, which belong to the
+    LogicalRDD inside the checkpointed plan (CLAUDE.md note 34). Only call
+    this on frames that will never be read again: unpersisting a
+    localCheckpoint destroys blocks AND lineage (note 45), so any later
+    action on ``df`` fails irrecoverably. Best-effort by design — a py4j
+    surface change must not turn cleanup into a crash."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass

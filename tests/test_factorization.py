@@ -123,3 +123,39 @@ def test_mf1_convergence_history_non_increasing(spark):
     vals = [r.rmse for r in sorted(rows, key=lambda r: r.iteration)]
     assert len(vals) == 3
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:])), vals
+
+
+def test_mf1_frame_form_equals_array_form(spark):
+    """return_frames=True (the 100x form — factors never collected inside
+    the loop) must carry bit-identical factors to the array-returning API:
+    the block join is transport, not algebra."""
+    from samsa_spark import tables
+    from samsa_spark.operators.factorization import als_factorize
+
+    df = spark.createDataFrame(
+        _synthetic_triples(), "user long, item long, rating double"
+    )
+    u_ids, u_fac, i_ids, i_fac, hist = als_factorize(df)
+    user_df, item_df, fhist = als_factorize(df, return_frames=True)
+    urows = sorted(user_df.collect(), key=lambda r: r.id)
+    irows = sorted(item_df.collect(), key=lambda r: r.id)
+    tables.free_checkpoint(user_df)
+    tables.free_checkpoint(item_df)
+    assert np.array_equal(u_ids, np.array([r.id for r in urows]))
+    assert np.array_equal(u_fac, np.array([r.factors for r in urows]))
+    assert np.array_equal(i_fac, np.array([r.factors for r in irows]))
+    # only the RMSE reduction crosses partitions (module docstring) — the
+    # partial-sum order may differ by an ulp between invocations
+    assert all(abs(a - b) < 1e-9 for a, b in zip(hist, fhist))
+
+
+def test_mf1_zero_iterations_fails_fast(spark):
+    """iterations < 1 has no meaningful result (no user factors exist yet)
+    — fail fast instead of leaking a placeholder."""
+    from samsa_spark.operators.factorization import als_factorize
+
+    df = spark.createDataFrame(
+        [(1, 1, 3.0)], "user long, item long, rating double"
+    )
+    with pytest.raises(ValueError, match="iterations"):
+        als_factorize(df, iterations=0)

@@ -181,6 +181,54 @@ def test_lp1_equal_mass_tie_takes_smallest_label(spark):
     assert got["s:1"] == "c:1"
 
 
+def _regime_fixture(spark):
+    """A small but multi-community purchase graph for regime-equality runs."""
+    orders = spark.createDataFrame(
+        [(100 + o, o % 5 + 1) for o in range(20)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(100 + o, (o * 3) % 4 + 1) for o in range(20)]
+        + [(100 + o, (o * 7) % 4 + 1) for o in range(0, 20, 2)],
+        "l_orderkey long, l_suppkey long",
+    )
+    return orders, lineitem
+
+
+def test_pr1_big_regime_plans_shuffle_join_and_matches_broadcast(spark):
+    """broadcast_max_nodes=0 forces the beyond-broadcast regime (the node
+    universe grows with the data — the round-12 verdict's OOM cliff): the
+    per-iteration rank joins must plan WITHOUT a forced broadcast (shuffle
+    hash join in the pre-adaptive physical plan) and return the same ranks
+    as the broadcast regime — the regime changes transport, not algebra."""
+    from samsa_spark.operators.mining import pagerank
+
+    orders, lineitem = _regime_fixture(spark)
+    small = {r.node: r["rank"] for r in pagerank(orders, lineitem).collect()}
+    big_df = pagerank(orders, lineitem, broadcast_max_nodes=0)
+    plan = big_df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    big = {r.node: r["rank"] for r in big_df.collect()}
+    assert big == small
+
+
+def test_lp1_big_regime_plans_shuffle_join_and_matches_broadcast(spark):
+    """Same regime contract for LPA — all-integer, so equality is exact."""
+    from samsa_spark.operators.mining import label_propagation
+
+    orders, lineitem = _regime_fixture(spark)
+    small = {
+        r.node: (r.community, r.community_size)
+        for r in label_propagation(orders, lineitem).collect()
+    }
+    big_df = label_propagation(orders, lineitem, broadcast_max_nodes=0)
+    plan = big_df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    big = {r.node: (r.community, r.community_size) for r in big_df.collect()}
+    assert big == small
+
+
 def test_w2v1_hand_doc(spark):
     """'a b a' with window 2: every (center, context) pair enumerated by
     hand, ns weights = unigram^0.75 via the sqrt(sqrt(c^3)) form."""
