@@ -972,18 +972,24 @@ _DEMOTED = (
     "ev4_bootstrap_ci",               # ev1/ev2's demotion rationale carries (sim4/qz4 anchor the compared tiers in-window); the deterministic Poisson-bootstrap effect-size CI is pytest hand-model tested with portable-hash weights
     "js2_bloom_semi_join",            # js1 keeps skew/join handling in-window and d9 the dim-probe shape; the Bloom-accelerated semi-join (dc2's digest generalized to a first-class primitive) shares the plain semi-join oracle and is pytest anti-form/equivalence tested
     "pp3_prep_funnel",                # pp1 (in-window) runs the same default chain end-to-end; the per-stage survivor audit reuses its exact stage rules and is pytest invariant-tested (train+test == dedup row)
-    # round-12 continuation additions, born demoted (the window is full)
-    "fp1_copurchase_rules",           # h1/j2 anchor join-aggregate shapes in-window and hh1 the relative-support-floor sketch family; the apriori-pruned market-basket pair miner (in-task comb2, never a basket self-join) is pytest planted-pair tested + three-scale oracle-checked
-    "pr1_pagerank",                   # dd6's recursive-CTE connected components keeps iterative algorithms in-window; the fixed-iteration weighted PageRank power method (broadcast rank vector, checkpointed edge shares) is pytest hand-graph tested + unrolled-CTE oracle-checked
+    # round-12 continuation additions, born demoted (the window is full);
+    # round-13 rotation promoted fp1/tc1/sq1 out of this block (three new
+    # FAMILIES — market-basket mining, graph census, sequential patterns —
+    # behind the driver's own gate; fu1/ppl1/df1 rotated out below)
+    "pr1_pagerank",                   # dd6's recursive-CTE connected components keeps iterative algorithms in-window; the fixed-iteration weighted PageRank power method (size-conditional rank broadcast, checkpointed edge shares) is pytest hand-graph tested + unrolled-CTE oracle-checked
     "lp1_label_propagation",          # dd6 keeps iterative graph algorithms in-window; the synchronous deterministic LPA community detector shares pr1's checkpointed purchase-graph build and is ALL-INTEGER (exact oracle, no rounding discipline) — pytest hand-graph tested + unrolled-CTE oracle-checked
     "w2v1_skipgram_pairs",            # tf1/udtf1/tok1 anchor the explode->count->rank token shapes in-window; the skip-gram pair extraction with unigram^0.75 negative-sampling weights (in-row context enumeration, no token self-join) is pytest hand-computed tested + oracle-checked
     "ph1_phrase_search",              # bm1 anchors retrieval in-window; the positional-postings exact phrase AND (term-pruned postings, chained (doc,pos) equi-joins) is pytest overlapping-occurrence tested + oracle-checked
-    "sq1_adoption_order",             # fu1/mk1's in-window siblings anchor per-user ordered-event shapes; the first-occurrence sequential-pattern support (bounded user x T^2 join, note-22 struct-min oracle) is pytest planted-order tested + oracle-checked
     "cl1_cluster_quality",            # sim4/qz4 anchor the IVF quantizer stack in-window (cl1 reuses sim6's exact one-Lloyd-step cents verbatim); the per-cell membership/margin/separation audit is pytest planted-geometry tested + oracle-checked
-    "tc1_triangle_stats",             # dd6/pr1/lp1 keep graph algorithms covered; the degree-oriented triangle census (each triangle counted once from its lowest-degree corner — the only wedge-join plan whose fan-out survives hub nodes) is pytest hand-graph tested + oracle-checked
     "gw1_deepwalk_corpus",            # pr1/lp1 keep the graph tier covered and w2v1 its consumer; the deterministic DeepWalk corpus (hash-selected steps over sorted adjacency, frontier stays node-shaped) is pytest hand-walk tested + unrolled-step oracle-checked
     "kx1_textrank_keywords",          # tf1/hh1 anchor term-salience shapes in-window; the TextRank keyword extractor (w2v1's in-row co-occurrence windowing + pr1's broadcast-rank power iteration) is pytest salience-ordering tested + unrolled-CTE oracle-checked
     "st11_streaming_adoption_order",  # st1/st2/st3 keep the streaming engine in-window; the first-occurrence fold stream (state store == sq1's firsts table; min fold idempotent under replay) shares sq1's oracle by construction and is pytest late-arrival tested
+    # round-13 rotation: fp1 (market-basket mining), tc1 (graph census) and
+    # sq1 (sequential patterns) promote behind the driver's gate; three
+    # long-green twins rotate out.
+    "fu1_funnel_stages",              # sq1 (in-window, round-13 rotation) anchors per-user ordered-event stage analysis (sq1's firsts table IS fu1's stage-reach logic generalized to orderings) and ses1/mk1's siblings the per-user event windows; the funnel form was driver-green r08-r12 and stays pytest-oracle-checked
+    "ppl1_perplexity_buckets",        # tf1 anchors the explode->vocab->score shape and qf1 the percentile-cutpoint split in-window (ppl1 composes exactly those two); driver-green r11-r12 and stays pytest-oracle-checked — slot went to tc1 (round-13 rotation)
+    "df1_snapshot_diff",              # dq1 keeps the governance report family in-window and d5 the change-detection semantics df1 reports at snapshot grain; driver-green r09-r12 and stays pytest-oracle-checked — slot went to fp1 (round-13 rotation)
 )
 
 

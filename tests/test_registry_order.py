@@ -29,27 +29,34 @@ MUST_BE_CHECKED = [
     "sm2_mixture_sample",
     "qf1_quality_quantile",
     # round-8 rotation: the hardest round-7 operators behind the driver gate
+    # (fu1 rotated out round 13 — sq1 keeps per-user ordered-event stage
+    # analysis in-window; fu1 stays sweep+pytest-checked)
     "hh1_heavy_ngrams",
-    "fu1_funnel_stages",
     # round-9 rotation: the retrieval + composed-ANN families behind the gate
     "bm1_bm25_topk",
     "qz4_ivf_pq_topk",
-    # round-9 second-session rotation: the governance families behind the gate
+    # round-9 second-session rotation: the governance families behind the
+    # gate (df1 rotated out round 13 — dq1 keeps governance in-window;
+    # df1 stays sweep+pytest-checked)
     "dq1_constraint_report",
-    "df1_snapshot_diff",
     # round-10 rotation: the RANGE-frame window behind the gate (dd16/lm4
     # were checked in-window in round 10, then rotated out in round 11)
     "rw1_rolling_value",
-    # round-11 rotation: the winnowed global span detector and the CCNet
-    # perplexity-bucket split behind the gate (slots from dd16/lm4, both
-    # driver-green in CORRECTNESS_r10 and still sweep+pytest-checked)
+    # round-11 rotation: the winnowed global span detector behind the gate
+    # (ppl1 promoted alongside it rotated back out round 13 — tf1/qf1
+    # anchor its two composed shapes; it stays sweep+pytest-checked)
     "dd18_winnow_spans",
-    "ppl1_perplexity_buckets",
     # round-12 rotation: span-level decontamination strip and incremental
     # index dedup behind the gate (slots from dc1/mm3, both driver-green
     # for many consecutive rounds and still sweep+pytest-checked)
     "dc3_strip_contaminated_spans",
     "dd19_incremental_dedup",
+    # round-13 rotation: three new FAMILIES behind the driver's gate —
+    # market-basket mining, graph census, sequential patterns (slots from
+    # fu1/ppl1/df1, all driver-green for 2+ consecutive rounds)
+    "fp1_copurchase_rules",
+    "tc1_triangle_stats",
+    "sq1_adoption_order",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -161,6 +168,9 @@ SIBLINGS = {
     "ev4_bootstrap_ci": ["sim4_ivf_topk", "qz4_ivf_pq_topk", "sim1_cosine_topk"],
     "js2_bloom_semi_join": ["js1_salted_join", "d9_enrich", "j2_order_priority_stats"],
     "pp3_prep_funnel": ["pp1_prep_pipeline", "sp1_deterministic_split"],
+    # round-13 rotation twins
+    "fu1_funnel_stages": ["sq1_adoption_order", "ses1_sessionize"],
+    "df1_snapshot_diff": ["dq1_constraint_report", "d5_changes"],
 }
 
 
