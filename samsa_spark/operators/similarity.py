@@ -310,11 +310,32 @@ def ivf_centroids(embeddings: DataFrame) -> DataFrame:
     return agg.groupBy("label").agg(cent.alias("cent"))
 
 
+# Ceiling for the closure-borne centroid matrix: the Lloyd loop collects the
+# k x dim centroid table to the driver every iteration and ships it inside the
+# assignment UDF's closure, so k is a DRIVER/EXECUTOR-MEMORY artifact, not a
+# data-scale one. 65_536 cells x dim 64 x 8 B = 32 MB per broadcastable
+# closure — comfortable; the sqrt(N) rule would ask for ~10^6 cells at 10^12
+# vectors (512 MB closures, re-shipped every iteration) — the round-12
+# verdict's cliff. Accuracy trade of capping: cells get coarser (N/k vectors
+# each), so a fixed n_probes scans proportionally more candidates per query —
+# recall at fixed n_probes/cells RISES (bigger probed fraction), query cost
+# grows linearly in N/k; the structure never degenerates. Past this cap a
+# production index wants a two-level (coarse router + per-cell sub-quantizer)
+# scheme, which changes the layout, not this trainer.
+KMEANS_MAX_CELLS = 65_536
+
+
 def kmeans_centroids(
-    embeddings: DataFrame, k: int = 32, iters: int = 4, round_cents: int | None = None
+    embeddings: DataFrame,
+    k: int = 32,
+    iters: int = 4,
+    round_cents: int | None = None,
+    max_cells: int | None = KMEANS_MAX_CELLS,
 ) -> DataFrame:
     """Deterministic Lloyd k-means for the IVF coarse quantizer — the
-    production build path (cells ~ sqrt(N) instead of the label count).
+    production build path (cells ~ sqrt(N) instead of the label count,
+    CAPPED at ``max_cells`` — see :data:`KMEANS_MAX_CELLS` for why the
+    cell count is a driver-memory artifact and what the cap trades).
 
     Determinism without rand(): seeds are the k vectors with the smallest
     masked multiplicative key hash (engine- and partitioning-stable), and
@@ -331,6 +352,18 @@ def kmeans_centroids(
     (the production form — rounding inside Lloyd is a needless precision
     loss when no oracle needs to match).
     """
+    if max_cells is not None and k > max_cells:
+        import warnings
+
+        warnings.warn(
+            f"kmeans_centroids: capping cells {k} -> {max_cells} (the centroid "
+            "matrix rides the driver + assignment closure every iteration; "
+            "see KMEANS_MAX_CELLS for the memory bound and accuracy trade — "
+            "coarser cells, same recall at a fixed probed fraction). Pass "
+            "max_cells=None to override deliberately.",
+            stacklevel=2,
+        )
+        k = max_cells
     base = embeddings.select("vec_id", "embedding")
     h = F.expr("((vec_id >> 31) ^ vec_id) & 2147483647") * F.lit(2654435761) % F.lit(1_000_003)
     # Seed selection is a bounded top-k (TakeOrderedAndProject: per-partition

@@ -1776,13 +1776,20 @@ def train_unigram_pieces(
     iterations: int = 2,
     top_n: int = 50,
     floor_num: int = 1,
-    floor_den: int = 1000,
+    floor_den: int = 2,
 ) -> DataFrame:
     """uni1 — unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
     default, the tokenizer family Llama/T5 ship), simplified to the core
     EM loop: candidate pieces are all word substrings up to
-    ``max_piece_len`` chars above a RELATIVE occurrence floor (note 29;
-    single chars always kept for coverage); each iteration Viterbi-
+    ``max_piece_len`` chars above a MEAN-relative occurrence floor — keep
+    iff ``floor_den * cnt * n_candidates >= floor_num * total occurrences``
+    (cnt >= (num/den) x the average candidate count, integer-exact). The
+    floor is mean-relative, not fraction-of-total: the substring UNIVERSE
+    grows with the corpus (the note-51 degeneracy class — a fixed
+    fraction-of-total floor silently prunes every multi-char piece as the
+    corpus widens, the exact failure fp1's basket floor had), while the
+    over-the-mean band keeps a stable quantile of pieces at every scale
+    (single chars always kept for coverage); each iteration Viterbi-
     segments every vocabulary word under the current piece log-probs and
     recounts pieces from the best segmentations (hard-EM). Returns the
     ``top_n`` surviving pieces as ``(piece, piece_count, logprob)``.
@@ -1821,10 +1828,13 @@ def train_unigram_pieces(
         .groupBy("piece")
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
     )
-    tot = int(cand.agg(F.sum("cnt").alias("t")).collect()[0].t)
+    stats = cand.agg(
+        F.sum("cnt").cast("bigint").alias("t"), F.count("*").alias("n")
+    ).collect()[0]
+    tot, n_cand = int(stats.t), int(stats.n)
     kept = cand.where(
         (F.length("piece") == 1)
-        | (F.col("cnt") * floor_den >= F.lit(floor_num) * F.lit(tot))
+        | (F.col("cnt") * F.lit(floor_den) * F.lit(n_cand) >= F.lit(floor_num) * F.lit(tot))
     ).collect()
     total = sum(r.cnt for r in kept)
     logp = {r.piece: math.log(r.cnt / total) for r in kept}

@@ -155,6 +155,19 @@ for _name, (_fn, _sql) in sql_surface.build_queries().items():
     _register(_name, _fn, _sql)
 
 # --- streaming state (the samsa API proper), checked against D2/D7 oracles --
+def _rm_staged(path: str) -> None:
+    """Delete a staged source-backlog dir once its stream has fully drained
+    — the frame each st-runner returns reads the checkpoint state store or
+    the sink output, never the backlog, so the corpus copy is dead the
+    moment AvailableNow terminates. Without this, repeated sweep/bench
+    runs accumulate /tmp usage proportional to sf x run count (round-12
+    ADVICE). Checkpoints/sinks stay until process exit (they back the
+    returned lazy frame)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _run_streaming_state(
     spark: SparkSession, sf: str, tombstone: tuple[str, object] | None = None
 ) -> DataFrame:
@@ -196,6 +209,7 @@ def _run_streaming_state(
         ss.run_available_now(file_stream(spark, src, ev.schema, max_files_per_trigger=2), chk)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src)
     st = read_state(spark, chk)
     return st.select(
         "user_id",
@@ -275,6 +289,7 @@ def _streaming_custom_fold(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src)
     st = read_state(spark, chk)
     return st.select(
         "user_id",
@@ -317,6 +332,7 @@ def _streaming_adoption_order(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(base, "src")
     ev.repartition(4).write.parquet(src)
     st = run_first_occurrence_stream(spark, src, os.path.join(base, "chk"), ev.schema)
+    _rm_staged(src)
     firsts = st.select(
         F.split("k", "\\|").getItem(0).cast("long").alias("user_id"),
         F.split("k", "\\|").getItem(1).alias("event_type"),
@@ -369,6 +385,7 @@ def _streaming_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src)
     return spark.read.parquet(out)
 
 
@@ -420,6 +437,7 @@ def _streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src)
     return spark.read.parquet(out)
 
 
@@ -492,6 +510,7 @@ def _streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src)
     return spark.read.parquet(out).where(F.col("user_id") != -1)
 
 
@@ -571,6 +590,8 @@ def _streaming_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src_c)
+    _rm_staged(src_p)
     return spark.read.parquet(out)
 
 
@@ -657,6 +678,7 @@ def _streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src)
     return spark.read.parquet(out).where(F.col("user_id") != -1)
 
 
@@ -768,6 +790,8 @@ def _streaming_outer_join(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src_c)
+    _rm_staged(src_p)
     return spark.read.parquet(out).where(F.col("purchase_id") != -1)
 
 
@@ -813,16 +837,14 @@ def _streaming_exact_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     sink = StreamingExactDedupIndex(
         os.path.join(base, "index"), os.path.join(base, "pairs")
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_streaming_exact_dedup(
-            file_stream(spark, src, docs.schema, max_files_per_trigger=2),
-            os.path.join(base, "chk"),
-            sink,
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # gate-scale pinning (8) lives inside the runner now; volume deployments
+    # pass shuffle_partitions ≈ cores (PLANS.md streaming-knob sweep).
+    run_streaming_exact_dedup(
+        file_stream(spark, src, docs.schema, max_files_per_trigger=2),
+        os.path.join(base, "chk"),
+        sink,
+    )
+    _rm_staged(src)
     return spark.read.parquet(os.path.join(base, "pairs")).select(
         "doc_a", "doc_b", "n_inter", "jaccard"
     )

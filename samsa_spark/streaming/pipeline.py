@@ -397,17 +397,36 @@ class StreamingExactDedupIndex:
 
 
 def run_streaming_exact_dedup(
-    stream_df: DataFrame, checkpoint_dir: str, sink: StreamingExactDedupIndex
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sink: StreamingExactDedupIndex,
+    shuffle_partitions: int | None = 8,
 ):
     """Drain a document stream through the exact dedup index with
-    AvailableNow."""
-    q = (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    AvailableNow.
+
+    ``shuffle_partitions`` pins the conf for the stream's lifetime
+    (restored after), covering both the stream's own stateful stage and
+    the per-batch relational pipeline inside the sink. The default 8 is
+    the GATE-SCALE setting (note 8: one RocksDB store per partition on a
+    fresh checkpoint of a toy backlog); a volume deployment pins ≈ cores —
+    the per-batch join/aggregate work dominates there and 8 serializes it
+    (PLANS.md streaming-knob sweep). ``None`` leaves the session conf
+    untouched."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
 
 
@@ -512,6 +531,7 @@ def run_first_occurrence_stream(
     checkpoint_dir: str,
     schema,
     max_files_per_trigger: int = 2,
+    shuffle_partitions: int | None = 8,
 ):
     """st11's engine half: fold a keyed event backlog into per-key FIRST
     occurrences — state per composite key ``k`` is the lexicographic min
@@ -521,7 +541,15 @@ def run_first_occurrence_stream(
 
     The min fold is idempotent and commutative, which is what makes the
     multi-trigger replay exactly equal to the batch groupBy-min — and a
-    retried trigger harmless (same min twice)."""
+    retried trigger harmless (same min twice).
+
+    ``shuffle_partitions`` pins the conf for the stream's lifetime
+    (restored after). The default 8 is the GATE-SCALE setting (note 8:
+    one fresh-checkpoint RocksDB store per partition on a toy backlog);
+    this is a PANDAS fold — one Python worker per partition — so a volume
+    deployment pins ≈ cores instead (note 14: measured 3.1x at 10M
+    events, 32 vs 8; re-measured for this runner in the PLANS.md
+    streaming-knob sweep). ``None`` leaves the session conf untouched."""
     from samsa_spark.streaming.sources import file_stream
     from samsa_spark.streaming.state_stream import read_state, stateful_transform
 
@@ -544,7 +572,8 @@ def run_first_occurrence_stream(
         output_ddl="k string",
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
     try:
         q = (
             out.writeStream.format("noop")

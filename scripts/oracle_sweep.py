@@ -79,7 +79,15 @@ def _free_persistent_rdds(spark) -> None:
     broadcast build can't get memory (dd14 failed exactly this way at
     sf0.1 while passing standalone). Every query's frames are dead once
     its compare returns, so freeing ALL persistent RDDs between queries
-    bounds the session to a single query's footprint."""
+    bounds the session to a single query's footprint.
+
+    SAMSA_SWEEP_NO_FREE=1 disables the cleanup — the deliberate-repro
+    switch for the note-39 accumulation class (round-13 dd14 experiment,
+    PLANS.md), never for real sweeps."""
+    import os
+
+    if os.environ.get("SAMSA_SWEEP_NO_FREE") == "1":
+        return
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist(False)
 

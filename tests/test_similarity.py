@@ -116,6 +116,32 @@ def test_kmeans_ivf_deterministic_and_overlaps_exact(spark):
     assert hits >= len(by_q) // 2, f"k-means IVF overlaps exact for only {hits}/{len(by_q)}"
 
 
+def test_kmeans_cell_cap_guard(spark):
+    """The quantizer's cell count is a driver/closure-memory artifact (the
+    k x dim centroid matrix is collected and re-shipped every Lloyd
+    iteration — the round-12 verdict's 10^6-cell cliff): a request past
+    max_cells must clamp with a warning and train the identical capped
+    quantizer, and max_cells=None must keep the deliberate override open."""
+    import warnings
+
+    from samsa_spark import tables
+    from samsa_spark.operators.similarity import kmeans_centroids
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = {r.cell: tuple(r.cent) for r in kmeans_centroids(emb, k=100, max_cells=4).collect()}
+    assert any("capping cells" in str(x.message) for x in w)
+    assert len(capped) == 4
+    want = {r.cell: tuple(r.cent) for r in kmeans_centroids(emb, k=4).collect()}
+    assert capped == want
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        over = kmeans_centroids(emb, k=6, max_cells=None, iters=1).collect()
+    assert not any("capping cells" in str(x.message) for x in w)
+    assert len(over) == 6
+
+
 def test_cosine_udf_matches_numpy(spark):
     from samsa_spark import tables
     from samsa_spark.operators.similarity import cosine_topk

@@ -1479,8 +1479,9 @@ def test_tx10_planted_typos_and_blocking_completeness(spark):
 # --- uni1: unigram-LM tokenizer training -------------------------------------
 
 
-def _model_unigram(word_freqs, max_piece_len=6, iterations=2, floor_num=1, floor_den=1000):
-    """Independent single-node trainer: same candidate floor, hard-EM and
+def _model_unigram(word_freqs, max_piece_len=6, iterations=2, floor_num=1, floor_den=2):
+    """Independent single-node trainer: same MEAN-relative candidate floor
+    (note 51 — the substring universe grows with the corpus), hard-EM and
     ascending-split strict-improvement Viterbi as the engine contract."""
     import math
 
@@ -1490,7 +1491,11 @@ def _model_unigram(word_freqs, max_piece_len=6, iterations=2, floor_num=1, floor
             for j in range(i + 1, min(len(w), i + max_piece_len) + 1):
                 cand[w[i:j]] = cand.get(w[i:j], 0) + fr
     tot = sum(cand.values())
-    kept = {p: c for p, c in cand.items() if len(p) == 1 or c * floor_den >= floor_num * tot}
+    kept = {
+        p: c
+        for p, c in cand.items()
+        if len(p) == 1 or c * floor_den * len(cand) >= floor_num * tot
+    }
     total = sum(kept.values())
     logp = {p: math.log(c / total) for p, c in kept.items()}
     counts = dict(kept)
@@ -1541,6 +1546,27 @@ def test_uni1_matches_independent_trainer(spark):
     assert got == want
     # the repeated whole word must survive as one piece at full frequency
     assert got["abab"][0] >= 4
+
+
+def test_uni1_planted_piece_survives_universe_growth(spark):
+    """The note-51 detector for uni1 (rows-only, so the three-scale oracle
+    sweep never sees it): the candidate-piece universe grows with the
+    corpus, so a fraction-of-total floor would silently prune a
+    high-frequency planted piece as unique junk words pile up. The
+    mean-relative floor must keep the planted repeated word as one piece
+    at every corpus size."""
+    from samsa_spark.operators.text import train_unigram_pieces
+
+    for n_junk in (10, 200, 2000):
+        # planted: 'zqzq' repeated 30x; junk: unique 6-char words, freq 1,
+        # each contributing ~21 new one-off candidate substrings
+        junk = [f"w{i:05d}" for i in range(n_junk)]
+        docs = spark.createDataFrame(
+            [(0, " ".join(["zqzq"] * 30)), (1, " ".join(junk))],
+            "doc_id long, text string",
+        )
+        got = {r.piece for r in train_unigram_pieces(docs, top_n=100000).collect()}
+        assert "zqzq" in got, f"planted piece pruned at n_junk={n_junk}"
 
 
 def test_uni1_mass_conservation_on_fixture(spark):
