@@ -53,39 +53,13 @@ from samsa_spark import tables
 # fp1 — frequent co-purchase pairs + association-rule lift
 # --------------------------------------------------------------------------
 
-def copurchase_rules(
-    lineitem: DataFrame,
-    avg_ratio_num: int = 6,
-    avg_ratio_den: int = 5,
-    top_n: int = 50,
+def _pair_supports(
+    lineitem: DataFrame, avg_ratio_num: int, avg_ratio_den: int
 ) -> DataFrame:
-    """fp1 — apriori-pruned frequent-pair mining over order baskets with
-    association-rule lift: ``(item_a, item_b, pair_count, count_a, count_b,
-    lift)``, the ``top_n`` most frequent pairs (ties broken by item ids).
-
-    A basket is an order's DISTINCT part set. Items below the MEAN-relative
-    frequency floor — keep iff ``den * cnt * n_items >= num * total_item
-    occurrences`` (i.e. cnt >= (num/den) x the average item frequency,
-    integer-exact per the note-29 discipline) — are pruned BEFORE pair
-    generation: the apriori step that makes pair mining feasible at scale,
-    since pairs of infrequent items can never be frequent. The floor is
-    mean-relative rather than basket-count-relative because the item
-    UNIVERSE grows with the data here (TPC-H parts scale with sf): a fixed
-    fraction-of-baskets support goes degenerate as the catalog widens (the
-    first fp1 cut returned 0 rows at sf0.1 exactly that way), while the
-    over-the-mean band keeps a stable quantile of items at every scale.
-    Kept items are grouped back into per-basket sorted arrays and pairs
-    come from an in-task comb2 over each array (bounded by basket size),
-    then one combining aggregate counts pair support.
-
-    ``lift = n_baskets * pair_count / (count_a * count_b)`` — > 1 means the
-    items co-occur more than independence predicts. Evaluated in the exact
-    double-op order the oracle uses, rounded to 6 dp (note 6).
-    """
-    # b feeds three branches (nb, items, kb) and items two more — Spark gives
-    # no ReusedExchange across aggregate branches (note 12), so materialize
-    # both once. b is (order, part) pairs — a few MB at gate scales, and at
-    # cluster scale a persisted frame you'd cache anyway.
+    """Shared fp1/ar1 core: apriori-pruned frequent-pair supports
+    ``(item_a, item_b, pair_count, count_a, count_b, nb)`` with
+    ``item_a < item_b`` — see :func:`copurchase_rules` for the floor and
+    plan rationale (this is its body up to the measure projection)."""
     b = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
     nb = b.agg(F.countDistinct("l_orderkey").alias("nb"))
     items = (
@@ -123,7 +97,7 @@ def copurchase_rules(
     dim = keep.select(
         F.col("l_partkey"), F.col("c").cast("bigint").alias("cnt"), F.col("nb")
     )
-    out = (
+    return (
         pairs.join(
             F.broadcast(dim.select(F.col("l_partkey").alias("item_a"), F.col("cnt").alias("count_a"), "nb")),
             "item_a",
@@ -138,14 +112,159 @@ def copurchase_rules(
             F.col("pair_count").cast("bigint").alias("pair_count"),
             "count_a",
             "count_b",
-            # exact left-to-right double-op order replicated in the oracle
-            F.round(
-                F.col("nb").cast("double") * F.col("pair_count") / F.col("count_a") / F.col("count_b"),
-                6,
-            ).alias("lift"),
+            "nb",
         )
     )
+
+
+def copurchase_rules(
+    lineitem: DataFrame,
+    avg_ratio_num: int = 6,
+    avg_ratio_den: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """fp1 — apriori-pruned frequent-pair mining over order baskets with
+    association-rule lift: ``(item_a, item_b, pair_count, count_a, count_b,
+    lift)``, the ``top_n`` most frequent pairs (ties broken by item ids).
+
+    A basket is an order's DISTINCT part set. Items below the MEAN-relative
+    frequency floor — keep iff ``den * cnt * n_items >= num * total_item
+    occurrences`` (i.e. cnt >= (num/den) x the average item frequency,
+    integer-exact per the note-29 discipline) — are pruned BEFORE pair
+    generation: the apriori step that makes pair mining feasible at scale,
+    since pairs of infrequent items can never be frequent. The floor is
+    mean-relative rather than basket-count-relative because the item
+    UNIVERSE grows with the data here (TPC-H parts scale with sf): a fixed
+    fraction-of-baskets support goes degenerate as the catalog widens (the
+    first fp1 cut returned 0 rows at sf0.1 exactly that way), while the
+    over-the-mean band keeps a stable quantile of items at every scale.
+    Kept items are grouped back into per-basket sorted arrays and pairs
+    come from an in-task comb2 over each array (bounded by basket size),
+    then one combining aggregate counts pair support.
+
+    ``lift = n_baskets * pair_count / (count_a * count_b)`` — > 1 means the
+    items co-occur more than independence predicts. Evaluated in the exact
+    double-op order the oracle uses, rounded to 6 dp (note 6).
+
+    (Plan notes for the shared core live on :func:`_pair_supports`: b feeds
+    three branches and items two more — Spark gives no ReusedExchange
+    across aggregate branches (note 12), so both materialize once; b is
+    (order, part) pairs — a few MB at gate scales, and at cluster scale a
+    persisted frame you'd cache anyway.)
+    """
+    out = _pair_supports(lineitem, avg_ratio_num, avg_ratio_den).select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        "count_a",
+        "count_b",
+        # exact left-to-right double-op order replicated in the oracle
+        F.round(
+            F.col("nb").cast("double") * F.col("pair_count") / F.col("count_a") / F.col("count_b"),
+            6,
+        ).alias("lift"),
+    )
     return out.orderBy(F.desc("pair_count"), "item_a", "item_b").limit(top_n)
+
+
+def association_rules(
+    lineitem: DataFrame,
+    avg_ratio_num: int = 6,
+    avg_ratio_den: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """ar1 — DIRECTED association rules over fp1's frequent pairs:
+    ``(antecedent, consequent, pair_count, confidence, lift, conviction)``,
+    the ``top_n`` rules by confidence (ties -> smallest antecedent, then
+    consequent). Each undirected pair yields both orientations;
+
+    - ``confidence = pair_count / count(antecedent)`` — P(cons | ante);
+    - ``lift`` as in fp1 (symmetric);
+    - ``conviction = (1 - supp(cons)) / (1 - confidence)`` — how much more
+      often the antecedent appears WITHOUT the consequent under
+      independence than observed; NULL for confidence = 1 rules (note 53:
+      a zero denominator throws under ANSI — guarded, and the oracle
+      CASEs the same way).
+
+    All measures are computed from exact BIGINT supports in a fixed
+    left-to-right double-op order and rounded to 6 dp BEFORE the
+    confidence ranking (note 6 discipline), so the top-n cut is
+    boundary-stable cross-engine. Scale shape = fp1's (the pair table is
+    the apriori-pruned aggregate; directionalizing doubles rule rows,
+    never touches the corpus again)."""
+    sup = _pair_supports(lineitem, avg_ratio_num, avg_ratio_den)
+    fwd = sup.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_count",
+        F.col("count_a").alias("count_ante"),
+        F.col("count_b").alias("count_cons"),
+        "nb",
+    )
+    rev = sup.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "pair_count",
+        F.col("count_b").alias("count_ante"),
+        F.col("count_a").alias("count_cons"),
+        "nb",
+    )
+    rules = fwd.unionByName(rev)
+    conf = F.col("pair_count").cast("double") / F.col("count_ante")
+    conviction = (
+        F.lit(1.0) - F.col("count_cons").cast("double") / F.col("nb")
+    ) / (F.lit(1.0) - conf)
+    out = rules.select(
+        "antecedent",
+        "consequent",
+        "pair_count",
+        F.round(conf, 6).alias("confidence"),
+        F.round(
+            F.col("nb").cast("double") * F.col("pair_count") / F.col("count_ante") / F.col("count_cons"),
+            6,
+        ).alias("lift"),
+        F.when(F.col("pair_count") < F.col("count_ante"), F.round(conviction, 6)).alias(
+            "conviction"
+        ),
+    )
+    return out.orderBy(F.desc("confidence"), "antecedent", "consequent").limit(top_n)
+
+
+_AR1_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b),
+items AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY l_partkey),
+tot AS (SELECT count(*) AS n_items, CAST(sum(c) AS BIGINT) AS occ FROM items),
+keep AS (SELECT l_partkey, c FROM items, tot WHERE 5 * c * n_items >= 6 * occ),
+kb AS (SELECT b.l_orderkey, b.l_partkey FROM b JOIN keep USING (l_partkey)),
+pairs AS (
+  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b, count(*) AS pc
+  FROM kb x JOIN kb y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2),
+sup AS (
+  SELECT item_a, item_b, CAST(pc AS BIGINT) AS pair_count,
+         CAST(ka.c AS BIGINT) AS count_a, CAST(kb2.c AS BIGINT) AS count_b,
+         (SELECT nb FROM n) AS nb
+  FROM pairs
+  JOIN keep ka ON ka.l_partkey = item_a
+  JOIN keep kb2 ON kb2.l_partkey = item_b),
+rules AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_count,
+         count_a AS count_ante, count_b AS count_cons, nb FROM sup
+  UNION ALL
+  SELECT item_b, item_a, pair_count, count_b, count_a, nb FROM sup)
+SELECT antecedent, consequent, pair_count,
+       round(CAST(pair_count AS DOUBLE) / count_ante, 6) AS confidence,
+       round(CAST(nb AS DOUBLE) * pair_count / count_ante / count_cons, 6) AS lift,
+       CASE WHEN pair_count < count_ante
+            THEN round((1.0 - CAST(count_cons AS DOUBLE) / nb)
+                       / (1.0 - CAST(pair_count AS DOUBLE) / count_ante), 6)
+       END AS conviction
+FROM rules
+ORDER BY confidence DESC, antecedent, consequent
+LIMIT 50
+"""
 
 
 _FP1_SQL = """
@@ -957,6 +1076,9 @@ def build_queries():
     def _fp1(spark: SparkSession, sf: str) -> DataFrame:
         return copurchase_rules(tables.load(spark, sf, "lineitem"))
 
+    def _ar1(spark: SparkSession, sf: str) -> DataFrame:
+        return association_rules(tables.load(spark, sf, "lineitem"))
+
     def _pr1(spark: SparkSession, sf: str) -> DataFrame:
         # lineitem arrives as one row group (note 5); the edge build is a
         # broadcast join + partial agg that would otherwise run single-task.
@@ -994,6 +1116,7 @@ def build_queries():
 
     return {
         "fp1_copurchase_rules": (_fp1, _FP1_SQL),
+        "ar1_association_rules": (_ar1, _AR1_SQL),
         "pr1_pagerank": (_pr1, _PR1_SQL),
         "lp1_label_propagation": (_lp1, _LP1_SQL),
         "w2v1_skipgram_pairs": (_w2v1, _W2V1_SQL),

@@ -17,6 +17,7 @@ from samsa_spark.operators import (
     advanced,
     factorization,
     governance,
+    layout,
     mining,
     pipeline_ops,
     scale,
@@ -147,6 +148,10 @@ for _name, (_fn, _sql) in mining.build_queries().items():
 
 # --- matrix factorization (mf1 ALS — rows-only, model-checked in pytest) ----
 for _name, (_fn, _sql) in factorization.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- storage layout (zo1 z-order curve; write_zordered locality in pytest) --
+for _name, (_fn, _sql) in layout.build_queries().items():
     _register(_name, _fn, _sql)
 
 
@@ -1012,6 +1017,9 @@ _DEMOTED = (
     "fu1_funnel_stages",              # sq1 (in-window, round-13 rotation) anchors per-user ordered-event stage analysis (sq1's firsts table IS fu1's stage-reach logic generalized to orderings) and ses1/mk1's siblings the per-user event windows; the funnel form was driver-green r08-r12 and stays pytest-oracle-checked
     "ppl1_perplexity_buckets",        # tf1 anchors the explode->vocab->score shape and qf1 the percentile-cutpoint split in-window (ppl1 composes exactly those two); driver-green r11-r12 and stays pytest-oracle-checked — slot went to tc1 (round-13 rotation)
     "df1_snapshot_diff",              # dq1 keeps the governance report family in-window and d5 the change-detection semantics df1 reports at snapshot grain; driver-green r09-r12 and stays pytest-oracle-checked — slot went to fp1 (round-13 rotation)
+    # round-13 additions, born demoted (the window is full)
+    "zo1_zorder_curve",               # fn1 anchors exact scalar arithmetic and d8 per-key min/max aggregation in-window; the Morton-curve bucket stats (the multi-dimensional layout lever) are three-scale oracle-checked and the write_zordered locality claim is pytest file-stats tested
+    "ar1_association_rules",          # fp1 (in-window, round-13 rotation) mines the pair supports ar1 directionalizes; the confidence/conviction rule measures share its exact plan and oracle algebra and are pytest hand-computed tested
 )
 
 

@@ -1388,6 +1388,126 @@ def sweep_graph(spark) -> None:
         df.unpersist()
 
 
+def sweep_iterative(spark) -> None:
+    """pr1/lp1/mf1 at 1x and NODE-HEAVY 10x (round-13 de-cliff evidence):
+    replicas shift BOTH the customer and supplier key spaces, so the node
+    universe grows 10x with the data — the regime the round-12 verdict
+    flagged (an unconditional rank/label broadcast OOMs by construction
+    when nodes track corpus size). Measures the broadcast regime, the
+    forced beyond-broadcast regime (broadcast_max_nodes=0 — what a 100x
+    deployment runs), and the block-join ALS."""
+    import time as _t
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.factorization import als_convergence
+    from samsa_spark.operators.mining import label_propagation, pagerank
+
+    orders = tables.load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    lineitem = tables.load(spark, SF_DIR, "lineitem", spread=True).select(
+        "l_orderkey", "l_suppkey"
+    )
+    n_li = lineitem.count()
+
+    def replicated(factor: int):
+        if factor == 1:
+            return orders, lineitem, n_li
+        reps = spark.range(factor).select(F.col("id").alias("_r"))
+        od = orders.crossJoin(F.broadcast(reps)).select(
+            (F.col("o_orderkey") + F.col("_r") * 1_000_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("_r") * 10_000_000).alias("o_custkey"),
+        )
+        li = lineitem.crossJoin(F.broadcast(reps)).select(
+            (F.col("l_orderkey") + F.col("_r") * 1_000_000_000).alias("l_orderkey"),
+            (F.col("l_suppkey") + F.col("_r") * 10_000_000).alias("l_suppkey"),
+        )
+        return od, li, n_li * factor
+
+    pagerank(orders, lineitem).write.mode("overwrite").format("noop").save()  # warm
+    for factor in (1, 10):
+        od, li, n = replicated(factor)
+        od = od.localCheckpoint(eager=True)
+        li = li.localCheckpoint(eager=True)
+        _time(f"pr1_broadcast_x{factor}", lambda: pagerank(od, li), n)
+        _time(
+            f"pr1_shuffle_x{factor}",
+            lambda: pagerank(od, li, broadcast_max_nodes=0),
+            n,
+        )
+        _time(f"lp1_broadcast_x{factor}", lambda: label_propagation(od, li), n)
+        _time(
+            f"lp1_shuffle_x{factor}",
+            lambda: label_propagation(od, li, broadcast_max_nodes=0),
+            n,
+        )
+        t0 = _t.time()
+        hist = als_convergence(od, li).collect()
+        print(
+            json.dumps(
+                {
+                    "measure": f"mf1_blockjoin_x{factor}",
+                    "rows": n,
+                    "sec": round(_t.time() - t0, 2),
+                    "iters": len(hist),
+                }
+            ),
+            flush=True,
+        )
+
+
+def sweep_streamknob(spark) -> None:
+    """run_first_occurrence_stream's shuffle_partitions knob at a 10x
+    event backlog (~1M rows): 8 (the gate-scale fresh-checkpoint default)
+    vs 32 (= cores — the volume setting note 14 predicts for a PANDAS
+    fold, where each partition is one Python worker + one RocksDB store)."""
+    import os
+    import tempfile
+    import time as _t
+
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.streaming.pipeline import run_first_occurrence_stream
+
+    ev = tables.load(spark, SF_DIR, "events").select(
+        F.concat_ws("|", F.col("user_id").cast("string"), "event_type").alias("k"),
+        "ts_us",
+        "event_id",
+    )
+    reps = spark.range(10).select(F.col("id").alias("_r"))
+    big = ev.crossJoin(F.broadcast(reps)).select(
+        F.concat_ws("|", F.col("k"), F.col("_r").cast("string")).alias("k"),
+        "ts_us",
+        (F.col("event_id") + F.col("_r") * 1_000_000_000).alias("event_id"),
+    )
+    n = big.count()
+    base = tempfile.mkdtemp(prefix="samsa-knob-")
+    src = os.path.join(base, "src")
+    big.repartition(8).write.parquet(src)
+    for parts in (8, 32):
+        chk = os.path.join(base, f"chk{parts}")
+        t0 = _t.time()
+        st = run_first_occurrence_stream(
+            spark, src, chk, big.schema, max_files_per_trigger=4, shuffle_partitions=parts
+        )
+        rows = st.count()
+        print(
+            json.dumps(
+                {
+                    "measure": f"st11_fold_parts{parts}_x10",
+                    "rows": n,
+                    "state_keys": rows,
+                    "sec": round(_t.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1441,6 +1561,10 @@ def main() -> None:
         sweep_spans(spark)
     if what in ("graph", "all"):
         sweep_graph(spark)
+    if what in ("iterative", "all"):
+        sweep_iterative(spark)
+    if what in ("streamknob", "all"):
+        sweep_streamknob(spark)
     spark.stop()
 
 

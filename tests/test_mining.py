@@ -34,6 +34,53 @@ def test_ph1_oracle_match(spark):
     assert ok, msg
 
 
+def test_ar1_oracle_match(spark):
+    ok, msg = check_query(spark, "ar1_association_rules", SF_SMALL)
+    assert ok, msg
+
+
+def test_ar1_hand_rules_confidence_lift_conviction(spark):
+    """Same planted baskets as the fp1 test (pair (1,2): support 3, both
+    item counts 3, 4 baskets): both rule orientations must carry
+    confidence 3/3 = 1.0, lift 4*3/(3*3), and NULL conviction (a
+    confidence-1 rule has a zero conviction denominator — the note-53
+    guard)."""
+    from samsa_spark.operators.mining import association_rules
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1), (3, 2), (3, 4), (4, 5)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = association_rules(li).collect()
+    assert len(rows) == 2
+    got = {(r.antecedent, r.consequent): r for r in rows}
+    for key in [(1, 2), (2, 1)]:
+        r = got[key]
+        assert r.pair_count == 3
+        assert r.confidence == 1.0
+        assert r.lift == round(4.0 * 3 / 3 / 3, 6)
+        assert r.conviction is None
+
+
+def test_ar1_asymmetric_confidence_and_finite_conviction(spark):
+    """Item 2 appears in 4 baskets, item 1 in 3, pair in 3 of 6 baskets:
+    rule 1->2 has confidence 1 (NULL conviction) while 2->1 has
+    confidence 3/4 and conviction (1 - 3/6) / (1 - 3/4) = 2.0 — the
+    directed measures must differ across orientations."""
+    from samsa_spark.operators.mining import association_rules
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (4, 2), (5, 7), (6, 8)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.antecedent, r.consequent): r for r in association_rules(li).collect()}
+    assert got[(1, 2)].confidence == 1.0 and got[(1, 2)].conviction is None
+    r21 = got[(2, 1)]
+    assert r21.confidence == 0.75
+    assert r21.conviction == 2.0
+    assert got[(1, 2)].lift == r21.lift  # lift is symmetric
+
+
 def test_fp1_planted_frequent_pair_and_apriori_prune(spark):
     """Hand-checkable baskets: items 1 and 2 (count 3 each) clear the
     1.2x-mean floor (mean = 9/5), items 3/4/5 (count 1) are pruned before

@@ -171,6 +171,9 @@ SIBLINGS = {
     # round-13 rotation twins
     "fu1_funnel_stages": ["sq1_adoption_order", "ses1_sessionize"],
     "df1_snapshot_diff": ["dq1_constraint_report", "d5_changes"],
+    # round-13 additions, born demoted (the window is full)
+    "zo1_zorder_curve": ["fn1_scalar_functions", "d8_key_stats"],
+    "ar1_association_rules": ["fp1_copurchase_rules", "j2_order_priority_stats"],
 }
 
 
