@@ -45,7 +45,12 @@ Three sections:
 - EXTRAS_R11 — the round-11 cohort, graduated + frozen in round 12:
   judged by its section floor (first recorded BENCH_r12); every member
   closed round 11 at or below its own first floor.
-- EXTRAS — the live roster (round 12+); same floor protocol, each member
+- EXTRAS_R12 — the round-12 cohort (20 members incl. the mining/graph
+  tier and two end-to-end streams), graduated + frozen in round 13:
+  judged by its section floor (first recorded BENCH_r13); mf1 graduated
+  carrying its round-13 block-join form, st10/st11 their runner-internal
+  partition pinning + staged-backlog cleanup.
+- EXTRAS — the live roster (round 13+); same floor protocol, each member
   judged against its own first floor until the cohort graduates
   (BASELINE.md graduation rule).
 """
@@ -277,9 +282,14 @@ EXTRAS_R11 = [
     "ev2_ranker_sign_test",
 ]
 
-# Live roster (round 12+): same protocol — each member judged against its
-# own first recorded floor until the cohort graduates (BASELINE.md rule).
-EXTRAS = [
+# EXTRAS_R12 — the round-12 cohort, graduated + frozen in round 13: every
+# member within 2x of its own first floor in the round-12 close runs, the
+# driver's BENCH_r12, AND the round-13 same-day runs (BASELINE.md rule);
+# judged by its section floor from BENCH_r13 on. Membership is FROZEN
+# (note 31). mf1 graduates carrying its round-13 block-join form and
+# st10/st11 their runner-internal pinning + staged-backlog cleanup — the
+# 2x budgets absorb the upgrades (the round-11 dd17/gx1 precedent).
+EXTRAS_R12 = [
     # round 12: the no-ceiling paired sign test at a 60-probe query set —
     # nn > 20 on the fixtures, so the log-space exact branch is the timed
     # path (round-11 verdict task 3).
@@ -338,6 +348,20 @@ EXTRAS = [
     # round 12 (continuation): unigram-LM tokenizer hard-EM training
     # (vocabulary-factorized; warm floor ~2.4s, cold dominated by codegen).
     "uni1_unigram_tokenizer",
+]
+
+# Live roster (round 13+): same protocol — each member judged against its
+# own first recorded floor until the cohort graduates (BASELINE.md rule).
+EXTRAS = [
+    # round 13: Morton-curve bucket stats — the z-order layout lever's
+    # arithmetic (pure shift/mask codegen) over the full lineitem scan.
+    "zo1_zorder_curve",
+    # round 13: directed association rules over fp1's apriori-pruned pair
+    # supports (confidence/lift/conviction, both orientations).
+    "ar1_association_rules",
+    # round 13: threshold-sweep grading of the model-based filter against
+    # the tx2/qf1 heuristic gate (cls2 trains -> cls1 scores -> cls3 grades).
+    "cls3_classifier_eval",
 ]
 
 
@@ -573,6 +597,7 @@ def main() -> None:
     extras_r9, extras_r9_floor = run_section(EXTRAS_R9)
     extras_r10, extras_r10_floor = run_section(EXTRAS_R10)
     extras_r11, extras_r11_floor = run_section(EXTRAS_R11)
+    extras_r12, extras_r12_floor = run_section(EXTRAS_R12)
     extras, extras_floor = run_section(EXTRAS)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -606,6 +631,8 @@ def main() -> None:
         "extras_r10_value": round(sum(extras_r10.values()), 3),
         "extras_r11_value_floor": round(sum(extras_r11_floor.values()), 3),
         "extras_r11_value": round(sum(extras_r11.values()), 3),
+        "extras_r12_value_floor": round(sum(extras_r12_floor.values()), 3),
+        "extras_r12_value": round(sum(extras_r12.values()), 3),
         "extras_value_floor": round(sum(extras_floor.values()), 3),
         "extras_value": round(sum(extras.values()), 3),
         "detail": "BENCH_DETAIL.json",
@@ -625,6 +652,8 @@ def main() -> None:
         extras_r10_queries=extras_r10,
         extras_r11_queries_floor=extras_r11_floor,
         extras_r11_queries=extras_r11,
+        extras_r12_queries_floor=extras_r12_floor,
+        extras_r12_queries=extras_r12,
         extras_queries_floor=extras_floor,
         extras_queries=extras,
         protocol=(

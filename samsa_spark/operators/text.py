@@ -718,6 +718,115 @@ def train_classifier(
     )
 
 
+CLS3_THRESHOLDS = (0.45, 0.475, 0.5, 0.525, 0.55)
+
+
+def classifier_eval(
+    documents: DataFrame,
+    weights: DataFrame | None = None,
+    thresholds: tuple[float, ...] = CLS3_THRESHOLDS,
+) -> DataFrame:
+    """cls3 — threshold-sweep evaluation of the model-based filter against
+    the heuristic gate, closing the quality-classifier loop (cls2 trains,
+    cls1 scores, cls3 GRADES): ``(threshold, tp, fp, fn, tn, prec, rec,
+    f1, acc)`` per candidate keep-threshold. 'Truth' is the tx2 composite
+    quality score at the qf1-family cut (rounded to 6 dp before the >=,
+    note 6 discipline) — exactly the question a pipeline engineer asks
+    before swapping the heuristic gate for a model: at which threshold
+    does the classifier best reproduce the gate it replaces?
+
+    Scale shape: one cls1 scoring pass + one row-wise label projection,
+    joined once, then a |thresholds|-way in-row expansion feeding ONE
+    combining aggregate (map-side partials; output rows = thresholds).
+    Ratios are integer-count arithmetic in a fixed op order — f1 from the
+    2tp/(2tp+fp+fn) single-expression form — each NULL-guarded against
+    empty denominators (ANSI division throws, note 53)."""
+    scored = classifier_score(documents, weights).select("doc_id", "clf_score")
+    labeled = documents.select(
+        "doc_id", (F.round(quality_score_col(), 6) >= F.lit(0.5)).alias("label")
+    )
+    ex = scored.join(labeled, "doc_id").select(
+        "clf_score",
+        "label",
+        F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold"),
+    )
+    pred = F.coalesce(F.col("clf_score") >= F.col("threshold"), F.lit(False))
+    lab = F.col("label")
+
+    def _n(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    agg = ex.groupBy("threshold").agg(
+        _n(pred & lab).alias("tp"),
+        _n(pred & ~lab).alias("fp"),
+        _n(~pred & lab).alias("fn"),
+        _n(~pred & ~lab).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(tp + fp > 0, F.round(tp.cast("double") / (tp + fp), 6)).alias("prec"),
+        F.when(tp + fn > 0, F.round(tp.cast("double") / (tp + fn), 6)).alias("rec"),
+        F.when(
+            F.lit(2) * tp + fp + fn > 0,
+            F.round(F.lit(2.0) * tp / (F.lit(2) * tp + fp + fn), 6),
+        ).alias("f1"),
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias("acc"),
+    ).orderBy("threshold")
+
+
+def _cls3_sql() -> str:
+    values = ", ".join(f"({t!r})" for t in CLS3_THRESHOLDS)
+    return f"""
+WITH b AS ({quality_base_sql("doc_id")}
+),
+lab AS (
+  SELECT doc_id, round({QUALITY_SCORE_SQL}, 6) >= 0.5 AS label FROM b
+),
+t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_tokens,
+         CAST(sum(('0x' || substr(sha256(tok), 1, 6))::BIGINT) AS BIGINT) AS hsum
+  FROM t WHERE tok <> '' GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id,
+         round(1 / (1 + exp(-(hsum / n_scored_tokens / 8388608.0 - 1))), 6) AS clf_score
+  FROM s
+),
+j AS (
+  SELECT d.doc_id, sc.clf_score, lab.label
+  FROM documents d LEFT JOIN sc USING (doc_id) JOIN lab USING (doc_id)
+),
+x AS (
+  SELECT j.*, CAST(th.threshold AS DOUBLE) AS threshold,
+         coalesce(j.clf_score >= th.threshold, false) AS pred
+  FROM j CROSS JOIN (VALUES {values}) th(threshold)
+),
+c AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM x GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+       CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS acc
+FROM c ORDER BY threshold
+"""
+
+
 def bpe_pair_counts(documents: DataFrame, top: int = 20) -> DataFrame:
     """tok1 — the tokenizer-TRAINING primitive: corpus-weighted adjacent
     character-pair counts, i.e. the statistic the first BPE merge
@@ -1919,6 +2028,7 @@ def build_queries():
         "tx8_collapse_runs": (q(collapse_runs), _TX8_SQL),
         "tx10_typo_pairs": (q(typo_pairs), _TX10_SQL),
         "cls1_classifier_score": (q(classifier_score), _CLS1_SQL),
+        "cls3_classifier_eval": (q(classifier_eval), _cls3_sql()),
         "tok1_bpe_pair_counts": (q(bpe_pair_counts), _TOK1_SQL),
         "hh1_heavy_ngrams": (q(heavy_ngrams), _HH1_SQL),
         "bm1_bm25_topk": (q(bm25_topk), _BM1_SQL),

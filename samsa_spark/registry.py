@@ -1020,6 +1020,7 @@ _DEMOTED = (
     # round-13 additions, born demoted (the window is full)
     "zo1_zorder_curve",               # fn1 anchors exact scalar arithmetic and d8 per-key min/max aggregation in-window; the Morton-curve bucket stats (the multi-dimensional layout lever) are three-scale oracle-checked and the write_zordered locality claim is pytest file-stats tested
     "ar1_association_rules",          # fp1 (in-window, round-13 rotation) mines the pair supports ar1 directionalizes; the confidence/conviction rule measures share its exact plan and oracle algebra and are pytest hand-computed tested
+    "cls3_classifier_eval",           # cls1 (in-window) does the scoring and qf1/tx2 the heuristic gate cls3 grades against; the threshold-sweep confusion/PR report is one combining aggregate over their composed outputs and is pytest hand-computed tested
 )
 
 

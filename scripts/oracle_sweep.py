@@ -92,14 +92,37 @@ def _free_persistent_rdds(spark) -> None:
         rdd.unpersist(False)
 
 
+def _sweep_spark(SparkSession):
+    """Sweep session with the driver heap PINNED (default 16g) — a plain
+    builder runs the whole local-mode engine at spark.driver.memory's 1g
+    default (note 48; probed round 13: Runtime.maxMemory = 1024 MB),
+    which means every pre-round-13 sweep ran the full oracle surface on a
+    1 GiB JVM. The round-13 dd14 investigation (PLANS.md) could NOT
+    reproduce the round-12 flake under any controlled combination — the
+    sf0.1 'all' sweep passed at 4g+no-cleanup, 1g+cleanup, AND
+    1g+no-cleanup — so the remaining suspect is a host-level transient
+    (note 16's concurrent-load class), but running a 486-query sweep
+    with ~100 MB of actual headroom is gratuitous fragility either way;
+    the pin removes the memory-headroom factor entirely."""
+    import os
+
+    return (
+        SparkSession.builder.master("local[16]")
+        .appName("oracle-sweep")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        .getOrCreate()
+    )
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
     if len(sys.argv) > 1 and sys.argv[1] == "--round":
         n = int(sys.argv[2])
-        spark = (
-            SparkSession.builder.master("local[16]").appName("oracle-sweep").getOrCreate()
-        )
+        spark = _sweep_spark(SparkSession)
         out: dict[str, object] = {}
         failed: list[str] = []
         for sf_dir in SCALES:
@@ -117,7 +140,7 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
-    spark = SparkSession.builder.master("local[16]").appName("oracle-sweep").getOrCreate()
+    spark = _sweep_spark(SparkSession)
     results = sweep(spark, sf_dir, which)
     bad = [q for q, ok in results.items() if not ok]
     print(f"SUMMARY sf_dir={sf_dir} which={which} failed={bad}", flush=True)

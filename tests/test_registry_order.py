@@ -174,6 +174,7 @@ SIBLINGS = {
     # round-13 additions, born demoted (the window is full)
     "zo1_zorder_curve": ["fn1_scalar_functions", "d8_key_stats"],
     "ar1_association_rules": ["fp1_copurchase_rules", "j2_order_priority_stats"],
+    "cls3_classifier_eval": ["cls1_classifier_score", "qf1_quality_quantile"],
 }
 
 

