@@ -362,6 +362,9 @@ EXTRAS = [
     # round 13: threshold-sweep grading of the model-based filter against
     # the tx2/qf1 heuristic gate (cls2 trains -> cls1 scores -> cls3 grades).
     "cls3_classifier_eval",
+    # round 13: per-doc novelty — unique-shingle fraction (gram-keyed
+    # combining aggregate + join back; the curation redundancy signal).
+    "nv1_novelty_scores",
 ]
 
 

@@ -146,6 +146,70 @@ def shingle_postings(documents: DataFrame) -> DataFrame:
     return pre.select("doc_id", F.explode(_shingles(F.col("_toks"))).alias("sh"))
 
 
+def novelty_scores(documents: DataFrame) -> DataFrame:
+    """nv1 — per-doc NOVELTY: the fraction of a document's distinct
+    3-token shingles that appear in NO other document —
+    ``(doc_id, n_shingles, n_novel, novelty)``. The redundancy signal a
+    curation pipeline ranks by between exact dedup (which only removes
+    copies) and near-dup clustering (which needs pair thresholds):
+    boilerplate-heavy docs score near 0, fresh content near 1.
+
+    Scale shape: one gram-keyed combining aggregate (df per shingle) +
+    one join back + one doc-keyed aggregate — the tf1/hh1 class, no
+    pairs ever materialize. The join key here is the raw shingle string
+    for exact oracle parity; a 100 TB run joins on xxhash64(sh) instead
+    (dd2's trick — ~3x smaller shuffle, collision odds ~n^2/2^64).
+    Short docs (< 3 tokens) have no shingles: n_shingles 0, novelty NULL
+    (not 1.0 — note 53's guard; an empty doc is not evidence of novelty).
+    """
+    g = shingle_postings(documents).localCheckpoint(eager=False)
+    dfc = g.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        g.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint").alias("n_novel"),
+        )
+    )
+    ns = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint")
+    nn = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+    return documents.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        ns.alias("n_shingles"),
+        nn.alias("n_novel"),
+        F.when(ns > 0, F.round(nn.cast("double") / ns, 6)).alias("novelty"),
+    )
+
+
+_NV1_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)])
+              ELSE [] END AS shs
+  FROM t
+), g AS (
+  SELECT doc_id, unnest(shs) AS sh FROM s
+), dfc AS (
+  SELECT sh, count(*) AS df FROM g GROUP BY sh
+), pd AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM g JOIN dfc USING (sh) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_shingles, 0) AS n_shingles,
+       coalesce(pd.n_novel, 0) AS n_novel,
+       CASE WHEN pd.n_shingles > 0
+            THEN round(CAST(pd.n_novel AS DOUBLE) / pd.n_shingles, 6) END AS novelty
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
     """dd2 — exact n-gram Jaccard near-dup pairs via inverted-index join:
     explode distinct shingles, self-join on shingle (only co-occurring pairs
@@ -2417,6 +2481,7 @@ def build_queries():
     return {
         "dd1_exact_dedup": (q(exact_dedup), _DD1_SQL),
         "dd2_ngram_jaccard": (q(ngram_jaccard_pairs), _DD2_SQL),
+        "nv1_novelty_scores": (q(novelty_scores), _NV1_SQL),
         # xxhash64-based: no DuckDB twin -> rows-only driver check;
         # recall-verified against brute force in tests/test_dedup.py.
         "dd3_minhash_lsh": (q(minhash_lsh_pairs), None),

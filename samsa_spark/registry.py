@@ -1021,6 +1021,7 @@ _DEMOTED = (
     "zo1_zorder_curve",               # fn1 anchors exact scalar arithmetic and d8 per-key min/max aggregation in-window; the Morton-curve bucket stats (the multi-dimensional layout lever) are three-scale oracle-checked and the write_zordered locality claim is pytest file-stats tested
     "ar1_association_rules",          # fp1 (in-window, round-13 rotation) mines the pair supports ar1 directionalizes; the confidence/conviction rule measures share its exact plan and oracle algebra and are pytest hand-computed tested
     "cls3_classifier_eval",           # cls1 (in-window) does the scoring and qf1/tx2 the heuristic gate cls3 grades against; the threshold-sweep confusion/PR report is one combining aggregate over their composed outputs and is pytest hand-computed tested
+    "nv1_novelty_scores",             # tf1 anchors the gram-keyed combining-aggregate shape and dd1/dd6 the shingle dedup family nv1's redundancy signal complements; the per-doc unique-shingle fraction shares dd2's exact shingle algebra and is pytest planted-boilerplate tested
 )
 
 

@@ -1636,3 +1636,37 @@ def test_dc4_planted_leak_fractions(spark):
     assert got[1] == (nw1, 1, leaked1, round(leaked1 / nw1, 6))
     assert got[2][1:] == (0, 0, 0.0)
     assert got[3] == (0, 0, 0, 0.0)
+
+
+# --- nv1: per-doc novelty (unique-shingle fraction) ---------------------------
+
+
+def test_nv1_oracle_match(spark):
+    ok, msg = check_query(spark, "nv1_novelty_scores", SF_SMALL)
+    assert ok, msg
+
+
+def test_nv1_planted_boilerplate_and_fresh(spark):
+    """Docs 0/1 share their whole shingle set (pure boilerplate -> novelty
+    0 for both), doc 2 is entirely fresh (novelty 1), doc 3 mixes one
+    shared leading shingle window with a fresh tail, doc 4 is too short
+    for any shingle (novelty NULL, not 1.0)."""
+    from samsa_spark.operators.dedup import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),
+            (2, "seven fresh words never seen elsewhere today"),
+            (3, "the cat sat quietly eating pure tuna"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in novelty_scores(docs).collect()}
+    assert got[0].novelty == 0.0 and got[1].novelty == 0.0
+    assert got[2].novelty == 1.0
+    # doc 3: shingles = 5 windows; only 'the cat sat' is shared (docs 0/1)
+    assert got[3].n_shingles == 5 and got[3].n_novel == 4
+    assert got[3].novelty == round(4 / 5, 6)
+    assert got[4].n_shingles == 0 and got[4].novelty is None
