@@ -1508,6 +1508,53 @@ def sweep_streamknob(spark) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def sweep_r13ops(spark) -> None:
+    """Round-13 operators at 1x and 10x: zo1/ar1 over replicated lineitem
+    (both key spaces shift — the catalog grows with the data), cls3/nv1
+    over the perturbed near-dup documents corpus. Expectations: zo1 is a
+    pure scan+aggregate (linear); ar1 rides fp1's pair aggregate
+    (basket-bounded comb2, linear-ish); cls3 is two row-wise passes + one
+    tiny aggregate (linear); nv1 is a gram-keyed combining aggregate +
+    join back (posting-linear; the perturbed replicas multiply SHARED
+    shingles, so novel fractions collapse but row volume stays 10x)."""
+    import pyspark.sql.functions as F
+
+    from samsa_spark import tables
+    from samsa_spark.operators.dedup import novelty_scores
+    from samsa_spark.operators.layout import zorder_curve_stats
+    from samsa_spark.operators.mining import association_rules
+    from samsa_spark.operators.text import classifier_eval
+
+    li = tables.load(spark, SF_DIR, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    n_li = li.count()
+    docs = tables.load(spark, SF_DIR, "documents", spread=True).select("doc_id", "text")
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("_r"))
+    li10 = li.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") + F.col("_r") * 1_000_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("_r") * 10_000_000).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("_r") * 10_000_000).alias("l_suppkey"),
+    )
+    docs10 = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+        F.when(F.col("_r") == 0, F.col("text"))
+        .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("r"), F.col("_r"))))
+        .alias("text"),
+    )
+    zorder_curve_stats(li).write.mode("overwrite").format("noop").save()  # warm
+    for factor, lif, docf in ((1, li, docs), (10, li10, docs10)):
+        lif = lif.localCheckpoint(eager=True)
+        docf = docf.localCheckpoint(eager=True)
+        _time(f"zo1_zorder_curve_x{factor}", lambda: zorder_curve_stats(lif), n_li * factor)
+        _time(f"ar1_association_rules_x{factor}", lambda: association_rules(lif), n_li * factor)
+        _time(f"cls3_classifier_eval_x{factor}", lambda: classifier_eval(docf), n_docs * factor)
+        _time(f"nv1_novelty_scores_x{factor}", lambda: novelty_scores(docf), n_docs * factor)
+        lif.unpersist()
+        docf.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1565,6 +1612,8 @@ def main() -> None:
         sweep_iterative(spark)
     if what in ("streamknob", "all"):
         sweep_streamknob(spark)
+    if what in ("r13ops", "all"):
+        sweep_r13ops(spark)
     spark.stop()
 
 
