@@ -78,16 +78,14 @@ def _zvalue_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
     return f"({spread(a)} | ({spread(b)} << 1))"
 
 
-def _quantized(df: DataFrame, col: str, bits: int) -> Column:
+def _quantized(col: str, lo, hi, bits: int) -> Column:
     """Min-max scale a numeric column into [0, 2^bits): raw key values
     rarely fill the bit budget (a 100-supplier dim masked raw would leave
     the top 9 bits constant and the curve would degenerate to a
     partkey-only sort), so the LAYOUT quantizes each dimension over its
-    observed range first — two driver scalars per column, the same
-    min/max any range-clustered write computes. The zo1 ORACLE query
-    deliberately uses raw masked values instead: exact integers, no
-    scaling float in the cross-engine path."""
-    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    observed range first. The zo1 ORACLE query deliberately uses raw
+    masked values instead: exact integers, no scaling float in the
+    cross-engine path."""
     if hi == lo:
         return F.lit(0).cast("long")
     scale = ((1 << bits) - 1) / float(hi - lo)
@@ -104,13 +102,23 @@ def write_zordered(
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered along the
     z-curve of (col_a, col_b), each dimension min-max-quantized into the
-    full bit budget first: one range shuffle on z + an in-partition
-    sort, so every file owns a contiguous z-range — a tight min/max box
-    in BOTH columns. The z column itself is dropped (it is derivable;
-    layouts should not leak helper columns)."""
+    full bit budget first: ONE stats pass (both dims' min/max in a single
+    aggregate — the same driver scalars any range-clustered write
+    computes) + one range shuffle on z + an in-partition sort, so every
+    file owns a contiguous z-range — a tight min/max box in BOTH columns.
+    The z column itself is dropped (it is derivable; layouts should not
+    leak helper columns)."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
     (
         df.withColumn(
-            "_z", zvalue(_quantized(df, col_a, bits), _quantized(df, col_b, bits), bits)
+            "_z",
+            zvalue(
+                _quantized(col_a, lo_a, hi_a, bits),
+                _quantized(col_b, lo_b, hi_b, bits),
+                bits,
+            ),
         )
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
