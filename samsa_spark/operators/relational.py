@@ -179,6 +179,47 @@ def scalar_functions_demo(part: DataFrame) -> DataFrame:
     )
 
 
+def rank_bands(orders: DataFrame) -> DataFrame:
+    """w3 — the distribution-rank window trio (ntile / percent_rank /
+    cume_dist) under the exact gate: per customer, each URGENT order's
+    spend quartile and exact rank ratios —
+    ``(o_custkey, o_orderkey, spend_quartile, pct_rank, cume)``.
+
+    All three are SQL-standard with identical semantics in both engines:
+    ntile's first (n mod k) buckets get the extra row; percent_rank =
+    (rank-1)/(n-1) with 0 for single-row partitions; cume_dist =
+    rows-at-or-before/rows. The ratios are exact small-integer divisions
+    (identical IEEE ops), rounded to 6 dp per the note-6 discipline. The
+    ORDER BY carries o_orderkey as tie-break so every window position is
+    deterministic. One partitioned window over a filtered scan — a
+    WindowExec whose per-partition buffering is the customer's order
+    count (bounded), no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("spend_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+_W3_SQL = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS spend_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -202,6 +243,7 @@ def build_queries():
         ),
         "w1_segment_top_orders": (q(segment_top_orders, "customer", "orders"), _W1_SQL),
         "w2_customer_order_flow": (q(customer_order_flow, "customer", "orders"), _W2_SQL),
+        "w3_rank_bands": (q(rank_bands, "orders"), _W3_SQL),
         "set1_customers_without_orders": (q(customers_without_orders, "customer", "orders"), _SET1_SQL),
         "set2_active_nations": (q(active_nations, "customer", "supplier"), _SET2_SQL),
         "j2_order_priority_stats": (q(order_priority_stats, "orders", "lineitem"), _J2_SQL),

@@ -1022,6 +1022,7 @@ _DEMOTED = (
     "ar1_association_rules",          # fp1 (in-window, round-13 rotation) mines the pair supports ar1 directionalizes; the confidence/conviction rule measures share its exact plan and oracle algebra and are pytest hand-computed tested
     "cls3_classifier_eval",           # cls1 (in-window) does the scoring and qf1/tx2 the heuristic gate cls3 grades against; the threshold-sweep confusion/PR report is one combining aggregate over their composed outputs and is pytest hand-computed tested
     "nv1_novelty_scores",             # tf1 anchors the gram-keyed combining-aggregate shape and dd1/dd6 the shingle dedup family nv1's redundancy signal complements; the per-doc unique-shingle fraction shares dd2's exact shingle algebra and is pytest planted-boilerplate tested
+    "w3_rank_bands",                  # w1 (ranking window) + rw1 (RANGE frame) anchor windows in-window; the ntile/percent_rank/cume_dist trio shares their WindowExec plan family and is pytest hand-computed tested
 )
 
 

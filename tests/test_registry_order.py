@@ -176,6 +176,7 @@ SIBLINGS = {
     "ar1_association_rules": ["fp1_copurchase_rules", "j2_order_priority_stats"],
     "cls3_classifier_eval": ["cls1_classifier_score", "qf1_quality_quantile"],
     "nv1_novelty_scores": ["tf1_tfidf_top_terms", "dd1_exact_dedup", "dd6_dedup_clusters"],
+    "w3_rank_bands": ["w1_segment_top_orders", "rw1_rolling_value"],
 }
 
 
