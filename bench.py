@@ -365,6 +365,8 @@ EXTRAS = [
     # round 13: per-doc novelty — unique-shingle fraction (gram-keyed
     # combining aggregate + join back; the curation redundancy signal).
     "nv1_novelty_scores",
+    # round 13: ntile/percent_rank/cume_dist distribution-rank window trio.
+    "w3_rank_bands",
 ]
 
 

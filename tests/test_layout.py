@@ -38,6 +38,28 @@ def test_zvalue_matches_python_morton(spark):
         assert r.z == _morton(r.a, r.b), (r.a, r.b, r.z)
 
 
+def test_zvalue_property_random_pairs(spark):
+    """Randomized parity with the textbook bit loop + the tile property
+    that makes the layout work: two points sharing their top j bits in
+    BOTH dims share the top 2j bits of z (same curve tile)."""
+    import random
+
+    rnd = random.Random(13)
+    from samsa_spark.operators.layout import zvalue
+
+    cases = [(rnd.randrange(1 << 16), rnd.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(cases, "a long, b long").select(
+        "a", "b", zvalue(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _morton(r.a, r.b)
+    for a, b in cases[:50]:
+        for j in (2, 5, 9):
+            a2 = (a & ~((1 << (16 - j)) - 1)) | rnd.randrange(1 << (16 - j))
+            b2 = (b & ~((1 << (16 - j)) - 1)) | rnd.randrange(1 << (16 - j))
+            assert _morton(a, b) >> (32 - 2 * j) == _morton(a2, b2) >> (32 - 2 * j)
+
+
 def test_zvalue_masks_high_bits(spark):
     """Inputs past 2^bits must be masked, not overflow (ANSI) or collide
     structurally: zvalue(x + 2^16, y) == zvalue(x, y)."""
