@@ -113,11 +113,29 @@ def _make_solver(gcol: str, ocol: str, k: int, reg: float):
     return solve
 
 
-def _collect_factor_frame(df: DataFrame):
+# The array-returning API collects one factor row per ENTITY — a frame
+# that grows with the data (the note-55 cardinality class). 2M rows of
+# (id, k=4 doubles) is a few hundred MB of driver Row objects — the
+# comfortable ceiling for a deliberate model hand-off; past it the caller
+# is almost certainly misusing the array API at scale and must switch to
+# return_frames=True (factors stay distributed).
+COLLECT_FACTOR_MAX_ROWS = 2_000_000
+
+
+def _collect_factor_frame(df: DataFrame, max_rows: int = COLLECT_FACTOR_MAX_ROWS):
     """(sorted ids, row-aligned matrix) numpy view of a factor frame — the
-    array-returning API's final materialization, outside the loop."""
+    array-returning API's final materialization, outside the loop. Guarded
+    by ``max_rows`` (the kmeans max_cells pattern, similarity.py): a
+    100x-scale factor frame must fail loudly here, not OOM the driver."""
     import numpy as np
 
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"als_factorize array API would collect {n} factor rows to the "
+            f"driver (> {max_rows}). Entity cardinality grows with the "
+            "data — use return_frames=True to keep the factors distributed."
+        )
     rows = df.collect()
     rows.sort(key=lambda x: x.id)
     ids = np.array([x.id for x in rows], dtype=np.int64)

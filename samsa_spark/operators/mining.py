@@ -53,13 +53,33 @@ from samsa_spark import tables
 # fp1 — frequent co-purchase pairs + association-rule lift
 # --------------------------------------------------------------------------
 
+# Same cliff class as BROADCAST_MAX_NODES below (note 55): a (partkey,
+# count) dim row is ~tens of bytes, so 2M items is a comfortably
+# broadcastable few-hundred-MB worst case; above it the catalog has grown
+# past what any executor should hold resident.
+BROADCAST_MAX_ITEMS = 2_000_000
+
+
 def _pair_supports(
-    lineitem: DataFrame, avg_ratio_num: int, avg_ratio_den: int
+    lineitem: DataFrame,
+    avg_ratio_num: int,
+    avg_ratio_den: int,
+    broadcast_max_items: int | None = None,
 ) -> DataFrame:
     """Shared fp1/ar1 core: apriori-pruned frequent-pair supports
     ``(item_a, item_b, pair_count, count_a, count_b, nb)`` with
     ``item_a < item_b`` — see :func:`copurchase_rules` for the floor and
-    plan rationale (this is its body up to the measure projection)."""
+    plan rationale (this is its body up to the measure projection).
+
+    The kept-item dim frame grows with the catalog (the mean-relative
+    floor keeps a stable QUANTILE of items, not a constant), so its
+    broadcast is SIZE-CONDITIONAL like pr1/lp1's node frames (note 55):
+    broadcast while total distinct items <= ``broadcast_max_items``
+    (default :data:`BROADCAST_MAX_ITEMS`; the total upper-bounds the kept
+    subset and ``items`` is already materialized, so the probe is one
+    cheap count), shuffle-hash build side above it."""
+    if broadcast_max_items is None:
+        broadcast_max_items = BROADCAST_MAX_ITEMS
     b = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
     nb = b.agg(F.countDistinct("l_orderkey").alias("nb"))
     items = (
@@ -67,6 +87,9 @@ def _pair_supports(
     )
     tot = items.agg(
         F.count("*").alias("n_items"), F.sum("c").cast("bigint").alias("occ")
+    )
+    small = (
+        broadcast_max_items > 0 and items.count() <= broadcast_max_items
     )
     keep = (
         items.crossJoin(F.broadcast(tot))
@@ -77,7 +100,7 @@ def _pair_supports(
         )
         .select("l_partkey", "c", "nb")
     )
-    kb = b.join(F.broadcast(keep.select("l_partkey")), "l_partkey", "left_semi")
+    kb = b.join(_node_side(keep.select("l_partkey"), small), "l_partkey", "left_semi")
     baskets = kb.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
@@ -99,11 +122,11 @@ def _pair_supports(
     )
     return (
         pairs.join(
-            F.broadcast(dim.select(F.col("l_partkey").alias("item_a"), F.col("cnt").alias("count_a"), "nb")),
+            _node_side(dim.select(F.col("l_partkey").alias("item_a"), F.col("cnt").alias("count_a"), "nb"), small),
             "item_a",
         )
         .join(
-            F.broadcast(dim.select(F.col("l_partkey").alias("item_b"), F.col("cnt").alias("count_b"))),
+            _node_side(dim.select(F.col("l_partkey").alias("item_b"), F.col("cnt").alias("count_b")), small),
             "item_b",
         )
         .select(
@@ -122,6 +145,7 @@ def copurchase_rules(
     avg_ratio_num: int = 6,
     avg_ratio_den: int = 5,
     top_n: int = 50,
+    broadcast_max_items: int | None = None,
 ) -> DataFrame:
     """fp1 — apriori-pruned frequent-pair mining over order baskets with
     association-rule lift: ``(item_a, item_b, pair_count, count_a, count_b,
@@ -152,7 +176,9 @@ def copurchase_rules(
     (order, part) pairs — a few MB at gate scales, and at cluster scale a
     persisted frame you'd cache anyway.)
     """
-    out = _pair_supports(lineitem, avg_ratio_num, avg_ratio_den).select(
+    out = _pair_supports(
+        lineitem, avg_ratio_num, avg_ratio_den, broadcast_max_items
+    ).select(
         "item_a",
         "item_b",
         "pair_count",
@@ -172,6 +198,7 @@ def association_rules(
     avg_ratio_num: int = 6,
     avg_ratio_den: int = 5,
     top_n: int = 50,
+    broadcast_max_items: int | None = None,
 ) -> DataFrame:
     """ar1 — DIRECTED association rules over fp1's frequent pairs:
     ``(antecedent, consequent, pair_count, confidence, lift, conviction)``,
@@ -192,7 +219,7 @@ def association_rules(
     boundary-stable cross-engine. Scale shape = fp1's (the pair table is
     the apriori-pruned aggregate; directionalizing doubles rule rows,
     never touches the corpus again)."""
-    sup = _pair_supports(lineitem, avg_ratio_num, avg_ratio_den)
+    sup = _pair_supports(lineitem, avg_ratio_num, avg_ratio_den, broadcast_max_items)
     fwd = sup.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),

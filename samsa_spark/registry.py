@@ -994,7 +994,6 @@ _DEMOTED = (
     "mm3_resized_stats",              # mm1 keeps the media metadata surface in-window and mm2/mm4 share the decode-stub plumbing in pytest; the resize-stats twin was driver-green since round 5 and stays pytest-oracle-checked — slot went to dd19 (round-12 rotation)
     # round-12 additions, born demoted (the window is full)
     "ev3_sign_test_wide",             # ev2's demotion rationale carries; the 60-probe wide variant exists to run the no-ceiling log-space sign-test branch through the three-scale oracle sweep (nn > 20), and is pytest hand-model tested against exact Python rationals
-    "st10_streaming_exact_jaccard",   # st1/st2/st3 keep the streaming engine in-window and dd19/dd18/dd1 the dedup family; the exactly-once streaming dd19 lifecycle shares dd16's lossless-prefix oracle by construction and is pytest retry/equivalence tested
     "dc4_contamination_report",       # dc3 (in-window) runs the same benchmark-window hit stage; the benchmark-side per-item leak report is its one-aggregate mirror and is pytest planted-leak tested
     "ev4_bootstrap_ci",               # ev1/ev2's demotion rationale carries (sim4/qz4 anchor the compared tiers in-window); the deterministic Poisson-bootstrap effect-size CI is pytest hand-model tested with portable-hash weights
     "js2_bloom_semi_join",            # js1 keeps skew/join handling in-window and d9 the dim-probe shape; the Bloom-accelerated semi-join (dc2's digest generalized to a first-class primitive) shares the plain semi-join oracle and is pytest anti-form/equivalence tested
@@ -1017,12 +1016,17 @@ _DEMOTED = (
     "fu1_funnel_stages",              # sq1 (in-window, round-13 rotation) anchors per-user ordered-event stage analysis (sq1's firsts table IS fu1's stage-reach logic generalized to orderings) and ses1/mk1's siblings the per-user event windows; the funnel form was driver-green r08-r12 and stays pytest-oracle-checked
     "ppl1_perplexity_buckets",        # tf1 anchors the explode->vocab->score shape and qf1 the percentile-cutpoint split in-window (ppl1 composes exactly those two); driver-green r11-r12 and stays pytest-oracle-checked — slot went to tc1 (round-13 rotation)
     "df1_snapshot_diff",              # dq1 keeps the governance report family in-window and d5 the change-detection semantics df1 reports at snapshot grain; driver-green r09-r12 and stays pytest-oracle-checked — slot went to fp1 (round-13 rotation)
-    # round-13 additions, born demoted (the window is full)
-    "zo1_zorder_curve",               # fn1 anchors exact scalar arithmetic and d8 per-key min/max aggregation in-window; the Morton-curve bucket stats (the multi-dimensional layout lever) are three-scale oracle-checked and the write_zordered locality claim is pytest file-stats tested
-    "ar1_association_rules",          # fp1 (in-window, round-13 rotation) mines the pair supports ar1 directionalizes; the confidence/conviction rule measures share its exact plan and oracle algebra and are pytest hand-computed tested
-    "cls3_classifier_eval",           # cls1 (in-window) does the scoring and qf1/tx2 the heuristic gate cls3 grades against; the threshold-sweep confusion/PR report is one combining aggregate over their composed outputs and is pytest hand-computed tested
-    "nv1_novelty_scores",             # tf1 anchors the gram-keyed combining-aggregate shape and dd1/dd6 the shingle dedup family nv1's redundancy signal complements; the per-doc unique-shingle fraction shares dd2's exact shingle algebra and is pytest planted-boilerplate tested
-    "w3_rank_bands",                  # w1 (ranking window) + rw1 (RANGE frame) anchor windows in-window; the ntile/percent_rank/cume_dist trio shares their WindowExec plan family and is pytest hand-computed tested
+    # round-14 rotation (the round-13 verdict's own ask): the five round-13
+    # operators — zo1 (z-order layout), ar1 (directed association rules),
+    # cls3 (classifier eval), nv1 (novelty scores), w3 (rank bands) — plus
+    # st10 (the exactly-once foreachBatch streaming-dedup lifecycle)
+    # promote behind the driver's gate; six long-green twins rotate out.
+    "d1_scan",                        # every in-window query exercises the parquet scan (d2/d4 are the same table's keyed forms); the bare projection was driver-green r01-r13 and stays sweep+pytest-checked — slot went to zo1 (round-14 rotation)
+    "sql1_revenue_by_segment",        # h1 keeps the revenue join-aggregate family in-window and j2/set2 the join surfaces; the spark.sql()-string entry path was driver-green r01-r13 and stays sweep+pytest-checked (tests/test_sql_surface.py) — slot went to ar1 (round-14 rotation)
+    "cls1_classifier_score",          # cls3 (in-window, round-14 rotation) embeds cls1's broadcast scoring stage verbatim and grades it; the standalone score projection was driver-green r07-r13 and stays sweep+pytest-checked — slot went to cls3
+    "hh1_heavy_ngrams",               # nv1 (in-window, round-14 rotation) keeps the gram-keyed combining-aggregate + join-back family and tf1 the vocab aggregates; the sketch+rescan heavy-hitter form was driver-green r08-r13 and stays sweep+pytest-checked — slot went to nv1
+    "w1_segment_top_orders",          # w3 (in-window, round-14 rotation) keeps the WindowExec ranking family (ntile/percent_rank/cume_dist over the same partitioned sort) and rw1 the RANGE frame; the row_number top-k was driver-green r01-r13, its TakeOrderedAndProject twin is plan-locked in test_plans, and it stays sweep+pytest-checked — slot went to w3
+    "st2_streaming_tombstones",       # st1/st3 keep the streaming engine in-window, d7 the batch tombstone semantics, and st10 (in-window, round-14 rotation) adds the exactly-once foreachBatch sink lifecycle the round-13 verdict asked for; the streaming tombstone fold was driver-green r02-r13 and stays sweep+pytest-checked — slot went to st10
 )
 
 

@@ -1454,6 +1454,10 @@ def sweep_iterative(spark) -> None:
             ),
             flush=True,
         )
+        # The 10x replicas are the big blocks — free them before the next
+        # factor (note 34: DataFrame.unpersist() would not release them).
+        tables.free_checkpoint(od)
+        tables.free_checkpoint(li)
 
 
 def sweep_streamknob(spark) -> None:
@@ -1551,69 +1555,65 @@ def sweep_r13ops(spark) -> None:
         _time(f"ar1_association_rules_x{factor}", lambda: association_rules(lif), n_li * factor)
         _time(f"cls3_classifier_eval_x{factor}", lambda: classifier_eval(docf), n_docs * factor)
         _time(f"nv1_novelty_scores_x{factor}", lambda: novelty_scores(docf), n_docs * factor)
-        lif.unpersist()
-        docf.unpersist()
+        # DataFrame.unpersist() does not release localCheckpoint blocks
+        # (note 34) — free them through the LogicalRDD handle.
+        tables.free_checkpoint(lif)
+        tables.free_checkpoint(docf)
+
+
+_SWEEPS = (
+    ("events", sweep_events),
+    ("dedup", sweep_dedup),
+    ("text", sweep_text),
+    ("similarity", sweep_similarity),
+    ("packing", sweep_packing),
+    ("ivf_index", sweep_ivf_index),
+    ("streaming", sweep_streaming),
+    ("semdedup", sweep_semdedup),
+    ("substring", sweep_substring),
+    ("skew", sweep_skew),
+    ("quantile", sweep_quantile),
+    ("linecls", sweep_linecls),
+    ("streamforms", sweep_streamforms),
+    ("heavy", sweep_heavy),
+    ("funnel", sweep_funnel),
+    ("bpe", sweep_bpe),
+    ("shards", sweep_shards),
+    ("ivfpq", sweep_ivfpq),
+    ("bm25", sweep_bm25),
+    ("dv1salt", sweep_dv1salt),
+    ("dc2", sweep_dc2),
+    ("qz5", sweep_qz5),
+    ("qz6", sweep_qz6),
+    ("spans", sweep_spans),
+    ("graph", sweep_graph),
+    ("iterative", sweep_iterative),
+    ("streamknob", sweep_streamknob),
+    ("r13ops", sweep_r13ops),
+)
+
+
+def _free_persistent_rdds(spark) -> None:
+    """Operator-INTERNAL localCheckpoints (pr1's edge shares, dd3's
+    sketches, ...) die with the session, not the sub-sweep — a long 'all'
+    run accumulates them into the note-39 broadcast-OOM class. Every
+    sub-sweep's frames are dead once it returns, so free everything
+    between sub-sweeps (the oracle_sweep pattern; no session-prebuilt
+    artifacts live across sub-sweeps here)."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        try:
+            rdd.unpersist(False)
+        except Exception:
+            pass  # a block already freed by the sweep itself — fine
 
 
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
-    if what in ("events", "all"):
-        sweep_events(spark)
-    if what in ("dedup", "all"):
-        sweep_dedup(spark)
-    if what in ("text", "all"):
-        sweep_text(spark)
-    if what in ("similarity", "all"):
-        sweep_similarity(spark)
-    if what in ("packing", "all"):
-        sweep_packing(spark)
-    if what in ("ivf_index", "all"):
-        sweep_ivf_index(spark)
-    if what in ("streaming", "all"):
-        sweep_streaming(spark)
-    if what in ("semdedup", "all"):
-        sweep_semdedup(spark)
-    if what in ("substring", "all"):
-        sweep_substring(spark)
-    if what in ("skew", "all"):
-        sweep_skew(spark)
-    if what in ("quantile", "all"):
-        sweep_quantile(spark)
-    if what in ("linecls", "all"):
-        sweep_linecls(spark)
-    if what in ("streamforms", "all"):
-        sweep_streamforms(spark)
-    if what in ("heavy", "all"):
-        sweep_heavy(spark)
-    if what in ("funnel", "all"):
-        sweep_funnel(spark)
-    if what in ("bpe", "all"):
-        sweep_bpe(spark)
-    if what in ("shards", "all"):
-        sweep_shards(spark)
-    if what in ("ivfpq", "all"):
-        sweep_ivfpq(spark)
-    if what in ("bm25", "all"):
-        sweep_bm25(spark)
-    if what in ("dv1salt", "all"):
-        sweep_dv1salt(spark)
-    if what in ("dc2", "all"):
-        sweep_dc2(spark)
-    if what in ("qz5", "all"):
-        sweep_qz5(spark)
-    if what in ("qz6", "all"):
-        sweep_qz6(spark)
-    if what in ("spans", "all"):
-        sweep_spans(spark)
-    if what in ("graph", "all"):
-        sweep_graph(spark)
-    if what in ("iterative", "all"):
-        sweep_iterative(spark)
-    if what in ("streamknob", "all"):
-        sweep_streamknob(spark)
-    if what in ("r13ops", "all"):
-        sweep_r13ops(spark)
+    for name, fn in _SWEEPS:
+        if what in (name, "all"):
+            fn(spark)
+            _free_persistent_rdds(spark)
     spark.stop()
 
 

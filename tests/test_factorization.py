@@ -159,3 +159,18 @@ def test_mf1_zero_iterations_fails_fast(spark):
     )
     with pytest.raises(ValueError, match="iterations"):
         als_factorize(df, iterations=0)
+
+
+def test_mf1_array_api_collect_guard(spark):
+    """The array-returning API collects one row per entity — a frame that
+    grows with the data. Past COLLECT_FACTOR_MAX_ROWS it must fail loudly
+    with the return_frames pointer, not OOM the driver (round-13 verdict)."""
+    from samsa_spark.operators.factorization import _collect_factor_frame
+
+    df = spark.createDataFrame(
+        [(i, [0.1, 0.2]) for i in range(10)], "id long, factors array<double>"
+    )
+    ids, fac = _collect_factor_frame(df, max_rows=10)  # at the limit: fine
+    assert len(ids) == 10 and fac.shape == (10, 2)
+    with pytest.raises(ValueError, match="return_frames=True"):
+        _collect_factor_frame(df, max_rows=9)

@@ -13,7 +13,9 @@ WINDOW = 50
 # these must never fall outside the checked window again.
 MUST_BE_CHECKED = [
     "st1_streaming_state",
-    "st2_streaming_tombstones",
+    # st2 rotated out round 14 (st1/st3 keep the engine, d7 the batch
+    # tombstone semantics in-window; st2 stays sweep+pytest-checked) —
+    # slot went to st10, the exactly-once foreachBatch sink lifecycle
     "st3_streaming_custom_fold",
     "dd6_dedup_clusters",
     "sim1_cosine_topk",
@@ -23,15 +25,17 @@ MUST_BE_CHECKED = [
     # mm3 stays sweep+pytest-checked) — slot went to dd19
     "pp1_prep_pipeline",
     "pk2_pack_chunked",
-    "sql1_revenue_by_segment",
+    # sql1 rotated out round 14 (h1/j2/set2 keep the join-aggregate
+    # surfaces in-window; the spark.sql entry path stays
+    # sweep+pytest-checked) — slot went to ar1
     "udtf1_ngram_counts",
     "js1_salted_join",
     "sm2_mixture_sample",
     "qf1_quality_quantile",
     # round-8 rotation: the hardest round-7 operators behind the driver gate
     # (fu1 rotated out round 13 — sq1 keeps per-user ordered-event stage
-    # analysis in-window; fu1 stays sweep+pytest-checked)
-    "hh1_heavy_ngrams",
+    # analysis in-window; fu1 stays sweep+pytest-checked; hh1 rotated out
+    # round 14 — nv1 keeps the gram-keyed combining-aggregate family)
     # round-9 rotation: the retrieval + composed-ANN families behind the gate
     "bm1_bm25_topk",
     "qz4_ivf_pq_topk",
@@ -57,6 +61,16 @@ MUST_BE_CHECKED = [
     "fp1_copurchase_rules",
     "tc1_triangle_stats",
     "sq1_adoption_order",
+    # round-14 rotation: the five round-13 operators + the exactly-once
+    # foreachBatch streaming lifecycle behind the driver's gate (slots
+    # from d1/sql1/cls1/hh1/w1/st2, all driver-green for 6+ consecutive
+    # rounds and still sweep+pytest-checked)
+    "zo1_zorder_curve",
+    "ar1_association_rules",
+    "cls3_classifier_eval",
+    "nv1_novelty_scores",
+    "w3_rank_bands",
+    "st10_streaming_exact_jaccard",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -68,7 +82,7 @@ SIBLINGS = {
     "fn2_null_semantics": ["fn1_scalar_functions"],
     "tm1_time_extraction": ["fn1_scalar_functions"],
     "cu1_cube_order_stats": ["ro1_rollup_revenue"],
-    "h3_top_orders": ["w1_segment_top_orders"],
+    "h3_top_orders": ["w3_rank_bands", "h1_pricing_summary"],
     "hist1_doc_lengths": ["nt1_equidepth_histogram"],
     "rg1_user_value_trends": ["da1_distinct_aggregates", "d10_windowed_changes"],
     "ag1_event_sequences": ["pk2_pack_chunked"],
@@ -177,6 +191,17 @@ SIBLINGS = {
     "cls3_classifier_eval": ["cls1_classifier_score", "qf1_quality_quantile"],
     "nv1_novelty_scores": ["tf1_tfidf_top_terms", "dd1_exact_dedup", "dd6_dedup_clusters"],
     "w3_rank_bands": ["w1_segment_top_orders", "rw1_rolling_value"],
+    # round-14 rotation twins
+    "d1_scan": ["d2_state_table", "d4_point_lookup"],
+    "sql1_revenue_by_segment": ["h1_pricing_summary", "j2_order_priority_stats"],
+    "cls1_classifier_score": ["cls3_classifier_eval", "qf1_quality_quantile"],
+    "hh1_heavy_ngrams": ["nv1_novelty_scores", "tf1_tfidf_top_terms"],
+    "w1_segment_top_orders": ["w3_rank_bands", "rw1_rolling_value", "ses1_sessionize"],
+    "st2_streaming_tombstones": [
+        "st1_streaming_state",
+        "d7_tombstones",
+        "st10_streaming_exact_jaccard",
+    ],
 }
 
 
