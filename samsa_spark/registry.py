@@ -1027,6 +1027,9 @@ _DEMOTED = (
     "hh1_heavy_ngrams",               # nv1 (in-window, round-14 rotation) keeps the gram-keyed combining-aggregate + join-back family and tf1 the vocab aggregates; the sketch+rescan heavy-hitter form was driver-green r08-r13 and stays sweep+pytest-checked — slot went to nv1
     "w1_segment_top_orders",          # w3 (in-window, round-14 rotation) keeps the WindowExec ranking family (ntile/percent_rank/cume_dist over the same partitioned sort) and rw1 the RANGE frame; the row_number top-k was driver-green r01-r13, its TakeOrderedAndProject twin is plan-locked in test_plans, and it stays sweep+pytest-checked — slot went to w3
     "st2_streaming_tombstones",       # st1/st3 keep the streaming engine in-window, d7 the batch tombstone semantics, and st10 (in-window, round-14 rotation) adds the exactly-once foreachBatch sink lifecycle the round-13 verdict asked for; the streaming tombstone fold was driver-green r02-r13 and stays sweep+pytest-checked — slot went to st10
+    # round-14 additions, born demoted (the window is full)
+    "zo2_zorder_pruned_read",         # zo1 (in-window, round-14 rotation) locks the curve arithmetic and d4/dd19's layouts the pushdown/pruned-read shapes; the write->prune->read lifecycle's oracle is a plain box filter (pruning is layout-sound) and the files-opened <= 50% claim is pytest-locked
+    "zo3_zorder_curve_3d",            # zo1 (in-window) anchors the curve family; the k=3 unrolled bit-loop form shares its masked-BIGINT gate shape and its layout locality claim is pytest file-stats tested at k=3
 )
 
 

@@ -139,17 +139,152 @@ def test_zordered_layout_prunes_2d_box_queries(spark, tmp_path):
 
     # second-dimension box: linear cannot prune at all, z must
     lin_sk = _stats_overlap_fraction(linear, full_pk, narrow_sk, "l_partkey", "l_suppkey")
-    z_sk = _stats_overlap_fraction(zpath, full_pk, narrow_sk, "l_partkey", "l_suppkey")
+    z_sk = _stats_overlap_fraction(zpath + "/data", full_pk, narrow_sk, "l_partkey", "l_suppkey")
     assert lin_sk > 0.9, f"one-column sort unexpectedly pruned dim 2: {lin_sk}"
     assert z_sk < lin_sk and z_sk <= 0.5, (z_sk, lin_sk)
 
     # first-dimension box: z keeps pruning most files (linear is perfect here)
-    z_pk = _stats_overlap_fraction(zpath, narrow_pk, full_sk, "l_partkey", "l_suppkey")
+    z_pk = _stats_overlap_fraction(zpath + "/data", narrow_pk, full_sk, "l_partkey", "l_suppkey")
     assert z_pk <= 0.5, z_pk
 
     # and the layout is lossless: same rows back
-    a = spark.read.parquet(zpath).groupBy().agg(
+    a = spark.read.parquet(zpath + "/data").groupBy().agg(
         F.count("*"), F.sum("l_partkey"), F.sum("l_suppkey")
     ).collect()
     b = li.groupBy().agg(F.count("*"), F.sum("l_partkey"), F.sum("l_suppkey")).collect()
     assert a == b
+
+
+def _morton_nd(vals, k: int, bits: int) -> int:
+    z = 0
+    for d, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * k + d)
+    return z
+
+
+def test_zo2_and_zo3_oracle_match(spark):
+    for name in ("zo2_zorder_pruned_read", "zo3_zorder_curve_3d"):
+        ok, msg = check_query(spark, name, SF_SMALL)
+        assert ok, msg
+
+
+def test_zvalue_nd_matches_python_model(spark):
+    """The unrolled k-dim bit loop against the textbook model at k=3 and
+    k=4 (edge + interior values), and the k=2 fast path must equal the
+    magic-spread zvalue exactly."""
+    import random
+
+    from samsa_spark.operators.layout import zvalue, zvalue_nd
+
+    rnd = random.Random(14)
+    for k, bits in ((3, 4), (3, 16), (4, 15)):
+        cases = [tuple(0 for _ in range(k)), tuple((1 << bits) - 1 for _ in range(k))]
+        cases += [tuple(rnd.randrange(1 << bits) for _ in range(k)) for _ in range(50)]
+        schema = ", ".join(f"c{d} long" for d in range(k))
+        df = spark.createDataFrame(cases, schema).select(
+            *[f"c{d}" for d in range(k)],
+            zvalue_nd([F.col(f"c{d}") for d in range(k)], bits).alias("z"),
+        )
+        for r in df.collect():
+            vals = [r[f"c{d}"] for d in range(k)]
+            assert r.z == _morton_nd(vals, k, bits), (k, bits, vals, r.z)
+    pairs = [(rnd.randrange(1 << 16), rnd.randrange(1 << 16)) for _ in range(100)]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        zvalue(F.col("a"), F.col("b")).alias("z2"),
+        zvalue_nd([F.col("a"), F.col("b")]).alias("znd"),
+    )
+    assert all(r.z2 == r.znd for r in df.collect())
+
+
+def test_zvalue_nd_bit_budget_validation():
+    """k*bits must stay within signed BIGINT; bits=None picks the widest
+    fit per dimension."""
+    import pytest
+
+    from samsa_spark.operators.layout import _nd_bits
+
+    assert _nd_bits(2, None) == 16
+    assert _nd_bits(3, None) == 16
+    assert _nd_bits(4, None) == 15
+    assert _nd_bits(8, None) == 7
+    with pytest.raises(ValueError, match="63"):
+        _nd_bits(4, 16)
+    with pytest.raises(ValueError, match="dimensions"):
+        _nd_bits(1, 8)
+
+
+def test_read_zordered_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """The round-13 verdict's ask: a narrow SECOND-dimension box through
+    read_zordered must (a) OPEN at most half the layout's files (asserted
+    on the scan's actual inputFiles, not just stats), and (b) return rows
+    exactly equal to a full scan with the same predicate."""
+    from samsa_spark import tables
+    from samsa_spark.operators.layout import read_zordered, write_zordered
+
+    li = tables.load(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    path = str(tmp_path / "z2")
+    manifest = write_zordered(li, path, "l_partkey", "l_suppkey", n_files=16)
+    n_files = manifest.count()
+    assert n_files == 16
+
+    sk_lo, sk_hi = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    box = {"l_suppkey": (sk_lo, sk_lo + max(1, (sk_hi - sk_lo) // 20))}
+    pruned = read_zordered(spark, path, box)
+    opened = pruned.inputFiles()
+    assert 0 < len(opened) <= n_files / 2, (len(opened), n_files)
+
+    full = spark.read.parquet(path + "/data").where(
+        F.col("l_suppkey").between(*box["l_suppkey"])
+    )
+    key = lambda r: (r.l_orderkey, r.l_linenumber)
+    assert sorted(pruned.collect(), key=key) == sorted(full.collect(), key=key)
+
+    # empty box: no file intersects, result is empty but well-formed
+    empty = read_zordered(spark, path, {"l_suppkey": (sk_hi + 10, sk_hi + 20)})
+    assert empty.count() == 0
+    assert set(empty.columns) == set(li.columns)
+
+    # a non-clustered column has no stats here — fail actionably
+    import pytest
+
+    with pytest.raises(ValueError, match="clustered dimensions"):
+        read_zordered(spark, path, {"l_orderkey": (0, 10)})
+
+
+def test_zordered_layout_k3_prunes_every_dimension(spark, tmp_path):
+    """k=3 layout locality (round-13 verdict task 8): a narrow box in ANY
+    single clustered dimension must stats-prune at least half the files —
+    real table layouts cluster 3-4 columns and each must keep pruning."""
+    from samsa_spark import tables
+    from samsa_spark.operators.layout import read_zordered, write_zordered
+
+    li = tables.load(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    path = str(tmp_path / "z3")
+    # l_linenumber spans 1..7 — a deliberately tiny-range dim, the case
+    # _quantized must spread into the full bit budget (note 56).
+    manifest = write_zordered(
+        li, path, "l_partkey", "l_suppkey", "l_linenumber", n_files=32
+    )
+    n_files = manifest.count()
+    bounds = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    boxes = {
+        "l_partkey": (bounds[0], bounds[0] + max(1, (bounds[1] - bounds[0]) // 20)),
+        "l_suppkey": (bounds[2], bounds[2] + max(1, (bounds[3] - bounds[2]) // 20)),
+        "l_linenumber": (7, 7),  # ~1/7 of rows; rare enough to prune
+    }
+    for col, (lo, hi) in boxes.items():
+        pruned = read_zordered(spark, path, {col: (lo, hi)})
+        opened = len(pruned.inputFiles())
+        assert opened <= n_files / 2, (col, opened, n_files)
+        got = pruned.count()
+        want = li.where(F.col(col).between(lo, hi)).count()
+        assert got == want, (col, got, want)

@@ -202,6 +202,9 @@ SIBLINGS = {
         "d7_tombstones",
         "st10_streaming_exact_jaccard",
     ],
+    # round-14 additions, born demoted
+    "zo2_zorder_pruned_read": ["zo1_zorder_curve", "d4_point_lookup"],
+    "zo3_zorder_curve_3d": ["zo1_zorder_curve", "fn1_scalar_functions"],
 }
 
 
