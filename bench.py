@@ -367,6 +367,12 @@ EXTRAS = [
     "nv1_novelty_scores",
     # round 13: ntile/percent_rank/cume_dist distribution-rank window trio.
     "w3_rank_bands",
+    # round 14: the full z-order write->manifest-prune->read lifecycle
+    # (one range shuffle + one stats aggregate + a pruned box scan).
+    "zo2_zorder_pruned_read",
+    # round 14: the k=3 Morton curve (unrolled bit-loop interleave) over
+    # the full lineitem scan.
+    "zo3_zorder_curve_3d",
 ]
 
 

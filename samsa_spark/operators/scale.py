@@ -105,7 +105,8 @@ def salted_join(
             try:
                 counts._jdf.queryExecution().logical().rdd().unpersist(False)
             except Exception:
-                pass
+                pass  # swallowed: only the block-release is best-effort —
+                # a leaked diagnostic block costs memory, not correctness
         fair = stats["n"] / max(parts, 1)
         ratio = stats["hot"] / fair
         if parts <= 10:

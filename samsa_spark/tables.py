@@ -187,4 +187,6 @@ def free_checkpoint(df: DataFrame) -> None:
     try:
         df._jdf.queryExecution().logical().rdd().unpersist(False)
     except Exception:
-        pass
+        pass  # swallowed: only the block-release is best-effort — a leaked
+        # block costs session memory, not correctness, and the internal
+        # _jdf path may shift across Spark versions

@@ -4,7 +4,13 @@ PIPELINE sections against it single-pass — the round-9 verdict's task 6:
 validate the flat-in-N / linear-in-N claims where they matter instead of
 arguing them from plan shapes.
 
-Usage:  python scripts/soak10x.py [factor]          (default 10)
+Usage:  python scripts/soak10x.py [factor] [tier]   (default 10, "all")
+
+tier "heavy" (round-13 verdict task 5) runs ONLY the heaviest-tier six —
+dd2/dd3/dd17/sd1/pr1/mf1 — each once at 1x (sf0.1) and once at the
+replicated sf1-equivalent corpus (factor x sf0.1; 10 x sf0.1 = 100x the
+driver's sf0.01 gate), same session, so the wall ratios are same-day and
+same-protocol.
 
 Emits one JSON line per query and a final per-section summary line; paste
 the section table into PLANS.md. Replication rules:
@@ -144,8 +150,23 @@ def _free_persistent_rdds(spark, keep: set[int] = frozenset()) -> None:
             rdd.unpersist(False)
 
 
+# The heaviest tier by 100x-scale exposure (round-13 verdict task 5):
+# near-dup pair mass (dd2), banded sketch joins (dd3), suffix-array span
+# dedup (dd17), semantic dedup's quantize+per-cell pairing (sd1), and the
+# iterative graph/factorization loops (pr1, mf1).
+HEAVY = [
+    "dd2_ngram_jaccard",
+    "dd3_minhash_lsh",
+    "dd17_exact_spans",
+    "sd1_semantic_dedup",
+    "pr1_pagerank",
+    "mf1_als_convergence",
+]
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    tier = sys.argv[2] if len(sys.argv) > 2 else "all"
 
     import bench
     from samsa_spark import registry
@@ -154,6 +175,42 @@ def main() -> None:
     spark = get_spark(
         "samsa-soak10x", extra_conf={"spark.driver.memory": "48g"}
     )
+    if tier == "heavy":
+        qs = dict(registry.all_queries())
+        protected = {
+            int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keys()
+        }
+        qs["d2_state_table"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        qs["sim3_ann_topk_lsh"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        results: dict[str, dict[str, float]] = {}
+        for label, src in (("1x", None), (f"sf1_{factor}x", "build")):
+            if src == "build":
+                out = tempfile.mkdtemp(prefix=f"samsa-soak{factor}x-")
+                t0 = time.time()
+                build_corpus(spark, out, factor)
+                print(
+                    json.dumps({"build_sec": round(time.time() - t0, 1), "dir": out}),
+                    flush=True,
+                )
+                sf = out
+            else:
+                sf = SF_DIR
+            for name in HEAVY:
+                t0 = time.time()
+                qs[name](spark, sf).write.mode("overwrite").format("noop").save()
+                dt = round(time.time() - t0, 2)
+                results.setdefault(name, {})[label] = dt
+                print(
+                    json.dumps({"section": f"heavy_{label}", "query": name, "sec": dt}),
+                    flush=True,
+                )
+                _free_persistent_rdds(spark, keep=protected)
+        ratios = {
+            n: round(v[f"sf1_{factor}x"] / v["1x"], 2) for n, v in results.items()
+        }
+        print(json.dumps({"factor": factor, "tier": "heavy", "ratios": ratios}), flush=True)
+        spark.stop()
+        return
     out = tempfile.mkdtemp(prefix=f"samsa-soak{factor}x-")
     t0 = time.time()
     build_corpus(spark, out, factor)
