@@ -373,6 +373,12 @@ EXTRAS = [
     # round 14: the k=3 Morton curve (unrolled bit-loop interleave) over
     # the full lineitem scan.
     "zo3_zorder_curve_3d",
+    # round 14: token-blocked fuzzy entity resolution at name-type
+    # cardinality + min-label CC + golden-record rollup.
+    "er1_entity_resolution",
+    # round 14: mergeable equi-width quantile digest (shard digests ->
+    # merge-by-sum -> integer-exact crossing query).
+    "qd1_quantile_digest",
 ]
 
 

@@ -1976,6 +1976,116 @@ FROM scored JOIN cuts USING (lang)
 """
 
 
+# Bin width a power of two: value/width only rescales the float exponent,
+# so floor() is bit-identical in Spark and DuckDB (the same binary-exact
+# argument as the 0.5/0.25 quantile weights, note 24).
+QD1_BIN_WIDTH = 64.0
+QD1_SHARDS = 8
+# Quantiles as integer (num, den) pairs so the crossing test is
+# integer-exact on both engines: cum * den >= num * n.
+QD1_QS = ((1, 4, "p25"), (2, 4, "p50"), (3, 4, "p75"))
+
+
+def quantile_digest(
+    lineitem: DataFrame,
+    value_col: str = "l_extendedprice",
+    group_col: str = "l_returnflag",
+    width: float = QD1_BIN_WIDTH,
+) -> DataFrame:
+    """qd1 — MERGEABLE equi-width quantile digest: the bounded-state scale
+    path for distribution queries that exact ``percentile`` cannot take
+    (its state is O(distinct values), note 24 — never feed it a continuous
+    column at 100 TB). The digest is a fixed-width binned histogram:
+
+    1. **Shard digests**: per (group, shard) bin counts — the state each
+       ingest task / stream batch / day partition would keep, O(bins) per
+       shard regardless of row count (shard = a deterministic key split
+       here, standing in for whatever the physical unit is).
+    2. **Merge**: digests combine by summing bin counts — one hash
+       aggregate, associative and commutative, the same mergeability
+       contract as cs2 (HLL cards) and hh2 (frequent-items) but for
+       quantiles.
+    3. **Query**: per group and q = num/den, the estimate is the lower
+       edge of the first bin where cumulative count crosses
+       ``ceil(q * n)`` (integer-exact crossing: ``cum * den >= num * n``).
+       Error is bounded by one bin width by construction.
+
+    Everything after the first scan runs at (groups x bins) cardinality;
+    the cumulative window partitions by group over ~|value range|/width
+    rows. The DuckDB twin runs the identical algebra — integer counts and
+    power-of-two scaling keep both engines bit-identical.
+    """
+    binc = F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin")
+    shard = F.pmod(F.col("l_orderkey"), F.lit(QD1_SHARDS)).alias("shard")
+    shard_digests = (
+        lineitem.select(F.col(group_col).alias("grp"), shard, binc)
+        .groupBy("grp", "shard", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = shard_digests.groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        "grp",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
+    )
+    # One pass for all quantiles: explode the (num, den, label) spec as a
+    # literal array (a per-q union would rescan the input per branch,
+    # note 12) and take the min crossing bin per (group, q).
+    qspec = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).alias("num"),
+                    F.lit(den).alias("den"),
+                    F.lit(label).alias("q"),
+                )
+                for num, den, label in QD1_QS
+            ]
+        )
+    ).alias("qq")
+    return (
+        cum.select("grp", "bin", "cum", "n", qspec)
+        .where(F.col("cum") * F.col("qq.den") >= F.col("n") * F.col("qq.num"))
+        .groupBy("grp", F.col("qq.q").alias("q"))
+        .agg(F.min("bin").alias("bin"), F.max("n").alias("n"))
+        .select("grp", "q", "bin", (F.col("bin") * F.lit(width)).alias("est"), "n")
+    )
+
+
+_QD1_SQL = f"""
+WITH digests AS (
+  SELECT l_returnflag AS grp,
+         l_orderkey % {QD1_SHARDS} AS shard,
+         CAST(floor(l_extendedprice / {QD1_BIN_WIDTH}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+), merged AS (
+  SELECT grp, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM digests GROUP BY 1, 2
+), cum AS (
+  SELECT grp, bin,
+         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM merged
+), qs AS (
+  SELECT * FROM (VALUES {", ".join(f"({num}, {den}, '{label}')" for num, den, label in QD1_QS)})
+       t(num, den, q)
+)
+SELECT grp, q, CAST(min(bin) AS BIGINT) AS bin,
+       min(bin) * {QD1_BIN_WIDTH} AS est,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum JOIN qs ON cum.cum * qs.den >= cum.n * qs.num
+GROUP BY grp, q
+"""
+
+
 # --- registry wiring -------------------------------------------------------
 
 
@@ -2001,6 +2111,7 @@ def build_queries():
         "ds1_shuffle_shards": (q(shuffle_shards, "documents"), _DS1_SQL),
         "ds2_curriculum_shards": (q(curriculum_shards, "documents"), _DS2_SQL),
         "nt1_equidepth_histogram": (q(equidepth_histogram, "documents"), _NT1_SQL),
+        "qd1_quantile_digest": (q(quantile_digest, "lineitem"), _QD1_SQL),
         "qf1_quality_quantile": (q(quality_quantile_report, "documents"), _qf1_sql()),
         "pp1_prep_pipeline": (q(prep_pipeline, "documents"), _PP1_SQL),
         # pp3 = pp1's default chain as a stage-by-stage survivor audit.

@@ -18,6 +18,7 @@ from samsa_spark.operators import (
     factorization,
     governance,
     layout,
+    linkage,
     mining,
     pipeline_ops,
     scale,
@@ -152,6 +153,10 @@ for _name, (_fn, _sql) in factorization.build_queries().items():
 
 # --- storage layout (zo1 z-order curve; write_zordered locality in pytest) --
 for _name, (_fn, _sql) in layout.build_queries().items():
+    _register(_name, _fn, _sql)
+
+# --- record linkage / entity resolution (er1) ------------------------------
+for _name, (_fn, _sql) in linkage.build_queries().items():
     _register(_name, _fn, _sql)
 
 
@@ -1030,6 +1035,8 @@ _DEMOTED = (
     # round-14 additions, born demoted (the window is full)
     "zo2_zorder_pruned_read",         # zo1 (in-window, round-14 rotation) locks the curve arithmetic and d4/dd19's layouts the pushdown/pruned-read shapes; the write->prune->read lifecycle's oracle is a plain box filter (pruning is layout-sound) and the files-opened <= 50% claim is pytest-locked
     "zo3_zorder_curve_3d",            # zo1 (in-window) anchors the curve family; the k=3 unrolled bit-loop form shares its masked-BIGINT gate shape and its layout locality claim is pytest file-stats tested at k=3
+    "er1_entity_resolution",          # round-14 new, awaiting rotation; dd6 (in-window) anchors the blocked-pair-graph + min-label CC family er1 reuses at name-type cardinality
+    "qd1_quantile_digest",            # round-14 new, awaiting rotation; nt1 (in-window) anchors the bounded-state distribution-query family; the shard-digest merge lifecycle is the cs2/hh2 mergeable-sketch contract under an exact oracle
 )
 
 
