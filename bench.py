@@ -379,6 +379,9 @@ EXTRAS = [
     # round 14: mergeable equi-width quantile digest (shard digests ->
     # merge-by-sum -> integer-exact crossing query).
     "qd1_quantile_digest",
+    # round 14: incremental entity resolution — build the frozen entity
+    # map, one-hop resolve the batch, residue clusters fresh.
+    "er2_incremental_entities",
 ]
 
 

@@ -1037,6 +1037,7 @@ _DEMOTED = (
     "zo3_zorder_curve_3d",            # zo1 (in-window) anchors the curve family; the k=3 unrolled bit-loop form shares its masked-BIGINT gate shape and its layout locality claim is pytest file-stats tested at k=3
     "er1_entity_resolution",          # round-14 new, awaiting rotation; dd6 (in-window) anchors the blocked-pair-graph + min-label CC family er1 reuses at name-type cardinality
     "qd1_quantile_digest",            # round-14 new, awaiting rotation; nt1 (in-window) anchors the bounded-state distribution-query family; the shard-digest merge lifecycle is the cs2/hh2 mergeable-sketch contract under an exact oracle
+    "er2_incremental_entities",       # round-14 new, awaiting rotation; dd19 (in-window) anchors the frozen-artifact incremental lifecycle er2 mirrors for entity ids (one-hop match against a saved map, residue resolves fresh)
 )
 
 

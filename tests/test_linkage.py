@@ -24,6 +24,54 @@ def test_qd1_oracle_match(spark):
     assert ok, msg
 
 
+def test_er2_oracle_match(spark):
+    ok, msg = check_query(spark, "er2_incremental_entities", SF_SMALL)
+    assert ok, msg
+
+
+def test_er2_tiers_and_one_hop_contract(spark, tmp_path):
+    """Exact variant -> entity at dist 0; new typo -> nearest variant's
+    entity with its distance; unrelated names -> fresh entities resolved
+    among themselves; and the one-hop contract: a name within reach of a
+    MATCHED BATCH name but not of any MAP variant stays new."""
+    from samsa_spark.operators.linkage import resolve_against_map, save_entity_map
+
+    base = _parts(
+        spark,
+        [("red widget", "B", "T", 1, 1.0), ("red widgets", "B", "T", 2, 2.0),
+         ("blue gear", "B", "T", 3, 3.0)],
+    )
+    p = str(tmp_path / "emap")
+    save_entity_map(base, p)
+    batch = _parts(
+        spark,
+        [
+            ("red widgets", "B", "T", 4, 4.0),   # exact variant
+            ("red widgett", "B", "T", 5, 5.0),   # fuzzy: lev 1 to 'red widget'
+            ("green cog", "B", "T", 6, 6.0),     # new
+            ("green cogs", "B", "T", 7, 7.0),    # new, clusters with green cog
+            ("red widgettt", "B", "T", 8, 8.0),  # lev 2 to 'red widget' -> fuzzy
+            ("red widgetttt", "B", "T", 9, 9.0),  # lev 3 to every MAP variant;
+            # within lev 1 of batch-name 'red widgettt' — one-hop says NEW
+        ],
+    )
+    out = {r.p_name: r for r in resolve_against_map(spark, p, batch).collect()}
+    assert len(out) == 6
+    assert out["red widgets"].entity_name == "red widget"
+    assert out["red widgets"].match_dist == 0 and not out["red widgets"].is_new
+    assert out["red widgett"].entity_name == "red widget"
+    assert out["red widgett"].match_dist == 1 and not out["red widgett"].is_new
+    assert out["red widgettt"].entity_name == "red widget"
+    assert out["red widgettt"].match_dist == 2
+    assert out["green cog"].is_new and out["green cogs"].is_new
+    assert out["green cog"].entity_name == "green cog"
+    assert out["green cogs"].entity_name == "green cog"
+    assert out["green cog"].match_dist == -1
+    # the one-hop contract: new entity despite chaining through a batch name
+    assert out["red widgetttt"].is_new
+    assert out["red widgetttt"].entity_name == "red widgetttt"
+
+
 def _parts(spark, rows):
     return spark.createDataFrame(
         [(i, n, b, t, s, p) for i, (n, b, t, s, p) in enumerate(rows)],

@@ -206,6 +206,7 @@ SIBLINGS = {
     "zo2_zorder_pruned_read": ["zo1_zorder_curve", "d4_point_lookup"],
     "zo3_zorder_curve_3d": ["zo1_zorder_curve", "fn1_scalar_functions"],
     "er1_entity_resolution": ["dd6_dedup_clusters"],
+    "er2_incremental_entities": ["dd19_incremental_dedup", "dd6_dedup_clusters"],
     "qd1_quantile_digest": ["nt1_equidepth_histogram"],
 }
 
