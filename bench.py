@@ -382,6 +382,9 @@ EXTRAS = [
     # round 14: incremental entity resolution — build the frozen entity
     # map, one-hop resolve the batch, residue clusters fresh.
     "er2_incremental_entities",
+    # round 14: the digest lifecycle as a stream — per-batch O(bins)
+    # partials exactly-once, merge-by-sum erases trigger boundaries.
+    "st12_streaming_quantile_digest",
 ]
 
 

@@ -1986,6 +1986,63 @@ QD1_SHARDS = 8
 QD1_QS = ((1, 4, "p25"), (2, 4, "p50"), (3, 4, "p75"))
 
 
+def digest_partial(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    width: float = QD1_BIN_WIDTH,
+) -> DataFrame:
+    """One shard's digest: (grp, bin, cnt) bin counts — the O(bins)
+    partial state an ingest task / stream micro-batch / day partition
+    keeps. Digests merge by summing cnt (associative + commutative)."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def digest_quantiles(merged: DataFrame, width: float = QD1_BIN_WIDTH) -> DataFrame:
+    """Quantile query over a merged digest (grp, bin, cnt): per group and
+    q = num/den, the lower edge of the first bin where cumulative count
+    crosses (integer-exact: ``cum * den >= num * n``). One pass for all
+    quantiles — the spec explodes as a literal array (a per-q union would
+    rescan the input, note 12)."""
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        "grp",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
+    )
+    qspec = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).alias("num"),
+                    F.lit(den).alias("den"),
+                    F.lit(label).alias("q"),
+                )
+                for num, den, label in QD1_QS
+            ]
+        )
+    ).alias("qq")
+    return (
+        cum.select("grp", "bin", "cum", "n", qspec)
+        .where(F.col("cum") * F.col("qq.den") >= F.col("n") * F.col("qq.num"))
+        .groupBy("grp", F.col("qq.q").alias("q"))
+        .agg(F.min("bin").alias("bin"), F.max("n").alias("n"))
+        .select("grp", "q", "bin", (F.col("bin") * F.lit(width)).alias("est"), "n")
+    )
+
+
 def quantile_digest(
     lineitem: DataFrame,
     value_col: str = "l_extendedprice",
@@ -2023,39 +2080,7 @@ def quantile_digest(
         .agg(F.count("*").alias("cnt"))
     )
     merged = shard_digests.groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt"))
-    w = (
-        Window.partitionBy("grp")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = merged.select(
-        "grp",
-        "bin",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
-    )
-    # One pass for all quantiles: explode the (num, den, label) spec as a
-    # literal array (a per-q union would rescan the input per branch,
-    # note 12) and take the min crossing bin per (group, q).
-    qspec = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(num).alias("num"),
-                    F.lit(den).alias("den"),
-                    F.lit(label).alias("q"),
-                )
-                for num, den, label in QD1_QS
-            ]
-        )
-    ).alias("qq")
-    return (
-        cum.select("grp", "bin", "cum", "n", qspec)
-        .where(F.col("cum") * F.col("qq.den") >= F.col("n") * F.col("qq.num"))
-        .groupBy("grp", F.col("qq.q").alias("q"))
-        .agg(F.min("bin").alias("bin"), F.max("n").alias("n"))
-        .select("grp", "q", "bin", (F.col("bin") * F.lit(width)).alias("est"), "n")
-    )
+    return digest_quantiles(merged, width)
 
 
 _QD1_SQL = f"""

@@ -871,6 +871,78 @@ def _st10_sql() -> str:
 _register("st10_streaming_exact_jaccard", _streaming_exact_jaccard, _st10_sql())
 
 
+def _streaming_quantile_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """st12 — the qd1 mergeable-digest lifecycle as a STREAM inside the
+    exact gate: the events log replays as a multi-trigger file backlog;
+    each micro-batch writes its own O(bins) digest partial exactly-once
+    (self-replacing ``batch_id`` dir); the quantile query merges partials
+    by summation, which makes trigger boundaries invisible — so the
+    result equals the one-pass batch digest over the whole log, and the
+    oracle is the plain digest SQL. Stateless per batch: no watermark or
+    sentinel machinery, the digest itself is the state (bounded by
+    groups x bins, never by events)."""
+    import os
+    import tempfile
+
+    from samsa_spark.streaming.pipeline import (
+        StreamingDigestAccumulator,
+        run_streaming_digest,
+    )
+    from samsa_spark.streaming.sources import file_stream
+
+    ev = tables.load(spark, sf, "events").select("event_type", "value")
+    base = tempfile.mkdtemp(prefix="samsa-st12-")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    acc = StreamingDigestAccumulator(
+        os.path.join(base, "digest"), value_col="value", group_col="event_type",
+        width=_ST12_WIDTH,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_streaming_digest(
+            file_stream(spark, src, ev.schema, max_files_per_trigger=2),
+            os.path.join(base, "chk"),
+            acc,
+        )
+        out = acc.quantiles(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src)
+    return out
+
+
+# events.value spans [0.01, ~490]: width 8 (a power of two, the qd1
+# bit-identity argument) keeps the digest at ~60 bins per event type.
+_ST12_WIDTH = 8.0
+
+_ST12_SQL = f"""
+WITH merged AS (
+  SELECT event_type AS grp,
+         CAST(floor(value / {_ST12_WIDTH}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT grp, bin,
+         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM merged
+), qs AS (
+  SELECT * FROM (VALUES (1, 4, 'p25'), (2, 4, 'p50'), (3, 4, 'p75'))
+       t(num, den, q)
+)
+SELECT grp, q, CAST(min(bin) AS BIGINT) AS bin,
+       min(bin) * {_ST12_WIDTH} AS est,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum JOIN qs ON cum.cum * qs.den >= cum.n * qs.num
+GROUP BY grp, q
+"""
+
+_register("st12_streaming_quantile_digest", _streaming_quantile_digest, _ST12_SQL)
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:
@@ -1038,6 +1110,7 @@ _DEMOTED = (
     "er1_entity_resolution",          # round-14 new, awaiting rotation; dd6 (in-window) anchors the blocked-pair-graph + min-label CC family er1 reuses at name-type cardinality
     "qd1_quantile_digest",            # round-14 new, awaiting rotation; nt1 (in-window) anchors the bounded-state distribution-query family; the shard-digest merge lifecycle is the cs2/hh2 mergeable-sketch contract under an exact oracle
     "er2_incremental_entities",       # round-14 new, awaiting rotation; dd19 (in-window) anchors the frozen-artifact incremental lifecycle er2 mirrors for entity ids (one-hop match against a saved map, residue resolves fresh)
+    "st12_streaming_quantile_digest", # round-14 new, awaiting rotation; st10 (in-window) anchors the exactly-once foreachBatch lifecycle and qd1's oracle locks the digest algebra — micro-batches are the shards, merge-by-sum makes trigger boundaries invisible
 )
 
 

@@ -525,6 +525,75 @@ def run_streaming_card(
     return q
 
 
+class StreamingDigestAccumulator:
+    """st12 — streaming quantile digest: each micro-batch writes its own
+    equi-width bin-count partial (:func:`pipeline_ops.digest_partial` —
+    O(bins) rows regardless of batch size) into a ``batch_id=<n>``
+    directory with overwrite, so a retried batch replaces itself and the
+    accumulated digest is EXACTLY-ONCE (the cards pattern, note-50 (a)).
+    Micro-batches ARE the digest's shards: merging by summation makes
+    trigger boundaries invisible, which is what puts the whole streaming
+    lifecycle under the batch oracle — :meth:`quantiles` over any replay
+    of the backlog equals the one-pass digest over the full log. No
+    stateful operator anywhere: the digest itself is the state, stored as
+    data (bounded by groups x bins, never by events)."""
+
+    def __init__(
+        self,
+        digest_path: str,
+        value_col: str = "value",
+        group_col: str = "event_type",
+        width: float | None = None,
+    ) -> None:
+        from samsa_spark.operators.pipeline_ops import QD1_BIN_WIDTH
+
+        self.digest_path = digest_path
+        self.value_col = value_col
+        self.group_col = group_col
+        self.width = QD1_BIN_WIDTH if width is None else float(width)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from samsa_spark.operators.pipeline_ops import digest_partial
+
+        if batch_df.isEmpty():
+            return
+        digest_partial(
+            batch_df, self.value_col, self.group_col, self.width
+        ).write.mode("overwrite").parquet(
+            f"{self.digest_path}/batch_id={int(batch_id)}"
+        )
+
+    def merged(self, spark: SparkSession) -> DataFrame:
+        """(grp, bin, cnt) summed across every batch partial seen so far."""
+        import pyspark.sql.functions as F
+
+        spark.catalog.refreshByPath(self.digest_path)
+        return (
+            spark.read.parquet(self.digest_path)
+            .groupBy("grp", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def quantiles(self, spark: SparkSession) -> DataFrame:
+        from samsa_spark.operators.pipeline_ops import digest_quantiles
+
+        return digest_quantiles(self.merged(spark), self.width)
+
+
+def run_streaming_digest(
+    stream_df: DataFrame, checkpoint_dir: str, acc: StreamingDigestAccumulator
+):
+    """Drain an event stream into the digest accumulator with AvailableNow."""
+    q = (
+        stream_df.writeStream.foreachBatch(acc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_first_occurrence_stream(
     spark,
     src_dir: str,

@@ -207,6 +207,7 @@ SIBLINGS = {
     "zo3_zorder_curve_3d": ["zo1_zorder_curve", "fn1_scalar_functions"],
     "er1_entity_resolution": ["dd6_dedup_clusters"],
     "er2_incremental_entities": ["dd19_incremental_dedup", "dd6_dedup_clusters"],
+    "st12_streaming_quantile_digest": ["st10_streaming_exact_jaccard", "nt1_equidepth_histogram"],
     "qd1_quantile_digest": ["nt1_equidepth_histogram"],
 }
 

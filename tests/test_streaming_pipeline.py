@@ -505,6 +505,52 @@ def test_streaming_card_accumulator_equals_one_pass_card(spark, tmp_path):
     assert card_rows(acc.merged(spark)) == after_once
 
 
+def test_st12_oracle_match(spark):
+    from tests.oracle import check_query
+
+    ok, msg = check_query(spark, "st12_streaming_quantile_digest", SF_SMALL)
+    assert ok, msg
+
+
+def test_streaming_digest_equals_one_pass_and_retry_exactly_once(spark, tmp_path):
+    """st12's engine half: quantiles over a multi-batch event stream == the
+    one-pass digest over the whole log (merge-by-sum makes trigger
+    boundaries invisible), and a retried batch replaces itself — the
+    merged digest never double-counts."""
+    from samsa_spark import tables
+    from samsa_spark.operators.pipeline_ops import (
+        digest_partial,
+        digest_quantiles,
+    )
+    from samsa_spark.streaming.pipeline import (
+        StreamingDigestAccumulator,
+        run_streaming_digest,
+    )
+    from samsa_spark.streaming.sources import file_stream
+
+    ev = tables.load(spark, SF_SMALL, "events").select("event_type", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    acc = StreamingDigestAccumulator(str(tmp_path / "digest"), width=8.0)
+    stream = file_stream(spark, src, ev.schema, max_files_per_trigger=1)
+    run_streaming_digest(stream, str(tmp_path / "chk"), acc)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = rows(digest_quantiles(digest_partial(ev, "value", "event_type", 8.0), 8.0))
+    got = rows(acc.quantiles(spark))
+    assert got == want and len(got) > 0
+
+    # exactly-once under retry: same batch_id delivered twice -> unchanged
+    extra = ev.limit(41)
+    acc(extra, 99)
+    after_once = rows(acc.quantiles(spark))
+    acc(extra, 99)
+    assert rows(acc.quantiles(spark)) == after_once
+
+
 def test_incremental_dedup_index_retry_replay_exactly_once(spark, tmp_path):
     """Round-11 verdict task 4: the dedup index sink is exactly-once —
     delivering the SAME micro-batch twice (foreachBatch's at-least-once
