@@ -1107,10 +1107,10 @@ _DEMOTED = (
     # round-14 additions, born demoted (the window is full)
     "zo2_zorder_pruned_read",         # zo1 (in-window, round-14 rotation) locks the curve arithmetic and d4/dd19's layouts the pushdown/pruned-read shapes; the write->prune->read lifecycle's oracle is a plain box filter (pruning is layout-sound) and the files-opened <= 50% claim is pytest-locked
     "zo3_zorder_curve_3d",            # zo1 (in-window) anchors the curve family; the k=3 unrolled bit-loop form shares its masked-BIGINT gate shape and its layout locality claim is pytest file-stats tested at k=3
-    "er1_entity_resolution",          # round-14 new, awaiting rotation; dd6 (in-window) anchors the blocked-pair-graph + min-label CC family er1 reuses at name-type cardinality
-    "qd1_quantile_digest",            # round-14 new, awaiting rotation; nt1 (in-window) anchors the bounded-state distribution-query family; the shard-digest merge lifecycle is the cs2/hh2 mergeable-sketch contract under an exact oracle
-    "er2_incremental_entities",       # round-14 new, awaiting rotation; dd19 (in-window) anchors the frozen-artifact incremental lifecycle er2 mirrors for entity ids (one-hop match against a saved map, residue resolves fresh)
-    "st12_streaming_quantile_digest", # round-14 new, awaiting rotation; st10 (in-window) anchors the exactly-once foreachBatch lifecycle and qd1's oracle locks the digest algebra — micro-batches are the shards, merge-by-sum makes trigger boundaries invisible
+    "qd1_quantile_digest",            # nt1 (in-window) anchors the bounded-state distribution-query family and st12's IN-WINDOW oracle is the same digest SQL — the shard-digest algebra is driver-gated through the streaming form; the batch composition stays sweep+pytest-checked
+    "d5_changes",                     # rotated out round-14 continuation (slot to er1): d2/d6/d7/d10 keep the state-change family in-window; the version-pair self-join form stays sweep+pytest-checked
+    "d9_enrich",                      # rotated out round-14 continuation (slot to er2): j2 keeps the equi-join surface and d2/d6 the state family in-window; the stream-table enrich form stays sweep+pytest-checked (st8 shares its oracle)
+    "x5_json_props_stats",            # rotated out round-14 continuation (slot to st12): mm1 keeps the §2.4 X5 media/JSON surface and fn1 the scalar-fn surface in-window; the JSON-props aggregate stays sweep+pytest-checked
 )
 
 

@@ -71,6 +71,14 @@ MUST_BE_CHECKED = [
     "nv1_novelty_scores",
     "w3_rank_bands",
     "st10_streaming_exact_jaccard",
+    # round-14 continuation rotation: the record-linkage family and the
+    # streaming digest lifecycle behind the gate (slots from d5/d9/x5 —
+    # all driver-green since round 1 with in-window family siblings;
+    # st12's oracle is the qd1 digest SQL, so the mergeable-digest
+    # algebra is driver-gated through the streaming form)
+    "er1_entity_resolution",
+    "er2_incremental_entities",
+    "st12_streaming_quantile_digest",
 ]
 
 # Demoted twin -> in-window siblings covering the same category.
@@ -208,7 +216,11 @@ SIBLINGS = {
     "er1_entity_resolution": ["dd6_dedup_clusters"],
     "er2_incremental_entities": ["dd19_incremental_dedup", "dd6_dedup_clusters"],
     "st12_streaming_quantile_digest": ["st10_streaming_exact_jaccard", "nt1_equidepth_histogram"],
-    "qd1_quantile_digest": ["nt1_equidepth_histogram"],
+    "qd1_quantile_digest": ["nt1_equidepth_histogram", "st12_streaming_quantile_digest"],
+    # round-14 continuation rotation: slots to er1/er2/st12
+    "d5_changes": ["d2_state_table", "d6_upsert_merge", "d10_windowed_changes"],
+    "d9_enrich": ["j2_order_priority_stats", "d6_upsert_merge"],
+    "x5_json_props_stats": ["mm1_media_metadata", "fn1_scalar_functions"],
 }
 
 
