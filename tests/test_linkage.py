@@ -135,6 +135,31 @@ def test_er1_transitive_chain_closes(spark):
     assert out[0].entity_name == "steel bolt"
 
 
+def test_er2_ids_stable_across_batches(spark, tmp_path):
+    """The frozen-map contract: two different batches resolved against the
+    same saved map give IDENTICAL entity assignments for every name they
+    share — batch composition can never move an existing entity id."""
+    from samsa_spark.operators.linkage import resolve_against_map, save_entity_map
+
+    base = _parts(
+        spark,
+        [("red widget", "B", "T", 1, 1.0), ("blue gear", "B", "T", 2, 2.0)],
+    )
+    p = str(tmp_path / "emap")
+    save_entity_map(base, p)
+    shared = [("red widgett", "B", "T", 10, 1.0), ("green cog", "B", "T", 11, 2.0)]
+    b1 = _parts(spark, shared + [("blue gearr", "B", "T", 12, 3.0)])
+    b2 = _parts(spark, shared + [("mauve sprocket", "B", "T", 13, 4.0)])
+    r1 = {r.p_name: (r.entity_name, r.match_dist, r.is_new)
+          for r in resolve_against_map(spark, p, b1).collect()}
+    r2 = {r.p_name: (r.entity_name, r.match_dist, r.is_new)
+          for r in resolve_against_map(spark, p, b2).collect()}
+    for name in ("red widgett", "green cog"):
+        assert r1[name] == r2[name], (name, r1[name], r2[name])
+    assert r1["red widgett"] == ("red widget", 1, False)
+    assert r1["green cog"] == ("green cog", -1, True)
+
+
 def test_qd1_estimate_within_one_bin_of_exact(spark):
     """The digest's whole point: the estimate's bin contains the exact
     quantile, so |est - exact| < width for every (group, q)."""
