@@ -547,3 +547,29 @@ def test_gx1_graph_plan_bounded_pandas_stages_no_cartesian(spark):
     assert p.count("FlatMapCoGroupsInPandas (") == 1  # the walk
     assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
     assert "CartesianProduct" not in p
+
+
+def test_qd1_digest_is_single_scan_partial_aggregates(spark):
+    """qd1's whole pipeline (shard digests -> merge -> crossing query)
+    must read lineitem exactly ONCE (the per-q union it replaced scanned
+    per quantile — note 12) and both digest aggregates must get map-side
+    partials; no join anywhere (the quantile spec is an exploded
+    literal, not a joined table)."""
+    p = _plan(spark, "qd1_quantile_digest")
+    # one physical scan node: the formatted string prints it twice (tree
+    # line + details section), so count the per-scan Location detail
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_er1_name_matching_equi_joins_no_python(spark):
+    """er1's blocking and verify run as JVM equi-joins at name-type
+    cardinality: no Python stage anywhere, no cartesian/nested-loop —
+    the token key join IS the candidate generator."""
+    p = _plan(spark, "er1_entity_resolution")
+    assert "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
