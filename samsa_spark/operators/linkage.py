@@ -314,6 +314,39 @@ FROM newe
 """
 
 
+def append_entity_map(spark: SparkSession, path: str, resolved: DataFrame) -> DataFrame:
+    """er2 append side — fold a batch's NEW entities back into the saved
+    map so later batches one-hop onto them (run AFTER
+    :func:`resolve_against_map` has assigned the batch; ``resolved`` is
+    its output). Only ``is_new`` rows are candidates, and an anti-join on
+    the variant name drops anything the map already carries — so the
+    append is IDEMPOTENT under foreachBatch's at-least-once retry
+    (note-50 (b): same name => same entity row, re-delivery not
+    mutation). Existing entities are never touched: the map stays
+    append-only, which is what keeps every previously-assigned id stable
+    (the frozen-artifact contract; a full :func:`save_entity_map` rebuild
+    is the compaction that re-closes cross-batch transitive chains).
+
+    Returns the appended (p_name, entity_name) rows (empty if the batch
+    created no new entities or they all raced in already)."""
+    ent_path = f"{path}/entities"
+    existing = spark.read.parquet(ent_path)
+    new = (
+        resolved.where("is_new")
+        .select("p_name", "entity_name")
+        .join(existing, "p_name", "left_anti")
+        # collect-before-write: the append reads the same path it writes
+        # (note 28's lazy-scan trap) and the new-entity set is name-type
+        # cardinality bounded per batch
+        .localCheckpoint(eager=True)
+    )
+    if new.isEmpty():
+        return new
+    new.write.mode("append").parquet(ent_path)
+    spark.catalog.refreshByPath(ent_path)
+    return new
+
+
 # --- registry wiring -------------------------------------------------------
 
 

@@ -160,6 +160,38 @@ def test_er2_ids_stable_across_batches(spark, tmp_path):
     assert r1["green cog"] == ("green cog", -1, True)
 
 
+def test_er2_append_closes_the_loop_and_is_idempotent(spark, tmp_path):
+    """append_entity_map folds a batch's new entities into the map: the
+    SAME batch re-resolved afterwards exact-matches at dist 0 with
+    identical ids; a later variant one-hops onto the appended entity; and
+    a retried append (at-least-once redelivery) appends nothing."""
+    from samsa_spark.operators.linkage import (
+        append_entity_map,
+        resolve_against_map,
+        save_entity_map,
+    )
+
+    base = _parts(spark, [("red widget", "B", "T", 1, 1.0)])
+    p = str(tmp_path / "emap")
+    save_entity_map(base, p)
+    batch = _parts(spark, [("green cog", "B", "T", 2, 2.0)])
+    r1 = resolve_against_map(spark, p, batch)
+    appended = append_entity_map(spark, p, r1)
+    assert [(r.p_name, r.entity_name) for r in appended.collect()] == [
+        ("green cog", "green cog")
+    ]
+    # retry: same resolved output delivered again -> nothing new
+    assert append_entity_map(spark, p, r1).isEmpty()
+    # the same batch now exact-matches with a stable id
+    r2 = {r.p_name: r for r in resolve_against_map(spark, p, batch).collect()}
+    assert r2["green cog"].match_dist == 0 and not r2["green cog"].is_new
+    assert r2["green cog"].entity_name == "green cog"
+    # a later typo one-hops onto the appended entity
+    later = _parts(spark, [("green cogs", "B", "T", 3, 3.0)])
+    r3 = resolve_against_map(spark, p, later).collect()[0]
+    assert (r3.entity_name, r3.match_dist, r3.is_new) == ("green cog", 1, False)
+
+
 def test_qd1_estimate_within_one_bin_of_exact(spark):
     """The digest's whole point: the estimate's bin contains the exact
     quantile, so |est - exact| < width for every (group, q)."""
