@@ -385,6 +385,9 @@ EXTRAS = [
     # round 14: the digest lifecycle as a stream — per-batch O(bins)
     # partials exactly-once, merge-by-sum erases trigger boundaries.
     "st12_streaming_quantile_digest",
+    # round 14: streaming entity resolution — bootstrap map, per-batch
+    # one-hop resolve against prior batches only, new entities fold in.
+    "st13_streaming_entity_resolution",
 ]
 
 

@@ -193,8 +193,14 @@ def resolve_against_map(spark: SparkSession, path: str, batch: DataFrame) -> Dat
     batch name.
     """
     max_dist = int(spark.read.parquet(f"{path}/meta").first().max_dist)
-    ent = spark.read.parquet(f"{path}/entities")
-    bnames = batch.select("p_name").distinct()
+    ent = spark.read.parquet(f"{path}/entities").select("p_name", "entity_name")
+    return _resolve(ent, batch.select("p_name").distinct(), max_dist)
+
+
+def _resolve(ent: DataFrame, bnames: DataFrame, max_dist: int) -> DataFrame:
+    """The three-tier assignment against an in-memory entity frame —
+    shared by the path-artifact form above and the streaming resolver
+    (st13), which supplies ``ent`` from prior-batch dirs only."""
     exact = bnames.join(ent, "p_name").select(
         "p_name",
         "entity_name",

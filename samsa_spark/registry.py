@@ -943,6 +943,58 @@ GROUP BY grp, q
 _register("st12_streaming_quantile_digest", _streaming_quantile_digest, _ST12_SQL)
 
 
+def _streaming_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """st13 — er2's lifecycle as a STREAM (rows-only by design: each new
+    entity's id is the min name of its WITHIN-BATCH cluster, so the
+    assignment depends on micro-batch boundaries — deterministic for a
+    given replay (file order is (mtime, path); part files stage with one
+    mtime and ordered names) but not expressible as a batch SQL over the
+    whole table. The semantics are pytest-locked instead: cross-batch
+    one-hop chains, retry byte-identity, and replay determinism)."""
+    import os
+    import tempfile
+
+    from samsa_spark.streaming.pipeline import (
+        StreamingEntityResolver,
+        run_streaming_entity_resolution,
+    )
+    from samsa_spark.streaming.sources import file_stream
+
+    part = tables.load(spark, sf, "part").select("p_partkey", "p_name")
+    base = tempfile.mkdtemp(prefix="samsa-st13-")
+    src = os.path.join(base, "src")
+    part.repartition(4).write.parquet(src)
+    # Batch composition must be reproducible: the file source orders by
+    # mtime, and parallel write tasks finish in arbitrary order — stagger
+    # mtimes in part-number order so every replay sees the same batches
+    # (st5's utime device; unlike the order-insensitive st4/st10 outputs,
+    # st13's new-entity ids are batch-composition-dependent by design).
+    import time as _time
+
+    t0 = _time.time() - 1000
+    for i, f in enumerate(sorted(os.listdir(src))):
+        os.utime(os.path.join(src, f), (t0 + i, t0 + i))
+    resolver = StreamingEntityResolver(
+        os.path.join(base, "emap"), os.path.join(base, "out")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_streaming_entity_resolution(
+            file_stream(spark, src, part.schema, max_files_per_trigger=2),
+            os.path.join(base, "chk"),
+            resolver,
+        )
+        out = resolver.resolved(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _rm_staged(src)
+    return out
+
+
+_register("st13_streaming_entity_resolution", _streaming_entity_resolution, None)
+
+
 # --- registration order ------------------------------------------------------
 # The driver hash-checks only the FIRST 50 registered queries, so order is a
 # deliberate artifact, not an accident of module layout. Rule:

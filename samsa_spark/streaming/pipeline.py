@@ -594,6 +594,93 @@ def run_streaming_digest(
     return q
 
 
+class StreamingEntityResolver:
+    """st13 — incremental entity resolution as a STREAM: the first batch
+    bootstraps the entity map from its own clustering (er1's `_name_labels`
+    — every name a new entity), and each later batch runs er2's three-tier
+    one-hop resolve against the entities of STRICTLY-PRIOR batches only,
+    then folds its new entities into its own ``entities/batch_id=<n>`` dir.
+
+    EXACTLY-ONCE under foreachBatch's at-least-once retry by the dd19
+    argument: a retried batch re-reads only ``batch_id < current`` entity
+    dirs — exactly what its first attempt saw — and both of its writes
+    (resolved rows, new entities) overwrite their own ``batch_id`` dirs.
+    The new-entity dir is written FROM the materialized resolved output
+    (read back, not recomputed), so the two artifacts can never diverge.
+    Entity ids assigned in earlier batches are immutable — the frozen-map
+    contract, per micro-batch; a full :func:`~samsa_spark.operators.linkage.
+    save_entity_map` rebuild is the compaction that re-closes transitive
+    chains across batch boundaries."""
+
+    def __init__(self, map_path: str, out_path: str, max_dist: int | None = None) -> None:
+        from samsa_spark.operators.linkage import ER1_MAX_DIST
+
+        self.map_path = map_path
+        self.out_path = out_path
+        self.max_dist = ER1_MAX_DIST if max_dist is None else int(max_dist)
+
+    def _prior(self, batch_id: int) -> list[int]:
+        ent_dir = f"{self.map_path}/entities"
+        if not os.path.isdir(ent_dir):
+            return []
+        return sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(ent_dir)
+            if n.startswith("batch_id=") and int(n.split("=", 1)[1]) < batch_id
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from samsa_spark.operators.linkage import _name_labels, _resolve
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        bnames = batch_df.select("p_name").distinct()
+        prior = self._prior(int(batch_id))
+        out_dir = f"{self.out_path}/batch_id={int(batch_id)}"
+        ent_dir = f"{self.map_path}/entities/batch_id={int(batch_id)}"
+        if not prior:
+            resolved = _name_labels(bnames, self.max_dist).select(
+                "p_name",
+                "entity_name",
+                F.lit(-1).cast("long").alias("match_dist"),
+                F.lit(True).alias("is_new"),
+            )
+        else:
+            ent = spark.read.parquet(
+                *[f"{self.map_path}/entities/batch_id={g}" for g in prior]
+            ).select("p_name", "entity_name")
+            resolved = _resolve(ent, bnames, self.max_dist)
+        resolved.write.mode("overwrite").parquet(out_dir)
+        spark.catalog.refreshByPath(out_dir)
+        (
+            spark.read.parquet(out_dir)
+            .where("is_new")
+            .select("p_name", "entity_name")
+            .write.mode("overwrite")
+            .parquet(ent_dir)
+        )
+
+    def resolved(self, spark: SparkSession) -> DataFrame:
+        """Every batch's assignments seen so far (batch_id partition col)."""
+        spark.catalog.refreshByPath(self.out_path)
+        return spark.read.parquet(self.out_path)
+
+
+def run_streaming_entity_resolution(
+    stream_df: DataFrame, checkpoint_dir: str, resolver: StreamingEntityResolver
+):
+    """Drain a record stream through the entity resolver with AvailableNow."""
+    q = (
+        stream_df.writeStream.foreachBatch(resolver)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_first_occurrence_stream(
     spark,
     src_dir: str,

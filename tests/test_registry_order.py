@@ -303,6 +303,7 @@ def test_every_query_has_oracle_or_documented_reason():
         "gx1_graph_topk",  # Lloyd quantizer + graph beam walk; recall-vs-exact pytest
         "mf1_als_convergence",  # iterative alternating least squares; bit-exact numpy-model pytest
         "uni1_unigram_tokenizer",  # iterative hard-EM Viterbi loop; independent pure-Python trainer pytest + mass-conservation invariant
+        "st13_streaming_entity_resolution",  # new-entity ids depend on micro-batch boundaries (within-batch cluster min) — batch-SQL-inexpressible; cross-batch chains/retry/replay pytest-locked
     }, f"unexpected rows-only queries: {rows_only}"
 
 
