@@ -573,3 +573,14 @@ def test_er1_name_matching_equi_joins_no_python(spark):
     assert "FlatMapGroupsInPandas" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_er2_resolve_equi_joins_no_python_no_cartesian(spark):
+    """er2's three tiers (exact / token-blocked fuzzy / residue cluster)
+    must all run as JVM equi-joins and hash aggregates: no Python stage,
+    no cartesian/nested-loop anywhere in the composed plan."""
+    p = _plan(spark, "er2_incremental_entities")
+    assert "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
