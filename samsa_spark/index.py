@@ -42,6 +42,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from samsa_spark import tables
 from samsa_spark.operators import dedup as _dedup
 from samsa_spark.operators import similarity as _sim
 from samsa_spark.operators import text as _text
@@ -51,7 +52,9 @@ def _write_meta(spark: SparkSession, path: str, kind: str, **params) -> None:
     import json
 
     row = [(kind, json.dumps(params, sort_keys=True))]
-    spark.createDataFrame(row, "kind string, params string").coalesce(1).write.mode(
+    # single-slice local frame: createDataFrame+coalesce(1) drains 32
+    # Python-RDD slices sequentially (~5 s per one-row write, measured r14)
+    tables.local_rows(spark, row, "kind string, params string").write.mode(
         "overwrite"
     ).parquet(f"{path}/meta_index")
 
@@ -351,8 +354,10 @@ def validate(spark: SparkSession, path: str, kind: str | None = None) -> DataFra
         cent_ids = cents.select("cell").distinct()
         if cents.count() == 0:
             probs.append(
-                spark.createDataFrame(
-                    [(kind, "no_centroids", 1)], "kind string, problem string, n bigint"
+                tables.local_rows(
+                    spark,
+                    [(kind, "no_centroids", 1)],
+                    "kind string, problem string, n bigint",
                 )
             )
         add(
@@ -409,7 +414,8 @@ def validate(spark: SparkSession, path: str, kind: str | None = None) -> DataFra
             spark.read.parquet(f"{path}/meta").first()
         except AnalysisException:
             probs.append(
-                spark.createDataFrame(
+                tables.local_rows(
+                    spark,
                     [(kind, "missing_build_meta", 1)],
                     "kind string, problem string, n bigint",
                 )

@@ -262,7 +262,8 @@ def als_convergence(orders: DataFrame, lineitem: DataFrame, **kw) -> DataFrame:
     user_df, item_df, history = als_factorize(ratings, return_frames=True, **kw)
     tables.free_checkpoint(user_df)
     tables.free_checkpoint(item_df)
-    return spark.createDataFrame(
+    return tables.local_rows(
+        spark,
         [(i + 1, round(v, 6)) for i, v in enumerate(history)],
         "iteration long, rmse double",
     )

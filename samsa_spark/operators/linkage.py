@@ -163,8 +163,11 @@ def save_entity_map(part: DataFrame, path: str, max_dist: int = ER1_MAX_DIST) ->
     spark = part.sparkSession
     ent = _name_labels(part.select("p_name").distinct(), max_dist)
     ent.write.mode("overwrite").parquet(f"{path}/entities")
-    meta = spark.createDataFrame([(int(max_dist),)], "max_dist int")
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # single-slice local frame: createDataFrame+coalesce(1) costs ~5 s of
+    # sequential Python-RDD slice drains for one row (tables.local_rows)
+    tables.local_rows(spark, [(int(max_dist),)], "max_dist int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
 
 
 def resolve_against_map(spark: SparkSession, path: str, batch: DataFrame) -> DataFrame:

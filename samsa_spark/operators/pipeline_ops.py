@@ -1036,8 +1036,8 @@ def delete_from_shards(
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
     else:
-        ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id bigint"
+        ids = tables.local_rows(
+            spark, [(int(i),) for i in doc_ids], "doc_id bigint"
         )
     cand = (
         manifest.alias("m")

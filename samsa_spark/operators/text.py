@@ -708,8 +708,10 @@ def train_classifier(
         F.conv(F.substring(F.sha2("token", 256), 1, 8), 16, 10).cast("bigint"),
         F.lit(n_features),
     ).cast("int")
-    wdf = documents.sparkSession.createDataFrame(
-        [(i, float(v)) for i, v in enumerate(w)], "b int, weight double"
+    wdf = tables.local_rows(
+        documents.sparkSession,
+        [(i, float(v)) for i, v in enumerate(w)],
+        "b int, weight double",
     )
     return (
         vocab.select("token", vb.alias("b"))
@@ -1025,8 +1027,8 @@ def train_bpe_merges(
         vocab = vocab.withColumn(
             "sym", _merge_pairs_col("sym", [(left, right) for left, right, _ in chosen])
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, pair_count bigint"
+    return tables.local_rows(
+        spark, merges, "merge_rank int, left string, right string, pair_count bigint"
     )
 
 
@@ -1995,7 +1997,8 @@ def train_unigram_pieces(
         counts = {r.piece: int(r.cnt) for r in used}
 
     out = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
-    return spark.createDataFrame(
+    return tables.local_rows(
+        spark,
         [(p, c, round(logp[p], 6)) for p, c in out],
         "piece string, piece_count bigint, logprob double",
     )

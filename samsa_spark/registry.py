@@ -491,7 +491,9 @@ def _streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     backdate = time.time() - 1000
     for f in os.listdir(src):
         os.utime(os.path.join(src, f), (backdate, backdate))
-    spark.createDataFrame([(sentinel_ts, -1)], ev.schema).coalesce(1).write.mode(
+    # single-slice local frame (tables.local_rows): createDataFrame+
+    # coalesce(1) drains 32 Python-RDD slices sequentially (~5 s, r14)
+    tables.local_rows(spark, [(sentinel_ts, -1)], ev.schema).write.mode(
         "append"
     ).parquet(src)
 
@@ -656,7 +658,9 @@ def _streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     backdate = time.time() - 1000
     for f in os.listdir(src):
         os.utime(os.path.join(src, f), (backdate, backdate))
-    spark.createDataFrame([(sentinel_ts, -1)], ev.schema).coalesce(1).write.mode(
+    # single-slice local frame (tables.local_rows): createDataFrame+
+    # coalesce(1) drains 32 Python-RDD slices sequentially (~5 s, r14)
+    tables.local_rows(spark, [(sentinel_ts, -1)], ev.schema).write.mode(
         "append"
     ).parquet(src)
 
@@ -753,12 +757,8 @@ def _streaming_outer_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("user_id").alias("p_user_id"),
         F.col("ts_us").alias("p_ts_us"),
     )
-    sent_c = spark.createDataFrame(
-        [(-1, -1, _ST9_SENTINEL_US)], schema=clicks.schema
-    )
-    sent_p = spark.createDataFrame(
-        [(-1, -1, _ST9_SENTINEL_US)], schema=purchases.schema
-    )
+    sent_c = tables.local_rows(spark, [(-1, -1, _ST9_SENTINEL_US)], clicks.schema)
+    sent_p = tables.local_rows(spark, [(-1, -1, _ST9_SENTINEL_US)], purchases.schema)
     base = tempfile.mkdtemp(prefix="samsa-st9-")
     src_c = os.path.join(base, "clicks")
     src_p = os.path.join(base, "purchases")

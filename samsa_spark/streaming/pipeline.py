@@ -376,11 +376,13 @@ class StreamingExactDedupIndex:
             # first delivery OR a retry of the bootstrap batch: both the
             # index build and the pair write are pure overwrites
             save_dedup_index(batch_df, self.index_path)
-            spark.createDataFrame(
-                [(int(batch_id),)], "batch_id bigint"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{self.index_path}/bootstrap"
-            )
+            from samsa_spark import tables as _tables
+
+            # single-slice local frame: the old createDataFrame+coalesce(1)
+            # marker write cost ~5 s per stream (tables.local_rows)
+            _tables.local_rows(
+                spark, [(int(batch_id),)], "batch_id bigint"
+            ).write.mode("overwrite").parquet(f"{self.index_path}/bootstrap")
             for sub in ("df", "ranked", "sets"):
                 spark.catalog.refreshByPath(f"{self.index_path}/{sub}")
             pairs = prefix_jaccard_pairs(batch_df, min_jaccard=self.min_jaccard)

@@ -48,6 +48,20 @@ _TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """Single-partition DataFrame from a small driver-side row list.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list over
+    ``defaultParallelism`` Python-RDD slices (32 here), and each slice costs
+    one Python-worker round trip at execution. Worse, a downstream
+    ``coalesce(1)`` — the natural move for a tiny meta/sentinel artifact —
+    drains all 32 slices SEQUENTIALLY through one task: measured 5-7 s to
+    write ONE ROW (r14 optimization round; a 1-slice frame writes the same
+    row in ~0.35 s). Every local-list frame in an operator path goes
+    through here so the slice count never silently re-inflates."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _single_row_group_rows(path: str) -> int | None:
     """Row count if the file is a single parquet row group, else None.
 
