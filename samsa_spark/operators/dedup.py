@@ -2416,7 +2416,64 @@ def _propagate_labels(documents: DataFrame, min_jaccard: float, max_iter: int) -
     return labels.select(F.col("id").alias("doc_id"), "label")
 
 
-def propagate_min_labels(nodes: DataFrame, edges: DataFrame, max_iter: int = 15) -> DataFrame:
+# Size-conditional driver fast path for connected components (the note-55
+# regime pattern; kmeans' bounded centroid collect is the precedent): at or
+# below this many nodes the component resolution is one driver-side
+# union-find over the collected (already-checkpointed) edge list — the
+# distributed loop pays ~0.5 s of fixed stage overhead PER ITERATION
+# (join + aggregate + checkpoint + convergence count), which dominates
+# wall time whenever the graph is small (er1/er2/st13 run at name-type
+# cardinality: 64 distinct names at sf0.1). Above the cap the iterative
+# loop runs unchanged — node cardinality grows with the data, so a 100 TB
+# corpus graph never lands on the driver. 200k ids ≈ a few tens of MB of
+# Python objects: safe inside the external driver's vanilla 1 GiB heap
+# (note 48).
+DRIVER_CC_MAX_NODES = 200_000
+
+
+def _driver_min_labels(spark, id_field, node_rows, edge_rows) -> DataFrame:
+    """Union-find min-label components on the driver — exactly the full
+    closure the oracle twins (recursive CTEs) compute, and what the
+    iterative loop converges to. Union-by-min keeps every tree's root the
+    smallest member, so ``find(i)`` IS the label. Edges with an endpoint
+    outside ``nodes`` are inert, matching the loop (labels only ever join
+    through node ids)."""
+    ids = [r[0] for r in node_rows]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("label", id_field.dataType, id_field.nullable),
+        ]
+    )
+    return tables.local_rows(spark, [(i, find(i)) for i in sorted(ids)], schema)
+
+
+def propagate_min_labels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 15,
+    driver_max_nodes: int | None = None,
+) -> DataFrame:
     """Connected components by iterative min-label propagation — the shared
     core of dd6 (Jaccard pair graph) and sd1 (semantic embedding pair
     graph). ``nodes`` has one ``id`` column; ``edges`` has ``src``/``dst``
@@ -2426,10 +2483,26 @@ def propagate_min_labels(nodes: DataFrame, edges: DataFrame, max_iter: int = 15)
     Scale shape: per-iteration ``localCheckpoint`` truncates lineage (no
     exponential plan growth), the join key is the node id (shuffle size =
     |edges|), and the loop exits on convergence (iterations bounded by
-    component diameter — tiny for dup clusters)."""
+    component diameter — tiny for dup clusters). Graphs at or below
+    ``driver_max_nodes`` (default :data:`DRIVER_CC_MAX_NODES`; 0 disables)
+    short-circuit to one driver union-find over the checkpointed edge
+    list — identical labels (the loop's ``max_iter`` only binds a
+    pathological corpus the convergence exit never sees; the oracle twins
+    compute the full closure, which both regimes return), a dozen Spark
+    jobs fewer."""
+    if driver_max_nodes is None:
+        driver_max_nodes = DRIVER_CC_MAX_NODES
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    if driver_max_nodes > 0 and sym.count() <= 4 * driver_max_nodes:
+        node_rows = nodes.limit(driver_max_nodes + 1).collect()
+        if len(node_rows) <= driver_max_nodes:
+            out = _driver_min_labels(
+                nodes.sparkSession, nodes.schema[0], node_rows, sym.collect()
+            )
+            tables.free_checkpoint(sym)  # never read again (notes 34/45)
+            return out
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (

@@ -1670,3 +1670,39 @@ def test_nv1_planted_boilerplate_and_fresh(spark):
     assert got[3].n_shingles == 5 and got[3].n_novel == 4
     assert got[3].novelty == round(4 / 5, 6)
     assert got[4].n_shingles == 0 and got[4].novelty is None
+
+
+def test_propagate_min_labels_driver_regime_matches_loop(spark):
+    """The size-conditional driver union-find (r14 optimization) must
+    return exactly the distributed loop's labels — chains crossing the
+    min, singletons, string and long ids, and edges whose endpoint is
+    not a node (inert in both regimes)."""
+    from samsa_spark.operators.dedup import propagate_min_labels
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # two components {0,3,5,9} (chained), {2,7}; 1,4,6,8 singletons;
+    # one edge to a phantom node 99 that must stay inert
+    edges = spark.createDataFrame(
+        [(9, 3), (3, 5), (5, 0), (7, 2), (4, 99)], "src long, dst long"
+    )
+    fast = {
+        (r.id, r.label)
+        for r in propagate_min_labels(nodes, edges).collect()
+    }
+    slow = {
+        (r.id, r.label)
+        for r in propagate_min_labels(nodes, edges, driver_max_nodes=0).collect()
+    }
+    assert fast == slow
+    assert (9, 0) in fast and (7, 2) in fast and (4, 4) in fast
+
+    snodes = spark.createDataFrame([("b",), ("a",), ("c",), ("d",)], "id string")
+    sedges = spark.createDataFrame([("c", "b"), ("b", "a")], "src string, dst string")
+    sfast = {
+        (r.id, r.label) for r in propagate_min_labels(snodes, sedges).collect()
+    }
+    sslow = {
+        (r.id, r.label)
+        for r in propagate_min_labels(snodes, sedges, driver_max_nodes=0).collect()
+    }
+    assert sfast == sslow == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")}
