@@ -369,15 +369,27 @@ def kmeans_centroids(
     # Seed selection is a bounded top-k (TakeOrderedAndProject: per-partition
     # heap + driver merge), never a global-sort window; the seed's vec_id IS
     # the cell id — unique and stable, contiguity is not needed.
-    cents = (
-        base.orderBy(h.asc(), F.col("vec_id").asc())
+    #
+    # The centroid table lives on the DRIVER between iterations (r14
+    # optimization): it is k x dim by construction (capped — see
+    # KMEANS_MAX_CELLS) and every iteration needs it collected anyway to
+    # build the assignment closure, so holding it as a dict replaces the
+    # old per-iteration checkpoint + empty-cell coalesce JOIN + re-collect
+    # with ONE collect of the skinny (cell, pos, c) mean aggregate —
+    # identical arithmetic (the aggregate computes the same rounded means;
+    # float64 round-trips exactly through the driver), ~2 fewer Spark jobs
+    # per Lloyd iteration across every ANN build (sim5/sim6/gx1/gx2/sd1/
+    # qz4/qz5/ev2-4/cl1/rrf2).
+    cur = {
+        r["cell"]: [float(x) for x in r["cent"]]
+        for r in base.orderBy(h.asc(), F.col("vec_id").asc())
         .limit(k)
         .select(
             F.col("vec_id").alias("cell"),
             F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
         )
-        .localCheckpoint(eager=True)
-    )
+        .collect()
+    }
     from pyspark.sql.types import LongType
 
     def _argmax_cell_udf(cent_rows):
@@ -399,7 +411,7 @@ def kmeans_centroids(
         return pandas_udf(LongType())(_assign)
 
     for _ in range(iters):
-        cent_rows = sorted(((r["cell"], r["cent"]) for r in cents.collect()))
+        cent_rows = sorted(cur.items())
         assign = base.withColumn("cell", _argmax_cell_udf(cent_rows)("embedding"))
         # Cell means via posexplode + avg, NOT applyInPandas-per-cell: the
         # skinny (cell, pos, val) rows get MAP-SIDE partial aggregation, so
@@ -411,19 +423,30 @@ def kmeans_centroids(
         if round_cents is not None:
             mean = F.round(mean, round_cents)
         agg = pe.groupBy("cell", "pos").agg(mean.alias("c"))
-        new_cents = agg.groupBy("cell").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cent")
+        # assemble the k x dim means on the driver (bounded by max_cells);
+        # empty cells vanish from the aggregate and keep their previous
+        # centroid — the same coalesce the old join expressed
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in agg.collect():
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        cur = {
+            cell: (
+                [m[p] for p in sorted(m)] if (m := by_cell.get(cell)) else prev
+            )
+            for cell, prev in cur.items()
+        }
+    # materialize as JVM blocks: consumers broadcast/join this frame many
+    # times, and a bare Python-RDD frame would re-pay a Python round trip
+    # per reference (measured: sd1/rrf2 regressed 3-5x on a non-checkpointed
+    # return) — the eager checkpoint restores the old consumer-side shape
+    return (
+        tables.local_rows(
+            embeddings.sparkSession,
+            sorted(cur.items()),
+            "cell long, cent array<double>",
         )
-        # empty cells vanish from the aggregate; keep their previous centroid
-        cents = (
-            cents.alias("old")
-            .join(new_cents.alias("new"), "cell", "left")
-            .select("cell", F.coalesce(F.col("new.cent"), F.col("old.cent")).alias("cent"))
-            .localCheckpoint(eager=True)
-        )
-    return cents
+        .localCheckpoint(eager=True)
+    )
 
 
 def ivf_topk_kmeans(
