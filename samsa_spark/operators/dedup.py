@@ -309,7 +309,18 @@ def prefix_jaccard_pairs(
         .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     )
     plen = F.col("n_sh") - _exact_ceil_mul(t) + 1
-    pref = ranked.where(F.col("pos") <= plen).select("doc_id", "sh_h")
+    # EAGER checkpoint (note 12): the prefix frame feeds BOTH sides of the
+    # candidate self-join, and without materialization each reference
+    # recomputes the whole shingle+df-join+double-window subtree inside the
+    # one action (the r15 plan audit counted 12 Window nodes for dd19's
+    # sibling). Materializing the ~(1-t)|postings| prefix once turns the
+    # self-join sides into block scans; g's lazy checkpoint completes as a
+    # side effect, so the sets aggregate below reuses it too.
+    pref = (
+        ranked.where(F.col("pos") <= plen)
+        .select("doc_id", "sh_h")
+        .localCheckpoint(eager=True)
+    )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
@@ -1166,6 +1177,12 @@ def dedup_against_index(
     """
     t = float(min_jaccard)
     bg, branked = _rank_under_frozen_order(spark, path, batch)
+    # EAGER checkpoint (note 12): branked feeds the cross join, BOTH sides
+    # of the within self-join and (via bg's lazy checkpoint, completed by
+    # this materialization) the bsets aggregate — the r15 plan audit found
+    # the un-materialized form recomputing the shingle+df-join+window
+    # subtree per reference (12 Window nodes / 32 Exchanges in one action).
+    branked = branked.localCheckpoint(eager=True)
     plen = F.col("n_sh") - _exact_ceil_mul(t) + 1
     bpref = branked.where(F.col("pos") <= plen).select("doc_id", "sh_h")
     ipref = (
@@ -2429,6 +2446,12 @@ def _propagate_labels(documents: DataFrame, min_jaccard: float, max_iter: int) -
 # Python objects: safe inside the external driver's vanilla 1 GiB heap
 # (note 48).
 DRIVER_CC_MAX_NODES = 200_000
+# Byte-aware tightening of the node cap (r14 verdict task 6): fixed-width
+# ids (long/int) at 200k rows are a few MB of Python objects, but STRING
+# ids (er-style name keys) cost ~10x per row as driver-side Row objects —
+# a 200k-string graph could brush the external driver's vanilla 1 GiB heap
+# (note 48). Non-numeric id types use this lower cap.
+DRIVER_CC_MAX_STRING_NODES = 50_000
 
 
 def _driver_min_labels(spark, id_field, node_rows, edge_rows) -> DataFrame:
@@ -2437,8 +2460,11 @@ def _driver_min_labels(spark, id_field, node_rows, edge_rows) -> DataFrame:
     iterative loop converges to. Union-by-min keeps every tree's root the
     smallest member, so ``find(i)`` IS the label. Edges with an endpoint
     outside ``nodes`` are inert, matching the loop (labels only ever join
-    through node ids)."""
-    ids = [r[0] for r in node_rows]
+    through node ids). NULL ids/endpoints are likewise inert — the loop's
+    joins never match them — and a NULL node row keeps its (NULL, NULL)
+    label row, exactly what the loop's left join emits for it."""
+    ids = [r[0] for r in node_rows if r[0] is not None]
+    n_null = len(node_rows) - len(ids)
     parent = {i: i for i in ids}
 
     def find(x):
@@ -2451,7 +2477,7 @@ def _driver_min_labels(spark, id_field, node_rows, edge_rows) -> DataFrame:
 
     for r in edge_rows:
         a, b = r[0], r[1]
-        if a in parent and b in parent:
+        if a is not None and b is not None and a in parent and b in parent:
             ra, rb = find(a), find(b)
             if ra != rb:
                 if rb < ra:
@@ -2465,7 +2491,11 @@ def _driver_min_labels(spark, id_field, node_rows, edge_rows) -> DataFrame:
             StructField("label", id_field.dataType, id_field.nullable),
         ]
     )
-    return tables.local_rows(spark, [(i, find(i)) for i in sorted(ids)], schema)
+    rows = [(i, find(i)) for i in sorted(ids)] + [(None, None)] * n_null
+    # eager checkpoint: consumers reference the labels frame more than once
+    # (sd1's sizes groupBy + join), and a bare 1-slice Python-RDD frame
+    # re-pays a Python round trip per reference (note 58)
+    return tables.local_rows(spark, rows, schema).localCheckpoint(eager=True)
 
 
 def propagate_min_labels(
@@ -2495,11 +2525,25 @@ def propagate_min_labels(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    if driver_max_nodes > 0 and sym.count() <= 4 * driver_max_nodes:
-        node_rows = nodes.limit(driver_max_nodes + 1).collect()
-        if len(node_rows) <= driver_max_nodes:
+    if driver_max_nodes > 0:
+        # Byte-aware cap (r14 verdict task 6): string-keyed graphs collect
+        # ~10x heavier rows, so they get the lower cap.
+        id_type = nodes.schema[0].dataType.simpleString()
+        cap = (
+            driver_max_nodes
+            if id_type in ("bigint", "int", "smallint", "tinyint")
+            else min(driver_max_nodes, DRIVER_CC_MAX_STRING_NODES)
+        )
+        # Gate on a COUNT before collecting anything (r14 ADVICE): an
+        # over-cap graph must never pull its node rows to the driver just
+        # to discard them, and the edge-count job runs only once the node
+        # gate has passed.
+        if (
+            nodes.limit(cap + 1).count() <= cap
+            and sym.count() <= 4 * cap
+        ):
             out = _driver_min_labels(
-                nodes.sparkSession, nodes.schema[0], node_rows, sym.collect()
+                nodes.sparkSession, nodes.schema[0], nodes.collect(), sym.collect()
             )
             tables.free_checkpoint(sym)  # never read again (notes 34/45)
             return out

@@ -53,6 +53,9 @@ from pyspark.sql import DataFrame, SparkSession
 from samsa_spark import tables
 
 _FACTOR_SCHEMA = "id long, factors array<double>"
+# item half-step schema when the RMSE partials ride along (one NULL-id
+# summary row per bucket; see _make_solver stats_buckets)
+_STATS_SCHEMA = _FACTOR_SCHEMA + ", bucket long, se double, n long"
 
 
 def _init_factors(ids, k: int):
@@ -88,10 +91,21 @@ def _init_factor_frame(ids_df: DataFrame, k: int) -> DataFrame:
     return ids_df.mapInPandas(init, _FACTOR_SCHEMA)
 
 
-def _make_solver(gcol: str, ocol: str, k: int, reg: float):
+def _make_solver(
+    gcol: str, ocol: str, k: int, reg: float, stats_buckets: int | None = None
+):
     """Closure (note 4) solving one side's normal equations for every
     entity in a bucket with one batched np.linalg.solve. The fixed side's
-    factors arrive as the joined ``_f`` column, not a driver closure."""
+    factors arrive as the joined ``_f`` column, not a driver closure.
+
+    ``stats_buckets`` (the item half-step) fuses the RMSE pass into the solve
+    (guide §2 — one fewer full pass over the ratings per iteration): the
+    bucket's rows already carry this iteration's NEW user factors (``_f``)
+    and, after the solve, its NEW item factors, so the per-rating squared
+    error is computable in place. The bucket emits ONE extra summary row
+    (``id`` NULL — entity ids come from non-null rating columns, so NULL
+    cannot collide) carrying ``(bucket, se, n)``; the driver fsum's the
+    partials in bucket order, which keeps the reduction deterministic."""
 
     def solve(pdf):
         import numpy as np
@@ -108,7 +122,25 @@ def _make_solver(gcol: str, ocol: str, k: int, reg: float):
         np.add.at(B, uidx, q * rt[:, None])
         A += reg * np.eye(k)[None]
         fac = np.linalg.solve(A, B)
-        return pd.DataFrame({"id": uids, "factors": list(fac)})
+        out = pd.DataFrame({"id": uids, "factors": list(fac)})
+        if stats_buckets is not None:
+            e = rt - (q * fac[uidx]).sum(axis=1)
+            out["bucket"] = pd.array([None] * len(uids), dtype="Int64")
+            out["se"] = None
+            out["n"] = pd.array([None] * len(uids), dtype="Int64")
+            summary = pd.DataFrame(
+                {
+                    "id": pd.array([None], dtype="Int64"),
+                    "factors": [None],
+                    # python % == pmod for a positive modulus: the group's
+                    # shared bucket, the deterministic fsum order key
+                    "bucket": [int(g[0]) % stats_buckets],
+                    "se": [float((e * e).sum())],
+                    "n": [len(e)],
+                }
+            )
+            out = pd.concat([out, summary], ignore_index=True)
+        return out
 
     return solve
 
@@ -180,56 +212,53 @@ def als_factorize(
     ).localCheckpoint(eager=True)
     user_df: DataFrame | None = None
 
-    def _solve_side(gcol: str, ocol: str, fixed_df: DataFrame) -> DataFrame:
+    def _solve_side(
+        gcol: str, ocol: str, fixed_df: DataFrame, stats: bool = False
+    ) -> DataFrame:
         joined = r.join(
             fixed_df.select(F.col("id").alias(ocol), F.col("factors").alias("_f")),
             ocol,
         )
         return (
             joined.groupBy(F.pmod(F.col(gcol), F.lit(buckets)))
-            .applyInPandas(_make_solver(gcol, ocol, k, reg), _FACTOR_SCHEMA)
+            .applyInPandas(
+                _make_solver(gcol, ocol, k, reg, buckets if stats else None),
+                _STATS_SCHEMA if stats else _FACTOR_SCHEMA,
+            )
             .localCheckpoint(eager=True)
         )
 
-    def _rmse(u_df: DataFrame, i_df: DataFrame) -> float:
-        j = r.join(
-            u_df.select(F.col("id").alias("user"), F.col("factors").alias("_uf")),
-            "user",
-        ).join(
-            i_df.select(F.col("id").alias("item"), F.col("factors").alias("_if")),
-            "item",
-        )
-
-        def err(batches):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                u = np.stack(pdf["_uf"].to_numpy())
-                q = np.stack(pdf["_if"].to_numpy())
-                e = pdf["rating"].to_numpy(np.float64) - (u * q).sum(axis=1)
-                yield pd.DataFrame({"se": [float((e * e).sum())], "n": [len(e)]})
-
-        tot = (
-            j.mapInPandas(err, "se double, n long")
-            .agg(F.sum("se").alias("se"), F.sum("n").alias("n"))
-            .collect()[0]
-        )
-        return math.sqrt(tot.se / tot.n)
-
+    # RMSE is FUSED into the item half-step (guide §2 — the old dedicated
+    # pass re-joined both factor frames onto every rating, a full extra
+    # shuffle + Python pass per iteration): the item-solve bucket already
+    # holds (rating, new user factors, new item factors), so each bucket
+    # emits one (se, n) summary row and the driver fsum's the partials in
+    # bucket order — deterministic, and exact over the partials.
     history = []
+    item_chk = item_df  # checkpoint HANDLE for the item side (freeable leaf)
     for _ in range(iterations):
         prev_user = user_df
         user_df = _solve_side("user", "item", item_df)
         if prev_user is not None:
             tables.free_checkpoint(prev_user)
-        prev_item = item_df
-        item_df = _solve_side("item", "user", user_df)
-        tables.free_checkpoint(prev_item)
-        history.append(_rmse(user_df, item_df))
+        prev_item_chk = item_chk
+        item_chk = _solve_side("item", "user", user_df, stats=True)
+        tables.free_checkpoint(prev_item_chk)
+        item_df = item_chk.where(F.col("id").isNotNull()).select("id", "factors")
+        parts = (
+            item_chk.where(F.col("id").isNull()).select("bucket", "se", "n").collect()
+        )
+        parts.sort(key=lambda p: p.bucket)
+        history.append(
+            math.sqrt(math.fsum(p.se for p in parts) / sum(p.n for p in parts))
+        )
     tables.free_checkpoint(r)
+    # Callers free the returned frames with free_checkpoint, which only
+    # reaches a bare LogicalRDD leaf — re-materialize the 2-column item
+    # projection once (entity-count rows, one tiny job) and drop the
+    # stats-bearing handle so no blocks leak.
+    item_df = item_df.localCheckpoint(eager=True)
+    tables.free_checkpoint(item_chk)
     if return_frames:
         return user_df, item_df, history
     user_ids, user_fac = _collect_factor_frame(user_df)

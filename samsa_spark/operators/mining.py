@@ -367,11 +367,130 @@ def _node_label(col: str = "node") -> F.Column:
 # edge side every iteration.
 BROADCAST_MAX_NODES = 2_000_000
 
+# Size-conditional DRIVER fast path for the fixed-iteration graph loops
+# (note 59 / the dedup DRIVER_CC_MAX_NODES pattern): at or below these
+# bounds the whole power/label iteration runs as numpy on the collected
+# edge list — the distributed loop pays ~0.7 s of fixed stage overhead PER
+# ITERATION (checkpoint-scan + join + combining aggregate [+ window])
+# regardless of graph size, which dominates wall time at gate scale
+# (pr1: 16k nodes / 1.17M edge rows, iterations ≈ 4 s of a 6 s floor).
+# Above either cap the r13 broadcast/shuffle regimes run unchanged — node
+# AND edge cardinality grow with the data, so a 100 TB graph never lands
+# on the driver. 4M edge rows x 24 B ≈ 100 MB of Arrow-transferred
+# columns: safe inside the external driver's vanilla 1 GiB heap (note 48).
+DRIVER_GRAPH_MAX_NODES = 200_000
+DRIVER_GRAPH_MAX_EDGE_ROWS = 4_000_000
+
 
 def _node_side(df: DataFrame, small: bool) -> DataFrame:
     """The node-cardinality side of a per-iteration edge join: broadcast in
     the small regime, shuffle-hash build side in the big one."""
     return F.broadcast(df) if small else df.hint("shuffle_hash")
+
+
+def _collect_edge_pdf(e: DataFrame):
+    """Arrow-collect a (src, dst, w) edge frame to pandas, forcing the Arrow
+    transfer path for the duration of the call only (the external driver's
+    vanilla session has it off, and flipping it permanently could change
+    how that session's OWN toPandas comparisons materialize)."""
+    spark = e.sparkSession
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        return e.toPandas()
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _round6_half_up(x: float) -> float:
+    """Bit-exact replica of Spark's ``round(double, 6)`` (BigDecimal
+    HALF_UP on the exact binary value of the double)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _label_py(node: int) -> str:
+    """Python twin of :func:`_node_label`."""
+    return f"c:{node // 2}" if node % 2 == 0 else f"s:{(node - 1) // 2}"
+
+
+def _driver_pagerank(spark, e: DataFrame, n: int, iterations: int, damping: float):
+    """The pr1 power iteration on the driver: same per-edge share division,
+    same per-iteration update formula, numpy accumulation order instead of
+    partition order for the per-node sums (ranks round at 6 dp, and the
+    r15 parity check found the outputs identical to the distributed loop at
+    all three test scales)."""
+    import numpy as np
+
+    pdf = _collect_edge_pdf(e)
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    w = pdf["w"].to_numpy(np.float64)
+    nodes = np.unique(dst)  # == unique src: the graph is symmetrized
+    sidx = np.searchsorted(nodes, src)
+    didx = np.searchsorted(nodes, dst)
+    ow = np.zeros(len(nodes))
+    np.add.at(ow, sidx, w)
+    share = w / ow[sidx]
+    r = np.full(len(nodes), 1.0 / n)
+    for _ in range(iterations):
+        s = np.zeros(len(nodes))
+        np.add.at(s, didx, r[sidx] * share)
+        r = (1.0 - damping) / n + damping * s
+    rows = sorted(
+        ((_label_py(int(v)), _round6_half_up(float(rk))) for v, rk in zip(nodes, r)),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return tables.local_rows(spark, rows, "node string, rank double")
+
+
+def _driver_lpa(spark, e: DataFrame, iterations: int):
+    """The lp1 synchronous label propagation on the driver: all-integer
+    (edge weights are counts), so the per-iteration argmax is EXACTLY the
+    distributed window's (sum(w) DESC, label ASC) top-1 — no float order
+    sensitivity at all."""
+    import numpy as np
+
+    pdf = _collect_edge_pdf(e)
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    w = pdf["w"].to_numpy(np.int64)
+    nodes = np.unique(dst)
+    nn = len(nodes)
+    sidx = np.searchsorted(nodes, src)
+    didx = np.searchsorted(nodes, dst)
+    # label of node i is nodes[labidx[i]]; label VALUE order == label index
+    # order because nodes is sorted ascending
+    labidx = np.arange(nn, dtype=np.int64)
+    for _ in range(iterations):
+        key = didx * nn + labidx[sidx]
+        uk, inv = np.unique(key, return_inverse=True)
+        m = np.zeros(len(uk), np.int64)
+        np.add.at(m, inv, w)
+        d = uk // nn
+        lb = uk % nn
+        order = np.lexsort((lb, -m, d))  # by dst, then m DESC, then label ASC
+        sd = d[order]
+        first = np.ones(len(sd), bool)
+        first[1:] = sd[1:] != sd[:-1]
+        sel = order[first]
+        # every node is a dst (symmetric graph), so this is a full update
+        labidx = labidx.copy()
+        labidx[d[sel]] = lb[sel]
+    sizes = np.zeros(nn, np.int64)
+    np.add.at(sizes, labidx, 1)
+    rows = sorted(
+        (
+            (_label_py(int(nodes[i])), _label_py(int(nodes[labidx[i]])), int(sizes[labidx[i]]))
+            for i in range(nn)
+        ),
+        key=lambda t: t[0],
+    )
+    return tables.local_rows(
+        spark, rows, "node string, community string, community_size bigint"
+    )
 
 
 def pagerank(
@@ -380,6 +499,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     broadcast_max_nodes: int | None = BROADCAST_MAX_NODES,
+    driver_max_nodes: int | None = None,
 ) -> DataFrame:
     """pr1 — weighted PageRank, fixed-iteration power method:
     ``(node, rank)`` over the symmetrized customer<->supplier purchase
@@ -408,6 +528,18 @@ def pagerank(
     # 'c:<k>' / 's:<k>' label is minted only in the final projection.
     e = _purchase_edges(orders, lineitem)
     n = e.select("dst").distinct().count()
+    if driver_max_nodes is None:
+        driver_max_nodes = DRIVER_GRAPH_MAX_NODES
+    # Driver fast path (note 59; 0 disables): the fixed-iteration power
+    # method at or below the node/edge caps runs as numpy on the collected
+    # edge list — a dozen per-iteration stages fewer; above either cap the
+    # size-conditional broadcast/shuffle regimes below run unchanged.
+    if (
+        driver_max_nodes > 0
+        and n <= driver_max_nodes
+        and e.count() <= DRIVER_GRAPH_MAX_EDGE_ROWS
+    ):
+        return _driver_pagerank(orders.sparkSession, e, n, iterations, damping)
     small = broadcast_max_nodes is not None and n <= broadcast_max_nodes
     # outw is node-cardinality — same regime rule as the rank vector.
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -475,6 +607,7 @@ def label_propagation(
     lineitem: DataFrame,
     iterations: int = 3,
     broadcast_max_nodes: int | None = BROADCAST_MAX_NODES,
+    driver_max_nodes: int | None = None,
 ) -> DataFrame:
     """lp1 — synchronous weighted label propagation over the purchase
     graph: ``(node, community, community_size)``. Every node starts as its
@@ -498,7 +631,18 @@ def label_propagation(
     labels = e.select("dst").distinct().select(
         F.col("dst").alias("node"), F.col("dst").alias("label")
     )
-    small = broadcast_max_nodes is not None and labels.count() <= broadcast_max_nodes
+    n = labels.count()
+    if driver_max_nodes is None:
+        driver_max_nodes = DRIVER_GRAPH_MAX_NODES
+    # Driver fast path (note 59; 0 disables) — all-integer, so EXACTLY the
+    # distributed window's top-1; see _driver_lpa.
+    if (
+        driver_max_nodes > 0
+        and n <= driver_max_nodes
+        and e.count() <= DRIVER_GRAPH_MAX_EDGE_ROWS
+    ):
+        return _driver_lpa(orders.sparkSession, e, iterations)
+    small = broadcast_max_nodes is not None and n <= broadcast_max_nodes
     if not small:
         e = e.repartition("src").localCheckpoint(eager=True)
     from pyspark.sql import Window

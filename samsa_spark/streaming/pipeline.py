@@ -716,8 +716,17 @@ def run_first_occurrence_stream(
     )
 
     def fold(key, prior, pdf):
-        row = pdf.sort_values(["ts_us", "event_id"]).iloc[0]
-        cand = (int(row["ts_us"]), int(row["event_id"]))
+        # numpy lexsort-min, not pdf.sort_values().iloc[0]: the fold runs
+        # once per KEY per trigger over a tiny frame, and pandas sort +
+        # iloc costs ~0.2 ms/key — at 7.5k keys that was ~25% of the whole
+        # drain (r15 A/B: 8.2 -> 6.2 s). Same (ts_us, event_id) lexicographic
+        # min, note-44's vectorized-min discipline one level down.
+        import numpy as np
+
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        ei = pdf["event_id"].to_numpy(np.int64)
+        i = np.lexsort((ei, ts))[0]
+        cand = (int(ts[i]), int(ei[i]))
         if prior is not None and (int(prior[0]), int(prior[1])) <= cand:
             return (int(prior[0]), int(prior[1])), None
         return cand, None

@@ -235,6 +235,16 @@ class StatefulStream:
         self.ttl = ttl
         if store == "rocksdb":
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+            # Changelog checkpointing: commit the per-batch delta instead of
+            # uploading a full RocksDB snapshot every commit (guide §5/§6 —
+            # r15 A/B: −1.5 s on a 2-trigger 7.5k-key drain; at volume the
+            # snapshot upload grows with STATE size while the changelog
+            # grows with the BATCH). Snapshots still land in the background
+            # per minBatchesToRetain, so restart cost stays bounded.
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true",
+            )
         elif store == "default":
             # Explicit, not a no-op: a prior store="rocksdb" stream set the
             # session conf, and "default" must actually select the HDFS-backed
@@ -386,6 +396,12 @@ def stateful_transform(
     if store == "rocksdb":
         stream_df.sparkSession.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        # per-batch delta commits instead of full snapshot uploads (see
+        # StatefulStream.__init__ — same rationale and A/B)
+        stream_df.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
         )
     elif store == "default":
         stream_df.sparkSession.conf.set(

@@ -1706,3 +1706,50 @@ def test_propagate_min_labels_driver_regime_matches_loop(spark):
         for r in propagate_min_labels(snodes, sedges, driver_max_nodes=0).collect()
     }
     assert sfast == sslow == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")}
+
+
+def test_propagate_min_labels_string_cap_engages_distributed(spark, monkeypatch):
+    """Byte-aware cap (r15): string-keyed graphs use the LOWER
+    DRIVER_CC_MAX_STRING_NODES cap — above it the distributed loop must
+    engage (observed by spying on the fast-path entry point) — and both
+    regimes agree."""
+    import samsa_spark.operators.dedup as D
+
+    calls = []
+    orig = D._driver_min_labels
+    monkeypatch.setattr(
+        D,
+        "_driver_min_labels",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    snodes = spark.createDataFrame(
+        [(f"n{i:02d}",) for i in range(6)], "id string"
+    )
+    sedges = spark.createDataFrame([("n03", "n01")], "src string, dst string")
+    monkeypatch.setattr(D, "DRIVER_CC_MAX_STRING_NODES", 3)
+    over = D.propagate_min_labels(snodes, sedges)  # 6 string ids > cap 3
+    assert not calls  # distributed loop engaged
+    monkeypatch.setattr(D, "DRIVER_CC_MAX_STRING_NODES", 50_000)
+    under = D.propagate_min_labels(snodes, sedges)
+    assert calls  # driver regime engaged
+    assert {(r.id, r.label) for r in over.collect()} == {
+        (r.id, r.label) for r in under.collect()
+    }
+
+
+def test_propagate_min_labels_null_ids_agree_across_regimes(spark):
+    """NULL node ids / edge endpoints are inert in the loop (joins never
+    match NULL); the driver union-find must agree instead of raising
+    (r14 ADVICE item 2)."""
+    from samsa_spark.operators.dedup import propagate_min_labels
+
+    nodes = spark.createDataFrame([(0,), (1,), (None,)], "id long")
+    edges = spark.createDataFrame([(0, 1), (None, 0)], "src long, dst long")
+    fast = {
+        (r.id, r.label) for r in propagate_min_labels(nodes, edges).collect()
+    }
+    slow = {
+        (r.id, r.label)
+        for r in propagate_min_labels(nodes, edges, driver_max_nodes=0).collect()
+    }
+    assert fast == slow == {(0, 0), (1, 0), (None, None)}

@@ -251,7 +251,9 @@ def test_pr1_big_regime_plans_shuffle_join_and_matches_broadcast(spark):
 
     orders, lineitem = _regime_fixture(spark)
     small = {r.node: r["rank"] for r in pagerank(orders, lineitem).collect()}
-    big_df = pagerank(orders, lineitem, broadcast_max_nodes=0)
+    # driver_max_nodes=0 disables the r15 driver fast path so the
+    # DISTRIBUTED broadcast-vs-shuffle regime contract stays plan-asserted
+    big_df = pagerank(orders, lineitem, broadcast_max_nodes=0, driver_max_nodes=0)
     plan = big_df._jdf.queryExecution().sparkPlan().toString()
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
@@ -268,12 +270,40 @@ def test_lp1_big_regime_plans_shuffle_join_and_matches_broadcast(spark):
         r.node: (r.community, r.community_size)
         for r in label_propagation(orders, lineitem).collect()
     }
-    big_df = label_propagation(orders, lineitem, broadcast_max_nodes=0)
+    big_df = label_propagation(
+        orders, lineitem, broadcast_max_nodes=0, driver_max_nodes=0
+    )
     plan = big_df._jdf.queryExecution().sparkPlan().toString()
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
     big = {r.node: (r.community, r.community_size) for r in big_df.collect()}
     assert big == small
+
+
+def test_pr1_driver_regime_matches_distributed_loop(spark):
+    """The r15 driver fast path (note-59 class) must return EXACTLY the
+    distributed power method's rows — same ranks after the 6 dp round,
+    same (rank DESC, node) order."""
+    from samsa_spark.operators.mining import pagerank
+
+    orders, lineitem = _regime_fixture(spark)
+    fast = [tuple(r) for r in pagerank(orders, lineitem).collect()]
+    slow = [tuple(r) for r in pagerank(orders, lineitem, driver_max_nodes=0).collect()]
+    assert fast == slow
+
+
+def test_lp1_driver_regime_matches_distributed_loop(spark):
+    """All-integer LPA: driver fast path == distributed window top-1,
+    exactly (labels, communities, sizes, row order)."""
+    from samsa_spark.operators.mining import label_propagation
+
+    orders, lineitem = _regime_fixture(spark)
+    fast = [tuple(r) for r in label_propagation(orders, lineitem).collect()]
+    slow = [
+        tuple(r)
+        for r in label_propagation(orders, lineitem, driver_max_nodes=0).collect()
+    ]
+    assert fast == slow
 
 
 def test_w2v1_hand_doc(spark):
