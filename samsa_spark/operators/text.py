@@ -661,11 +661,43 @@ def train_classifier(
         )
         .localCheckpoint(eager=True)
     )
-    n_docs = feat.count()
+    stats = feat.agg(
+        F.count("*").alias("nd"), F.sum(F.size("bs")).alias("np")
+    ).collect()[0]
+    n_docs = stats.nd
     if n_docs == 0:
         raise ValueError("train_classifier: no documents with tokens")
 
     w = np.zeros(n_features, dtype=np.float64)
+    # Size-conditional driver loop (note 59 / the kmeans & CC precedent):
+    # the distributed iteration pays a full mapInPandas job + hash agg +
+    # collect PER ITERATION (~0.13 s x 40 = most of cls2's floor) while the
+    # feature frame at gate scale is a few MB. At or below the posting cap,
+    # collect the sparse features once and run the IDENTICAL gradient math
+    # (same np.add.at accumulation; r15 parity check: cls2 weights and the
+    # downstream cls3 grid byte-identical at all three scales). Above the
+    # cap — posting count grows with the corpus — the per-iteration Spark
+    # reduction below runs unchanged.
+    if stats.np is not None and stats.np <= CLS2_DRIVER_MAX_POSTINGS:
+        pdfs = _collect_feat_pdf(feat)
+        lens = pdfs["bs"].map(len).to_numpy()
+        keep = lens > 0
+        bs = (
+            np.concatenate(pdfs["bs"][keep].to_list()).astype(np.int64)
+            if keep.any()
+            else np.zeros(0, np.int64)
+        )
+        xs = np.concatenate(pdfs["xs"][keep].to_list()) if keep.any() else np.zeros(0)
+        y = pdfs["_y"].to_numpy(np.float64)[keep]
+        seg = np.repeat(np.arange(keep.sum()), lens[keep])
+        for _ in range(iters):
+            m = np.zeros(int(keep.sum()))
+            np.add.at(m, seg, w[bs] * xs)
+            r = 1.0 / (1.0 + np.exp(-m)) - y
+            g = np.zeros(n_features, dtype=np.float64)
+            np.add.at(g, bs, r[seg] * xs)
+            w = w - lr * g / n_docs
+        return _classifier_weight_frame(documents, w, n_features)
     for _ in range(iters):
         w_lit = w  # rebind per iteration: the closure must pickle THIS w
 
@@ -698,7 +730,33 @@ def train_classifier(
         for r in reduced:
             grad[r.i] = r.g
         w = w - lr * grad / n_docs
+    return _classifier_weight_frame(documents, w, n_features)
 
+
+# (b, x) posting pairs collected to the driver by train_classifier's fast
+# path: 2M pairs ≈ 50 MB of Arrow columns — safe in the external driver's
+# vanilla 1 GiB heap (note 48); posting count grows with the corpus, so a
+# 100 TB training set stays on the per-iteration Spark reduction.
+CLS2_DRIVER_MAX_POSTINGS = 2_000_000
+
+
+def _collect_feat_pdf(feat: "DataFrame"):
+    """Arrow-collect the sparse feature frame, forcing the Arrow transfer
+    for the duration of the call only (the external driver's vanilla
+    session has it off; see mining._collect_edge_pdf)."""
+    spark = feat.sparkSession
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        return feat.toPandas()
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _classifier_weight_frame(documents: DataFrame, w, n_features: int) -> DataFrame:
+    """(token, weight) frame from a trained weight vector — the shared tail
+    of both train_classifier regimes."""
     vocab = (
         documents.select(F.explode(_toks()).alias("token"))
         .where(F.col("token") != "")
