@@ -2495,10 +2495,14 @@ def _driver_min_labels(spark, id_field, node_rows, edge_rows) -> DataFrame:
         ]
     )
     rows = [(i, find(i)) for i in sorted(ids)] + [(None, None)] * n_null
-    # eager checkpoint: consumers reference the labels frame more than once
-    # (sd1's sizes groupBy + join), and a bare 1-slice Python-RDD frame
-    # re-pays a Python round trip per reference (note 58)
-    return tables.local_rows(spark, rows, schema).localCheckpoint(eager=True)
+    # Deliberately NOT localCheckpoint(eager=True)-ed (r15 A/B, the note-60
+    # measure-first rule): the eager materialization costs ~0.4 s of Python
+    # round trip PER CALL, which the multi-call er/st13 resolve paths pay
+    # 2-3x per query, while sd1 — the one double-reference consumer the
+    # note-58 rule would protect — measured a wash (4.45 vs 4.35 s floor):
+    # re-scanning a label-count-sized 1-slice frame twice costs about what
+    # one materialization does.
+    return tables.local_rows(spark, rows, schema)
 
 
 def propagate_min_labels(
@@ -2537,16 +2541,16 @@ def propagate_min_labels(
             if id_type in ("bigint", "int", "smallint", "tinyint")
             else min(driver_max_nodes, DRIVER_CC_MAX_STRING_NODES)
         )
-        # Gate on a COUNT before collecting anything (r14 ADVICE): an
-        # over-cap graph must never pull its node rows to the driver just
-        # to discard them, and the edge-count job runs only once the node
-        # gate has passed.
-        if (
-            nodes.limit(cap + 1).count() <= cap
-            and sym.count() <= 4 * cap
-        ):
+        # ONE bounded evaluation of the nodes frame (a count-then-collect
+        # gate re-evaluates the distinct aggregate and measurably regressed
+        # st13's per-batch resolves): collect at most cap+1 rows; an
+        # over-cap graph pulls that bounded prefix only and skips the
+        # edge-count job entirely (r14 ADVICE, with the cap now byte-aware
+        # so the bounded prefix stays small for string ids too).
+        node_rows = nodes.limit(cap + 1).collect()
+        if len(node_rows) <= cap and sym.count() <= 4 * cap:
             out = _driver_min_labels(
-                nodes.sparkSession, nodes.schema[0], nodes.collect(), sym.collect()
+                nodes.sparkSession, nodes.schema[0], node_rows, sym.collect()
             )
             tables.free_checkpoint(sym)  # never read again (notes 34/45)
             return out
